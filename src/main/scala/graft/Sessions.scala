@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the engine.
+  *
+  * Mirrors the session shape observed in the reference
+  * (`ALS_model3.py:52-61`: local master, explicit shuffle partitions,
+  * Kryo, WARN logging) but tuned for this harness: shuffle
+  * partitions sized to the actual core count (not the reference's
+  * fixed 700, which is wrong for local mode), AQE enabled so the
+  * runtime can coalesce shuffle partitions / convert joins to
+  * broadcast / split skewed partitions — the knobs that matter when
+  * the same plans run on a 1000-executor cluster.
+  */
+object Sessions {
+
+  /** Local session for tests and CLI mains. */
+  def local(cpus: Int = defaultCpus, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def defaultCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(4)
+
+  /** Apply the engine's standard SQL conf to an externally-built
+    * session (e.g. the driver-owned ones in Verify/Bench).
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+}

@@ -1,13 +1,339 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Det
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with DuckDB-runnable oracle SQL over the same
+  * parquet tables (column names aligned on both sides; all compared
+  * doubles are bit-deterministic, see [[graft.functions.Det]]).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Shared cleaned-ratings input (SURVEY P1–P3) mapped onto testdata:
+    * user=l_suppkey, item=l_partkey, rating=int(l_quantity) in (0,10].
+    */
+  private def ratings(s: SparkSession, dir: String): DataFrame =
+    Cleaning.cleanRatings(t(s, dir, "lineitem"),
+      "l_suppkey", "l_partkey", "l_quantity", lo = 0, hi = 10)
+
+  private val ratingsSql =
+    """SELECT CAST(l_suppkey AS BIGINT) AS userId,
+      |       CAST(l_partkey AS BIGINT) AS itemId,
+      |       CAST(l_quantity AS INT) AS rating
+      |FROM lineitem
+      |WHERE CAST(l_quantity AS INT) > 0 AND CAST(l_quantity AS INT) <= 10""".stripMargin
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Popularity.topByAvgRating(ratings(spark, "/root/testdata/sf0.001"),
+      "itemId", "rating", minCount = 2, topN = 100)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- cleaning / projection / predicates (P1-P4, P7, P8) ---
+    "q01_clean_project" -> ((s, dir) => ratings(s, dir)),
+
+    "q05_conditional_binarize" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        Cleaning.binarize(col("value"), 100.0).as("label"))),
+
+    // --- distinct (P11) ---
+    "q04_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_mktsegment")).distinct()),
+
+    // --- aggregations (A1, A2, P6, T1, T2) ---
+    "q02_popularity_topn" -> ((s, dir) =>
+      Popularity.topByAvgRating(ratings(s, dir), "itemId", "rating",
+        minCount = 2, topN = 100)),
+
+    "q03_group_count" -> ((s, dir) =>
+      Popularity.countsPerKey(t(s, dir, "orders"), "o_custkey", "num_orders")),
+
+    "q17_summary_stats" -> ((s, dir) =>
+      Popularity.summaryStats(t(s, dir, "lineitem"), col("l_quantity"))),
+
+    // --- id mapping (W1, scale-safe) ---
+    "q06_id_mapping" -> ((s, dir) =>
+      IdMapping.denseIds(t(s, dir, "orders"), "o_custkey", "mapped_id")),
+
+    // --- joins (J1-J5) ---
+    "q07_join_inner" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"))
+    }),
+
+    "q08_join_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+      o.join(rich, o("o_custkey") === rich("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+
+    "q09_join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("num_orders"))
+    }),
+
+    "q10_join_multiway_broadcast" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          Det.sumProductRounded(col("l_extendedprice"), col("l_discount"))
+            .as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // --- per-group top-k / dedup (T4, U1) ---
+    "q11_topk_per_group" -> ((s, dir) =>
+      TopK.perGroup(t(s, dir, "orders"), "o_custkey",
+          Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rank"))),
+
+    "q14_dedup_first_seen" -> ((s, dir) =>
+      TopK.dedupFirstSeen(t(s, dir, "lineitem"), "l_orderkey",
+          "l_returnflag", Seq(col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linenumber"))),
+
+    // --- per-group randomized splits (W2/M8; count invariants) ---
+    "q12_split_loo_counts" -> ((s, dir) =>
+      Splits.leaveOneOut(t(s, dir, "orders"), "o_custkey", seed = 42L)
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(when(col("is_test"), 1L).otherwise(0L)).as("n_test"),
+          sum(when(!col("is_test"), 1L).otherwise(0L)).as("n_train"))),
+
+    "q13_fold_sizes" -> ((s, dir) =>
+      Splits.foldAssign(t(s, dir, "orders"), "o_custkey", k = 3,
+          minRows = 5, seed = 42L)
+        .groupBy(col("o_custkey"), col("fold"))
+        .agg(count(lit(1)).as("n"))),
+
+    // --- generators (F3/F4) ---
+    "q15_explode" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .toDF("vec_id", "pos", "val")),
+
+    // --- pivot (A3/A4, bounded) ---
+    "q16_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(Det.sumRounded(col("l_quantity"), 2))
+        .na.fill(0.0)),
+
+    // --- set operators ---
+    "q18_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey")))),
+
+    "q19_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey")))),
+
+    "q20_union" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey").as("key"))
+        .union(t(s, dir, "customer").select(col("c_custkey").as("key")))
+        .distinct()),
+
+    // --- scalar string functions (F6 + family) ---
+    "q21_strings" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 12)).as("name12"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"))),
+
+    // --- time bucketing (streaming-equivalent batch window) ---
+    "q22_events_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.sumRounded(col("value"), 2).as("sum_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+
+    // --- rollup (beyond reference; §2.12 noted absent there) ---
+    "q23_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"))),
+
+    // --- JSON extraction (events.props) ---
+    "q24_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    // --- date/time parts ---
+    "q25_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_clean_project" -> ratingsSql,
+
+    "q05_conditional_binarize" ->
+      """SELECT event_id,
+        |       CAST(CASE WHEN value > 100.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label
+        |FROM events""".stripMargin,
+
+    "q04_distinct" -> "SELECT DISTINCT c_mktsegment FROM customer",
+
+    "q02_popularity_topn" ->
+      s"""WITH r AS ($ratingsSql)
+         |SELECT itemId,
+         |       ROUND(CAST(SUM(CAST(rating AS DECIMAL(18,2))) AS DOUBLE) / COUNT(rating), 4) AS avg_rating,
+         |       COUNT(rating) AS num_ratings
+         |FROM r GROUP BY itemId HAVING COUNT(rating) >= 2
+         |ORDER BY avg_rating DESC, num_ratings DESC, itemId
+         |LIMIT 100""".stripMargin,
+
+    "q03_group_count" ->
+      "SELECT o_custkey, COUNT(*) AS num_orders FROM orders GROUP BY o_custkey",
+
+    "q17_summary_stats" ->
+      """SELECT COUNT(l_quantity) AS n,
+        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 4) AS mean,
+        |       ROUND(SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |                   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE))
+        |                  / (CAST(COUNT(l_quantity) AS DOUBLE) - 1.0)), 4) AS stddev,
+        |       MIN(l_quantity) AS min,
+        |       MAX(l_quantity) AS max
+        |FROM lineitem""".stripMargin,
+
+    "q06_id_mapping" ->
+      """SELECT o_custkey,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY o_custkey) - 1 AS BIGINT) AS mapped_id
+        |FROM (SELECT DISTINCT o_custkey FROM orders) t""".stripMargin,
+
+    "q07_join_inner" ->
+      """SELECT o_orderkey, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q08_join_semi" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)""".stripMargin,
+
+    "q09_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS num_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q10_join_multiway_broadcast" ->
+      """SELECT n_name,
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q11_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q14_dedup_first_seen" ->
+      """SELECT l_orderkey, l_returnflag, l_linenumber
+        |FROM (SELECT l_orderkey, l_returnflag, l_linenumber,
+        |             ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_returnflag ORDER BY l_linenumber) AS rn
+        |      FROM lineitem) t
+        |WHERE rn = 1""".stripMargin,
+
+    "q12_split_loo_counts" ->
+      """SELECT o_custkey, CAST(1 AS BIGINT) AS n_test, COUNT(*) - 1 AS n_train
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "q13_fold_sizes" ->
+      """WITH c AS (SELECT o_custkey, COUNT(*) AS grp_n FROM orders GROUP BY o_custkey),
+        |r AS (SELECT o_custkey,
+        |             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |      FROM orders)
+        |SELECT r.o_custkey,
+        |       CAST(CASE WHEN c.grp_n >= 5 THEN r.rn % 3 ELSE -1 END AS INT) AS fold,
+        |       COUNT(*) AS n
+        |FROM r JOIN c USING (o_custkey)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q15_explode" ->
+      """SELECT vec_id,
+        |       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |       unnest(embedding) AS val
+        |FROM embeddings""".stripMargin,
+
+    "q16_pivot" ->
+      """SELECT l_returnflag,
+        |       COALESCE(ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2), 0.0) AS F,
+        |       COALESCE(ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2), 0.0) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q18_except" ->
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+
+    "q19_intersect" ->
+      "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders",
+
+    "q20_union" ->
+      """SELECT o_custkey AS key FROM orders
+        |UNION
+        |SELECT c_custkey AS key FROM customer""".stripMargin,
+
+    "q21_strings" ->
+      """SELECT p_partkey,
+        |       UPPER(SUBSTRING(p_name, 1, 12)) AS name12,
+        |       p_brand || '-' || p_type AS brand_type,
+        |       CAST(LENGTH(p_name) AS INT) AS name_len
+        |FROM part""".stripMargin,
+
+    "q22_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q23_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q24_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin,
+
+    "q25_date_parts" ->
+      """SELECT o_orderkey,
+        |       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        |       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+        |       CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom
+        |FROM orders""".stripMargin,
+  )
 }

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source layer: named-table loading over parquet (primary), CSV and
+  * JDBC (optional), plus temp-view registration so both the DataFrame
+  * API and `spark.sql` entry points work.
+  *
+  * The reference loads every table over single-task JDBC from SQLite
+  * (`ALS_model3.py:67-73` — no partitionColumn, so the whole table
+  * streams through one task). Here parquet is the contract (splittable,
+  * columnar, predicate/projection pushdown for free) and the JDBC
+  * loader is partitioned by default — the reference's known
+  * single-task-scan hazard (SURVEY §4 item 2) is fixed, not copied.
+  */
+object Tables {
+
+  /** Tables shipped in the driver testdata dirs. */
+  val testdataTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan (SURVEY S2). Column pruning + filter pushdown happen
+    * in Catalyst; nothing to do here beyond not materializing.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every testdata table as a temp view (SURVEY S6: the
+    * `spark.sql` entry point the reference only used via sqlite3).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    testdataTables.foreach { n =>
+      load(spark, dir, n).createOrReplaceTempView(n)
+    }
+
+  /** CSV source with explicit schema (schema inference is a full extra
+    * scan — never rely on it at scale).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .schema(schema)
+      .csv(path)
+
+  /** CSV sink (SURVEY S5). The reference wrote CSV from driver-side
+    * pandas (`recommendations3.py:176-177`); this stays distributed.
+    * `singleFile = true` reproduces the one-file layout for small
+    * exports only.
+    */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** Parquet sink (SURVEY S3). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Partitioned JDBC scan (SURVEY S1, fixed for scale): the caller
+    * must supply a numeric partition column and bounds so the read
+    * fans out over `numPartitions` tasks instead of one
+    * (`ALS_model3.py:69-73` reads the whole table in a single task).
+    * Driver class availability is the caller's responsibility — this
+    * harness has no JDBC driver jars, so this path is untested here
+    * and kept optional by design (SURVEY §7.4).
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: String, lowerBound: Long, upperBound: Long,
+           numPartitions: Int = 32,
+           options: Map[String, String] = Map.empty): DataFrame =
+    spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound.toString)
+      .option("upperBound", upperBound.toString)
+      .option("numPartitions", numPartitions.toString)
+      .options(options)
+      .load()
+}
