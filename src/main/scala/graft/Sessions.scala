@@ -26,6 +26,7 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,11 +38,15 @@ object Sessions {
 
   /** Apply the engine's standard SQL conf to an externally-built
     * session (e.g. the driver-owned ones in Verify/Bench).
+    * `nanosAsLong` is a static conf in some Spark versions, so Verify/
+    * Bench must ALSO set it at builder time; setting it here is for
+    * sessions we don't construct (it is runtime-settable in 4.1).
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 }

@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Dense 0-based ordinal ID assignment (SURVEY W1).
   *
@@ -14,11 +13,18 @@ import org.apache.spark.sql.types.{LongType, StructField}
   * worst scale hazard in the reference (SURVEY §4 item 1).
   *
   * `denseIds` keeps the exact semantics (dense, 0-based, ordered by
-  * key) but stays distributed: range-repartition by the key (total
-  * order across partitions), sort within partitions, then
-  * `zipWithIndex`, which computes per-partition offsets with one small
-  * count job instead of a single-partition sort. On a 1000-executor
-  * cluster this scales linearly; the window version does not.
+  * key) fully inside Tungsten/codegen:
+  *   1. distinct keys → `repartitionByRange(key)`: total order across
+  *      partitions, one shuffle of the (small) key dim;
+  *   2. `sortWithinPartitions` + `monotonically_increasing_id`, whose
+  *      bit layout (partition id << 33 | row offset) yields the
+  *      per-partition ordinal with NO second shuffle and no window;
+  *   3. per-partition counts (≤ numPartitions rows) → cumulative
+  *      offsets → broadcast join back.
+  * On a 1000-executor cluster every step is either embarrassingly
+  * parallel or operates on a numPartitions-sized side table. The
+  * round-1 version dropped to RDD `zipWithIndex` (two encoder
+  * round-trips outside codegen); this one never leaves DataFrames.
   */
 object IdMapping {
 
@@ -27,18 +33,30 @@ object IdMapping {
     */
   def denseIds(df: DataFrame, keyCol: String, idCol: String = "mapped_id",
                partitions: Option[Int] = None): DataFrame = {
-    val spark = df.sparkSession
     val keys = df.select(keyCol).na.drop().distinct()
     val ranged = partitions match {
       case Some(n) => keys.repartitionByRange(n, col(keyCol))
       case None    => keys.repartitionByRange(col(keyCol))
     }
-    val sorted = ranged.sortWithinPartitions(keyCol)
-    val schema = sorted.schema.add(StructField(idCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ idx)
-    }
-    spark.createDataFrame(rdd, schema)
+    // monotonically_increasing_id packs (partitionId << 33 | rowOffset);
+    // after the in-partition sort the offset IS the local ordinal.
+    val mid = ranged.sortWithinPartitions(keyCol)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftrightunsigned(col("_mid"), 33))
+      .withColumn("_rn", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+    // Per-partition counts: ≤ numPartitions rows — the window below
+    // runs on that tiny frame, not on the data.
+    val offsets = mid.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(
+          sum(col("_n")).over(
+            Window.orderBy(col("_pid"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    mid.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(idCol, col("_offset") + col("_rn"))
+      .select(col(keyCol), col(idCol))
   }
 
   /** The reference's literal single-partition-window construction —
@@ -51,10 +69,21 @@ object IdMapping {
       .withColumn(idCol, (row_number().over(Window.orderBy(col(keyCol))) - 1).cast("long"))
 
   /** Attach mapped ids to a fact table via equi-join
-    * (`ALS_model3.py:205-208`). The mapping side is a dim (≤ distinct
-    * keys) — broadcast it so the fact table does not shuffle.
+    * (`ALS_model3.py:205-208`).
+    *
+    * The mapping side is the distinct-key set of the fact table —
+    * small for dims, but potentially billions of keys at 100 TB, so an
+    * unconditional `broadcast()` is a driver-OOM hazard (round-1
+    * finding). The hint is now gated on Catalyst's own size estimate;
+    * above the threshold the planner (with AQE) picks the strategy,
+    * which at scale is a co-partitioned shuffle join.
     */
   def attach(fact: DataFrame, mapping: DataFrame, factKey: String,
-             mapKey: String): DataFrame =
-    fact.join(broadcast(mapping), fact(factKey) === mapping(mapKey))
+             mapKey: String,
+             broadcastThreshold: Long = 128L << 20): DataFrame = {
+    val est = mapping.queryExecution.optimizedPlan.stats.sizeInBytes
+    val m = if (est.isValidLong && est.toLong <= broadcastThreshold)
+      broadcast(mapping) else mapping
+    fact.join(m, fact(factKey) === mapping(mapKey))
+  }
 }

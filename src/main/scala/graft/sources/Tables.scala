@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Source layer: named-table loading over parquet (primary), CSV and
   * JDBC (optional), plus temp-view registration so both the DataFrame
@@ -21,11 +22,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Parquet scan (SURVEY S2). Column pruning + filter pushdown happen
-    * in Catalyst; nothing to do here beyond not materializing.
+  /** Columns that the testdata stores as parquet TIMESTAMP(NANOS),
+    * which Spark 4.x cannot read natively (PARQUET_TYPE_ILLEGAL).
+    * With `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    * [[graft.Sessions]]) they arrive as long nanoseconds; `load`
+    * converts them back to TimestampType (micros) so downstream
+    * time functions (`window`, `date_trunc`) work unchanged.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  val nanoTsColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
+
+  /** Parquet scan (SURVEY S2). Column pruning + filter pushdown happen
+    * in Catalyst; nothing to do here beyond not materializing. The
+    * nanos→timestamp conversion is a narrow projection that codegen
+    * fuses into the scan — no extra pass.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    nanoTsColumns.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      if (df.schema.fieldNames.contains(c) && df.schema(c).dataType == LongType)
+        df.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
+      else df
+    }
+  }
 
   /** Register every testdata table as a temp view (SURVEY S6: the
     * `spark.sql` entry point the reference only used via sqlite3).
