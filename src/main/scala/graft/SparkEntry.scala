@@ -191,6 +191,59 @@ object SparkEntry {
         year(col("o_orderdate")).as("yr"),
         month(col("o_orderdate")).as("mo"),
         dayofmonth(col("o_orderdate")).as("dom"))),
+
+    // --- attach mappings then aggregate (J2 attach + ALS_model3.py:205-208 shape) ---
+    "q31_attach_mappings" -> ((s, dir) => {
+      val r = ratings(s, dir)
+      val users = IdMapping.denseIds(r, "userId", "u")
+      val items = IdMapping.denseIds(r, "itemId", "i")
+      val mapped = IdMapping.attach(
+        IdMapping.attach(r, users, "userId", "userId")
+          .select(r("itemId").as("itemId0"), col("rating"), col("u")),
+        items.withColumnRenamed("itemId", "itemId1"), "itemId0", "itemId1")
+      mapped.groupBy(col("u"))
+        .agg(count(lit(1)).as("n"), Det.avgRounded(col("rating")).as("avg_r"))
+    }),
+
+    // --- null-drop on a subset of columns (P4, Model_evaluation.py:86) ---
+    "q39_nadrop_subset" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("value") > 400, lit(null)).otherwise(col("value"))
+            .as("value_n"),
+          col("event_type"))
+        .na.drop(Seq("value_n"))),
+
+    // --- distinct-count (A8, recommendations3.py:78 nunique) ---
+    "q40_distinct_count" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderkey")).as("n_orders"))),
+
+    // --- join after agg+limit (J6, recommendations3.py:83-87) ---
+    "q41_join_agg_limit" -> ((s, dir) => {
+      val popular = Popularity.topByCount(t(s, dir, "lineitem"), "l_partkey", 50)
+      val p = t(s, dir, "part")
+      popular.join(p, popular("l_partkey") === p("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("num_ratings"))
+    }),
+
+    // --- spark.sql entry over registered temp views (S6) ---
+    "q42_sql_entry" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |GROUP BY c_mktsegment""".stripMargin)
+    }),
+
+    // --- quality report: filter+agg+sort (A7, recommendations3.py:185-193) ---
+    "q43_quality_report" -> ((s, dir) =>
+      ratings(s, dir).filter(col("rating") > 5)
+        .groupBy(col("itemId"))
+        .agg(Det.avgRounded(col("rating")).as("mean_rating"),
+          count(lit(1)).as("n_recs"))
+        .orderBy(col("mean_rating").desc, col("n_recs").desc, col("itemId"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -335,5 +388,46 @@ object SparkEntry {
         |       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
         |       CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom
         |FROM orders""".stripMargin,
+
+    "q31_attach_mappings" ->
+      s"""WITH r AS ($ratingsSql),
+         |u AS (SELECT userId, CAST(ROW_NUMBER() OVER (ORDER BY userId) - 1 AS BIGINT) AS u
+         |      FROM (SELECT DISTINCT userId FROM r)),
+         |i AS (SELECT itemId, CAST(ROW_NUMBER() OVER (ORDER BY itemId) - 1 AS BIGINT) AS i
+         |      FROM (SELECT DISTINCT itemId FROM r))
+         |SELECT u.u, COUNT(*) AS n,
+         |       ROUND(CAST(SUM(CAST(r.rating AS DECIMAL(18,2))) AS DOUBLE) / COUNT(r.rating), 4) AS avg_r
+         |FROM r JOIN u ON r.userId = u.userId JOIN i ON r.itemId = i.itemId
+         |GROUP BY u.u""".stripMargin,
+
+    "q39_nadrop_subset" ->
+      """SELECT event_id, value AS value_n, event_type
+        |FROM events WHERE value <= 400""".stripMargin,
+
+    "q40_distinct_count" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_cust,
+        |       COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM orders""".stripMargin,
+
+    "q41_join_agg_limit" ->
+      """WITH popular AS (
+        |  SELECT l_partkey, COUNT(*) AS num_ratings FROM lineitem
+        |  GROUP BY l_partkey ORDER BY num_ratings DESC, l_partkey LIMIT 50)
+        |SELECT p_partkey, p_name, num_ratings
+        |FROM popular JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q42_sql_entry" ->
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q43_quality_report" ->
+      s"""WITH r AS ($ratingsSql)
+         |SELECT itemId,
+         |       ROUND(CAST(SUM(CAST(rating AS DECIMAL(18,2))) AS DOUBLE) / COUNT(rating), 4) AS mean_rating,
+         |       COUNT(*) AS n_recs
+         |FROM r WHERE rating > 5
+         |GROUP BY itemId
+         |ORDER BY mean_rating DESC, n_recs DESC, itemId""".stripMargin,
   )
 }
