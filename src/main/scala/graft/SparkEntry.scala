@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det
+import graft.ml.{Als, Eval}
 import graft.operators._
 import graft.sources.Tables
 
@@ -244,6 +245,41 @@ object SparkEntry {
         .agg(Det.avgRounded(col("rating")).as("mean_rating"),
           count(lit(1)).as("n_recs"))
         .orderBy(col("mean_rating").desc, col("n_recs").desc, col("itemId"))),
+
+    // --- RMSE of an item-mean predictor (M5 as a query; Eval.rmseDf) ---
+    "q26_rmse" -> ((s, dir) => {
+      val r = ratings(s, dir)
+      val means = r.groupBy(col("itemId"))
+        .agg(Det.avgRounded(col("rating")).as("pred"))
+      Eval.rmseDf(r.join(means, Seq("itemId")), "rating", "pred")
+    }),
+
+    // --- binary AUC via grouped rank-sum (M6 as a query) ---
+    "q27_auc" -> ((s, dir) =>
+      Eval.aucDf(
+        t(s, dir, "events").select(
+          Cleaning.binarize(col("value"), 100.0).as("label"),
+          get_json_object(col("props"), "$.k").cast("int").as("score")),
+        "label", "score")),
+
+    // --- ROC curve points (M10/S7 as a query) ---
+    "q34_roc_points" -> ((s, dir) =>
+      Eval.rocPoints(
+        t(s, dir, "events").select(
+          Cleaning.binarize(col("value"), 100.0).as("label"),
+          get_json_object(col("props"), "$.k").cast("int").as("score")),
+        "label", "score")),
+
+    // --- ALS train + subset top-k serve + explode (M1/M4/F3/F4; no SQL
+    //     oracle: factor optimization is not SQL-expressible → driver
+    //     records the rows-only check; ε-band tests live in AlsSpec) ---
+    "q33_als_recs" -> ((s, dir) => {
+      val r = ratings(s, dir)
+      val model = Als.fit(r, Als.Params(rank = 8, maxIter = 5, regParam = 0.1))
+      val users = r.select(col("userId")).distinct().orderBy(col("userId")).limit(50)
+      Als.explodeRecs(Als.recommendSubset(model, users, 5))
+        .select(col("userId"), col("rank"), col("itemId"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -429,5 +465,45 @@ object SparkEntry {
          |FROM r WHERE rating > 5
          |GROUP BY itemId
          |ORDER BY mean_rating DESC, n_recs DESC, itemId""".stripMargin,
+
+    "q26_rmse" ->
+      s"""WITH r AS ($ratingsSql),
+         |m AS (SELECT itemId,
+         |             ROUND(CAST(SUM(CAST(rating AS DECIMAL(18,2))) AS DOUBLE) / COUNT(rating), 4) AS pred
+         |      FROM r GROUP BY itemId)
+         |SELECT ROUND(SQRT(CAST(SUM(CAST(pred - rating AS DECIMAL(18,8)) * CAST(pred - rating AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)), 4) AS rmse
+         |FROM r JOIN m USING (itemId)""".stripMargin,
+
+    "q27_auc" ->
+      """WITH src AS (
+        |  SELECT CAST(CASE WHEN value > 100.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
+        |         CAST(json_extract_string(props, '$.k') AS INT) AS score
+        |  FROM events),
+        |g AS (SELECT score, CAST(COUNT(*) AS DOUBLE) AS n, SUM(label) AS pos
+        |      FROM src GROUP BY score),
+        |w AS (SELECT *,
+        |             COALESCE(SUM(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM g)
+        |SELECT ROUND((SUM(pos * (cum_before + (n + 1.0) / 2.0)) - SUM(pos) * (SUM(pos) + 1.0) / 2.0)
+        |             / (SUM(pos) * (SUM(n) - SUM(pos))), 6) AS auc
+        |FROM w""".stripMargin,
+
+    "q34_roc_points" ->
+      """WITH src AS (
+        |  SELECT CAST(CASE WHEN value > 100.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
+        |         CAST(json_extract_string(props, '$.k') AS INT) AS score
+        |  FROM events),
+        |g AS (SELECT score, CAST(COUNT(*) AS DOUBLE) AS n, SUM(label) AS pos
+        |      FROM src GROUP BY score),
+        |w AS (SELECT *,
+        |             SUM(pos) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        |             SUM(n)   OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |             SUM(pos) OVER () AS tot_pos,
+        |             SUM(n)   OVER () AS tot_n
+        |      FROM g)
+        |SELECT score,
+        |       ROUND((cum_n - cum_pos) / (tot_n - tot_pos), 6) AS fpr,
+        |       ROUND(cum_pos / tot_pos, 6) AS tpr
+        |FROM w""".stripMargin,
   )
 }

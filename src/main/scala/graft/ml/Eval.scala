@@ -1,0 +1,93 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-evaluation metrics (SURVEY M5, M6, M10) as plain deterministic
+  * DataFrame aggregations.
+  *
+  * The reference reaches for `RegressionEvaluator` /
+  * `BinaryClassificationEvaluator` / sklearn `roc_curve`
+  * (`ALS_model3.py:114`, `Model_evaluation.py:75-107`). Those are fine
+  * for fitting loops (see [[Als]]), but as *query operators* they are
+  * re-expressed here as aggregations so that (a) results are
+  * bit-deterministic under any partitioning and (b) a SQL oracle can
+  * check them. Scale notes per op below.
+  */
+object Eval {
+
+  private val D8 = DecimalType(18, 8)
+
+  /** RMSE as a 1-row DataFrame, deterministic: the squared error is
+    * accumulated EXACTLY in decimal (inputs are ≤4-fractional-digit
+    * predictions against integer labels), only the final sqrt runs in
+    * double. Same op shape as the SQL
+    * `ROUND(SQRT(CAST(SUM(CAST(d AS DECIMAL(18,8)) * d AS DOUBLE))/COUNT(*)),4)`.
+    * One shuffle-free partial agg + 1-row merge; scale-trivial.
+    */
+  def rmseDf(df: DataFrame, labelCol: String, predCol: String,
+             digits: Int = 4): DataFrame = {
+    val d = (col(predCol) - col(labelCol)).cast(D8)
+    df.agg(
+      round(sqrt(sum(d * d).cast("double") / count(lit(1))), digits)
+        .as("rmse"))
+  }
+
+  /** Scalar RMSE for fitting loops (M5 parity — same value spark.ml's
+    * RegressionEvaluator computes, without instantiating one).
+    */
+  def rmse(df: DataFrame, labelCol: String, predCol: String): Double =
+    df.agg(sqrt(avg(pow(col(predCol) - col(labelCol), 2.0))))
+      .head().getDouble(0)
+
+  /** Binary AUC-ROC via the Mann–Whitney rank-sum, computed over the
+    * per-distinct-score histogram (M6): group by score →
+    * (n, positives), cumulative count of strictly-lower scores via a
+    * window over DISTINCT SCORES (cardinality = |score domain|, not
+    * |rows| — at 100 TB the row count is irrelevant; only score
+    * cardinality matters, and real scoring pipelines bin/round scores).
+    * Tie handling = average rank, identical to sklearn/spark.ml.
+    * All intermediate values are half-integers — exact in double, so
+    * the result is partitioning-independent.
+    */
+  def aucDf(df: DataFrame, labelCol: String, scoreCol: String,
+            digits: Int = 6): DataFrame = {
+    val g = df.groupBy(col(scoreCol)).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col(labelCol).cast("double")).as("pos"))
+    val before = Window.orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum_before", coalesce(sum(col("n")).over(before), lit(0.0)))
+      .withColumn("rs", col("pos") * (col("cum_before") + (col("n") + 1.0) / 2.0))
+      .agg(round(
+        (sum(col("rs")) - sum(col("pos")) * (sum(col("pos")) + 1.0) / 2.0) /
+          (sum(col("pos")) * (sum(col("n")) - sum(col("pos")))),
+        digits).as("auc"))
+  }
+
+  /** ROC curve points (M10; replaces the reference's sklearn/matplotlib
+    * PNG, `Model_evaluation.py:95-107`, with the S7 table the survey
+    * prescribes): one (score, fpr, tpr) row per distinct score,
+    * thresholds descending — "predict positive when score ≥ s".
+    * Same distinct-score histogram shape as [[aucDf]].
+    */
+  def rocPoints(df: DataFrame, labelCol: String, scoreCol: String,
+                digits: Int = 6): DataFrame = {
+    val g = df.groupBy(col(scoreCol)).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col(labelCol).cast("double")).as("pos"))
+    val cum = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = g.agg(sum(col("pos")).as("tot_pos"), sum(col("n")).as("tot_n"))
+    g.withColumn("cum_pos", sum(col("pos")).over(cum))
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .crossJoin(tot)
+      .select(
+        col(scoreCol),
+        round((col("cum_n") - col("cum_pos")) / (col("tot_n") - col("tot_pos")),
+          digits).as("fpr"),
+        round(col("cum_pos") / col("tot_pos"), digits).as("tpr"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ml
+
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rmseDf computes the exact RMSE") {
+    // errors: 1, -1, 2, 0 → mse = 6/4 = 1.5 → rmse = 1.2247
+    val df = Seq((1.0, 2.0), (3.0, 2.0), (0.0, 2.0), (5.0, 5.0))
+      .toDF("label", "pred")
+    val r = Eval.rmseDf(df, "label", "pred").as[Double].head()
+    assert(r == math.floor(math.sqrt(1.5) * 10000) / 10000 ||
+      math.abs(r - math.sqrt(1.5)) < 5e-5)
+  }
+
+  test("aucDf: perfect separation gives 1.0, anti-separation gives 0.0") {
+    val perfect = Seq((0.0, 0.1), (0.0, 0.2), (1.0, 0.3), (1.0, 0.4))
+      .toDF("label", "score")
+    assert(Eval.aucDf(perfect, "label", "score").as[Double].head() == 1.0)
+    val anti = Seq((1.0, 0.1), (1.0, 0.2), (0.0, 0.3), (0.0, 0.4))
+      .toDF("label", "score")
+    assert(Eval.aucDf(anti, "label", "score").as[Double].head() == 0.0)
+  }
+
+  test("aucDf handles ties with average ranks") {
+    // scores (1,1,2,2), labels (0,1,0,1): rank-sum of positives =
+    // 1.5 + 3.5 = 5 → AUC = (5 - 3)/4 = 0.5
+    val df = Seq((0.0, 1.0), (1.0, 1.0), (0.0, 2.0), (1.0, 2.0))
+      .toDF("label", "score")
+    assert(Eval.aucDf(df, "label", "score").as[Double].head() == 0.5)
+  }
+
+  test("rocPoints endpoints and monotonicity") {
+    val df = Seq((0.0, 1.0), (1.0, 2.0), (0.0, 3.0), (1.0, 4.0), (1.0, 5.0))
+      .toDF("label", "score")
+    val pts = Eval.rocPoints(df, "label", "score")
+      .orderBy($"score".desc).as[(Double, Double, Double)].collect()
+    // thresholds descending: tpr/fpr must be non-decreasing, ending at (1,1)
+    assert(pts.last._2 == 1.0 && pts.last._3 == 1.0)
+    val tprs = pts.map(_._3); val fprs = pts.map(_._2)
+    assert(tprs.zip(tprs.tail).forall { case (a, b) => a <= b })
+    assert(fprs.zip(fprs.tail).forall { case (a, b) => a <= b })
+    // top threshold (score=5, a positive): tpr=1/3, fpr=0
+    assert(pts.head._3 == math.rint(1.0 / 3.0 * 1e6) / 1e6 && pts.head._2 == 0.0)
+  }
+}
