@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det
-import graft.ml.{Als, Eval}
+import graft.ml.{Als, Eval, Serve}
 import graft.operators._
 import graft.sources.Tables
 
@@ -280,6 +280,38 @@ object SparkEntry {
       Als.explodeRecs(Als.recommendSubset(model, users, 5))
         .select(col("userId"), col("rank"), col("itemId"))
     }),
+
+    // --- tiered fallback fill (T4/U1 composition; recommendations3.py
+    //     fill loop as one window) ---
+    "q28_fill_to_k" -> ((s, dir) => {
+      val r = ratings(s, dir)
+      val primary = r.filter(col("rating") >= 9)
+        .select(col("userId"), col("itemId"),
+          col("rating").cast("double").as("score"))
+      val pool = Popularity.topByCount(r, "itemId", 5)
+        .select(col("itemId"), col("num_ratings").cast("double").as("score"))
+      val fallback = r.select(col("userId")).distinct().crossJoin(pool)
+      TopK.fillToK(primary, fallback, "userId", "itemId", "score", k = 3)
+    }),
+
+    // --- struct collect + posexplode + struct-field access (F4) ---
+    "q35_explode_struct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey"))))
+          .as("items"))
+        .select(col("l_orderkey"), posexplode(col("items")))
+        .select(col("l_orderkey"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.l_linenumber").as("ln"), col("col.l_partkey").as("pk"))),
+
+    // --- full serving pipeline: ALS + fallback fill + broadcast titles
+    //     + bounded wide pivot (EP2; rows-only, ALS-dependent) ---
+    "q44_serve_wide" -> ((s, dir) => {
+      val r = ratings(s, dir)
+      val model = Als.fit(r, Als.Params(rank = 8, maxIter = 5, regParam = 0.1))
+      val users = r.select(col("userId")).distinct().orderBy(col("userId")).limit(20)
+      Serve.wide(Serve.topKWithFallback(model, users, r, k = 5), k = 5)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -505,5 +537,30 @@ object SparkEntry {
         |       ROUND((cum_n - cum_pos) / (tot_n - tot_pos), 6) AS fpr,
         |       ROUND(cum_pos / tot_pos, 6) AS tpr
         |FROM w""".stripMargin,
+
+    "q28_fill_to_k" ->
+      s"""WITH r AS ($ratingsSql),
+         |p AS (SELECT userId, itemId, CAST(rating AS DOUBLE) AS score, 0 AS tier
+         |      FROM r WHERE rating >= 9),
+         |pool AS (SELECT itemId, CAST(COUNT(*) AS DOUBLE) AS score
+         |         FROM r GROUP BY itemId
+         |         ORDER BY score DESC, itemId LIMIT 5),
+         |f AS (SELECT u.userId, pool.itemId, pool.score, 1 AS tier
+         |      FROM (SELECT DISTINCT userId FROM r) u CROSS JOIN pool
+         |      WHERE NOT EXISTS (SELECT 1 FROM p
+         |                        WHERE p.userId = u.userId AND p.itemId = pool.itemId)),
+         |un AS (SELECT * FROM p UNION ALL SELECT * FROM f),
+         |ranked AS (SELECT userId, itemId, score, tier,
+         |                  CAST(ROW_NUMBER() OVER (PARTITION BY userId
+         |                       ORDER BY tier, score DESC, itemId) AS INT) AS rank
+         |           FROM un)
+         |SELECT userId, itemId, score, tier, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q35_explode_struct" ->
+      """SELECT l_orderkey,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |            ORDER BY l_linenumber, l_partkey) AS INT) AS rank,
+        |       l_linenumber AS ln, l_partkey AS pk
+        |FROM lineitem""".stripMargin,
   )
 }
