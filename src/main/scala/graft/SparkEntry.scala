@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det
+import graft.llm.Dedup
 import graft.ml.{Als, Eval, Serve}
 import graft.operators._
 import graft.sources.Tables
@@ -312,6 +313,26 @@ object SparkEntry {
       val users = r.select(col("userId")).distinct().orderBy(col("userId")).limit(20)
       Serve.wide(Serve.topKWithFallback(model, users, r, k = 5), k = 5)
     }),
+
+    // --- LLM dedup: exact content-hash ---
+    "q29_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- LLM dedup: exact token-3-gram Jaccard pairs ---
+    "q36_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.05)),
+
+    // --- LLM dedup: MinHash+LSH near-dup pairs (xxhash64-based — no
+    //     DuckDB equivalent → rows-only; recall vs exact Jaccard is
+    //     asserted in DedupSpec) ---
+    "q45_minhash_neardup" -> ((s, dir) =>
+      Dedup.minHashNearDup(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)),
+
+    // --- LLM dedup: SimHash fingerprints (rows-only) ---
+    "q46_simhash" -> ((s, dir) =>
+      Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -562,5 +583,30 @@ object SparkEntry {
         |            ORDER BY l_linenumber, l_partkey) AS INT) AS rank,
         |       l_linenumber AS ln, l_partkey AS pk
         |FROM lineitem""".stripMargin,
+
+    "q29_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q36_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS shingle
+        |    FROM toks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+        |           JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.05""".stripMargin,
   )
 }

@@ -1,0 +1,165 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-level deduplication for LLM training-data pipelines:
+  * exact (content-hash), MinHash+LSH banding, SimHash, and exact
+  * n-gram Jaccard — all expressed as native DataFrame ops (codegen'd
+  * hash/array functions; no UDFs).
+  *
+  * Scale design: every near-dup path generates candidates through an
+  * equality join on a BUCKET key (LSH band hash, SimHash band, shared
+  * shingle) and only verifies within buckets — never an all-pairs
+  * cross join. At 100 TB the candidate join shuffles on the bucket
+  * key, which is high-cardinality by construction; the verify step
+  * touches only pairs that share a bucket.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash (the `md5(text)` group — DuckDB-
+    * oracle-able): one row per distinct content with the smallest id
+    * kept and the copy count.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Token n-gram shingles, one row per distinct (id, shingle).
+    * Tokenization = split on single space (mirrors the SQL oracle's
+    * `string_split(text, ' ')`).
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(j => s"element_at(_toks, i + $j)").mkString(", ")
+    docs
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn("shingle", explode(when(size(col("_toks")) >= n,
+        expr(s"transform(sequence(1, size(_toks) - ${n - 1}), i -> concat_ws(' ', $parts))"))
+        .otherwise(array())))
+      .select(col(idCol), col("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs. Candidate generation is an
+    * inverted-index self-join on the shingle (docs sharing ≥1 shingle),
+    * then `common / (|A| + |B| − common)` per pair. Fully
+    * SQL-oracle-able. At very large corpora prefer [[minHashNearDup]]
+    * — this one's join fan-out is bounded by shingle document
+    * frequency, which a stopword-shingle filter can cap.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val a = sh.toDF("id_a", "shingle")
+    val b = sh.toDF("id_b", "shingle")
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("_common"))
+    common
+      .join(sizes.toDF("id_a", "_na"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "_nb"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("_common").cast("double") /
+          (col("_na") + col("_nb") - col("_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: `numHashes` independent hash functions
+    * simulated as `xxhash64(i, shingle)`, min per doc. One exploded
+    * pass + one grouped agg; signature width is a constant.
+    */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 32): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val mins = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("shingle"))).as(s"_h$i"))
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("signature"))
+  }
+
+  /** MinHash + LSH banding near-dup detection: split each signature
+    * into `bands` bands of `numHashes/bands` rows, bucket-join on
+    * (band index, band hash), verify candidates by estimated Jaccard
+    * (= fraction of equal signature positions) ≥ `threshold`.
+    * Never materializes all pairs: only band-collisions are compared.
+    */
+  def minHashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                     threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sig = minHashSignatures(docs, idCol, textCol, n, numHashes).cache()
+    val banded = sig.select(
+      col(idCol),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          xxhash64(lit(j), slice(col("signature"), j * r + 1, r)).as("bucket"))): _*))
+        .as("b"))
+      .select(col(idCol), col("b.band"), col("b.bucket"))
+    val left = banded.toDF("id_a", "band", "bucket")
+    val right = banded.toDF("id_b", "band", "bucket")
+    val cands = left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val estEq = aggregate(
+      zip_with(col("_sa"), col("_sb"),
+        (x: Column, y: Column) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc: Column, v: Column) => acc + v)
+    cands
+      .join(sig.toDF("id_a", "_sa"), Seq("id_a"))
+      .join(sig.toDF("id_b", "_sb"), Seq("id_b"))
+      .withColumn("est_jaccard",
+        round(estEq.cast("double") / numHashes, 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint per document: token-frequency-weighted
+    * bit votes over `xxhash64(token)`. 64 per-bit vote sums in ONE
+    * grouped aggregation (all codegen'd), then bit assembly.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftrightunsigned(col("_h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_v$j")
+    }
+    val fp = (0 until 64)
+      .map(j => when(col(s"_v$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`.
+    * Candidates come from equality on 16-bit bands (any pair within
+    * Hamming 3 shares at least one of 4 bands — pigeonhole); verify
+    * with `bit_count(xor)`.
+    */
+  def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     maxDist: Int = 3): DataFrame = {
+    val fp = simHash(docs, idCol, textCol).cache()
+    val banded = fp.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          shiftrightunsigned(col("simhash"), j * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.band"), col("b.bucket"))
+    val left = banded.toDF("id_a", "fp_a", "band", "bucket")
+    val right = banded.toDF("id_b", "fp_b", "band", "bucket")
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

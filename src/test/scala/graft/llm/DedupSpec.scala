@@ -1,0 +1,68 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Corpus with planted structure: 0/1 identical; 2/3 near-dups (one
+  // token changed); 4..9 unrelated texts over disjoint vocabularies.
+  private lazy val docs = {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val near = base.replaceFirst("gamma", "GAMMA-EDIT")
+    val others = (0 until 6).map { i =>
+      (i + 4).toLong -> (0 until 30).map(j => s"tok${i}_${(j * 13) % 17}").mkString(" ")
+    }
+    (Seq(0L -> base.trim, 1L -> base.trim, 2L -> base.trim, 3L -> near.trim) ++ others)
+      .toDF("doc_id", "text").cache()
+  }
+
+  test("exactDedup groups identical content and keeps the min id") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 3L)          // docs 0, 1, 2 collapse, keeper = 0
+    assert(out.values.sum == 10L)  // partition of the corpus
+    assert(out.count(_._2 == 1L) == 7)
+  }
+
+  test("jaccardPairs finds exactly the planted near/exact dup pairs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minHashNearDup recalls the planted pairs without all-pairs comparison") {
+    val est = Dedup.minHashNearDup(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical docs always collide in every band
+    assert(est.contains((0L, 1L)) && est.contains((0L, 2L)) && est.contains((1L, 2L)))
+    // the one-token edit keeps jaccard ~0.9 → expected recalled
+    assert(est.contains((0L, 3L)))
+    // unrelated docs must NOT pair up
+    assert(!est.exists { case (a, b) => a >= 4L || b >= 4L })
+  }
+
+  test("simHash: identical docs share a fingerprint, near-dups are close, unrelated far") {
+    val fp = Dedup.simHash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L) && fp(0L) == fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0L), fp(3L)) < 16, s"near-dup hamming ${ham(fp(0L), fp(3L))}")
+    assert(ham(fp(0L), fp(5L)) > 16, s"unrelated hamming ${ham(fp(0L), fp(5L))}")
+  }
+
+  test("simHashNearDup pairs identical and near docs only") {
+    val pairs = Dedup.simHashNearDup(docs, "doc_id", "text", maxDist = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => b >= 4L && a >= 4L })
+  }
+
+  test("shingles respects short documents") {
+    val tiny = Seq((1L, "a b"), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(tiny, "doc_id", "text", n = 3)
+      .as[(Long, String)].collect().toSet
+    assert(sh == Set((2L, "a b c")))
+  }
+}
