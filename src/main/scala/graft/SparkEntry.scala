@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det
-import graft.llm.Dedup
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.ml.{Als, Eval, Serve}
 import graft.operators._
 import graft.sources.Tables
@@ -333,7 +333,72 @@ object SparkEntry {
     // --- LLM dedup: SimHash fingerprints (rows-only) ---
     "q46_simhash" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- item-item cosine (M9, sparse self-join rewrite) ---
+    "q30_cosine_topk" -> ((s, dir) =>
+      Similarity.itemCosineTopK(ratings(s, dir), "userId", "itemId",
+        "rating", k = 5, minOverlap = 2)),
+
+    // --- embedding cosine top-k: bounded query set vs full corpus ---
+    "q37_embed_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.embedCosineTopK(emb, emb.filter(col("vec_id") < 100),
+        "vec_id", "embedding", k = 3)
+    }),
+
+    // --- LSH-bucketed ANN over the full corpus (rows-only; recall vs
+    //     brute force asserted in SimilaritySpec) ---
+    "q47_embed_lsh" -> ((s, dir) =>
+      Similarity.embedLshTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3)),
+
+    // --- text analysis: per-document stats ---
+    "q32_text_stats" -> ((s, dir) =>
+      TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- text analysis: quality score ---
+    "q52_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- text analysis: token counting (regex + subword estimate) ---
+    "q48_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- text analysis: normalization fingerprint ---
+    "q49_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- text analysis: marker-profile language ID ---
+    "q50_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text",
+        langProfiles)),
+
+    // --- multimodal: binary column metadata ---
+    "q38_binary_meta" -> ((s, dir) =>
+      Multimodal.binaryMeta(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload")),
+
+    // --- multimodal: batched frame decode via mapPartitions (STUB
+    //     codec; mapInPandas-shaped plumbing — rows-only) ---
+    "q51_media_frames" -> ((s, dir) =>
+      Multimodal.decodeFramesStub(
+        t(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload", frameSize = 64)(s).toDF()),
   )
+
+  /** Fixed marker profiles for q50 (first-wins tie order). Profile
+    * quality is irrelevant to the operator contract — see
+    * [[TextAnalysis.languageId]].
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "table", "row"),
+    "es" -> Seq("query", "value", "vector"),
+    "de" -> Seq("customer", "join", "column"),
+    "fr" -> Seq("scan", "data", "batch"),
+    "zh" -> Seq("small", "sort", "stream"))
 
   def oracleSql: Map[String, String] = Map(
     "q01_clean_project" -> ratingsSql,
@@ -608,5 +673,110 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id
         |           JOIN sizes sb ON id_b = sb.doc_id
         |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.05""".stripMargin,
+
+    "q30_cosine_topk" ->
+      s"""WITH r AS ($ratingsSql),
+         |norms AS (SELECT itemId, SQRT(CAST(SUM(CAST(rating AS BIGINT) * rating) AS DOUBLE)) AS nrm
+         |          FROM r GROUP BY itemId),
+         |pairs AS (
+         |  SELECT a.itemId AS item_a, b.itemId AS item_b,
+         |         CAST(SUM(CAST(a.rating AS BIGINT) * b.rating) AS DOUBLE) AS dot,
+         |         COUNT(*) AS ov
+         |  FROM r a JOIN r b ON a.userId = b.userId AND a.itemId <> b.itemId
+         |  GROUP BY 1, 2),
+         |cos AS (
+         |  SELECT item_a, item_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos
+         |  FROM pairs JOIN norms na ON item_a = na.itemId
+         |             JOIN norms nb ON item_b = nb.itemId
+         |  WHERE ov >= 2)
+         |SELECT item_a, item_b, cos, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item_a
+         |            ORDER BY cos DESC, item_b) AS INT) AS rank
+         |  FROM cos) t
+         |WHERE rank <= 5""".stripMargin,
+
+    "q37_embed_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DECIMAL(18,9)) AS vd,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, SQRT(CAST(SUM(vd*vd) AS DOUBLE)) AS nrm
+        |          FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(SUM(a.vd*b.vd) AS DOUBLE) AS dot
+        |  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 100
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos
+        |  FROM dots JOIN norms na ON id_a = na.vec_id
+        |            JOIN norms nb ON id_b = nb.vec_id)
+        |SELECT id_a, id_b, cos, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+        |            ORDER BY cos DESC, id_b) AS INT) AS rank
+        |  FROM cos) t
+        |WHERE rank <= 3""".stripMargin,
+
+    "q32_text_stats" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents)
+        |SELECT doc_id,
+        |       CAST(LENGTH(text) AS INT) AS n_chars,
+        |       CAST(LEN(s) AS INT) AS n_tokens,
+        |       CAST(LEN(list_distinct(s)) AS INT) AS n_unique,
+        |       ROUND(CAST(list_sum(list_transform(s, t -> LENGTH(t))) AS DOUBLE) / LEN(s), 6) AS avg_token_len,
+        |       ROUND(CAST(LEN(list_filter(s, t -> t IN ('the','a','and','of','in','to','is'))) AS DOUBLE) / LEN(s), 6) AS stop_ratio,
+        |       ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS punct_ratio,
+        |       ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS digit_ratio
+        |FROM tk""".stripMargin,
+
+    "q52_quality_score" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+        |st AS (SELECT doc_id,
+        |              LENGTH(text) AS n_chars, LEN(s) AS n_tokens,
+        |              LEN(list_distinct(s)) AS n_unique,
+        |              ROUND(CAST(LEN(list_filter(s, t -> t IN ('the','a','and','of','in','to','is'))) AS DOUBLE) / LEN(s), 6) AS stop_ratio
+        |       FROM tk)
+        |SELECT doc_id,
+        |       ROUND((LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+        |              + LEAST(stop_ratio * 5.0, 1.0)
+        |              + CAST(n_unique AS DOUBLE) / n_tokens) / 3.0, 6) AS quality
+        |FROM st""".stripMargin,
+
+    "q48_token_count" ->
+      """SELECT doc_id,
+        |       CAST(LEN(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_word_tokens,
+        |       CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4.0) AS INT) AS n_subword_est
+        |FROM documents""".stripMargin,
+
+    "q49_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(LOWER(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q50_lang_id" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |sc AS (SELECT doc_id,
+        |              LEN(list_filter(s, t -> t IN ('the','table','row'))) AS s_en,
+        |              LEN(list_filter(s, t -> t IN ('query','value','vector'))) AS s_es,
+        |              LEN(list_filter(s, t -> t IN ('customer','join','column'))) AS s_de,
+        |              LEN(list_filter(s, t -> t IN ('scan','data','batch'))) AS s_fr,
+        |              LEN(list_filter(s, t -> t IN ('small','sort','stream'))) AS s_zh
+        |       FROM tk),
+        |mx AS (SELECT *, GREATEST(s_en, s_es, s_de, s_fr, s_zh) AS best FROM sc)
+        |SELECT doc_id,
+        |       CASE WHEN s_en = best THEN 'en'
+        |            WHEN s_es = best THEN 'es'
+        |            WHEN s_de = best THEN 'de'
+        |            WHEN s_fr = best THEN 'fr'
+        |            WHEN s_zh = best THEN 'zh'
+        |            ELSE 'und' END AS predicted_lang,
+        |       CAST(best AS INT) AS score
+        |FROM mx""".stripMargin,
+
+    "q38_binary_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       hex(encode(substring(text, 1, 8))) AS head_hex
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM training-data pipelines: per-document stats,
+  * quality scoring, token counting, normalization fingerprints, and a
+  * marker-based language-ID heuristic. Everything is a narrow
+  * projection of codegen'd string/array expressions — the whole stage
+  * fuses into the document scan; at 100 TB this runs at I/O speed with
+  * zero shuffles.
+  */
+object TextAnalysis {
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "in", "to", "is")
+
+  private def toks(textCol: String) = split(col(textCol), " ")
+
+  /** Count of tokens belonging to a fixed marker set. */
+  private def markerCount(toksCol: String, set: Seq[String]): Column = {
+    val list = set.map(s => s"'$s'").mkString(", ")
+    expr(s"size(filter($toksCol, t -> t IN ($list)))")
+  }
+
+  /** Per-document statistics: char/token/unique-token counts, average
+    * token length, stopword ratio, punctuation and digit ratios.
+    */
+  def textStats(docs: DataFrame, idCol: String, textCol: String,
+                stopwords: Seq[String] = defaultStopwords): DataFrame =
+    docs
+      .withColumn("_toks", toks(textCol))
+      .select(
+        col(idCol),
+        length(col(textCol)).as("n_chars"),
+        size(col("_toks")).as("n_tokens"),
+        size(array_distinct(col("_toks"))).as("n_unique"),
+        round(expr("aggregate(transform(_toks, t -> length(t)), 0, (a, x) -> a + x)")
+          .cast("double") / size(col("_toks")), 6).as("avg_token_len"),
+        round(markerCount("_toks", stopwords).cast("double") / size(col("_toks")), 6)
+          .as("stop_ratio"),
+        round((length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[.,!?;:'\"]", ""))).cast("double") /
+          length(col(textCol)), 6).as("punct_ratio"),
+        round((length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[0-9]", ""))).cast("double") /
+          length(col(textCol)), 6).as("digit_ratio"))
+
+  /** Composite quality score in [0,1]: length saturation, stopword
+    * presence, lexical diversity — the usual cheap pre-filter stack a
+    * training pipeline applies before expensive model-based scoring.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = defaultStopwords): DataFrame =
+    textStats(docs, idCol, textCol, stopwords)
+      .select(col(idCol),
+        round((
+          least(col("n_chars").cast("double") / 500.0, lit(1.0)) +
+          least(col("stop_ratio") * 5.0, lit(1.0)) +
+          col("n_unique").cast("double") / col("n_tokens")) / 3.0, 6)
+          .as("quality"))
+
+  /** Token counting: regex word tokens plus the chars/4 subword
+    * estimate (the standard BPE-budget heuristic when the real
+    * tokenizer is out of reach).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+', 0)"))
+        .as("n_word_tokens"),
+      ceil(length(col(textCol)).cast("double") / 4.0).cast("int")
+        .as("n_subword_est"))
+
+  /** Normalization fingerprint: md5 over lowercased,
+    * whitespace-collapsed text — the cheap exact-dup key that survives
+    * formatting noise.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      md5(lower(regexp_replace(col(textCol), "\\s+", " "))).as("fingerprint"))
+
+  /** Marker-token language ID: score = |tokens ∩ markers(lang)|,
+    * predicted = first language (in `profiles` order) achieving the
+    * max score. A real pipeline feeds char-n-gram profiles here; the
+    * operator is the scoring/argmax machinery, which is profile-
+    * agnostic.
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String,
+                 profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val withToks = docs.withColumn("_toks", toks(textCol))
+    val scored = profiles.foldLeft(withToks) { case (df, (lang, markers)) =>
+      df.withColumn(s"_s_$lang", markerCount("_toks", markers))
+    }
+    val scoreCols = profiles.map { case (lang, _) => col(s"_s_$lang") }
+    val best = greatest(scoreCols: _*)
+    // first profile in list wins ties: outermost WHEN checks it first
+    val firstWins = profiles.foldRight(lit("und")) { case ((lang, _), elseCol) =>
+      when(col(s"_s_$lang") === best, lang).otherwise(elseCol)
+    }
+    scored.select(col(idCol), firstWins.as("predicted_lang"),
+      best.cast("int").as("score"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("itemCosineTopK matches a hand-computed cosine") {
+    // users 1,2 rate items A(10),B(both 10,5): cos(A,B) =
+    // (10*10 + 10*5) / (sqrt(200) * sqrt(125)) = 150/158.11 = 0.948683
+    val r = Seq((1, "A", 10), (2, "A", 10), (1, "B", 10), (2, "B", 5))
+      .toDF("u", "i", "rating")
+    val out = Similarity.itemCosineTopK(r, "u", "i", "rating", k = 1)
+      .select("item_a", "item_b", "cos").as[(String, String, Double)]
+      .collect().toSet
+    val expected = math.rint(150.0 / (math.sqrt(200) * math.sqrt(125)) * 1e6) / 1e6
+    assert(out == Set(("A", "B", expected), ("B", "A", expected)))
+  }
+
+  test("embedCosineTopK ranks an identical vector first") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f)),   // same direction as 0 → cos 1.0
+      (2L, Array(0f, 1f, 0f)),   // orthogonal to 0
+      (3L, Array(1f, 1f, 0f)))   // cos 0.7071 with 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embedCosineTopK(emb, emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L))
+    assert(out(0)._3 == 1.0 && out(1)._3 == 0.7071 && out(2)._3 == 0.0)
+  }
+
+  test("embedLshTopK achieves high recall of the brute-force top-k on real embeddings") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    val brute = Similarity.embedCosineTopK(emb, emb, "vec_id", "embedding", k = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Similarity.embedLshTopK(emb, "vec_id", "embedding", k = 3,
+        bucketLength = 2.0, numTables = 5, maxDistance = 2.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = brute.count(approx.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"LSH recall $recall")
+  }
+}

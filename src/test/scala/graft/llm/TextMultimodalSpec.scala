@@ -1,0 +1,94 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a b a b a b"),
+    (3L, "numbers 123 and 456, punctuation!")).toDF("doc_id", "text")
+
+  test("textStats computes counts and ratios") {
+    val s = TextAnalysis.textStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = s(0)
+    assert(r1.getAs[Int]("n_tokens") == 9)
+    assert(r1.getAs[Int]("n_unique") == 8)       // 'the' twice
+    assert(r1.getAs[Double]("stop_ratio") == math.rint(2.0 / 9 * 1e6) / 1e6)
+    val r3 = s(2)
+    assert(r3.getAs[Double]("digit_ratio") > 0 && r3.getAs[Double]("punct_ratio") > 0)
+  }
+
+  test("qualityScore penalizes repetitive low-diversity text") {
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .orderBy("doc_id").select("quality").as[Double].collect()
+    assert(q(1) < q(0), s"repetitive doc scored ${q(1)} vs ${q(0)}")
+    assert(q.forall(v => v >= 0 && v <= 1))
+  }
+
+  test("tokenCounts: regex tokens and subword estimate") {
+    val t = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Int, Int)].collect()
+    assert(t(0)._2 == 9)
+    assert(t(2)._2 == 5)  // numbers,123,and,punctuation + 456
+    assert(t(0)._3 == math.ceil(43 / 4.0).toInt)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val pair = Seq((1L, "Hello  World"), (2L, "hello world")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(pair, "doc_id", "text")
+      .select("fingerprint").as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("languageId picks the profile with most marker hits, first-wins on ties") {
+    val profiles = Seq("aa" -> Seq("x"), "bb" -> Seq("y"), "cc" -> Seq("z"))
+    val d = Seq((1L, "x x y"), (2L, "y z z"), (3L, "x y"), (4L, "w w w"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(d, "doc_id", "text", profiles)
+      .orderBy("doc_id").as[(Long, String, Int)].collect()
+    assert(out(0)._2 == "aa" && out(0)._3 == 2)
+    assert(out(1)._2 == "cc")
+    assert(out(2)._2 == "aa") // tie 1-1 → first profile wins
+    assert(out(3)._2 == "aa" && out(3)._3 == 0) // all-zero tie → first
+  }
+
+  test("binaryMeta reports byte length and head hex") {
+    val bin = docs.select($"doc_id", encode($"text", "UTF-8").as("b"))
+    val m = Multimodal.binaryMeta(bin, "doc_id", "b").orderBy("doc_id").collect()
+    assert(m(0).getAs[Int]("n_bytes") == 43)
+    assert(m(0).getAs[String]("head_hex") == "7468652071756963") // "the quic"
+  }
+
+  test("frameSlices chunks payloads into fixed-size frames") {
+    val bin = Seq((1L, Array.tabulate(10)(_.toByte))).toDF("doc_id", "b")
+    val f = Multimodal.frameSlices(bin, "doc_id", "b", frameSize = 4)
+      .orderBy("frame_idx").as[(Long, Int, Array[Byte])].collect()
+    assert(f.length == 3)
+    assert(f(0)._3.toSeq == Seq[Byte](0, 1, 2, 3))
+    assert(f(2)._3.toSeq == Seq[Byte](8, 9))
+  }
+
+  test("decodeFramesStub emits typed per-frame metadata with real byte stats") {
+    implicit val s = spark
+    val bin = Seq((7L, Array.tabulate(100)(i => (i % 256).toByte)))
+      .toDF("doc_id", "b")
+    val frames = Multimodal.decodeFramesStub(bin, "doc_id", "b", frameSize = 40)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.length == 3)
+    assert(frames.map(_.nBytes).toSeq == Seq(40, 40, 20))
+    assert(frames(0).meanByte == (0 until 40).sum.toDouble / 40)
+    assert(frames.forall(f => f.width >= 16 && f.height >= 16))
+  }
+
+  test("resampleStub strides the payload deterministically") {
+    implicit val s = spark
+    val bin = Seq((1L, Array.tabulate(10)(_.toByte))).toDF("doc_id", "b")
+    val out = Multimodal.resampleStub(bin, "doc_id", "b", factor = 3)
+      .as[(Long, Array[Byte])].head()
+    assert(out._2.toSeq == Seq[Byte](0, 3, 6, 9))
+  }
+}
