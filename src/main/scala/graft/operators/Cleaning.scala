@@ -19,13 +19,18 @@ object Cleaning {
     * (user, item, rating as int), keep lo < rating <= hi, drop nulls.
     * Column renames happen here so downstream operators never touch
     * source-specific names (the reference's hyphenated `User-ID`).
+    *
+    * `try_cast`, not `cast`: the contract (inherited from the
+    * reference's dynamically-typed SQLite source) is failed-cast →
+    * null → dropped; Spark 4's default ANSI `cast` would instead fail
+    * the job on the first malformed row.
     */
   def cleanRatings(df: DataFrame, userCol: String, itemCol: String,
                    ratingCol: String, lo: Int = 0, hi: Int = 10): DataFrame =
     df.select(
-        col(userCol).cast("long").as("userId"),
-        col(itemCol).cast("long").as("itemId"),
-        col(ratingCol).cast("int").as("rating"))
+        expr(s"try_cast(`$userCol` AS BIGINT)").as("userId"),
+        expr(s"try_cast(`$itemCol` AS BIGINT)").as("itemId"),
+        expr(s"try_cast(`$ratingCol` AS INT)").as("rating"))
       .filter(col("rating") > lo && col("rating") <= hi)
       .na.drop()
 

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import graft.functions.Det
+
+/** Structured Streaming over the `events` stream (SURVEY §2.12 notes
+  * the reference has no streaming — this is engine capability the
+  * testdata's `events` table is shaped for).
+  *
+  * Batch/stream symmetry: [[hourlyCounts]] is the streaming twin of
+  * batch query q22 — same plan shape (window + grouped agg), plus a
+  * watermark so state for closed windows is dropped instead of growing
+  * forever. At 100 TB/day the watermark IS the memory bound: state per
+  * (window, event_type) only lives until the watermark passes the
+  * window end.
+  */
+object EventStreams {
+
+  /** The events schema as the stream source contract (ts arrives as
+    * proper TimestampType here; the nanos quirk is a property of the
+    * static parquet testdata, handled in [[graft.sources.Tables]]).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream source over an events directory (each dropped
+    * parquet file becomes a micro-batch).
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Hourly (window, event_type) counts/sums with a watermark for
+    * state eviction. Works on both streaming and batch frames (the
+    * watermark is a no-op on batch), so the same code path serves
+    * the lambda-architecture backfill.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.sumRounded(col("value"), 2).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+
+  final case class Session(user_id: Long, start_ts: java.sql.Timestamp,
+                           end_ts: java.sql.Timestamp, n_events: Long,
+                           sum_value: Double)
+
+  final case class SessionState(startMs: Long, lastMs: Long,
+                                n: Long, total: Double)
+
+  /** Event-time sessionization with a gap timeout — the custom-state
+    * shape (`flatMapGroupsWithState`) the built-in windows can't
+    * express. A session closes when no event arrives for `gapMinutes`
+    * of EVENT time (watermark-driven timeout, so state is bounded and
+    * late data within the watermark still extends its session).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int,
+                 watermark: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      def emit(s: SessionState) = Session(userId,
+        new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
+        s.n, s.total)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit).toIterator
+        state.remove()
+        out
+      } else {
+        val events = batch.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        events.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastMs <= gapMs =>
+              cur = Some(SessionState(s.startMs, math.max(s.lastMs, t),
+                s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed ::= emit(s)
+              cur = Some(SessionState(t, t, 1L, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

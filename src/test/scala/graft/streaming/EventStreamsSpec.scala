@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+  import spark.implicits._
+
+  // base offset keeps event times strictly above the initial watermark
+  // (epoch 0), which would otherwise drop the first event as late
+  private def ts(minutes: Long) = new Timestamp((600 + minutes) * 60_000L)
+
+  test("hourlyCounts on a stream emits finalized windows after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = hourlyCounts(mem.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("append").start()
+    try {
+      // hour 0: two clicks; hour 1: one view
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 2, "click", 2.0),
+        Event(3, ts(70), 1, "view", 5.0))
+      q.processAllAvailable()
+      // watermark is still inside hour 1 → nothing finalized yet
+      // push event time far ahead → hour 0 and 1 windows close
+      mem.addData(Event(4, ts(300), 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .select("hour_start", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(60), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("hourlyCounts batch twin produces the q22 shape on static data") {
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val out = hourlyCounts(batch)
+    assert(out.count() > 0)
+    assert(out.columns.toSeq ==
+      Seq("hour_start", "event_type", "n", "sum_value"))
+  }
+
+  test("sessionize closes sessions on event-time gaps and timeouts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(mem.toDS(), gapMinutes = 10, watermark = "5 minutes")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0,5 min (one session), then 30 min (new session)
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(30), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to time out the open session
+      mem.addData(Event(9, ts(120), 2, "click", 0.5))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts(300), 2, "click", 0.5))
+      q.processAllAvailable()
+      val sess = spark.table("session_test")
+        .filter($"user_id" === 1)
+        .select("start_ts", "end_ts", "n_events", "sum_value")
+        .as[(Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(sess == Set(
+        (ts(0), ts(5), 2L, 3.0),
+        (ts(30), ts(30), 1L, 3.0)))
+    } finally q.stop()
+  }
+}
