@@ -43,6 +43,15 @@ object Bench {
     }
 
     val results = queries.map { case (name, fn) =>
+      // fresh-session semantics per measurement: operators that cache
+      // intermediates (similarity signatures, CV folds) must not leave
+      // blocks behind to evict later queries' working set. The RDD
+      // sweep matters for spark.ml (ALS persists internal RDDs that
+      // catalog.clearCache does not see).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       val t0 = System.nanoTime()
       val err: Option[String] =
         try { force(fn(spark, sfDir)); None }

@@ -334,10 +334,11 @@ object SparkEntry {
     "q46_simhash" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")),
 
-    // --- item-item cosine (M9, sparse self-join rewrite) ---
+    // --- item-item cosine (M9, sparse self-join rewrite with the
+    //     DIMSUM-style per-user cap that bounds pair fan-out) ---
     "q30_cosine_topk" -> ((s, dir) =>
       Similarity.itemCosineTopK(ratings(s, dir), "userId", "itemId",
-        "rating", k = 5, minOverlap = 2)),
+        "rating", k = 5, minOverlap = 2, maxPerUser = Some(50))),
 
     // --- embedding cosine top-k: bounded query set vs full corpus ---
     "q37_embed_cosine" -> ((s, dir) => {
@@ -675,7 +676,11 @@ object SparkEntry {
         |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.05""".stripMargin,
 
     "q30_cosine_topk" ->
-      s"""WITH r AS ($ratingsSql),
+      s"""WITH r0 AS ($ratingsSql),
+         |r AS (SELECT userId, itemId, rating FROM (
+         |        SELECT *, ROW_NUMBER() OVER (PARTITION BY userId
+         |               ORDER BY rating DESC, itemId) AS rn FROM r0) t
+         |      WHERE rn <= 50),
          |norms AS (SELECT itemId, SQRT(CAST(SUM(CAST(rating AS BIGINT) * rating) AS DOUBLE)) AS nrm
          |          FROM r GROUP BY itemId),
          |pairs AS (
