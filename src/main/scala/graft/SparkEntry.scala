@@ -388,6 +388,47 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           encode(col("text"), "UTF-8").as("payload")),
         "doc_id", "payload", frameSize = 64)(s).toDF()),
+
+    // --- analytic window frames: per-group running sum (exact decimal
+    //     accumulation so segment-tree vs sequential evaluation in
+    //     different engines cannot diverge) ---
+    "q53_running_sum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_total"))
+    }),
+
+    // --- analytic functions: lag/lead over a per-group order ---
+    "q54_lag_lead" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .as("days_since_prev"))
+    }),
+
+    // --- CSV sink + source roundtrip (S5, distributed write then
+    //     schema-explicit read) ---
+    "q55_csv_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val src = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      Tables.writeCsv(src, path)
+      Tables.csv(s, path, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_regionkey",
+          org.apache.spark.sql.types.LongType))))
+    }),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -783,5 +824,25 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       hex(encode(substring(text, 1, 8))) AS head_hex
         |FROM documents""".stripMargin,
+
+    "q53_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS running_total
+        |FROM orders""".stripMargin,
+
+    "q54_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |       LAG(o_orderkey, 1) OVER w AS prev_order,
+        |       LEAD(o_orderkey, 1) OVER w AS next_order,
+        |       CAST(DATE_DIFF('day', LAG(o_orderdate, 1) OVER w, o_orderdate) AS INT)
+        |         AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
+
+    "q55_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
   )
 }
