@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach sbt's stdout WITHOUT the logger's
+// "[info] " prefix: the bench/verify harness parses Bench's single
+// JSON line from captured stdout, and a prefixed line is unparseable
+// (round-2 BENCH had "parsed": null for exactly this reason).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

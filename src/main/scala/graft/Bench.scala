@@ -62,12 +62,16 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
+    // Locale.ROOT: under a comma-decimal default locale "%.3f" emits
+    // "1,234", corrupting the JSON line.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => s""""$k":${"%.3f".format(v)}""" }
+    val qs = ok.map { case (k, v, _) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s""""$k":"${esc(e)}"""" }
       .mkString("{", ",", "}")
-    val total = "%.3f".format(ok.map(_._2).sum)
+    val total = f3(ok.map(_._2).sum)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_fail":${results.size - ok.size},"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>

@@ -39,10 +39,14 @@ object Multimodal {
     */
   def frameSlices(df: DataFrame, idCol: String, binCol: String,
                   frameSize: Int): DataFrame =
+    // empty-payload guard: without it `sequence(0, -1)` defaults to
+    // step -1 and yields [0, -1] — two bogus frames instead of none
     df.select(col(idCol),
         posexplode(expr(
+          s"if(octet_length($binCol) > 0, " +
           s"transform(sequence(0, cast(ceil(octet_length($binCol) / ${frameSize}.0) as int) - 1), " +
-          s"i -> substring($binCol, i * $frameSize + 1, $frameSize))")))
+          s"i -> substring($binCol, i * $frameSize + 1, $frameSize)), " +
+          s"array())")))
       .toDF(idCol, "frame_idx", "frame_bytes")
 
   /** Typed decoded-frame record. `meanByte` is computed from the real

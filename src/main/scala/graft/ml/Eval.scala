@@ -54,7 +54,10 @@ object Eval {
     */
   def aucDf(df: DataFrame, labelCol: String, scoreCol: String,
             digits: Int = 6): DataFrame = {
-    val g = df.groupBy(col(scoreCol)).agg(
+    // null scores carry no defined AUC semantics and sort differently
+    // across engines (Spark windows: NULLS FIRST; DuckDB: NULLS LAST)
+    // — drop them before the histogram so results cannot diverge
+    val g = df.filter(col(scoreCol).isNotNull).groupBy(col(scoreCol)).agg(
       count(lit(1)).cast("double").as("n"),
       sum(col(labelCol).cast("double")).as("pos"))
     val before = Window.orderBy(col(scoreCol))
@@ -75,7 +78,8 @@ object Eval {
     */
   def rocPoints(df: DataFrame, labelCol: String, scoreCol: String,
                 digits: Int = 6): DataFrame = {
-    val g = df.groupBy(col(scoreCol)).agg(
+    // same null-score drop as [[aucDf]] (threshold semantics undefined)
+    val g = df.filter(col(scoreCol).isNotNull).groupBy(col(scoreCol)).agg(
       count(lit(1)).cast("double").as("n"),
       sum(col(labelCol).cast("double")).as("pos"))
     val cum = Window.orderBy(col(scoreCol).desc)

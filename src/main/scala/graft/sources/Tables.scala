@@ -40,7 +40,10 @@ object Tables {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     nanoTsColumns.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
       if (df.schema.fieldNames.contains(c) && df.schema(c).dataType == LongType)
-        df.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
+        // integer `div`, not `/`: the latter promotes to double, and
+        // epoch-nanos (~1.7e18) exceed double's 53-bit exact range —
+        // truncating after double division can be off by 1µs
+        df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
       else df
     }
   }

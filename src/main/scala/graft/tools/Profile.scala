@@ -25,12 +25,31 @@ object Profile {
       df.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1000000
     }
+    // stage-level metrics: duration + GC per stage of the measured run
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val d = for {s <- i.submissionTime; e <- i.completionTime} yield e - s
+          stages.add(f"  stage ${i.stageId}%4d ${d.getOrElse(-1L)}%7dms " +
+            f"tasks=${i.numTasks}%3d gc=${i.taskMetrics.jvmGCTime}%6dms " +
+            f"cpu=${i.taskMetrics.executorCpuTime / 1000000}%7dms " +
+            f"run=${i.taskMetrics.executorRunTime}%7dms ${i.name.takeWhile(_ != '\n').take(60)}")
+        }
+      })
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       if (explain) fn(spark, sfDir).explain("formatted")
       val warm = force(fn(spark, "/root/testdata/sf0.001"))
+      stages.clear()
       val t = force(fn(spark, sfDir))
       println(s"PROFILE $n warm=${warm}ms sf=${t}ms")
+      if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+        Thread.sleep(500)
+        stages.forEach(s => println(s))
+      }
     }
     spark.stop()
   }
