@@ -42,22 +42,33 @@ object Bench {
       try force(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
 
+    // Per-query time = MIN over `reps` measured runs. Single-shot
+    // local[32] timings vary several-fold run-to-run (GC phase, JIT
+    // state, OS scheduling — measured 14 s vs 63 s for an identical
+    // query); the minimum is the standard steady-state estimator and
+    // is reported as such ("reps"/"stat" fields).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = queries.map { case (name, fn) =>
-      // fresh-session semantics per measurement: operators that cache
-      // intermediates (similarity signatures, CV folds) must not leave
-      // blocks behind to evict later queries' working set. The RDD
-      // sweep matters for spark.ml (ALS persists internal RDDs that
-      // catalog.clearCache does not see).
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
-      val t0 = System.nanoTime()
-      val err: Option[String] =
-        try { force(fn(spark, sfDir)); None }
-        catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val runs = (1 to reps).map { _ =>
+        // fresh-session semantics per measurement: operators that cache
+        // intermediates (similarity signatures, CV folds) must not leave
+        // blocks behind to evict later queries' working set. The RDD
+        // sweep matters for spark.ml (ALS persists internal RDDs that
+        // catalog.clearCache does not see).
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+        val t0 = System.nanoTime()
+        val err: Option[String] =
+          try { force(fn(spark, sfDir)); None }
+          catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val ok = runs.filter(_._2.isEmpty)
+      if (ok.nonEmpty) (name, ok.map(_._1).min, None)
+      else (name, runs.head._1, runs.head._2)
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
@@ -73,7 +84,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = f3(ok.map(_._2).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_fail":${results.size - ok.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_fail":${results.size - ok.size},"reps":$reps,"stat":"min","sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       Files.writeString(Paths.get(p), line + "\n")
     }

@@ -353,6 +353,19 @@ object SparkEntry {
       Similarity.embedLshTopK(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 3)),
 
+    // --- embedding-cosine near-dup pairs, block-bounded exact verify
+    //     (the dedup-family face of similarity search; oracle-able) ---
+    "q56_embed_neardup" -> ((s, dir) =>
+      Similarity.embedNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", minCos = 0.2, blockCol = Some("label"))),
+
+    // --- IVF ANN: coarse-quantizer cells + probed exact verify
+    //     (rows-only: KMeans centroids are not SQL-expressible;
+    //     recall gate in SimilaritySpec) ---
+    "q57_embed_ivf" -> ((s, dir) =>
+      Similarity.embedIvfTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3)),
+
     // --- text analysis: per-document stats ---
     "q32_text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text")),
@@ -762,6 +775,23 @@ object SparkEntry {
         |            ORDER BY cos DESC, id_b) AS INT) AS rank
         |  FROM cos) t
         |WHERE rank <= 3""".stripMargin,
+
+    "q56_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DECIMAL(18,9)) AS vd,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, SQRT(CAST(SUM(vd*vd) AS DOUBLE)) AS nrm
+        |          FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(SUM(a.vd*b.vd) AS DOUBLE) AS dot
+        |  FROM e a JOIN e b ON a.pos = b.pos AND a.label = b.label
+        |                    AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos
+        |FROM dots JOIN norms na ON id_a = na.vec_id
+        |          JOIN norms nb ON id_b = nb.vec_id
+        |WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.2""".stripMargin,
 
     "q32_text_stats" ->
       """WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents)

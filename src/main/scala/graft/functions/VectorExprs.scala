@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType}
 
 /** Native Catalyst expression for the dense-vector dot product.
   *
@@ -73,6 +73,96 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact decimal dot product: `Σ a[i]·b[i]` over `array<decimal(18,9)>`
+  * with NO precision loss anywhere — each product carries exactly 18
+  * fractional digits and the sum accumulates the 128-bit unscaled
+  * value (hi/lo long pair, `Math.multiplyHigh`), converted to
+  * decimal(38,18) once per row. Bit-identical to the SQL oracle's
+  * `SUM(CAST(a AS DECIMAL(18,9)) * CAST(b AS DECIMAL(18,9)))` under
+  * any partitioning (integer arithmetic is associative), and ~2
+  * orders of magnitude faster than the `aggregate(zip_with(...))`
+  * higher-order-function fold, which is interpreted per element and
+  * repeatedly rescales through Spark's decimal widening rules.
+  *
+  * Range: |unscaled sum| < 2^127 requires Σ|a[i]·b[i]| < 1.7e20 —
+  * holds for any realistic vector (coordinates O(1) ⇒ products ≤
+  * ~1e18 unscaled, safe up to ~100 max-magnitude dims and far beyond
+  * for unit-scale data). Null elements contribute 0.
+  */
+case class ArrayDecimalDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DecimalType(18, 9)), ArrayType(DecimalType(18, 9)))
+  override def dataType: DataType = DecimalType(38, 18)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "array_decimal_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val la = x.getDecimal(i, 18, 9).toUnscaledLong
+        val lb = y.getDecimal(i, 18, 9).toUnscaledLong
+        val pLo = la * lb
+        val pHi = Math.multiplyHigh(la, lb)
+        val s = lo + pLo
+        // unsigned carry out of the low word
+        val carry = ((lo & pLo) | ((lo | pLo) & ~s)) >>> 63
+        hi += pHi + carry
+        lo = s
+      }
+      i += 1
+    }
+    ArrayDecimalDotProduct.toDecimal(hi, lo)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val hi = ctx.freshName("hi"); val lo = ctx.freshName("lo")
+      val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
+      val pHi = ctx.freshName("pHi"); val pLo = ctx.freshName("pLo")
+      val s = ctx.freshName("s"); val carry = ctx.freshName("carry")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $hi = 0L; long $lo = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    long $la = $a.getDecimal($i, 18, 9).toUnscaledLong();
+         |    long $lb = $b.getDecimal($i, 18, 9).toUnscaledLong();
+         |    long $pLo = $la * $lb;
+         |    long $pHi = java.lang.Math.multiplyHigh($la, $lb);
+         |    long $s = $lo + $pLo;
+         |    long $carry = (($lo & $pLo) | (($lo | $pLo) & ~$s)) >>> 63;
+         |    $hi += $pHi + $carry;
+         |    $lo = $s;
+         |  }
+         |}
+         |${ev.value} = graft.functions.ArrayDecimalDotProduct.toDecimal($hi, $lo);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDecimalDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayDecimalDotProduct {
+  private val LongMask = java.math.BigInteger.ONE.shiftLeft(64).subtract(java.math.BigInteger.ONE)
+
+  /** (hi, lo) two's-complement 128-bit unscaled value → decimal(38,18). */
+  def toDecimal(hi: Long, lo: Long): org.apache.spark.sql.types.Decimal = {
+    val unscaled = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+      .add(java.math.BigInteger.valueOf(lo).and(LongMask))
+    org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(unscaled, 18), 38, 18)
+  }
+}
+
 object VectorExprs {
   /** `Σ a[i]·b[i]` as a codegen'd column; inputs are cast to
     * array<double> (float vectors widen losslessly).
@@ -85,4 +175,13 @@ object VectorExprs {
   /** L2 norm via [[dot]]. */
   def l2Norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dot(a, a))
+
+  /** Exact `Σ a[i]·b[i]` over decimal(18,9) arrays → decimal(38,18)
+    * ([[ArrayDecimalDotProduct]]). Pass columns already cast to
+    * `array<decimal(18,9))>` so the cast semantics stay visible at the
+    * call site (they define the oracle contract).
+    */
+  def decimalDot(a: Column, b: Column): Column =
+    Bridge.column(ArrayDecimalDotProduct(
+      Bridge.expression(a), Bridge.expression(b)))
 }

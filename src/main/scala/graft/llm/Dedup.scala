@@ -87,13 +87,25 @@ object Dedup {
     * (band index, band hash), verify candidates by estimated Jaccard
     * (= fraction of equal signature positions) ≥ `threshold`.
     * Never materializes all pairs: only band-collisions are compared.
+    *
+    * The signature frame is referenced by three sub-plans (banding +
+    * both verify joins). `cacheSignatures = true` persists it for the
+    * duration — worth it when the shingle scan is expensive (large
+    * corpora); the storage handle then belongs to THIS call's plan and
+    * is unpersisted by the caller's session cache maintenance, not
+    * here (the blocks must outlive this method — the query has not run
+    * yet when it returns). Default false: no storage-block leak in
+    * long-lived sessions, and recomputation is a cheap scan at
+    * moderate scale.
     */
   def minHashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                     threshold: Double = 0.5): DataFrame = {
+                     threshold: Double = 0.5,
+                     cacheSignatures: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sig = minHashSignatures(docs, idCol, textCol, n, numHashes).cache()
+    val sig0 = minHashSignatures(docs, idCol, textCol, n, numHashes)
+    val sig = if (cacheSignatures) sig0.cache() else sig0
     val banded = sig.select(
       col(idCol),
       explode(array((0 until bands).map(j =>
@@ -145,8 +157,11 @@ object Dedup {
     * with `bit_count(xor)`.
     */
   def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxDist: Int = 3): DataFrame = {
-    val fp = simHash(docs, idCol, textCol).cache()
+                     maxDist: Int = 3,
+                     cacheFingerprints: Boolean = false): DataFrame = {
+    // same caching contract as [[minHashNearDup]]
+    val fp0 = simHash(docs, idCol, textCol)
+    val fp = if (cacheFingerprints) fp0.cache() else fp0
     val banded = fp.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),

@@ -70,21 +70,15 @@ object Similarity {
       .select(col("item_a"), col("item_b"), col("cos"), col("rank"))
   }
 
-  /** Exact decimal dot product of two decimal-cast vector columns.
-    * Products of decimal(18,9) values carry exactly 18 fractional
-    * digits; the fold accumulates at scale 18 throughout (Spark's
-    * decimal `+` would otherwise widen past precision 38 and shed a
-    * digit), so the sum is bit-exact, partitioning-independent, and
-    * equals the SQL oracle's `SUM(a.vd*b.vd)`. decimal(30,18) leaves
-    * 12 integer digits — embedding coordinates are O(1), dots are
-    * O(dims); overflow would need |dot| ≥ 1e12.
+  /** Exact decimal dot product of two decimal(18,9) vector columns —
+    * the native 128-bit-accumulator expression
+    * ([[graft.functions.ArrayDecimalDotProduct]]): bit-exact,
+    * partitioning-independent, equal to the SQL oracle's
+    * `SUM(a.vd*b.vd)`, and codegen'd (the earlier higher-order-function
+    * fold was interpreted per element).
     */
-  private val DAcc = DecimalType(30, 18)
   private def decDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x: Column, y: Column) => (x * y).cast(DAcc)),
-      lit(0).cast(DAcc),
-      (acc: Column, v: Column) => (acc + v).cast(DAcc))
+    graft.functions.VectorExprs.decimalDot(a, b)
 
   private def decVec(c: Column): Column =
     transform(c, (x: Column) => x.cast(D9))
@@ -118,6 +112,39 @@ object Similarity {
         Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("id_b"), col("cos"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the dedup-family variant
+    * of similarity search): all pairs with cosine ≥ `minCos`, exact
+    * decimal arithmetic → SQL-oracle-able. Candidate generation is an
+    * equality self-join on `blockCol` when given (e.g. a cluster /
+    * shard / label column — the IVF-style "only compare within a
+    * block" contract), which bounds the fan-out to Σ|block|²; with no
+    * block column the join is the full id_a < id_b triangle —
+    * quadratic, only for bounded corpora. The sub-quadratic unblocked
+    * path at scale is [[embedLshTopK]] candidates + this verify.
+    */
+  def embedNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                        minCos: Double, blockCol: Option[String] = None): DataFrame = {
+    def prep(id: String) = {
+      val base = embeddings.select(
+        Seq(col(idCol).as(id), decVec(col(vecCol)).as(s"_v$id")) ++
+          blockCol.map(c => col(c).as("_blk")): _*)
+      base.withColumn(s"_n$id",
+        sqrt(decDot(col(s"_v$id"), col(s"_v$id")).cast("double")))
+    }
+    val a = prep("id_a")
+    val b = prep("id_b")
+    val pairs = blockCol match {
+      case Some(_) => a.join(b, Seq("_blk")).filter(col("id_a") < col("id_b"))
+      case None    => a.join(b, col("id_a") < col("id_b"))
+    }
+    pairs
+      .withColumn("cos", round(
+        decDot(col("_vid_a"), col("_vid_b")).cast("double") /
+          (col("_nid_a") * col("_nid_b")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Scale path: random-hyperplane (sign-bit) LSH, implemented
@@ -187,6 +214,59 @@ object Similarity {
         doubleDot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 4))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
+    cos.withColumn("rank", row_number().over(
+        Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("cos"), col("rank"))
+  }
+
+  /** IVF (inverted-file) ANN: the second scale path next to
+    * [[embedLshTopK]]. A coarse quantizer (spark.ml KMeans over
+    * L2-normalized vectors, seeded) partitions the corpus into
+    * `nCentroids` cells; each query probes its `nProbe` nearest cells
+    * and verifies exact cosine only against vectors assigned there —
+    * candidate volume ≈ corpus × nProbe / nCentroids per query, an
+    * equality join on the cell id (no all-pairs). Centroids are tiny
+    * and shipped as literals; the assignment/probe argmax is a
+    * codegen'd dot-product scan over them.
+    *
+    * Cosine-correctness: on unit vectors, nearest-centroid by
+    * Euclidean = nearest by cosine (d² = 2 − 2cos), so normalizing
+    * before KMeans makes cells cosine-cells.
+    */
+  def embedIvfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                   k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                   maxIter: Int = 10, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val unit = embeddings.select(
+      col(idCol), col(vecCol),
+      transform(col(vecCol).cast("array<double>"),
+        (x: Column) => x / sqrt(doubleDot(col(vecCol), col(vecCol)))).as("_unit"))
+    val model = new KMeans()
+      .setK(nCentroids).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("_features")
+      .fit(unit.select(array_to_vector(col("_unit")).as("_features")))
+    // centroids: driver-side literals (nCentroids × dims doubles)
+    val centers = model.clusterCenters.map(c => array(c.toArray.map(lit): _*))
+    def cellRank(v: Column): Column =
+      sort_array(array(centers.zipWithIndex.map { case (c, j) =>
+        struct((-doubleDot(v, c)).as("negDot"), lit(j).as("cell"))
+      }: _*))
+    val assigned = unit.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+      cellRank(col("_unit")).getItem(0).getField("cell").as("cell"))
+    val probes = unit.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+      explode(slice(cellRank(col("_unit")), 1, nProbe)).as("p"))
+      .select(col("id_a"), col("_va"), col("p.cell").as("cell"))
+    val cos = probes.join(assigned, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", round(
+        doubleDot(col("_va"), col("_vb")) /
+          (sqrt(doubleDot(col("_va"), col("_va"))) *
+           sqrt(doubleDot(col("_vb"), col("_vb")))), 4))
+      .select(col("id_a"), col("id_b"), col("cos"))
+    // no pair-dedup needed: each corpus vector lives in exactly one
+    // cell and a query probes distinct cells
     cos.withColumn("rank", row_number().over(
         Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
       .filter(col("rank") <= k)

@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot matches the higher-order-function fold") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(-0.5f, 0.25f, 0.0f), Array(2.0f, 4.0f, 8.0f)))
+      .toDF("id", "a", "b")
+    val hof = aggregate(
+      zip_with($"a".cast("array<double>"), $"b".cast("array<double>"),
+        (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) => x * y),
+      lit(0.0), (acc: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) => acc + v)
+    val rows = df.select($"id", VectorExprs.dot($"a", $"b").as("d"), hof.as("h"))
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, d, h) => assert(d == h) }
+  }
+
+  test("dot handles mismatched lengths (common prefix) and null arrays") {
+    val df = Seq(
+      (1L, Some(Array(1.0, 2.0, 3.0)), Some(Array(10.0, 10.0))),
+      (2L, None, Some(Array(1.0))))
+      .toDF("id", "a", "b")
+    val out = df.select($"id", VectorExprs.dot($"a", $"b").as("d"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(30.0))
+    assert(out(2L).isEmpty)
+  }
+
+  test("decimalDot is exact and equals the BigDecimal reference") {
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat),
+        Array.fill(64)(rng.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("id", "a", "b")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("array<decimal(18,9)>")
+    val got = df.select($"id",
+        VectorExprs.decimalDot(dec($"a"), dec($"b")).as("d"))
+      .as[(Long, BigDecimal)].collect().toMap
+    // reference: exact BigDecimal over the same decimal(18,9) rounding
+    def d9(f: Float): java.math.BigDecimal =
+      new java.math.BigDecimal(f.toDouble).setScale(9, java.math.RoundingMode.HALF_UP)
+    rows.foreach { case (id, a, b) =>
+      val expect = a.zip(b).map { case (x, y) => d9(x).multiply(d9(y)) }
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      assert(got(id).underlying().compareTo(expect) == 0,
+        s"id=$id got=${got(id)} expect=$expect")
+    }
+  }
+
+  test("decimalDot survives large-magnitude coordinates (128-bit accumulation)") {
+    // products up to ~1e18 unscaled would overflow a single long sum
+    val df = Seq((1L,
+      Array.fill(64)(java.math.BigDecimal.valueOf(999999999, 9)),  // ~0.999999999
+      Array.fill(64)(java.math.BigDecimal.valueOf(999999999, 9))))
+      .toDF("id", "a", "b")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("array<decimal(18,9)>")
+    val got = df.select(VectorExprs.decimalDot(dec($"a"), dec($"b")).as("d"))
+      .as[BigDecimal].head()
+    val one = new java.math.BigDecimal(java.math.BigInteger.valueOf(999999999L * 999999999L), 18)
+    val expect = one.multiply(java.math.BigDecimal.valueOf(64))
+    assert(got.underlying().compareTo(expect) == 0)
+  }
+}

@@ -52,6 +52,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall")
   }
 
+  test("embedIvfTopK achieves high recall of the brute-force top-k on clustered vectors") {
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(10, 32)(rng.nextGaussian().toFloat)
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(v => v + 0.1f * rng.nextGaussian().toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding").cache()
+    val brute = Similarity.embedCosineTopK(emb, emb, "vec_id", "embedding", k = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Similarity.embedIvfTopK(emb, "vec_id", "embedding", k = 3,
+        nCentroids = 8, nProbe = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = brute.count(approx.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
+  test("embedNearDupPairs finds planted near-duplicates and respects the block bound") {
+    val base = Array.fill(16)(1.0f)
+    val rows = Seq(
+      (0L, base, "x"),
+      (1L, base.map(_ * 1.001f), "x"),              // same direction → cos 1.0
+      (2L, base.map(v => -v), "x"),                 // opposite → cos -1
+      (3L, base, "y"))                              // near-dup of 0 but other block
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedNearDupPairs(rows, "vec_id", "embedding",
+        minCos = 0.9, blockCol = Some("label"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L)))
+  }
+
   test("embedLshTopK runs on the real embeddings table and bounds its fan-out") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val out = Similarity.embedLshTopK(emb, "vec_id", "embedding", k = 3)
