@@ -15,9 +15,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
-  /** Local session for tests and CLI mains. */
-  def local(cpus: Int = defaultCpus, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession
+  /** Shared builder: every engine session (tests, Verify, Bench,
+    * Profile) goes through here so the static confs that CANNOT be
+    * applied after construction — `nanosAsLong` (nanosecond parquet),
+    * `spark.sql.extensions` (native SQL functions) — are never missed
+    * at one call site.
+    */
+  def builder(cpus: Int = defaultCpus, appName: String = "graft"): SparkSession.Builder =
+    SparkSession
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
@@ -27,8 +32,12 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+
+  /** Local session for tests and CLI mains. */
+  def local(cpus: Int = defaultCpus, appName: String = "graft"): SparkSession = {
+    val spark = builder(cpus, appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

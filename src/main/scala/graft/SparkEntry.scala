@@ -366,6 +366,16 @@ object SparkEntry {
       Similarity.embedIvfTopK(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 3)),
 
+    // --- native expression through the SQL entry point: array_dot is
+    //     injected by GraftExtensions (SparkSessionExtensions), S6 +
+    //     custom-Expression surface in one query ---
+    "q58_sql_dot" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT vec_id, ROUND(array_dot(embedding, embedding), 4) AS self_dot
+          |FROM embeddings""".stripMargin)
+    }),
+
     // --- text analysis: per-document stats ---
     "q32_text_stats" -> ((s, dir) =>
       TextAnalysis.textStats(t(s, dir, "documents"), "doc_id", "text")),
@@ -775,6 +785,12 @@ object SparkEntry {
         |            ORDER BY cos DESC, id_b) AS INT) AS rank
         |  FROM cos) t
         |WHERE rank <= 3""".stripMargin,
+
+    "q58_sql_dot" ->
+      """SELECT vec_id,
+        |       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[])), 4) AS self_dot
+        |FROM embeddings""".stripMargin,
 
     "q56_embed_neardup" ->
       """WITH e AS (

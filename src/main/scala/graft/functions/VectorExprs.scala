@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType}
@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType}
   * zero-padding); length validation belongs to the caller's schema.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   // declared as Seq[DataType] (public) — AbstractDataType is
   // private[sql]; covariance makes the override conform
@@ -90,7 +90,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   * for unit-scale data). Null elements contribute 0.
   */
 case class ArrayDecimalDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(DecimalType(18, 9)), ArrayType(DecimalType(18, 9)))

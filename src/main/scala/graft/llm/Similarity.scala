@@ -236,15 +236,19 @@ object Similarity {
     */
   def embedIvfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                    k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-                   maxIter: Int = 10, seed: Long = 42L): DataFrame = {
+                   maxIter: Int = 5, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val unit = embeddings.select(
       col(idCol), col(vecCol),
       transform(col(vecCol).cast("array<double>"),
         (x: Column) => x / sqrt(doubleDot(col(vecCol), col(vecCol)))).as("_unit"))
+    // random init: k-means|| costs several extra passes over the data
+    // for centroid seeding that probed-cell recall does not need — the
+    // quantizer only has to be balanced-ish, not optimal
     val model = new KMeans()
       .setK(nCentroids).setMaxIter(maxIter).setSeed(seed)
+      .setInitMode("random")
       .setFeaturesCol("_features")
       .fit(unit.select(array_to_vector(col("_unit")).as("_features")))
     // centroids: driver-side literals (nCentroids × dims doubles)

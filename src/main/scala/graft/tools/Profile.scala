@@ -11,14 +11,8 @@ object Profile {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val explain = args.length > 2 && args(2) == "explain"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = Sessions.tune(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate())
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val spark = Sessions.tune(Sessions.builder(cpus, "graft-profile").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     def force(df: DataFrame): Long = {
       val t0 = System.nanoTime()

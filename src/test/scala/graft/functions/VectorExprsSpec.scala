@@ -32,6 +32,18 @@ class VectorExprsSpec extends SparkSpec {
     assert(out(2L).isEmpty)
   }
 
+  test("array_dot and array_decimal_dot resolve through spark.sql (GraftExtensions)") {
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .createOrReplaceTempView("vex_v")
+    assert(spark.sql("SELECT array_dot(a, b) AS d FROM vex_v")
+      .as[Double].head() == 11.0)
+    val dd = spark.sql(
+      """SELECT array_decimal_dot(CAST(a AS ARRAY<DECIMAL(18,9)>),
+        |                         CAST(b AS ARRAY<DECIMAL(18,9)>)) AS d
+        |FROM vex_v""".stripMargin).as[BigDecimal].head()
+    assert(dd.underlying().compareTo(new java.math.BigDecimal("11")) == 0)
+  }
+
   test("decimalDot is exact and equals the BigDecimal reference") {
     val rng = new scala.util.Random(3)
     val rows = (0 until 50).map { i =>
