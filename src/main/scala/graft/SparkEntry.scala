@@ -112,6 +112,15 @@ object SparkEntry {
           "l_returnflag", Seq(col("l_linenumber")))
         .select(col("l_orderkey"), col("l_returnflag"), col("l_linenumber"))),
 
+    // --- per-group top-k via typed Aggregator: bounded k-list state,
+    //     map-side partial top-k (shuffle ~ k·groups, not |rows|) —
+    //     the window-free T4 scale path ---
+    "q59_topk_agg" -> ((s, dir) =>
+      TopKAgg.perGroup(t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice").cast("double").as("total_d")),
+        "o_custkey", "total_d", "o_orderkey", k = 3)),
+
     // --- per-group randomized splits (W2/M8; count invariants) ---
     "q12_split_loo_counts" -> ((s, dir) =>
       Splits.leaveOneOut(t(s, dir, "orders"), "o_custkey", seed = 42L)
@@ -529,6 +538,15 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q59_topk_agg" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey,
+        |       CAST(o_totalprice AS DOUBLE) AS total_d
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |               ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS rn
         |      FROM orders) t
         |WHERE rn <= 3""".stripMargin,
 

@@ -80,6 +80,23 @@ object Tables {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Bucketed managed table (hash-bucketed by `bucketCol` into
+    * `numBuckets`, sorted within buckets): the co-located-join
+    * storage layout. Two tables bucketed the same way join WITHOUT any
+    * Exchange — at 100 TB, pre-bucketing the fact tables on their join
+    * key turns every subsequent equi-join/aggregation on that key into
+    * a shuffle-free local merge (the sortBy also removes the SMJ sort).
+    * Requires `saveAsTable` (bucket metadata lives in the catalog, not
+    * the files); BucketingSpec asserts the Exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Partitioned JDBC scan (SURVEY S1, fixed for scale): the caller
     * must supply a numeric partition column and bounds so the read
     * fans out over `numPartitions` tasks instead of one

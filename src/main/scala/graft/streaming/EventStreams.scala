@@ -51,6 +51,21 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming exactly-once dedup on event id: state is bounded by the
+    * watermark (`dropDuplicatesWithinWatermark` evicts seen-ids once
+    * the watermark passes them — the unbounded-state hazard of plain
+    * `dropDuplicates` on an infinite stream). Batch frames skip the
+    * watermark and dedup exactly. This is the streaming face of the
+    * L1 exact-dedup family: at-least-once sources (Kafka replays,
+    * file redelivery) become effectively-once downstream.
+    */
+  def dedupEvents(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+    else events.dropDuplicates(idCols)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
 

@@ -37,6 +37,19 @@ class TopKSpec extends SparkSpec {
     assert(u2 == Seq(101, 201, 202, 203))
   }
 
+  test("TopKAgg.perGroup matches the window top-k row-for-row (ties included)") {
+    val rng = new scala.util.Random(5)
+    val df = (1 to 2000).map(_ => (rng.nextInt(20).toLong,
+      rng.nextInt(1000).toLong, rng.nextInt(50).toDouble))
+      .toDF("g", "id", "score")
+    val win = TopK.perGroup(df, "g", Seq($"score".desc, $"id"), k = 5)
+      .select($"g", $"rank", $"id", $"score")
+    val agg = TopKAgg.perGroup(df, "g", "score", "id", k = 5)
+      .select($"g", $"rank", $"id", $"score")
+    assert(win.count() == agg.count())
+    assert(win.exceptAll(agg).isEmpty && agg.exceptAll(win).isEmpty)
+  }
+
   test("dedupFirstSeen keeps the first row per (group, dup) by order") {
     val df = Seq((1, "a", 3), (1, "a", 1), (1, "b", 2), (2, "a", 5))
       .toDF("grp", "dup", "ord")
