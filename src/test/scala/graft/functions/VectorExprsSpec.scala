@@ -44,6 +44,32 @@ class VectorExprsSpec extends SparkSpec {
     assert(dd.underlying().compareTo(new java.math.BigDecimal("11")) == 0)
   }
 
+  test("RewriteDotProducts rewrites the HOF dot pattern to array_dot (and only when safe)") {
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b,
+          (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) => x * y),
+        lit(0.0),
+        (acc: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) => acc + v)
+    // non-nullable double arrays (non-foldable input — a literal
+    // relation would be constant-folded before the rule is visible)
+    val df = spark.range(1, 4).select(
+      array($"id".cast("double"), ($"id" * 2).cast("double")).as("a"),
+      array(($"id" + 1).cast("double"), ($"id" + 2).cast("double")).as("b"))
+    val q = df.select(hofDot($"a", $"b").as("d"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("array_dot"),
+      q.queryExecution.optimizedPlan.toString)
+    // id=1: [1,2]·[2,3] = 8
+    assert(q.as[Double].collect().min == 8.0)
+    // nullable elements → HOF semantics differ (null poisons the sum):
+    // the rule must NOT fire
+    val dfn = spark.range(1, 3).select(
+      array(when($"id" > 1, $"id".cast("double")), lit(1.0)).as("a"),
+      array($"id".cast("double"), lit(2.0)).as("b"))
+    val qn = dfn.select(hofDot($"a", $"b").as("d"))
+    assert(!qn.queryExecution.optimizedPlan.toString.contains("array_dot"))
+    assert(qn.filter($"d".isNull).count() == 1)  // id=1 row: null element
+  }
+
   test("decimalDot is exact and equals the BigDecimal reference") {
     val rng = new scala.util.Random(3)
     val rows = (0 until 50).map { i =>
