@@ -231,6 +231,18 @@ object SparkEntry {
         countDistinct(col("o_custkey")).as("n_cust"),
         countDistinct(col("o_orderkey")).as("n_orders"))),
 
+    // --- salted equi-join: skew-safe shuffle join, result-identical
+    //     to the plain join (the oracle IS the plain join) ---
+    "q60_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity").cast("int").as("qty"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Skew.saltedJoin(li, o.withColumnRenamed("o_orderkey", "l_orderkey"),
+          "l_orderkey", saltFactor = 8)
+        .select(col("l_orderkey"), col("l_partkey"), col("qty"), col("o_custkey"))
+    }),
+
     // --- join after agg+limit (J6, recommendations3.py:83-87) ---
     "q41_join_agg_limit" -> ((s, dir) => {
       val popular = Popularity.topByCount(t(s, dir, "lineitem"), "l_partkey", 50)
@@ -645,6 +657,10 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT o_custkey) AS n_cust,
         |       COUNT(DISTINCT o_orderkey) AS n_orders
         |FROM orders""".stripMargin,
+
+    "q60_salted_join" ->
+      """SELECT l_orderkey, l_partkey, CAST(l_quantity AS INT) AS qty, o_custkey
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
 
     "q41_join_agg_limit" ->
       """WITH popular AS (
