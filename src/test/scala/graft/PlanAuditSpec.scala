@@ -1,0 +1,46 @@
+package graft
+
+/** Regression guards on the physical-plan properties the engine's
+  * 100 TB story depends on. These assert plan SHAPE (what would kill
+  * us at scale), not timings: filter pushdown and column pruning at
+  * the scan, top-k as TakeOrderedAndProject, dimension broadcast,
+  * map-side partial aggregation, and the absence of nested-loop /
+  * cartesian fallbacks in the ANN paths.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("q01: filters reach the parquet scan and only needed columns are read") {
+    val p = plan("q01_clean_project")
+    assert(p.contains("PushedFilters:") && p.contains("IsNotNull"), p.take(2000))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment"),
+      s"scan reads pruned-away columns: $readSchema")
+  }
+
+  test("q02: sort+limit top-n plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q02_popularity_topn").contains("TakeOrderedAndProject"))
+  }
+
+  test("q10: small dimensions join via broadcast hash join") {
+    assert(plan("q10_join_multiway_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q59: typed top-k aggregator plans with map-side partial aggregation") {
+    val p = plan("q59_topk_agg")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n${p.take(2000)}")
+  }
+
+  test("ANN candidate generation never plans a cartesian or nested-loop join") {
+    Seq("q47_embed_lsh", "q45_minhash_neardup", "q46_simhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q plans an all-pairs join:\n${p.take(2000)}")
+    }
+  }
+}
