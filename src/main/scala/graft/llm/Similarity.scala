@@ -221,40 +221,75 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: the second scale path next to
-    * [[embedLshTopK]]. A coarse quantizer (spark.ml KMeans over
-    * L2-normalized vectors, seeded) partitions the corpus into
-    * `nCentroids` cells; each query probes its `nProbe` nearest cells
-    * and verifies exact cosine only against vectors assigned there —
-    * candidate volume ≈ corpus × nProbe / nCentroids per query, an
-    * equality join on the cell id (no all-pairs). Centroids are tiny
-    * and shipped as literals; the assignment/probe argmax is a
-    * codegen'd dot-product scan over them.
+    * [[embedLshTopK]]. A coarse quantizer (seeded hash-sample +
+    * Lloyd refinements over L2-normalized vectors, trained natively
+    * below) partitions the corpus into `nCentroids` cells; each query
+    * probes its `nProbe` nearest cells and verifies exact cosine only
+    * against vectors assigned there — candidate volume ≈ corpus ×
+    * nProbe / nCentroids per query, an equality join on the cell id
+    * (no all-pairs). Centroids are tiny and shipped as literals; the
+    * assignment/probe argmax is a codegen'd dot-product scan over
+    * them.
     *
     * Cosine-correctness: on unit vectors, nearest-centroid by
     * Euclidean = nearest by cosine (d² = 2 − 2cos), so normalizing
-    * before KMeans makes cells cosine-cells.
+    * (vectors AND centroids) makes cells cosine-cells.
+    *
+    * Round-3 note: the quantizer was first an `ml.clustering.KMeans`
+    * fit — functionally fine, but its ~15 scheduler-bound micro-jobs
+    * ran 15× slower inside a long-lived churned session (83 s in the
+    * 60-query bench vs 5 s isolated). The native trainer is a handful
+    * of grouped aggregations with tiny driver collects — predictable
+    * anywhere.
     */
   def embedIvfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                    k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-                   maxIter: Int = 5, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+                   maxIter: Int = 2, seed: Long = 42L): DataFrame = {
     val unit = embeddings.select(
       col(idCol), col(vecCol),
       transform(col(vecCol).cast("array<double>"),
         (x: Column) => x / sqrt(doubleDot(col(vecCol), col(vecCol)))).as("_unit"))
-    // random init: k-means|| costs several extra passes over the data
-    // for centroid seeding that probed-cell recall does not need — the
-    // quantizer only has to be balanced-ish, not optimal
-    val model = new KMeans()
-      .setK(nCentroids).setMaxIter(maxIter).setSeed(seed)
-      .setInitMode("random")
-      .setFeaturesCol("_features")
-      .fit(unit.select(array_to_vector(col("_unit")).as("_features")))
-    // centroids: driver-side literals (nCentroids × dims doubles)
-    val centers = model.clusterCenters.map(c => array(c.toArray.map(lit): _*))
+    // Quantizer training, natively: seed with a deterministic hash-
+    // sample of the corpus (the nCentroids rows with smallest
+    // xxhash64(id) — a uniform pseudo-random sample, reproducible on
+    // any partitioning), then `maxIter` Lloyd refinements where each
+    // step is ONE grouped aggregation (assign by argmax dot, mean per
+    // cell/dimension) and a tiny (nCentroids×dims) driver collect.
+    // Unlike an ml-pipeline fit this is a handful of predictable
+    // DataFrame jobs; centroids are re-normalized to the unit sphere
+    // so argmax-dot assignment stays argmin-euclidean. Standard IVF
+    // practice: train the coarse quantizer cheaply (sample + few
+    // iterations) — cells need balance, not optimality.
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var centers: Array[Array[Double]] = unit
+      .select(col("_unit"), xxhash64(col(idCol), lit(seed)).as("_h"))
+      .orderBy(col("_h")).limit(nCentroids)
+      .select(col("_unit")).collect()
+      .map(r => r.getSeq[Double](0).toArray)
+    def centerCols(cs: Array[Array[Double]]): Array[Column] =
+      cs.map(c => array(c.map(lit): _*))
+    def assignCell(v: Column, cs: Array[Array[Double]]): Column =
+      sort_array(array(centerCols(cs).zipWithIndex.map { case (c, j) =>
+        struct((-doubleDot(v, c)).as("negDot"), lit(j).as("cell"))
+      }: _*)).getItem(0).getField("cell")
+    for (_ <- 1 to maxIter) {
+      val sums = unit
+        .select(assignCell(col("_unit"), centers).as("_cell"),
+          posexplode(col("_unit")).as(Seq("_pos", "_x")))
+        .groupBy(col("_cell"), col("_pos")).agg(avg(col("_x")).as("_m"))
+        .collect()
+      val next = centers.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      // cells that captured no vectors keep their previous center
+      centers = next.map(normalized)
+    }
     def cellRank(v: Column): Column =
-      sort_array(array(centers.zipWithIndex.map { case (c, j) =>
+      sort_array(array(centerCols(centers).zipWithIndex.map { case (c, j) =>
         struct((-doubleDot(v, c)).as("negDot"), lit(j).as("cell"))
       }: _*))
     val assigned = unit.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
