@@ -292,17 +292,24 @@ object Similarity {
       sort_array(array(centerCols(centers).zipWithIndex.map { case (c, j) =>
         struct((-doubleDot(v, c)).as("negDot"), lit(j).as("cell"))
       }: _*))
-    val assigned = unit.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+    // Verify on the ALREADY-normalized double vectors: cosine is then
+    // one codegen'd dot per pair — no norms, and no per-pair
+    // float→double cast allocations (3 dots × 2 casts each = 6 array
+    // copies per candidate was most of this stage's garbage). The
+    // explicit repartition matters: the probe side is tiny (|corpus| ×
+    // nProbe rows) so AQE coalesces it to ~1 partition, blind to the
+    // |corpus|²·nProbe/nCentroids fan-out the broadcast join creates
+    // INSIDE the stage — the verify would run single-threaded.
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val assigned = unit.select(col(idCol).as("id_b"), col("_unit").as("_ub"),
       cellRank(col("_unit")).getItem(0).getField("cell").as("cell"))
-    val probes = unit.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+    val probes = unit.select(col(idCol).as("id_a"), col("_unit").as("_ua"),
       explode(slice(cellRank(col("_unit")), 1, nProbe)).as("p"))
-      .select(col("id_a"), col("_va"), col("p.cell").as("cell"))
+      .select(col("id_a"), col("_ua"), col("p.cell").as("cell"))
+      .repartition(par, col("id_a"))
     val cos = probes.join(assigned, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
-      .withColumn("cos", round(
-        doubleDot(col("_va"), col("_vb")) /
-          (sqrt(doubleDot(col("_va"), col("_va"))) *
-           sqrt(doubleDot(col("_vb"), col("_vb")))), 4))
+      .withColumn("cos", round(doubleDot(col("_ua"), col("_ub")), 4))
       .select(col("id_a"), col("id_b"), col("cos"))
     // no pair-dedup needed: each corpus vector lives in exactly one
     // cell and a query probes distinct cells
