@@ -179,6 +179,18 @@ object SparkEntry {
         .select(col("w.start").as("hour_start"), col("event_type"),
           col("n"), col("sum_value"))),
 
+    // --- built-in session windows (batch face of sessionization; the
+    //     custom-state streaming face is EventStreams.sessionize).
+    //     Gap semantics: a session's window is [first, last+gap); an
+    //     event landing exactly at the end starts a new session ---
+    "q61_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          Det.sumRounded(col("value"), 2).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("sess_start"),
+          col("n"), col("sum_value"))),
+
     // --- rollup (beyond reference; §2.12 noted absent there) ---
     "q23_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -619,6 +631,22 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q61_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
 
     "q23_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
