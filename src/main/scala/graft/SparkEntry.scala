@@ -191,6 +191,44 @@ object SparkEntry {
         .select(col("user_id"), col("w.start").as("sess_start"),
           col("n"), col("sum_value"))),
 
+    // --- cube: all grouping-set combinations (completes the
+    //     rollup/cube/grouping-sets family next to q23) ---
+    "q62_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))),
+
+    // --- exact interpolated percentiles (same continuous-quantile
+    //     semantics as the SQL oracle's quantile_cont) ---
+    "q63_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))),
+
+    // --- full rank family: rank / dense_rank / percent_rank /
+    //     cume_dist / ntile (the reference used only row_number, W1/W2)
+    "q64_rank_family" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      // ntile assigns by row POSITION — ties need a total order or the
+      // tile of tied rows is engine-dependent
+      val wTotal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(wTotal).as("quartile"))
+    }),
+
     // --- rollup (beyond reference; §2.12 noted absent there) ---
     "q23_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -647,6 +685,31 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n,
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q62_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q63_percentiles" ->
+      """SELECT l_returnflag,
+        |       ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS p50,
+        |       ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 4) AS p90,
+        |       ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 4) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q64_rank_family" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(RANK() OVER w AS INT) AS rnk,
+        |       CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+        |       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+        |       CAST(NTILE(4) OVER wt AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice),
+        |       wt AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin,
 
     "q23_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
