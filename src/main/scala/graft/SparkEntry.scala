@@ -394,12 +394,14 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.05)),
 
-    // --- LLM dedup: MinHash+LSH near-dup pairs (xxhash64-based — no
-    //     DuckDB equivalent → rows-only; recall vs exact Jaccard is
-    //     asserted in DedupSpec) ---
+    // --- LLM dedup: MinHash+LSH candidates, EXACT-Jaccard verify.
+    //     The verify stage removes estimation error, so the output is
+    //     the exact near-dup pair set (oracle = exhaustive Jaccard SQL)
+    //     as long as banding recall holds — ≥ 1−1e-4 per pair at the
+    //     threshold with 32×2 bands, asserted exactly in DedupSpec ---
     "q45_minhash_neardup" -> ((s, dir) =>
-      Dedup.minHashNearDup(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5)),
+      Dedup.minHashNearDupVerified(t(s, dir, "documents"), "doc_id",
+        "text", threshold = 0.5)),
 
     // --- LLM dedup: SimHash fingerprints (rows-only) ---
     "q46_simhash" -> ((s, dir) =>
@@ -476,7 +478,9 @@ object SparkEntry {
         "doc_id", "payload")),
 
     // --- multimodal: batched frame decode via mapPartitions (STUB
-    //     codec; mapInPandas-shaped plumbing — rows-only) ---
+    //     codec keyed on the frame byte-sum; mapInPandas-shaped
+    //     plumbing — oracle replays the fake codec in SQL, which works
+    //     because documents.text is pure ASCII: char ops ≡ byte ops) ---
     "q51_media_frames" -> ((s, dir) =>
       Multimodal.decodeFramesStub(
         t(s, dir, "documents").select(col("doc_id"),
@@ -863,6 +867,48 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id
         |           JOIN sizes sb ON id_b = sb.doc_id
         |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.05""".stripMargin,
+
+    // exhaustive exact-Jaccard pairs at 0.5 — matches the LSH+verify
+    // output because the verify stage is exact and banding recall at
+    // this threshold is ≥ 1−1e-4 per pair (see Dedup.minHashNearDupVerified)
+    "q45_minhash_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS shingle
+        |    FROM toks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+        |           JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5""".stripMargin,
+
+    // replays the stub codec in SQL: frames = fixed 64-char slices
+    // (documents.text is pure ASCII, so char slicing ≡ byte slicing
+    // of the UTF-8 payload), byte sum via per-char codepoints
+    "q51_media_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id AS id, CAST(i AS INT) AS "frameIdx",
+        |         substring(text, CAST(i * 64 + 1 AS INT), 64) AS chunk
+        |  FROM documents,
+        |       UNNEST(range(CAST(ceil(strlen(text) / 64.0) AS BIGINT))) AS t(i)),
+        |b AS (
+        |  SELECT id, "frameIdx", strlen(chunk) AS nb,
+        |         list_sum([ord(c) for c in string_split(chunk, '')]) AS bsum
+        |  FROM fr)
+        |SELECT id, "frameIdx", CAST(nb AS INT) AS "nBytes",
+        |       CAST(16 + bsum % 1904 AS INT) AS width,
+        |       CAST(16 + (bsum // 1904) % 1064 AS INT) AS height,
+        |       CAST(bsum AS DOUBLE) / nb AS "meanByte"
+        |FROM b""".stripMargin,
 
     "q30_cosine_topk" ->
       s"""WITH r0 AS ($ratingsSql),

@@ -68,16 +68,16 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           bytes.grouped(frameSize).zipWithIndex.map { case (chunk, i) =>
+            val byteSum = chunk.map(b => (b & 0xFF).toLong).sum
             // --- STUB CODEC ---------------------------------------
             // Real impl: ImageIO/ffmpeg decode of `chunk` → dims.
-            // Deterministic fake keyed on content so tests can pin it:
-            val h = java.util.Arrays.hashCode(chunk)
-            val width = 16 + math.floorMod(h, 1904)
-            val height = 16 + math.floorMod(h / 1904, 1064)
+            // Deterministic fake keyed on content (the unsigned byte
+            // sum) so tests — and the SQL oracle — can pin it:
+            val width = (16 + byteSum % 1904).toInt
+            val height = (16 + (byteSum / 1904) % 1064).toInt
             // ------------------------------------------------------
             val mean =
-              if (chunk.isEmpty) 0.0
-              else chunk.map(b => (b & 0xFF).toLong).sum.toDouble / chunk.length
+              if (chunk.isEmpty) 0.0 else byteSum.toDouble / chunk.length
             FrameMeta(id, i, chunk.length, width, height, mean)
           }
         }

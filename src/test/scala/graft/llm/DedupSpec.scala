@@ -43,6 +43,15 @@ class DedupSpec extends SparkSpec {
     assert(!est.exists { case (a, b) => a >= 4L || b >= 4L })
   }
 
+  test("minHashNearDupVerified equals the exhaustive exact-Jaccard pair set") {
+    val verified = Dedup.minHashNearDupVerified(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // verify stage is exact → values (not just pairs) must coincide
+    assert(verified == exact)
+  }
+
   test("simHash: identical docs share a fingerprint, near-dups are close, unrelated far") {
     val fp = Dedup.simHash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
