@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.ml.{Als, Eval, Serve}
 import graft.operators._
 import graft.sources.Tables
@@ -470,6 +470,55 @@ object SparkEntry {
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text",
         langProfiles)),
 
+    // --- deterministic hash sampling: reproducible Bernoulli on the
+    //     key (rand(seed) is partitioning-dependent; md5 is not) ---
+    "q65_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars")),
+        "doc_id", 0.2)),
+
+    // --- per-group deterministic k-sample (hash-order window) ---
+    "q66_group_sample" -> ((s, dir) =>
+      Sampling.groupSample(
+        t(s, dir, "customer").select(col("c_nationkey"), col("c_custkey"),
+          col("c_name")),
+        "c_nationkey", "c_custkey", 3)),
+
+    // --- weighted corpus mixing: per-language keep-fractions (the
+    //     rebalance-sources step of a corpus build) ---
+    "q67_mix_strata" -> ((s, dir) =>
+      Sampling.mixStrata(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("source")),
+        "lang", "doc_id",
+        Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5,
+          "zh" -> 0.25))),
+
+    // --- benchmark-contamination check: shingle overlap of the corpus
+    //     (doc_id >= 20) against a small "eval set" (doc_id < 20) ---
+    "q68_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.contamination(d.filter(col("doc_id") >= 20), "doc_id", "text",
+        d.filter(col("doc_id") < 20), "doc_id", "text")
+    }),
+
+    // --- PII redaction over text augmented with deterministic planted
+    //     emails/phones (the corpus has none naturally — planting makes
+    //     the redaction observable and still oracle-replayable) ---
+    "q69_pii_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" tel 555-"),
+                lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+                lit("-0199"))).otherwise(lit(""))).as("text")),
+        "doc_id", "text")),
+
     // --- multimodal: binary column metadata ---
     "q38_binary_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(
@@ -909,6 +958,66 @@ object SparkEntry {
         |       CAST(16 + (bsum // 1904) % 1064 AS INT) AS height,
         |       CAST(bsum AS DOUBLE) / nb AS "meanByte"
         |FROM b""".stripMargin,
+
+    "q65_hash_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) / 4294967296.0 < 0.2""".stripMargin,
+
+    "q66_group_sample" ->
+      """SELECT c_nationkey, c_custkey, c_name FROM (
+        |  SELECT c_nationkey, c_custkey, c_name,
+        |         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |           ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q67_mix_strata" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substring(
+        |        md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 8))
+        |        AS BIGINT) / 4294967296.0
+        |      < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+        |                  WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.5
+        |                  WHEN 'zh' THEN 0.25 ELSE 0.0 END""".stripMargin,
+
+    "q68_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS shingle
+        |    FROM toks)),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+        |d AS (SELECT * FROM sh WHERE doc_id >= 20)
+        |SELECT d.doc_id, COUNT(*) AS n_shingles,
+        |       ROUND(CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / COUNT(*), 6) AS contamination
+        |FROM d LEFT JOIN bench b ON d.shingle = b.shingle
+        |GROUP BY d.doc_id""".stripMargin,
+
+    "q69_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 11 = 0
+        |              THEN ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+        |              ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |       regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM aug""".stripMargin,
 
     "q30_cosine_topk" ->
       s"""WITH r0 AS ($ratingsSql),

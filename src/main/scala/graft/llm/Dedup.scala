@@ -177,6 +177,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark-contamination rate per document: the fraction of its
+    * n-gram shingles that appear anywhere in the benchmark corpus (the
+    * eval-set leakage check every training-data pipeline needs before
+    * a corpus ships). The benchmark side is distinct-projected to a
+    * shingle set — typically tiny next to the corpus, so Spark
+    * broadcasts it and the document side never shuffles.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchIdCol: String,
+                    benchTextCol: String, n: Int = 3): DataFrame = {
+    val docSh = shingles(docs, idCol, textCol, n)
+    val benchSh = shingles(bench, benchIdCol, benchTextCol, n)
+      .select(col("shingle")).distinct().withColumn("_hit", lit(1))
+    docSh.join(benchSh, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        round(sum(coalesce(col("_hit"), lit(0))).cast("double") /
+          count(lit(1)), 6).as("contamination"))
+  }
+
   /** 64-bit SimHash fingerprint per document: token-frequency-weighted
     * bit votes over `xxhash64(token)`. 64 per-bit vote sums in ONE
     * grouped aggregation (all codegen'd), then bit assembly.

@@ -80,6 +80,22 @@ object TextAnalysis {
     docs.select(col(idCol),
       md5(lower(regexp_replace(col(textCol), "\\s+", " "))).as("fingerprint"))
 
+  /** PII scrubbing: count and replace email/phone patterns (the
+    * redaction pass a corpus takes before training). Pure codegen'd
+    * regexp functions — RE2-compatible patterns so external engines
+    * (and the DuckDB oracle) replay them byte-identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+
   /** Marker-token language ID: score = |tokens ∩ markers(lang)|,
     * predicted = first language (in `profiles` order) achieving the
     * max score. A real pipeline feeds char-n-gram profiles here; the

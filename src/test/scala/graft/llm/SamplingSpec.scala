@@ -1,0 +1,75 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows =
+    (0L until 2000L).map(i => (i, s"g${i % 7}")).toDF("id", "grp").cache()
+
+  test("hashSample is deterministic, repartition-invariant, and nested by fraction") {
+    val s20 = Sampling.hashSample(rows, "id", 0.2).select("id").as[Long].collect().toSet
+    val again = Sampling.hashSample(rows.repartition(13), "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(s20 == again)                      // membership is a pure function of the row
+    val s10 = Sampling.hashSample(rows, "id", 0.1).select("id").as[Long].collect().toSet
+    assert(s10.subsetOf(s20))                 // draw < f is monotone in f
+    assert(math.abs(s20.size / 2000.0 - 0.2) < 0.05, s"got ${s20.size}")
+  }
+
+  test("hashSample salting decorrelates draws on the same key") {
+    val a = Sampling.hashSample(rows, "id", 0.5, salt = "a").select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(rows, "id", 0.5, salt = "b").select("id").as[Long].collect().toSet
+    val overlap = (a & b).size.toDouble / 2000.0
+    assert(math.abs(overlap - 0.25) < 0.06, s"overlap $overlap")  // independent halves ≈ 1/4
+  }
+
+  test("groupSample returns exactly min(k, |group|) rows per group, deterministically") {
+    val out = Sampling.groupSample(rows, "grp", "id", 5)
+    val sizes = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ == 5L) && sizes.size == 7)
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "grp")
+    val t = Sampling.groupSample(tiny, "grp", "id", 5).groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(t == Map("x" -> 2L, "y" -> 1L))
+  }
+
+  test("mixStrata applies per-stratum fractions; bounds enforced") {
+    val out = Sampling.mixStrata(rows, "grp", "id",
+      Map("g0" -> 1.0, "g1" -> 0.0, "g2" -> 0.5))
+    val byG = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byG("g0") == rows.filter($"grp" === "g0").count()) // weight 1 keeps all
+    assert(!byG.contains("g1"))                               // weight 0 drops all
+    assert(byG.get("g2").exists(n => n > 80 && n < 210))      // ≈ half of ~286
+    assert(byG.keySet.subsetOf(Set("g0", "g2")))              // default 0 drops the rest
+    assertThrows[IllegalArgumentException] {
+      Sampling.mixStrata(rows, "grp", "id", Map("g0" -> 1.5))
+    }
+  }
+
+  test("contamination is 1.0 for a benchmark copy, 0.0 for disjoint text") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // verbatim copy
+      (2L, "completely different words about spark engines here"),
+      (3L, "prefix tokens then the quick brown fox appears")).toDF("doc_id", "text")
+    val out = Dedup.contamination(docs, "doc_id", "text", bench, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.0)
+    assert(out(3L) > 0.0 && out(3L) < 1.0) // shares "the quick brown" ngrams only
+  }
+
+  test("redactPii counts and masks emails and phones") {
+    val docs = Seq(
+      (1L, "write to alice.smith+x@corp.example.org or call 555-123-4567 now"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "write to <EMAIL> or call <PHONE> now")
+    assert(out(2L)._2 == 0 && out(2L)._3 == 0 && out(2L)._4 == "no pii here at all")
+  }
+}
