@@ -191,6 +191,21 @@ object SparkEntry {
         .select(col("user_id"), col("w.start").as("sess_start"),
           col("n"), col("sum_value"))),
 
+    // --- as-of join: each purchase enriched with the user's most
+    //     recent click at-or-before it (AsofJoin: union + one keyed
+    //     window, not a range nested-loop; oracle = DuckDB ASOF JOIN) ---
+    "q70_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      AsofJoin.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("click_id"), col("value").as("click_value")),
+        "user_id", "ts", "ts",
+        Seq("click_id", "click_value"))
+    }),
+
     // --- cube: all grouping-set combinations (completes the
     //     rollup/cube/grouping-sets family next to q23) ---
     "q62_cube" -> ((s, dir) =>
@@ -722,6 +737,15 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q70_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, l.ts,
+        |       r.click_id AS asof_click_id, r.click_value AS asof_click_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "q61_session_window" ->
       """WITH m AS (
