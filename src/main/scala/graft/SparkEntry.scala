@@ -206,6 +206,22 @@ object SparkEntry {
         Seq("click_id", "click_value"))
     }),
 
+    // --- range join: purchases inside each 2-day signup window, via
+    //     the binned equi-join rewrite (RangeJoin — no nested loop) ---
+    "q71_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wins = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("win_id"), col("user_id"),
+          col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 DAYS")).as("end_ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      RangeJoin.pointInInterval(wins, purch, "user_id",
+          "start_ts", "end_ts", "p_ts", binSeconds = 86400L)
+        .groupBy(col("win_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"))
+    }),
+
     // --- cube: all grouping-set combinations (completes the
     //     rollup/cube/grouping-sets family next to q23) ---
     "q62_cube" -> ((s, dir) =>
@@ -746,6 +762,16 @@ object SparkEntry {
         |SELECT l.event_id, l.user_id, l.ts,
         |       r.click_id AS asof_click_id, r.click_value AS asof_click_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q71_range_join" ->
+      """WITH w AS (SELECT event_id AS win_id, user_id, ts AS start_ts,
+        |                  ts + INTERVAL 2 DAY AS end_ts
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT w.win_id, w.user_id, COUNT(*) AS n_purchases
+        |FROM w JOIN p ON w.user_id = p.user_id
+        |              AND p.ts >= w.start_ts AND p.ts < w.end_ts
+        |GROUP BY 1, 2""".stripMargin,
 
     "q61_session_window" ->
       """WITH m AS (
