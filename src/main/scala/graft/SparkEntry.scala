@@ -526,6 +526,21 @@ object SparkEntry {
         Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5,
           "zh" -> 0.25))),
 
+    // --- deterministic upsampling: zh stratum at weight 2.5 (2 copies
+    //     + a hash-drawn 3rd; the >1.0 half of corpus rebalancing) ---
+    "q72_upsample" -> ((s, dir) =>
+      Sampling.upsample(
+        t(s, dir, "documents").filter(col("lang") === "zh")
+          .select(col("doc_id"), col("source")),
+        "doc_id", 2.5)),
+
+    // --- int8 embedding quantization (4× ANN memory reduction),
+    //     exploded per dimension for value-level oracle comparison ---
+    "q73_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"), posexplode(col("qvec")))
+        .toDF("vec_id", "scale", "pos", "qval")),
+
     // --- benchmark-contamination check: shingle overlap of the corpus
     //     (doc_id >= 20) against a small "eval set" (doc_id < 20) ---
     "q68_contamination" -> ((s, dir) => {
@@ -1030,6 +1045,33 @@ object SparkEntry {
         |      < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
         |                  WHEN 'fr' THEN 0.5 WHEN 'es' THEN 0.5
         |                  WHEN 'zh' THEN 0.25 ELSE 0.0 END""".stripMargin,
+
+    "q72_upsample" ->
+      """WITH z AS (SELECT doc_id, source FROM documents WHERE lang = 'zh'),
+        |c AS (SELECT doc_id, source,
+        |        2 + CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |                      AS BIGINT) / 4294967296.0 < 0.5
+        |                 THEN 1 ELSE 0 END AS n
+        |      FROM z)
+        |SELECT doc_id, source, CAST(i AS INT) AS copy
+        |FROM c, UNNEST(range(n)) AS t(i)""".stripMargin,
+
+    "q73_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, scale,
+        |         CASE WHEN scale = 0
+        |              THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+        |              ELSE list_transform(embedding,
+        |                x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / scale)
+        |                          AS TINYINT)) END AS qvec
+        |  FROM q)
+        |SELECT vec_id, scale, CAST(i - 1 AS INT) AS pos, qvec[i] AS qval
+        |FROM e, UNNEST(range(1, len(qvec) + 1)) AS t(i)""".stripMargin,
 
     "q68_contamination" ->
       """WITH toks AS (

@@ -66,4 +66,26 @@ object Sampling {
     df.filter(
       hashDraw(concat(col(keyCol).cast("string"), lit(":"), col(strataCol))) < frac)
   }
+
+  /** Deterministic upsampling to weight w ≥ 0: every row is emitted
+    * floor(w) times, plus once more with probability frac(w) — by the
+    * same hash-draw, so the expected multiplicity is exactly w and the
+    * realized corpus is reproducible (epoch-style repetition with a
+    * stable fractional epoch, the >1.0 half of [[mixStrata]]).
+    * Emits a `copy` index (0-based) so downstream shuffles can
+    * distinguish replicas. A narrow generator — no shuffle.
+    */
+  def upsample(df: DataFrame, keyCol: String, weight: Double,
+               salt: String = ""): DataFrame = {
+    require(weight >= 0.0, "upsample weight must be non-negative")
+    val whole = math.floor(weight).toLong
+    val frac = weight - whole
+    val copies = (lit(whole) +
+      when(hashDraw(col(keyCol), salt) < frac, 1L).otherwise(0L)).cast("int")
+    // copies = 0 must yield NO rows: bare sequence(0, -1) steps down to
+    // [0, -1], so guard with an empty array (same pitfall as frameSlices)
+    df.withColumn("copy",
+      explode(when(copies > 0, sequence(lit(0), copies - 1))
+        .otherwise(array())))
+  }
 }

@@ -327,4 +327,25 @@ object Similarity {
     */
   private def doubleDot(v: Column, p: Column): Column =
     graft.functions.VectorExprs.dot(v, p)
+
+  /** Symmetric per-vector int8 quantization of an embedding column —
+    * the 4×-memory/bandwidth reduction applied before ANN at corpus
+    * scale (float32 → int8 with one fp32 scale per vector):
+    * scale = max|x_i|, q_i = round(x_i · 127 / scale). All arithmetic
+    * is promoted to double so the result is bit-identical in any
+    * engine; a zero vector quantizes to zeros (scale kept at 0).
+    * Narrow projection — no shuffle, fused into the scan.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scale = array_max(transform(col(vecCol),
+      x => abs(x.cast("double"))))
+    emb.select(
+      col(idCol),
+      scale.as("scale"),
+      when(scale === 0.0,
+        transform(col(vecCol), _ => lit(0).cast("tinyint")))
+        .otherwise(transform(col(vecCol),
+          x => round(x.cast("double") * 127.0 / scale).cast("tinyint")))
+        .as("qvec"))
+  }
 }

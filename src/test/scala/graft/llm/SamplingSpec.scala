@@ -49,6 +49,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("upsample emits floor(w) or ceil(w) copies with mean ≈ w, deterministically") {
+    val out = Sampling.upsample(rows, "id", 2.5)
+    val per = out.groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(per.values.forall(n => n == 2L || n == 3L))
+    val mean = per.values.sum.toDouble / 2000.0
+    assert(math.abs(mean - 2.5) < 0.06, s"mean $mean")
+    // copy index is 0..n-1 per row
+    val copies = out.filter($"id" === per.keys.head).select("copy").as[Int].collect().sorted
+    assert(copies.toSeq == (0 until per(per.keys.head).toInt))
+    // weight < 1 with a losing draw must emit zero rows, not one
+    val w0 = Sampling.upsample(rows, "id", 0.0).count()
+    assert(w0 == 0L)
+    val w03 = Sampling.upsample(rows, "id", 0.3).groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(w03.size < 900 && w03.values.forall(_ == 1L))
+  }
+
   test("contamination is 1.0 for a benchmark copy, 0.0 for disjoint text") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val docs = Seq(

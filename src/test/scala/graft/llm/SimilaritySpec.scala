@@ -33,6 +33,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0)._3 == 1.0 && out(1)._3 == 0.7071 && out(2)._3 == 0.0)
   }
 
+  test("quantizeInt8 maps max|x| to ±127, zeros to zeros, and round-trips within scale/254") {
+    val emb = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f)), // scale 1.0 → (64, -127, 32)
+      (1L, Array(0f, 0f, 0f)))         // zero vector → zeros, scale 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .as[(Long, Double, Seq[Byte])].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == 1.0)
+    assert(out(0L)._3.toSeq == Seq[Byte](64, -127, 32))
+    assert(out(1L)._2 == 0.0 && out(1L)._3.toSeq == Seq[Byte](0, 0, 0))
+    // dequantization error bound: |x − q·scale/127| ≤ scale/254 + ulp
+    val xs = Array(0.5f, -1.0f, 0.25f)
+    val dq = out(0L)._3.map(q => q * out(0L)._2 / 127.0)
+    xs.zip(dq).foreach { case (x, d) =>
+      assert(math.abs(x - d) <= 1.0 / 254.0 + 1e-9)
+    }
+  }
+
   test("embedLshTopK achieves high recall of the brute-force top-k on clustered vectors") {
     // Clustered corpus — the regime LSH is designed for (real embedding
     // spaces are clustered; on uniform vectors the top-k gap vanishes
