@@ -609,6 +609,18 @@ object SparkEntry {
 
     // --- CSV sink + source roundtrip (S5, distributed write then
     //     schema-explicit read) ---
+    // --- partitioned parquet sink roundtrip: partitionBy(lang) write,
+    //     re-read, aggregate. The layout every 100 TB corpus uses —
+    //     readers of one stratum scan only its directory (partition
+    //     pruning; asserted in PlanAuditSpec) ---
+    "q74_partitioned_sink" -> ((s, dir) => {
+      val path = s"/tmp/graft_part_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      t(s, dir, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(path)
+      s.read.parquet(path).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     "q55_csv_roundtrip" -> ((s, dir) => {
       val path = s"/tmp/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       val src = t(s, dir, "nation")
@@ -1262,5 +1274,9 @@ object SparkEntry {
 
     "q55_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q74_partitioned_sink" ->
+      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
   )
 }

@@ -43,4 +43,20 @@ class PlanAuditSpec extends SparkSpec {
         s"$q plans an all-pairs join:\n${p.take(2000)}")
     }
   }
+
+  test("q68: the benchmark shingle side of contamination joins via broadcast") {
+    assert(plan("q68_contamination").contains("BroadcastHashJoin"))
+  }
+
+  test("partitionBy sink: a single-stratum read prunes to that partition's files") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("q74_partitioned_sink")(spark, dir) // materializes the layout
+    val pruned = spark.read.parquet(s"/tmp/graft_part__root_testdata_sf0_001")
+      .filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString()
+    // partition filter must be recognized as such, not a data filter
+    assert(scan.contains("PartitionFilters") &&
+      scan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("lang")),
+      scan.take(2000))
+  }
 }
