@@ -501,6 +501,23 @@ object SparkEntry {
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text",
         langProfiles)),
 
+    // --- text analysis: TF-IDF top-3 terms per document ---
+    "q75_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopK(t(s, dir, "documents"), "doc_id", "text",
+        k = 3)),
+
+    // --- GROUPING SETS through the SQL entry point (the explicit
+    //     form of the cube/rollup family, q23/q62) ---
+    "q76_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+          |       COALESCE(l_linestatus, 'ALL') AS ls,
+          |       COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
     // --- deterministic hash sampling: reproducible Bernoulli on the
     //     key (rand(seed) is partitioning-dependent; md5 is not) ---
     "q65_hash_sample" -> ((s, dir) =>
@@ -1035,6 +1052,31 @@ object SparkEntry {
         |       CAST(16 + (bsum // 1904) % 1064 AS INT) AS height,
         |       CAST(bsum AS DOUBLE) / nb AS "meanByte"
         |FROM b""".stripMargin,
+
+    "q75_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term), n),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |            ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, tfidf, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q76_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
     "q65_hash_sample" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

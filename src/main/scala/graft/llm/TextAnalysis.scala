@@ -96,6 +96,32 @@ object TextAnalysis {
       regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>").as("redacted"))
 
+  /** TF-IDF top-k terms per document: tf = in-doc term count,
+    * idf = ln(N / df) over the corpus, rank by (tfidf desc, term asc).
+    * Integer tf/df/N keep everything exact up to the single ln() —
+    * identical-formula evaluation per term makes the ranking stable
+    * across engines (exact ties are broken by the term).
+    * Two shuffles (doc-term, term) + the per-doc window; the corpus
+    * size joins in as a 1-row broadcast, never a driver round-trip.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    val tok = docs.select(col(idCol), explode(toks(textCol)).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(nDocs)
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("tfidf"), col("rank"))
+  }
+
   /** Marker-token language ID: score = |tokens ∩ markers(lang)|,
     * predicted = first language (in `profiles` order) achieving the
     * max score. A real pipeline feeds char-n-gram profiles here; the

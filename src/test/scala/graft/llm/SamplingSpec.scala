@@ -79,6 +79,17 @@ class SamplingSpec extends SparkSpec {
     assert(out(3L) > 0.0 && out(3L) < 1.0) // shares "the quick brown" ngrams only
   }
 
+  test("tfIdfTopK surfaces the distinctive term, not the common one") {
+    val docs = Seq(
+      (1L, "common common common unique1"),
+      (2L, "common common unique2 unique2"),
+      (3L, "common unique3 filler filler")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // "common" appears in all docs → idf = ln(1) = 0 → can never win
+    assert(top == Map(1L -> "unique1", 2L -> "unique2", 3L -> "filler"))
+  }
+
   test("redactPii counts and masks emails and phones") {
     val docs = Seq(
       (1L, "write to alice.smith+x@corp.example.org or call 555-123-4567 now"),
