@@ -171,6 +171,16 @@ object SparkEntry {
         concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
         length(col("p_name")).as("name_len"))),
 
+    // --- anti join: lapsed customers — no order since 1998 (completes
+    //     the join family next to inner/semi/left/broadcast; the date
+    //     filter keeps the result non-trivial: every customer has SOME
+    //     order in this data) ---
+    "q77_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer").join(
+          t(s, dir, "orders").filter(col("o_orderdate") >= lit("1998-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+
     // --- time bucketing (streaming-equivalent batch window) ---
     "q22_events_hourly" -> ((s, dir) =>
       t(s, dir, "events")
@@ -797,6 +807,12 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q77_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '1998-01-01')""".stripMargin,
 
     "q70_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
