@@ -66,6 +66,17 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
     else events.dropDuplicates(idCols)
 
+  /** Stream-static enrichment: attach a dimension table to a stream.
+    * Stateless (no watermark); the static side is broadcast-hinted —
+    * dimensions are small by definition, and Spark re-resolves the
+    * batch side each micro-batch, so dimension updates between
+    * batches are picked up. The streaming face of the J2/J4 equi-join
+    * family.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             keys: Seq[String], joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
 

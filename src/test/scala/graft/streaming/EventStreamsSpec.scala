@@ -73,6 +73,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(dedupEvents(batch, Seq("event_id")).count() == 1)
   }
 
+  test("enrich joins a broadcast dimension onto each micro-batch, left-outer") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((1L, "emea"), (2L, "apac")).toDF("user_id", "region")
+    val q = enrich(mem.toDF(), dim, Seq("user_id"))
+      .select("event_id", "user_id", "region")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "view", 2.0),
+        Event(3, ts(2), 99, "click", 3.0)) // no dim row → region null
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test")
+        .as[(Long, Long, Option[String])].collect().toSet
+      assert(rows == Set(
+        (1L, 1L, Some("emea")), (2L, 2L, Some("apac")), (3L, 99L, None)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on event-time gaps and timeouts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
