@@ -39,7 +39,10 @@ object AsofJoin {
     val l2 = left.select(
       col(keyCol).as("_k"), col(leftTimeCol).as("_t"), lit(1).as("_tag"),
       lit(null).cast(payloadType).as("_p"), leftRow.as("_l"))
-    val r2 = right.select(
+    // a null-time right row would sort before every timestamp and act
+    // as a spurious "since forever" payload — drop it; null-time LEFT
+    // rows also sort first, so they naturally get a null payload
+    val r2 = right.filter(col(rightTimeCol).isNotNull).select(
       col(keyCol).as("_k"), col(rightTimeCol).as("_t"), lit(0).as("_tag"),
       payload.as("_p"), lit(null).cast(leftRowType).as("_l"))
 

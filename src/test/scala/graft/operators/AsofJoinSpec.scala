@@ -18,6 +18,15 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("c").isEmpty)         // right row is in the future → null
   }
 
+  test("asofJoin ignores null-time right rows and null-time left rows match nothing") {
+    val left = Seq((1L, Some(10L), "a"), (1L, None, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, Some(5L), 1.0), (1L, None, 99.0)).toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", "t", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(out("a").contains(1.0)) // the null-time 99.0 row never matches
+    assert(out("b").isEmpty)       // null left time → no payload
+  }
+
   test("asofJoin equals the brute-force max-subquery rewrite on random data") {
     val rnd = new scala.util.Random(7)
     val left = (0 until 400).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
