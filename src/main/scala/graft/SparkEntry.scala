@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{CorpusPipeline, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.ml.{Als, Eval, Serve}
 import graft.operators._
 import graft.sources.Tables
@@ -509,6 +509,13 @@ object SparkEntry {
     // --- text analysis: marker-profile language ID ---
     "q50_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text",
+        langProfiles)),
+
+    // --- end-to-end corpus curation funnel: lang filter → quality →
+    //     exact dedup → near-dup (LSH+verify) → hash sample, one
+    //     (stage, n) row per stage — the composed LLM pipeline ---
+    "q78_corpus_funnel" -> ((s, dir) =>
+      CorpusPipeline.funnel(t(s, dir, "documents"), "doc_id", "text",
         langProfiles)),
 
     // --- text analysis: TF-IDF top-3 terms per document ---
@@ -1068,6 +1075,65 @@ object SparkEntry {
         |       CAST(16 + (bsum // 1904) % 1064 AS INT) AS height,
         |       CAST(bsum AS DOUBLE) / nb AS "meanByte"
         |FROM b""".stripMargin,
+
+    // the composed funnel: each CTE replays the matching operator's
+    // oracle (q50 lang, q52 quality, q29 exact dedup, q45 near-dup,
+    // q65 hash sample) over the previous stage's survivors
+    "q78_corpus_funnel" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+        |lang AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           LEN(list_filter(s, t -> t IN ('the','table','row'))) AS s_en,
+        |           GREATEST(
+        |             LEN(list_filter(s, t -> t IN ('the','table','row'))),
+        |             LEN(list_filter(s, t -> t IN ('query','value','vector'))),
+        |             LEN(list_filter(s, t -> t IN ('customer','join','column'))),
+        |             LEN(list_filter(s, t -> t IN ('scan','data','batch'))),
+        |             LEN(list_filter(s, t -> t IN ('small','sort','stream')))) AS best
+        |    FROM tk) t
+        |  WHERE s_en = best),
+        |s2 AS (SELECT tk.* FROM tk JOIN lang USING (doc_id)),
+        |qual AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           ROUND((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
+        |                  + LEAST(ROUND(CAST(LEN(list_filter(s,
+        |                      t -> t IN ('the','a','and','of','in','to','is')))
+        |                      AS DOUBLE) / LEN(s), 6) * 5.0, 1.0)
+        |                  + CAST(LEN(list_distinct(s)) AS DOUBLE) / LEN(s)) / 3.0,
+        |                 6) AS quality
+        |    FROM s2) t
+        |  WHERE quality >= 0.5),
+        |s3 AS (SELECT s2.* FROM s2 JOIN qual USING (doc_id)),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM s3 GROUP BY md5(text)),
+        |s4 AS (SELECT s3.* FROM s3 JOIN keep USING (doc_id)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS shingle
+        |    FROM s4)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |nd AS (
+        |  SELECT DISTINCT id_b AS doc_id
+        |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+        |             JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5),
+        |s5 AS (SELECT s4.* FROM s4 ANTI JOIN nd USING (doc_id)),
+        |s6 AS (SELECT * FROM s5
+        |       WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |                  AS BIGINT) / 4294967296.0 < 0.5)
+        |SELECT 'raw' AS stage, COUNT(*) AS n FROM documents
+        |UNION ALL SELECT 'lang', COUNT(*) FROM s2
+        |UNION ALL SELECT 'quality', COUNT(*) FROM s3
+        |UNION ALL SELECT 'exact_dedup', COUNT(*) FROM s4
+        |UNION ALL SELECT 'near_dup', COUNT(*) FROM s5
+        |UNION ALL SELECT 'sample', COUNT(*) FROM s6""".stripMargin,
 
     "q75_tfidf" ->
       """WITH tok AS (
