@@ -171,6 +171,33 @@ object SparkEntry {
         concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
         length(col("p_name")).as("name_len"))),
 
+    // --- TPC-H Q1-shape pricing summary: decimal-exact sums with
+    //     explicit intermediate casts so the decimal lattice stays
+    //     within both engines' 38-digit cap (flagship relational agg) ---
+    "q79_pricing_summary" -> ((s, dir) => {
+      val qty = col("l_quantity").cast("decimal(12,2)")
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val one = lit(1).cast("decimal(12,2)")
+      val discPrice = (price * (one - col("l_discount").cast("decimal(12,2)")))
+        .cast("decimal(18,4)")
+      val charge = (discPrice * (one + col("l_tax").cast("decimal(12,2)")))
+        .cast("decimal(18,6)")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qty).as("_sq"), sum(price).as("_sp"),
+          sum(discPrice).as("_sdp"), sum(charge).as("_sc"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("_sq").cast("double"), 2).as("sum_qty"),
+          round(col("_sp").cast("double"), 2).as("sum_base_price"),
+          round(col("_sdp").cast("double"), 2).as("sum_disc_price"),
+          round(col("_sc").cast("double"), 2).as("sum_charge"),
+          round(col("_sq").cast("double") / col("count_order"), 6).as("avg_qty"),
+          round(col("_sp").cast("double") / col("count_order"), 6).as("avg_price"),
+          col("count_order"))
+    }),
+
     // --- anti join: lapsed customers — no order since 1998 (completes
     //     the join family next to inner/semi/left/broadcast; the date
     //     filter keeps the result non-trivial: every customer has SOME
@@ -814,6 +841,24 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q79_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
+        |       ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)))
+        |             AS DOUBLE), 2) AS sum_disc_price,
+        |       ROUND(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) *
+        |             (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(18,6)))
+        |             AS DOUBLE), 2) AS sum_charge,
+        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
 
     "q77_anti_join" ->
       """SELECT c_custkey, c_name, c_nationkey FROM customer
