@@ -475,6 +475,14 @@ object SparkEntry {
     "q46_simhash" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")),
 
+    // --- dup clusters: connected components over the verified
+    //     near-dup pairs, min-id labels (oracle: recursive CTE) ---
+    "q80_dup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.dupClusters(d, "doc_id",
+        Dedup.minHashNearDupVerified(d, "doc_id", "text", threshold = 0.5))
+    }),
+
     // --- item-item cosine (M9, sparse self-join rewrite with the
     //     DIMSUM-style per-user cap that bounds pair fan-out) ---
     "q30_cosine_topk" -> ((s, dir) =>
@@ -1101,6 +1109,35 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id
         |           JOIN sizes sb ON id_b = sb.doc_id
         |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5""".stripMargin,
+
+    // reachability closure over the exact near-dup pairs (both
+    // directions), min reachable id = cluster label
+    "q80_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS shingle
+        |    FROM toks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |cnt AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT id_a, id_b
+        |  FROM cnt JOIN sizes sa ON id_a = sa.doc_id
+        |           JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.d FROM reach r JOIN e ON r.dst = e.s)
+        |SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src""".stripMargin,
 
     // replays the stub codec in SQL: frames = fixed 64-char slices
     // (documents.text is pure ASCII, so char slicing ≡ byte slicing

@@ -198,6 +198,46 @@ object Dedup {
           count(lit(1)), 6).as("contamination"))
   }
 
+  /** Duplicate-cluster assignment: connected components over near-dup
+    * pairs, labeling every document with the MIN id of its component
+    * (isolated docs label themselves) — the step a production dedup
+    * actually runs after pair generation, since near-duplication is
+    * transitive in effect (A≈B, B≈C ⇒ one cluster even if A,C were
+    * never paired).
+    *
+    * Min-label propagation: each iteration is one join + one grouped
+    * min, labels only travel one hop, and dup clusters have tiny
+    * diameters — the driver loop re-plans per iteration with a
+    * convergence count, the standard Spark shape for iterative
+    * fixpoints (ALS does the same). Label frames are cached per
+    * iteration and unpersisted as soon as superseded.
+    */
+  def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                  maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("_s"), col("id_b").as("_d"))
+      .union(pairs.select(col("id_b").as("_s"), col("id_a").as("_d")))
+    var labels = docs.select(col(idCol).as("_id"), col(idCol).as("_lbl")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = labels
+        .join(edges, col("_id") === col("_s"), "left")
+        .join(labels.select(col("_id").as("_d2"), col("_lbl").as("_nl")),
+          col("_d") === col("_d2"), "left")
+        .groupBy(col("_id"))
+        .agg(least(min(col("_lbl")), coalesce(min(col("_nl")),
+          min(col("_lbl")))).as("_lbl"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("_lbl", "_old"), "_id")
+        .filter(col("_lbl") =!= col("_old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("_id").as(idCol), col("_lbl").as("cluster"))
+  }
+
   /** 64-bit SimHash fingerprint per document: token-frequency-weighted
     * bit votes over `xxhash64(token)`. 64 per-bit vote sums in ONE
     * grouped aggregation (all codegen'd), then bit assembly.

@@ -68,6 +68,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b >= 4L && a >= 4L })
   }
 
+  test("dupClusters labels chained components with the min id, isolated docs with self") {
+    val nodes = (0L to 9L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // chain 0-1-2-3-4 (diameter 4 forces multiple propagation rounds) + pair 7-8
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 4L).forall(out(_) == 0L))
+    assert(out(7L) == 7L && out(8L) == 7L)
+    assert(Seq(5L, 6L, 9L).forall(i => out(i) == i))
+  }
+
   test("shingles respects short documents") {
     val tiny = Seq((1L, "a b"), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
     val sh = Dedup.shingles(tiny, "doc_id", "text", n = 3)
