@@ -214,8 +214,14 @@ object Dedup {
     */
   def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                   maxIter: Int = 20): DataFrame = {
+    // cache + materialize the edge list up front: the pair frame is
+    // typically an LSH+verify pipeline, and every iteration references
+    // it twice — without this the whole pair generation re-executes
+    // per iteration (measured 30× slowdown)
     val edges = pairs.select(col("id_a").as("_s"), col("id_b").as("_d"))
       .union(pairs.select(col("id_b").as("_s"), col("id_a").as("_d")))
+      .cache()
+    edges.count()
     var labels = docs.select(col(idCol).as("_id"), col(idCol).as("_lbl")).cache()
     var converged = false
     var i = 0
