@@ -171,6 +171,33 @@ object SparkEntry {
         concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
         length(col("p_name")).as("name_len"))),
 
+    // --- incremental upsert: latest-wins merge of a change batch onto
+    //     the base (max-struct agg — map-side combine, no window sort) ---
+    "q81_upsert_latest" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .withColumn("version", lit(0L))
+      // decimal arithmetic for the simulated price bump: double *1.1
+      // then round(…,2) is engine-dependent at half-boundaries
+      val changes = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice").cast("decimal(12,2)") *
+            lit("1.10").cast("decimal(4,2)"), 2)
+            .cast("double").as("o_totalprice"))
+        .withColumn("version", lit(1L))
+      Upsert.latestWins(base.unionByName(changes),
+        Seq("o_orderkey"), "version")
+    }),
+
+    // --- equi-width histogram (the profiling/EDA staple) ---
+    "q83_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))),
+
     // --- TPC-H Q1-shape pricing summary: decimal-exact sums with
     //     explicit intermediate casts so the decimal lattice stays
     //     within both engines' 38-digit cap (flagship relational agg) ---
@@ -849,6 +876,27 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q81_upsert_latest" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |                     CAST(0 AS BIGINT) AS version FROM orders),
+        |chg AS (SELECT o_orderkey, o_custkey,
+        |               CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) *
+        |                    CAST('1.10' AS DECIMAL(4,2)), 2) AS DOUBLE) AS o_totalprice,
+        |               CAST(1 AS BIGINT) AS version
+        |        FROM orders WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |                 ORDER BY version DESC) AS rn FROM u)
+        |SELECT o_orderkey, o_custkey, o_totalprice, version
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q83_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n,
+        |       ROUND(MIN(o_totalprice), 2) AS lo,
+        |       ROUND(MAX(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q79_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
