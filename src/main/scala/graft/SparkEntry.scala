@@ -286,6 +286,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"))
     }),
 
+    // --- sessionized conversion funnel: per user, how many 30-min
+    //     sessions saw view → click → purchase in strict time order
+    //     (sequence-pattern analytics on top of session windows) ---
+    "q84_conversion_funnel" -> ((s, dir) => {
+      val sess = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("vt"),
+          min(when(col("event_type") === "click", col("ts"))).as("ct"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("pt"))
+      sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("vt") < col("ct") && col("ct") < col("pt"), 1)
+            .otherwise(0)).as("n_converted"))
+    }),
+
     // --- cube: all grouping-set combinations (completes the
     //     rollup/cube/grouping-sets family next to q23) ---
     "q62_cube" -> ((s, dir) =>
@@ -940,6 +957,32 @@ object SparkEntry {
         |FROM w JOIN p ON w.user_id = p.user_id
         |              AND p.ts >= w.start_ts AND p.ts < w.end_ts
         |GROUP BY 1, 2""".stripMargin,
+
+    // same gaps-and-islands sessionization as q61, then per-session
+    // conditional min timestamps and the strict ordering test; NULL
+    // comparisons are false in both engines, so sessions missing a
+    // stage never count as converted
+    "q84_conversion_funnel" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_type,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, sid,
+        |         MIN(CASE WHEN event_type = 'view' THEN ts END) AS vt,
+        |         MIN(CASE WHEN event_type = 'click' THEN ts END) AS ct,
+        |         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS pt
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |       SUM(CASE WHEN vt < ct AND ct < pt THEN 1 ELSE 0 END) AS n_converted
+        |FROM sess GROUP BY user_id""".stripMargin,
 
     "q61_session_window" ->
       """WITH m AS (
