@@ -222,7 +222,13 @@ object Dedup {
       .union(pairs.select(col("id_b").as("_s"), col("id_a").as("_d")))
       .cache()
     edges.count()
-    var labels = docs.select(col(idCol).as("_id"), col(idCol).as("_lbl")).cache()
+    // localCheckpoint (eager), NOT cache: a cached frame still carries
+    // its full lineage into every downstream analysis, so the per-
+    // iteration plan tree deepens and analyzer/optimizer cost compounds
+    // — measured poisoning the whole session. The checkpoint flattens
+    // each iteration to an RDD-backed scan.
+    var labels = docs.select(col(idCol).as("_id"), col(idCol).as("_lbl"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -233,14 +239,16 @@ object Dedup {
         .groupBy(col("_id"))
         .agg(least(min(col("_lbl")), coalesce(min(col("_nl")),
           min(col("_lbl")))).as("_lbl"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("_lbl", "_old"), "_id")
         .filter(col("_lbl") =!= col("_old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
+    // the final frame reads the materialized checkpoint, so the edge
+    // cache is no longer referenced — release it now
+    edges.unpersist()
     labels.select(col("_id").as(idCol), col("_lbl").as("cluster"))
   }
 
