@@ -747,6 +747,105 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("n_regionkey",
           org.apache.spark.sql.types.LongType))))
     }),
+
+    // --- unpivot / melt: wide metric columns → long (metric, val)
+    //     rows, the inverse of pivot (q16). Narrow Expand node, no
+    //     shuffle — row count multiplies by the metric arity only ---
+    "q82_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val")),
+
+    // --- per-label embedding centroids (k-means M-step / class
+    //     prototypes); exact decimal coordinate sums ---
+    "q85_embed_centroid" -> ((s, dir) =>
+      Similarity.groupCentroids(t(s, dir, "embeddings"), "label",
+        "embedding")),
+
+    // --- corpus-level top-k bigrams (boilerplate/template detector) ---
+    "q86_bigram_topk" -> ((s, dir) =>
+      TextAnalysis.topBigrams(t(s, dir, "documents"), "text", k = 50)),
+
+    // --- multiple COUNT(DISTINCT) in one aggregate (Expand-based
+    //     multi-distinct rewrite; partial aggregation still applies) ---
+    "q87_multi_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+
+    // --- null-safe equi-join (<=>): NULL keys match NULL dimension
+    //     rows instead of silently dropping — the "unknown" bucket
+    //     every fact/dim enrichment needs. Plans as a hash join on the
+    //     null-safe key, not a nested loop ---
+    "q88_nullsafe_join" -> ((s, dir) => {
+      val prio = when(col("o_orderpriority") =!= "1-URGENT",
+        col("o_orderpriority"))
+      val facts = t(s, dir, "orders")
+        .select(col("o_orderkey"), prio.as("prio"))
+      val dim = t(s, dir, "orders")
+        .select(prio.as("prio")).distinct()
+        .select(col("prio"),
+          coalesce(col("prio"), lit("UNKNOWN")).as("prio_group"))
+      facts.join(dim, facts("prio") <=> dim("prio"))
+        .select(col("o_orderkey"), col("prio_group"))
+    }),
+
+    // --- blocked edit-distance near-dup pairs (fuzzy string dedup:
+    //     block-key join + length band, exact Levenshtein verify) ---
+    "q89_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+        t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+          col("p_name")),
+        "p_partkey", "p_name", "p_brand", maxDist = 2)),
+
+    // --- time-series gap fill: dense hourly grid per event type,
+    //     zero-filled buckets (grid generated distributed via
+    //     per-key sequence explode — see operators/Resample) ---
+    "q90_gapfill" -> ((s, dir) =>
+      Resample.gapFill(t(s, dir, "events"), "event_type", "ts", "value")),
+
+    // --- sliding event-time windows: 2-hour width, 1-hour slide —
+    //     each event lands in two overlapping buckets (the smoothing
+    //     window every rate/trend monitor uses) ---
+    "q91_sliding_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"))),
+
+    // --- ordered string aggregation: sorted distinct set per group
+    //     folded to one delimited string (the array_agg/string_agg
+    //     family; sort_array makes the fold order engine-independent) ---
+    "q92_array_agg_str" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("c_mktsegment"))))
+            .as("segments"),
+          count(lit(1)).as("n_customers"))),
+
+    // --- RANGE window frame over event time: per-user trailing-hour
+    //     value sum — frame bounds by VALUE (all peers included), not
+    //     row position; exact decimal accumulation ---
+    "q93_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3599, 0)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("sum_1h"))
+    }),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -1575,5 +1674,110 @@ object SparkEntry {
     "q74_partitioned_sink" ->
       """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q82_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |       l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem""".stripMargin,
+
+    "q85_embed_centroid" ->
+      """WITH e AS (
+        |  SELECT label,
+        |         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |         CAST(unnest(embedding) AS DECIMAL(18,9)) AS vd
+        |  FROM embeddings)
+        |SELECT label, pos, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(vd) AS DOUBLE) / COUNT(*), 6) AS centroid
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q86_bigram_topk" ->
+      """WITH b AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i+1])) AS bigram
+        |  FROM documents),
+        |c AS (SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1)
+        |SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    "q87_multi_distinct" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q88_nullsafe_join" ->
+      """WITH f AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderpriority <> '1-URGENT'
+        |              THEN o_orderpriority END AS prio
+        |  FROM orders),
+        |d AS (SELECT DISTINCT CASE WHEN o_orderpriority <> '1-URGENT'
+        |                           THEN o_orderpriority END AS prio
+        |      FROM orders),
+        |d2 AS (SELECT prio, COALESCE(prio, 'UNKNOWN') AS prio_group FROM d)
+        |SELECT f.o_orderkey, d2.prio_group
+        |FROM f JOIN d2 ON f.prio IS NOT DISTINCT FROM d2.prio""".stripMargin,
+
+    "q89_edit_distance" ->
+      """SELECT a.p_brand AS block, a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    "q90_gapfill" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1
+        |      FROM b GROUP BY 1),
+        |g AS (SELECT event_type,
+        |             unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |      FROM s)
+        |SELECT g.event_type, g.bucket,
+        |       COALESCE(b.n, 0) AS n,
+        |       ROUND(CAST(COALESCE(b.sv, 0) AS DOUBLE), 2) AS sum_value
+        |FROM g LEFT JOIN b
+        |  ON g.event_type = b.event_type AND g.bucket = b.bucket""".stripMargin,
+
+    "q91_sliding_window" ->
+      """WITH x AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS ws FROM events
+        |  UNION ALL
+        |  SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR
+        |  FROM events)
+        |SELECT ws AS win_start, event_type, COUNT(*) AS n
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q92_array_agg_str" ->
+      """WITH d AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer),
+        |a AS (SELECT c_nationkey,
+        |             string_agg(c_mktsegment, ',' ORDER BY c_mktsegment)
+        |               AS segments
+        |      FROM d GROUP BY 1),
+        |n AS (SELECT c_nationkey, COUNT(*) AS n_customers
+        |      FROM customer GROUP BY 1)
+        |SELECT a.c_nationkey, a.segments, n.n_customers
+        |FROM a JOIN n USING (c_nationkey)""".stripMargin,
+
+    "q93_range_frame" ->
+      """SELECT event_id, user_id, ts,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY user_id
+        |                  ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |                  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS sum_1h
+        |FROM events""".stripMargin,
   )
 }

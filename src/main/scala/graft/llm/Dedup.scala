@@ -67,6 +67,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Blocked edit-distance near-dup pairs: candidate pairs come from a
+    * block-key equi-join (same `blockCol`), pre-filtered by the length
+    * band — |len(a) − len(b)| > maxDist can never be within maxDist —
+    * then the exact Levenshtein verify runs per surviving candidate.
+    * All-pairs never materializes: fan-out is bounded by the block
+    * size, which is the knob a 100 TB run tunes (block on brand /
+    * domain / fingerprint prefix). `levenshtein` is the classic
+    * unit-cost edit distance in both Spark and the SQL oracle.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, maxDist: Int): DataFrame = {
+    val a = docs.select(col(blockCol).as("block"), col(idCol).as("id_a"),
+      col(textCol).as("_ta"))
+    val b = docs.select(col(blockCol).as("block"), col(idCol).as("id_b"),
+      col(textCol).as("_tb"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("block"), col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** MinHash signatures: `numHashes` independent hash functions
     * simulated as `xxhash64(i, shingle)`, min per doc. One exploded
     * pass + one grouped agg; signature width is a constant.

@@ -348,4 +348,24 @@ object Similarity {
           x => round(x.cast("double") * 127.0 / scale).cast("tinyint")))
         .as("qvec"))
   }
+
+  /** Per-group embedding centroids, one row per (group, dimension):
+    * mean of each coordinate over the group — the k-means M-step, a
+    * class prototype for classification, and the cluster summary a
+    * corpus map plots. posexplode → one partial-aggregated shuffle
+    * keyed by (group, dim); with dim ≤ a few thousand and groups in
+    * the millions the keys stay high-cardinality and skew-free.
+    * Coordinates sum as exact decimal(18,9) (same proven-equal cast
+    * the cosine operators use) so the mean is order-independent and
+    * engine-identical; the division happens once, in double.
+    */
+  def groupCentroids(emb: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame =
+    emb
+      .select(col(groupCol), posexplode(col(vecCol)))
+      .toDF(groupCol, "pos", "_v")
+      .groupBy(col(groupCol), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("_v").cast("decimal(18,9)")).cast("double") /
+          count(lit(1)), 6).as("centroid"))
 }

@@ -143,4 +143,27 @@ object TextAnalysis {
     scored.select(col(idCol), firstWins.as("predicted_lang"),
       best.cast("int").as("score"))
   }
+
+  /** Corpus-level top-k word bigrams — the boilerplate / template
+    * detector: a bigram whose count approaches the document count is
+    * repeated scaffolding, not content. Bigram generation is a narrow
+    * per-row array transform fused into the scan; the count is one
+    * partial-aggregated shuffle keyed by bigram, and the top-k is a
+    * `TakeOrderedAndProject` (no global sort materializes). Ties are
+    * fully broken by (count desc, bigram asc) so the row set is
+    * deterministic across engines.
+    */
+  def topBigrams(docs: DataFrame, textCol: String, k: Int = 50): DataFrame =
+    docs
+      .withColumn("_toks", toks(textCol))
+      // size<2 → sequence(1, 0) would DESCEND (negative default step),
+      // inventing bogus pairs; guard to an empty list instead
+      .select(explode(when(size(col("_toks")) >= 2,
+        expr("transform(sequence(1, size(_toks) - 1), " +
+          "i -> concat_ws(' ', _toks[i-1], _toks[i]))"))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
 }

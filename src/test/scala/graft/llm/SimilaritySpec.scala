@@ -108,4 +108,17 @@ class SimilaritySpec extends SparkSpec {
     val users = out.select("id_a").distinct().count()
     assert(n > 0 && n <= users * 3, s"rows=$n queries=$users")
   }
+
+  test("groupCentroids averages each coordinate per group") {
+    val rows = Seq(
+      (1L, Array(1.0f, 2.0f), "a"),
+      (2L, Array(3.0f, 6.0f), "a"),
+      (3L, Array(10.0f, 20.0f), "b"))
+      .toDF("vec_id", "embedding", "grp")
+    val out = Similarity.groupCentroids(rows, "grp", "embedding")
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("a", 0, 2L, 2.0), ("a", 1, 2L, 4.0),
+      ("b", 0, 1L, 10.0), ("b", 1, 1L, 20.0)))
+  }
 }

@@ -91,4 +91,23 @@ class TextMultimodalSpec extends SparkSpec {
       .as[(Long, Array[Byte])].head()
     assert(out._2.toSeq == Seq[Byte](0, 3, 6, 9))
   }
+
+  test("topBigrams counts overlapping pairs and skips sub-2-token docs") {
+    val d = Seq(
+      (1L, "a b a b"),   // "a b" ×2, "b a" ×1
+      (2L, "a b"),       // "a b" ×1
+      (3L, "solo"),      // no bigram
+      (4L, "")           // no bigram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topBigrams(d, "text", k = 10)
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("a b", 3L), ("b a", 1L)))
+  }
+
+  test("topBigrams top-k is deterministic under count ties (bigram tiebreak)") {
+    val d = Seq((1L, "z y x w")).toDF("doc_id", "text") // 3 bigrams, n=1 each
+    val out = TextAnalysis.topBigrams(d, "text", k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("x w", 1L), ("y x", 1L)))
+  }
 }
