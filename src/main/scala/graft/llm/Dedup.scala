@@ -237,42 +237,72 @@ object Dedup {
     */
   def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                   maxIter: Int = 20): DataFrame = {
-    // cache + materialize the edge list up front: the pair frame is
-    // typically an LSH+verify pipeline, and every iteration references
-    // it twice — without this the whole pair generation re-executes
-    // per iteration (measured 30× slowdown)
-    val edges = pairs.select(col("id_a").as("_s"), col("id_b").as("_d"))
-      .union(pairs.select(col("id_b").as("_s"), col("id_a").as("_d")))
-      .cache()
-    edges.count()
+    // materialize the PAIR frame once (eager localCheckpoint): it is
+    // typically an LSH+verify pipeline, and building the symmetric
+    // edge list from the raw frame would execute that pipeline once
+    // per union branch and once per iteration (measured 30× slowdown).
+    // Every later reference — both union sides, each round, the
+    // isolated-docs anti-join — is then a scan of materialized blocks,
+    // so no cache/unpersist lifecycle is needed at all.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p.select(col("id_a").as("_s"), col("id_b").as("_d"))
+      .union(p.select(col("id_b").as("_s"), col("id_a").as("_d")))
+    // Only edge-touched nodes enter the loop — isolated docs (the vast
+    // majority of a deduped corpus) are their own cluster by definition
+    // and would otherwise pay every iteration's shuffle for nothing.
+    // First hop folds into initialization: label = min(id, min nbr id).
+    //
     // localCheckpoint (eager), NOT cache: a cached frame still carries
     // its full lineage into every downstream analysis, so the per-
     // iteration plan tree deepens and analyzer/optimizer cost compounds
     // — measured poisoning the whole session. The checkpoint flattens
     // each iteration to an RDD-backed scan.
-    var labels = docs.select(col(idCol).as("_id"), col(idCol).as("_lbl"))
+    var labels = edges.groupBy(col("_s"))
+      .agg(min(col("_d")).as("_m"))
+      .select(col("_s").as("_id"), least(col("_s"), col("_m")).as("_lbl"))
       .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = labels
-        .join(edges, col("_id") === col("_s"), "left")
-        .join(labels.select(col("_id").as("_d2"), col("_lbl").as("_nl")),
-          col("_d") === col("_d2"), "left")
-        .groupBy(col("_id"))
-        .agg(least(min(col("_lbl")), coalesce(min(col("_nl")),
-          min(col("_lbl")))).as("_lbl"))
+      // One plan per round, one checkpoint: (1) propagate — min over
+      // the neighbors' labels; (2) pointer-jump — a label is itself a
+      // node id in the same component, so take the LABEL'S label too
+      // (path compression: reach doubles per round, O(log diameter)
+      // rounds instead of O(diameter)); (3) carry a change flag so
+      // convergence is a scan of the checkpointed result, not another
+      // shuffle-join + count job.
+      val nbrMin = labels
+        .join(edges, col("_id") === col("_d"))
+        .groupBy(col("_s")).agg(min(col("_lbl")).as("_nm"))
+      val prop = labels
+        .join(nbrMin.select(col("_s").as("_id2"), col("_nm")),
+          col("_id") === col("_id2"), "left")
+        .select(col("_id"), col("_lbl").as("_old"),
+          least(col("_lbl"), coalesce(col("_nm"), col("_lbl"))).as("_p"))
+      val jumped = prop
+        .join(labels.select(col("_id").as("_pid"), col("_lbl").as("_plbl")),
+          col("_p") === col("_pid"), "left")
+        .select(col("_id"), col("_old"),
+          least(col("_p"), coalesce(col("_plbl"), col("_p"))).as("_lbl"))
+        .withColumn("_chg", (col("_lbl") =!= col("_old")).cast("int"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("_lbl", "_old"), "_id")
-        .filter(col("_lbl") =!= col("_old")).count()
-      labels = next
+      val changed = jumped.agg(coalesce(max(col("_chg")), lit(0)))
+        .first().getInt(0)
+      labels = jumped.select(col("_id"), col("_lbl"))
       converged = changed == 0
       i += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $i changed=$changed t=${System.nanoTime() / 1000000}")
     }
-    // the final frame reads the materialized checkpoint, so the edge
-    // cache is no longer referenced — release it now
-    edges.unpersist()
-    labels.select(col("_id").as(idCol), col("_lbl").as("cluster"))
+    // isolated docs: never touched by an edge → cluster = self. The
+    // anti-join scans the checkpointed pair blocks; the union stays
+    // lazy — the caller's one action executes it once.
+    val isolated = docs.select(col(idCol).as("_id"))
+      .join(edges.select(col("_s").as("_id")).distinct(),
+        Seq("_id"), "left_anti")
+      .select(col("_id"), col("_id").as("_lbl"))
+    labels.union(isolated)
+      .select(col("_id").as(idCol), col("_lbl").as("cluster"))
   }
 
   /** 64-bit SimHash fingerprint per document: token-frequency-weighted

@@ -14,7 +14,10 @@ object Profile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = Sessions.tune(Sessions.builder(cpus, "graft-profile").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    def force(df: DataFrame): Long = {
+    // by-name: queries with eager stages (iterative fixpoints, writes)
+    // do real work while the DataFrame is CONSTRUCTED — the timer must
+    // cover construction + action, same as Bench
+    def force(df: => DataFrame): Long = {
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1000000
@@ -33,10 +36,19 @@ object Profile {
             f"run=${i.taskMetrics.executorRunTime}%7dms ${i.name.takeWhile(_ != '\n').take(60)}")
         }
       })
+    // same pre-measurement hygiene as Bench: stray cached blocks and
+    // warm-run garbage otherwise bill their GC to the measured run
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       if (explain) fn(spark, sfDir).explain("formatted")
       val warm = force(fn(spark, "/root/testdata/sf0.001"))
+      sweep()
       stages.clear()
       val t = force(fn(spark, sfDir))
       println(s"PROFILE $n warm=${warm}ms sf=${t}ms")
