@@ -77,6 +77,28 @@ object EventStreams {
              keys: Seq[String], joinType: String = "left"): DataFrame =
     stream.join(broadcast(dim), keys, joinType)
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same key whose time falls in
+    * `[left.ts − lookback, left.ts]` — the online face of the as-of /
+    * range-join family (attribute a purchase stream to the click
+    * stream that preceded it). Both sides carry watermarks and the
+    * join condition bounds event-time distance, which is exactly what
+    * lets Spark evict buffered rows: state per side is
+    * watermark + lookback, not the whole stream. Time columns must be
+    * pre-renamed to distinct names (`lTs` / `rTs`).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   lTs: String, rTs: String, lookback: String,
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(lTs, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rTs, watermark) else right
+    l.join(r,
+      l(key) === r(key) &&
+        col(rTs) <= col(lTs) &&
+        col(rTs) >= col(lTs) - expr(s"INTERVAL $lookback"))
+      .drop(r(key))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
 

@@ -94,6 +94,50 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin pairs each purchase with clicks in its lookback window, stream-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = intervalJoin(
+      buys.toDF().select($"user_id", $"ts".as("buy_ts"),
+        $"event_id".as("buy_id")),
+      clicks.toDF().select($"user_id", $"ts".as("click_ts"),
+        $"event_id".as("click_id")),
+      "user_id", "buy_ts", "click_ts", lookback = "30 minutes",
+      watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(100, ts(0), 1, "click", 0),   // within 30 min of buy@20
+        Event(101, ts(15), 1, "click", 0),  // within
+        Event(102, ts(19), 2, "click", 0),  // other user
+        Event(103, ts(60), 1, "click", 0))  // after the buy
+      buys.addData(Event(200, ts(20), 1, "purchase", 0))
+      q.processAllAvailable()
+      // push both watermarks forward so results finalize (distinct
+      // users so the pushers can't join with each other)
+      clicks.addData(Event(110, ts(300), 8, "click", 0))
+      buys.addData(Event(210, ts(300), 9, "purchase", 0))
+      q.processAllAvailable()
+      val out = spark.table("ij_test")
+        .select("buy_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(out == Set((200L, 100L), (200L, 101L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin batch twin matches the as-of-family semantics on static frames") {
+    val buys = Seq((1L, ts(20), 200L)).toDF("user_id", "buy_ts", "buy_id")
+    val clicks = Seq(
+      (1L, ts(0), 100L), (1L, ts(15), 101L),
+      (2L, ts(19), 102L), (1L, ts(60), 103L))
+      .toDF("user_id", "click_ts", "click_id")
+    val out = intervalJoin(buys, clicks, "user_id", "buy_ts", "click_ts",
+        lookback = "30 minutes")
+      .select("buy_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((200L, 100L), (200L, 101L)))
+  }
+
   test("sessionize closes sessions on event-time gaps and timeouts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
