@@ -846,6 +846,63 @@ object SparkEntry {
         sum(col("value").cast("decimal(18,2)")).over(w)
           .cast("double").as("sum_1h"))
     }),
+
+    // --- JSON-lines sink + schema-explicit source roundtrip (the
+    //     event-feed interchange format; schema is a contract, never
+    //     inferred) ---
+    "q94_json_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.writeJson(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey"), col("s_acctbal")),
+        path)
+      Tables.json(s, path, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s_suppkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("s_nationkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s_acctbal",
+          org.apache.spark.sql.types.DoubleType))))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          Det.sumRounded(col("s_acctbal"), 2).as("sum_bal"))
+    }),
+
+    // --- ORC sink + source roundtrip (the second columnar format a
+    //     mixed Hive estate runs; same pushdown properties) ---
+    "q95_orc_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.writeOrc(
+        t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+          col("p_retailprice")),
+        path)
+      Tables.orc(s, path)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("p_retailprice")), 2).as("max_price"))
+    }),
+
+    // --- date arithmetic family: interval add, calendar-clamped month
+    //     add, last-day-of-month, day-of-week (completes the F-family
+    //     scalar functions next to q25's date parts) ---
+    "q96_date_arith" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate"), 30).as("due_date"),
+        add_months(col("o_orderdate"), 3).as("quarter_later"),
+        last_day(col("o_orderdate")).as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow"))),
+
+    // --- regex extraction/matching (RE2-portable patterns only, so
+    //     engine regex dialects cannot diverge) ---
+    "q97_regexp" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "\\b(\\w*e)\\b", 1).as("first_e_word"),
+        col("p_name").rlike("\\d").cast("int").as("has_digit"),
+        size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -1779,5 +1836,33 @@ object SparkEntry {
         |                  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |            AS DOUBLE) AS sum_1h
         |FROM events""".stripMargin,
+
+    "q94_json_roundtrip" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_bal
+        |FROM supplier GROUP BY 1""".stripMargin,
+
+    "q95_orc_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |       ROUND(MAX(p_retailprice), 2) AS max_price
+        |FROM part GROUP BY 1""".stripMargin,
+
+    "q96_date_arith" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+        |         AS quarter_later,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        |FROM orders""".stripMargin,
+
+    "q97_regexp" ->
+      """SELECT p_partkey,
+        |       regexp_extract(p_name, '\b(\w*e)\b', 1) AS first_e_word,
+        |       CAST(regexp_matches(p_name, '\d') AS INT) AS has_digit,
+        |       CAST(LENGTH(p_name) - LENGTH(REPLACE(p_name, 'a', ''))
+        |            AS INT) AS n_a
+        |FROM part""".stripMargin,
   )
 }

@@ -80,6 +80,29 @@ object Tables {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** JSON-lines source with explicit schema (same rule as CSV: schema
+    * inference costs a full extra scan of the data — at 100 TB the
+    * schema is a contract, not a discovery).
+    */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSON-lines sink — the interchange format for event feeds; each
+    * partition writes its own file, splittable on read.
+    */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** ORC source/sink: the second columnar format big deployments
+    * actually mix with parquet (Hive estates). Same pushdown and
+    * pruning properties; exercised by the q95 roundtrip.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Bucketed managed table (hash-bucketed by `bucketCol` into
     * `numBuckets`, sorted within buckets): the co-located-join
     * storage layout. Two tables bucketed the same way join WITHOUT any
