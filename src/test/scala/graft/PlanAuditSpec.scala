@@ -59,4 +59,29 @@ class PlanAuditSpec extends SparkSpec {
       scan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("lang")),
       scan.take(2000))
   }
+
+  test("q86: corpus bigram top-k plans TakeOrderedAndProject over a partial agg") {
+    val p = plan("q86_bigram_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final aggregation:\n${p.take(2000)}")
+  }
+
+  test("q89: edit-distance pairs join on the block key, never all-pairs") {
+    val p = plan("q89_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy dedup plans an all-pairs join:\n${p.take(2000)}")
+  }
+
+  test("q88: null-safe join plans as a hash join, not a nested loop") {
+    val p = plan("q88_nullsafe_join")
+    assert(p.contains("HashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoop"), p.take(2000))
+  }
+
+  test("q82: unpivot is a narrow Expand - no shuffle introduced") {
+    val p = plan("q82_unpivot")
+    assert(p.contains("Expand"), p.take(2000))
+    assert(!p.contains("Exchange"), s"unpivot should not shuffle:\n${p.take(2000)}")
+  }
 }
