@@ -798,12 +798,15 @@ object SparkEntry {
     }),
 
     // --- blocked edit-distance near-dup pairs (fuzzy string dedup:
-    //     block-key join + length band, exact Levenshtein verify) ---
+    //     block-key join + length band, exact Levenshtein verify).
+    //     The composite (brand, size) block is the fan-out knob: at
+    //     sf0.1 it holds candidates to ~140k pairs where brand alone
+    //     would make ~8M ---
     "q89_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairs(
-        t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
-          col("p_name")),
-        "p_partkey", "p_name", "p_brand", maxDist = 2)),
+        t(s, dir, "part").select(col("p_partkey"), col("p_name"),
+          concat_ws("|", col("p_brand"), col("p_size")).as("blk")),
+        "p_partkey", "p_name", "blk", maxDist = 2)),
 
     // --- time-series gap fill: dense hourly grid per event type,
     //     zero-filled buckets (grid generated distributed via
@@ -903,6 +906,28 @@ object SparkEntry {
         regexp_extract(col("p_name"), "\\b(\\w*e)\\b", 1).as("first_e_word"),
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
+
+    // --- mergeable HLL distinct sketches: per-(flag,status) sub-
+    //     sketches roll up to per-flag estimates WITHOUT re-scanning
+    //     raw rows — the persistable-sketch surface approx_count_
+    //     distinct never exposes. Rows-only for the driver (the
+    //     estimator is not SQL-replayable); HllSketchSpec pins the
+    //     ≤5% error band and the exact merge≡direct bit-equality ---
+    "q98_hll_sketch" -> ((s, dir) => {
+      val sub = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(graft.functions.HllSketch.sketchAgg(col("l_partkey")).as("sk"))
+      val rolled = sub.groupBy(col("l_returnflag"))
+        .agg(graft.functions.HllSketch.estimate(
+          graft.functions.HllSketch.mergeAgg(col("sk"))).as("n_approx"))
+      val exact = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      rolled.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_approx"), col("n_exact"),
+          round(abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact"), 4).as("rel_err"))
+    }),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -1785,10 +1810,12 @@ object SparkEntry {
         |FROM f JOIN d2 ON f.prio IS NOT DISTINCT FROM d2.prio""".stripMargin,
 
     "q89_edit_distance" ->
-      """SELECT a.p_brand AS block, a.p_partkey AS id_a, b.p_partkey AS id_b,
+      """SELECT a.p_brand || '|' || a.p_size AS block,
+        |       a.p_partkey AS id_a, b.p_partkey AS id_b,
         |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
         |FROM part a JOIN part b
-        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
         |WHERE ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
         |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
 
