@@ -245,10 +245,20 @@ object Similarity {
   def embedIvfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                    k: Int, nCentroids: Int = 16, nProbe: Int = 4,
                    maxIter: Int = 2, seed: Long = 42L): DataFrame = {
+    // repartition + eager localCheckpoint: the corpus parquet is often
+    // ONE file → one input partition, and every per-row op here (16
+    // centroid dots + sort per assignment) is CPU-bound — unspread, the
+    // whole training loop runs single-threaded. The checkpoint also
+    // materializes the normalized vectors once; training (maxIter+1
+    // passes), the probe side and the assigned side all re-scan blocks
+    // instead of re-deriving them from parquet.
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
     val unit = embeddings.select(
       col(idCol), col(vecCol),
       transform(col(vecCol).cast("array<double>"),
         (x: Column) => x / sqrt(doubleDot(col(vecCol), col(vecCol)))).as("_unit"))
+      .repartition(par)
+      .localCheckpoint()
     // Quantizer training, natively: seed with a deterministic hash-
     // sample of the corpus (the nCentroids rows with smallest
     // xxhash64(id) — a uniform pseudo-random sample, reproducible on
@@ -295,18 +305,16 @@ object Similarity {
     // Verify on the ALREADY-normalized double vectors: cosine is then
     // one codegen'd dot per pair — no norms, and no per-pair
     // float→double cast allocations (3 dots × 2 casts each = 6 array
-    // copies per candidate was most of this stage's garbage). The
-    // explicit repartition matters: the probe side is tiny (|corpus| ×
-    // nProbe rows) so AQE coalesces it to ~1 partition, blind to the
-    // |corpus|²·nProbe/nCentroids fan-out the broadcast join creates
-    // INSIDE the stage — the verify would run single-threaded.
-    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    // copies per candidate was most of this stage's garbage). No
+    // explicit repartition needed anymore: probes derive NARROWLY from
+    // the checkpointed `unit` (no shuffle in between for AQE to
+    // coalesce), so they inherit its spread partitioning and the
+    // broadcast-join fan-out parallelizes across those tasks.
     val assigned = unit.select(col(idCol).as("id_b"), col("_unit").as("_ub"),
       cellRank(col("_unit")).getItem(0).getField("cell").as("cell"))
     val probes = unit.select(col(idCol).as("id_a"), col("_unit").as("_ua"),
       explode(slice(cellRank(col("_unit")), 1, nProbe)).as("p"))
       .select(col("id_a"), col("_ua"), col("p.cell").as("cell"))
-      .repartition(par, col("id_a"))
     val cos = probes.join(assigned, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("cos", round(doubleDot(col("_ua"), col("_ub")), 4))
