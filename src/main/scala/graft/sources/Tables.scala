@@ -120,6 +120,39 @@ object Tables {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction — the data-lake hygiene op every 100 TB
+    * estate schedules: streaming sinks and over-parallel writers leave
+    * thousands of KB-sized parquet files, and each one costs a task,
+    * a footer read and a namenode round-trip on every downstream scan.
+    * Rewrites a parquet directory into ~`targetMB`-sized files
+    * (estimated from the CURRENT on-disk bytes, so compression ratio
+    * is preserved) and returns (filesBefore, filesAfter).
+    *
+    * `sortBy` optionally range-sorts while rewriting — compaction is
+    * the natural moment to lay data out for min/max row-group skipping
+    * on a hot filter column.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetMB: Int = 128,
+              sortBy: Seq[String] = Nil): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toSeq
+    val before = parquetFiles(inPath)
+    val bytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / (targetMB * 1024L * 1024L)).toInt)
+    val df = spark.read.parquet(inPath)
+    val out =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(nOut, sortBy.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nOut)
+    out.write.mode("overwrite").parquet(outPath)
+    (before.size, parquetFiles(outPath).size)
+  }
+
   /** Partitioned JDBC scan (SURVEY S1, fixed for scale): the caller
     * must supply a numeric partition column and bounds so the read
     * fans out over `numPartitions` tasks instead of one
