@@ -907,6 +907,17 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- SCD type-2 intervals: order history per customer as
+    //     versioned rows with valid_from/valid_to/is_current (the
+    //     warehouse dimension-history shape; one keyed window) ---
+    "q99_scd2" -> ((s, dir) =>
+      Scd.type2(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("o_orderdate")),
+        Seq("o_custkey"), "o_orderdate", tieBreak = Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+
     // --- mergeable HLL distinct sketches: per-(flag,status) sub-
     //     sketches roll up to per-flag estimates WITHOUT re-scanning
     //     raw rows — the persistable-sketch surface approx_count_
@@ -1891,5 +1902,14 @@ object SparkEntry {
         |       CAST(LENGTH(p_name) - LENGTH(REPLACE(p_name, 'a', ''))
         |            AS INT) AS n_a
         |FROM part""".stripMargin,
+
+    "q99_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       o_orderdate AS valid_from,
+        |       LEAD(o_orderdate, 1) OVER w AS valid_to,
+        |       LEAD(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)""".stripMargin,
   )
 }
