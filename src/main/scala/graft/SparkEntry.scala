@@ -907,6 +907,34 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- structured JSON: to_json of a nested struct+array, parsed
+    //     back with an explicit from_json schema (no inference), fields
+    //     extracted — the typed face of the q24 path-extraction family.
+    //     Doubles survive the round trip exactly (shortest-repr JSON
+    //     numbers parse back to the identical bits), so the oracle is
+    //     the identity projection ---
+    "q100_json_struct" -> ((s, dir) => {
+      val js = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        to_json(struct(col("o_custkey"), col("o_totalprice"),
+          array(col("o_orderstatus"), col("o_orderpriority")).as("tags")))
+          .as("_js"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("tags",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType))))
+      js.select(col("o_orderkey"), from_json(col("_js"), schema).as("s"))
+        .select(col("o_orderkey"),
+          col("s.o_custkey").as("o_custkey"),
+          col("s.o_totalprice").as("o_totalprice"),
+          element_at(col("s.tags"), 1).as("status_tag"),
+          element_at(col("s.tags"), 2).as("prio_tag"))
+    }),
+
     // --- SCD type-2 intervals: order history per customer as
     //     versioned rows with valid_from/valid_to/is_current (the
     //     warehouse dimension-history shape; one keyed window) ---
@@ -1911,5 +1939,11 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q100_json_struct" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       o_orderstatus AS status_tag,
+        |       o_orderpriority AS prio_tag
+        |FROM orders""".stripMargin,
   )
 }

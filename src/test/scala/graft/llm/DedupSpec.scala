@@ -99,6 +99,14 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 1)))
   }
 
+  test("dupClusters with no pairs labels every doc as its own cluster") {
+    val nodes = (0L to 4L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(nodes, "doc_id", empty)
+      .as[(Long, Long)].collect().toMap
+    assert(out == (0L to 4L).map(i => i -> i).toMap)
+  }
+
   test("editDistancePairs length band prunes before levenshtein runs") {
     // |len diff| > maxDist pairs must be filtered by the cheap band,
     // not reach the quadratic distance call: verify via result only

@@ -28,6 +28,12 @@ class ResampleSpec extends SparkSpec {
       ("b", "2024-01-01 05:00:00", 1L, 7.0)))
   }
 
+  test("gapFill on an empty frame returns an empty frame (no sequence blow-up)") {
+    val empty = Seq.empty[(String, java.sql.Timestamp, Double)]
+      .toDF("k", "ts", "value")
+    assert(Resample.gapFill(empty, "k", "ts", "value").isEmpty)
+  }
+
   test("gapFill grid is per-key (no global calendar cross join) and single-bucket keys work") {
     val rows = Seq(ev("solo", "2024-06-01 12:30:00", 5.0)).toDF("k", "ts", "value")
     val out = Resample.gapFill(rows, "k", "ts", "value").collect()
