@@ -188,6 +188,14 @@ object Similarity {
       }
       struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
     }
+    // spread the corpus before the per-row sign tests: the parquet is
+    // typically ONE file → one input partition, and 48 hyperplane dots
+    // per row would otherwise run single-threaded (same fix as the IVF
+    // trainer). Checkpointing also stops banded+vecs from re-scanning
+    // parquet independently.
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val spread = embeddings.select(col(idCol), col(vecCol))
+      .repartition(par).localCheckpoint()
     // Banded rows carry ONLY (id, table, bucket): the candidate join
     // and pair-dedup shuffle 16-byte pairs, not vectors. Vectors (and
     // their norms, computed once per row) come back via equi-joins on
@@ -196,7 +204,7 @@ object Similarity {
     // high-cardinality key. Carrying the vectors through the dedup
     // (round-2 shape) made the exchange ~50× wider and put array
     // copies on every sort/agg row.
-    val banded = embeddings
+    val banded = spread
       .select(col(idCol), explode(array(buckets: _*)).as("b"))
       .select(col(idCol), col("b.table"), col("b.bucket"))
     val left = banded.toDF("id_a", "table", "bucket")
@@ -205,7 +213,7 @@ object Similarity {
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val vecs = embeddings.select(col(idCol).as("_vid"), col(vecCol).as("_v"),
+    val vecs = spread.select(col(idCol).as("_vid"), col(vecCol).as("_v"),
       sqrt(doubleDot(col(vecCol), col(vecCol))).as("_n"))
     val cos = cands
       .join(vecs.toDF("id_a", "_va", "_na"), Seq("id_a"))
