@@ -907,6 +907,23 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- region→nation→customer rollup through the SQL entry point:
+    //     the full dimension chain (closes table coverage — region was
+    //     the one testdata table no query read); both dims broadcast ---
+    "q101_region_rollup" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT r.r_name AS region,
+          |       COUNT(DISTINCT n.n_nationkey) AS n_nations,
+          |       COUNT(c.c_custkey) AS n_customers,
+          |       ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2)))
+          |             AS DOUBLE), 2) AS sum_bal
+          |FROM region r
+          |JOIN nation n ON r.r_regionkey = n.n_regionkey
+          |JOIN customer c ON n.n_nationkey = c.c_nationkey
+          |GROUP BY r.r_name""".stripMargin)
+    }),
+
     // --- structured JSON: to_json of a nested struct+array, parsed
     //     back with an explicit from_json schema (no inference), fields
     //     extracted — the typed face of the q24 path-extraction family.
@@ -1945,5 +1962,16 @@ object SparkEntry {
         |       o_orderstatus AS status_tag,
         |       o_orderpriority AS prio_tag
         |FROM orders""".stripMargin,
+
+    "q101_region_rollup" ->
+      """SELECT r.r_name AS region,
+        |       COUNT(DISTINCT n.n_nationkey) AS n_nations,
+        |       COUNT(c.c_custkey) AS n_customers,
+        |       ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2)))
+        |             AS DOUBLE), 2) AS sum_bal
+        |FROM region r
+        |JOIN nation n ON r.r_regionkey = n.n_regionkey
+        |JOIN customer c ON n.n_nationkey = c.c_nationkey
+        |GROUP BY r.r_name""".stripMargin,
   )
 }
