@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det
-import graft.llm.{CorpusPipeline, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{CorpusPipeline, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.ml.{Als, Eval, Serve}
 import graft.operators._
 import graft.sources.Tables
@@ -906,6 +906,19 @@ object SparkEntry {
         regexp_extract(col("p_name"), "\\b(\\w*e)\\b", 1).as("first_e_word"),
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
+
+    // --- sequence packing: per-lang contiguous token-stream packing
+    //     into 2048-token context windows — each doc's pack id and
+    //     in-pack offset (the curated-corpus → pretraining-batch step) ---
+    "q102_seq_packing" -> ((s, dir) =>
+      Packing.contiguousPack(t(s, dir, "documents"), "doc_id", "text",
+        "lang", contextLen = 2048)),
+
+    // --- repeated-3-gram ratio: the repetition quality signal
+    //     (degenerate text scores high, clean prose near zero) ---
+    "q103_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionRatio(t(s, dir, "documents"), "doc_id",
+        "text", n = 3)),
 
     // --- region→nation→customer rollup through the SQL entry point:
     //     the full dimension chain (closes table coverage — region was
@@ -1973,5 +1986,35 @@ object SparkEntry {
         |JOIN nation n ON r.r_regionkey = n.n_regionkey
         |JOIN customer c ON n.n_nationkey = c.c_nationkey
         |GROUP BY r.r_name""".stripMargin,
+
+    "q102_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |            ROWS UNBOUNDED PRECEDING) - n_tok AS strt
+        |  FROM t)
+        |SELECT doc_id, lang, n_tok,
+        |       CAST(FLOOR(strt / 2048.0) AS BIGINT) AS pack_id,
+        |       CAST(strt % 2048 AS INT) AS tok_offset
+        |FROM c""".stripMargin,
+
+    "q103_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i+1] || ' ' ||
+        |                string_split(text, ' ')[i+2]) AS grams
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(grams) AS INT) AS n_grams,
+        |       ROUND(CASE WHEN len(grams) > 0
+        |                  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |                       / len(grams)
+        |                  ELSE 0.0 END, 6) AS rep_ratio
+        |FROM g""".stripMargin,
   )
 }

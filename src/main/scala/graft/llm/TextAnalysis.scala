@@ -144,6 +144,28 @@ object TextAnalysis {
       best.cast("int").as("score"))
   }
 
+  /** Repeated-n-gram ratio — the repetition quality signal (à la
+    * Gopher/RefinedWeb rules): fraction of n-gram OCCURRENCES that are
+    * duplicates of an earlier one, `1 − distinct/total`. Degenerate
+    * generated text scores high; clean prose near zero. Narrow
+    * shuffle-free projection, fused into the scan.
+    */
+  def repetitionRatio(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(j => s"element_at(_toks, i + $j)").mkString(", ")
+    docs
+      .withColumn("_toks", toks(textCol))
+      .withColumn("_grams", when(size(col("_toks")) >= n,
+        expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', $parts))"))
+        .otherwise(array().cast("array<string>")))
+      .select(col(idCol),
+        size(col("_grams")).as("n_grams"),
+        round(when(size(col("_grams")) > 0,
+          lit(1.0) - size(array_distinct(col("_grams"))).cast("double") /
+            size(col("_grams"))).otherwise(0.0), 6).as("rep_ratio"))
+  }
+
   /** Corpus-level top-k word bigrams — the boilerplate / template
     * detector: a bigram whose count approaches the document count is
     * repeated scaffolding, not content. Bigram generation is a narrow

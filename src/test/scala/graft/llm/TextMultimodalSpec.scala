@@ -110,4 +110,35 @@ class TextMultimodalSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(out == Seq(("x w", 1L), ("y x", 1L)))
   }
+
+  test("repetitionRatio flags degenerate repetition, zero for clean or tiny docs") {
+    val d = Seq(
+      (1L, "a b c a b c a b c"),   // 7 grams: abc,bca,cab,abc,bca,cab,abc → 3 distinct
+      (2L, "one two three four"),  // 2 grams, all distinct
+      (3L, "hi there"),            // < 3 tokens
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionRatio(d, "doc_id", "text", n = 3)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((7, math.rint((1.0 - 3.0 / 7.0) * 1e6) / 1e6)))
+    assert(out(2L) == ((2, 0.0)))
+    assert(out(3L) == ((0, 0.0)))
+    assert(out(4L) == ((0, 0.0)))
+  }
+
+  test("contiguousPack assigns packs by cumulative start offset within each stratum") {
+    val d = Seq(
+      (1L, "en", ("w " * 1000).trim), // 1000 toks: pack 0, offset 0
+      (2L, "en", ("w " * 1500).trim), // starts at 1000: pack 0, offset 1000 (straddles)
+      (3L, "en", ("w " * 10).trim),   // starts at 2500: pack 1, offset 452
+      (4L, "de", ("w " * 5).trim)     // own stratum: pack 0, offset 0
+    ).toDF("doc_id", "lang", "text")
+    val out = Packing.contiguousPack(d, "doc_id", "text", "lang", 2048)
+      .select("doc_id", "n_tok", "pack_id", "tok_offset")
+      .as[(Long, Int, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1000, 0L, 0)))
+    assert(out(2L) == ((2L, 1500, 0L, 1000)))
+    assert(out(3L) == ((3L, 10, 1L, 2500 - 2048)))
+    assert(out(4L) == ((4L, 5, 0L, 0)))
+  }
 }
