@@ -907,6 +907,43 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- snapshot diff: classify keys across two table versions as
+    //     added/removed/changed/same (full-outer join, null-safe
+    //     column compare — the data-ops audit primitive) ---
+    "q104_snapshot_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      // simulated next snapshot: every 97th key dropped, every 10th
+      // repriced (decimal-exact bump), every 53rd key re-keyed in as
+      // an addition beyond the key space
+      val next = base.filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 0,
+            round(col("o_totalprice").cast("decimal(12,2)") *
+              lit("1.10").cast("decimal(4,2)"), 2).cast("double"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(base.filter(col("o_orderkey") % 53 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      Diff.snapshotDiff(base, next, Seq("o_orderkey"), Seq("o_totalprice"))
+        .filter(col("change") =!= "same")
+    }),
+
+    // --- schema evolution: two parquet batches with different widths
+    //     read back as one frame via mergeSchema (old rows get NULL for
+    //     the new column) — the additive-column migration every
+    //     long-lived dataset goes through ---
+    "q105_schema_merge" -> ((s, dir) => {
+      val path = s"/tmp/graft_merge_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val nat = t(s, dir, "nation")
+      nat.select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(s"$path/b1")
+      nat.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").parquet(s"$path/b2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$path/b1", s"$path/b2")
+    }),
+
     // --- sequence packing: per-lang contiguous token-stream packing
     //     into 2048-token context windows — each doc's pack id and
     //     in-pack offset (the curated-corpus → pretraining-batch step) ---
@@ -1986,6 +2023,40 @@ object SparkEntry {
         |JOIN nation n ON r.r_regionkey = n.n_regionkey
         |JOIN customer c ON n.n_nationkey = c.c_nationkey
         |GROUP BY r.r_name""".stripMargin,
+
+    "q105_schema_merge" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin,
+
+    "q104_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |nxt AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 10 = 0
+        |              THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)) *
+        |                   CAST('1.10' AS DECIMAL(4,2)), 2) AS DOUBLE)
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice
+        |  FROM base WHERE o_orderkey % 53 = 0),
+        |j AS (
+        |  SELECT COALESCE(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |         b.o_totalprice AS t_old, n.o_totalprice AS t_new,
+        |         b.o_orderkey IS NULL AS no_old,
+        |         n.o_orderkey IS NULL AS no_new
+        |  FROM base b FULL OUTER JOIN nxt n ON b.o_orderkey = n.o_orderkey),
+        |c AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN no_old THEN 'added'
+        |              WHEN no_new THEN 'removed'
+        |              WHEN t_old IS DISTINCT FROM t_new THEN 'changed'
+        |              ELSE 'same' END AS change,
+        |         t_old AS o_totalprice_old, t_new AS o_totalprice_new
+        |  FROM j)
+        |SELECT * FROM c WHERE change <> 'same'""".stripMargin,
 
     "q102_seq_packing" ->
       """WITH t AS (
