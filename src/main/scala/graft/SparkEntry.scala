@@ -907,6 +907,36 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- map functions (map_from literal pairs, element_at, map_keys;
+    //     §2.12 noted the family absent in the reference) ---
+    "q106_map_funcs" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          map(lit("brand"), col("p_brand"), lit("type"), col("p_type"))
+            .as("m"))
+        .select(col("p_partkey"),
+          element_at(col("m"), "brand").as("brand"),
+          element_at(col("m"), "type").as("typ"),
+          size(col("m")).as("n_keys"),
+          concat_ws(",", sort_array(map_keys(col("m")))).as("keys"))),
+
+    // --- array set ops + higher-order predicates: intersect/except/
+    //     union with dedup semantics, filter/exists/forall lambdas —
+    //     all codegen-fused into the scan ---
+    "q107_array_hof" -> ((s, dir) => {
+      val a = split(col("p_name"), " ")
+      val b = expr("filter(split(p_name, ' '), t -> length(t) > 4)")
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        concat_ws(",", sort_array(array_intersect(a, b))).as("inter"),
+        concat_ws(",", sort_array(array_except(a, b))).as("only_short"),
+        size(array_union(a, b)).as("n_union"),
+        expr("exists(split(p_name, ' '), t -> length(t) > 7)")
+          .cast("int").as("has_long"),
+        expr("forall(split(p_name, ' '), t -> length(t) > 1)")
+          .cast("int").as("all_gt1"))
+    }),
+
     // --- snapshot diff: classify keys across two table versions as
     //     added/removed/changed/same (full-outer join, null-safe
     //     column compare — the data-ops audit primitive) ---
@@ -2029,6 +2059,31 @@ object SparkEntry {
         |FROM nation
         |UNION ALL
         |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin,
+
+    "q106_map_funcs" ->
+      """SELECT p_partkey, p_brand AS brand, p_type AS typ,
+        |       CAST(2 AS INT) AS n_keys,
+        |       'brand,type' AS keys
+        |FROM part""".stripMargin,
+
+    "q107_array_hof" ->
+      """WITH t AS (
+        |  SELECT p_partkey, string_split(p_name, ' ') AS a,
+        |         list_filter(string_split(p_name, ' '),
+        |                     x -> length(x) > 4) AS b
+        |  FROM part)
+        |SELECT p_partkey,
+        |       COALESCE(array_to_string(list_sort(list_intersect(a, b)), ','),
+        |                '') AS inter,
+        |       COALESCE(array_to_string(list_sort(list_distinct(
+        |         list_filter(a, x -> NOT list_contains(b, x)))), ','), '')
+        |         AS only_short,
+        |       CAST(len(list_distinct(list_concat(a, b))) AS INT) AS n_union,
+        |       CAST(len(list_filter(a, x -> length(x) > 7)) > 0 AS INT)
+        |         AS has_long,
+        |       CAST(len(list_filter(a, x -> length(x) <= 1)) = 0 AS INT)
+        |         AS all_gt1
+        |FROM t""".stripMargin,
 
     "q104_snapshot_diff" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
