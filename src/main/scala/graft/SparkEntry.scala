@@ -907,6 +907,16 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- engine-stable Pearson correlation: exact decimal moment
+    //     sums, closed form applied once (built-in corr is partition-
+    //     order-dependent double accumulation — unoracle-able) ---
+    "q108_corr" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(Det.corrRounded(col("l_quantity"), col("l_extendedprice"))
+          .as("qty_price_corr"),
+          count(lit(1)).as("n"))),
+
     // --- map functions (map_from literal pairs, element_at, map_keys;
     //     §2.12 noted the family absent in the reference) ---
     "q106_map_funcs" -> ((s, dir) =>
@@ -2065,6 +2075,25 @@ object SparkEntry {
         |       CAST(2 AS INT) AS n_keys,
         |       'brand,type' AS keys
         |FROM part""".stripMargin,
+
+    "q108_corr" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                  CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                  CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |       ROUND((n * sxy - sx * sy) /
+        |             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+        |         AS qty_price_corr,
+        |       n
+        |FROM a""".stripMargin,
 
     "q107_array_hof" ->
       """WITH t AS (

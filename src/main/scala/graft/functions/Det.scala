@@ -59,4 +59,21 @@ object Det {
       sum(price.cast(Scale2) * (lit(1).cast(Scale2) - discount.cast(Scale2)))
         .cast("double"),
       digits)
+
+  /** Pearson correlation from EXACT decimal moment sums — the built-in
+    * `corr` accumulates doubles, whose value depends on partition
+    * visit order; this variant sums x, y, x², y², xy as decimals
+    * (order-independent), applies the closed form once in double, and
+    * rounds. Identical in any engine evaluating the same formula.
+    */
+  def corrRounded(x: Column, y: Column, digits: Int = 6): Column = {
+    val xd = x.cast(Scale2); val yd = y.cast(Scale2)
+    val n = count(lit(1)).cast("double")
+    val sx = sum(xd).cast("double"); val sy = sum(yd).cast("double")
+    val sxx = sum(xd * xd).cast("double")
+    val syy = sum(yd * yd).cast("double")
+    val sxy = sum(xd * yd).cast("double")
+    round((n * sxy - sx * sy) /
+      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), digits)
+  }
 }

@@ -138,6 +138,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(out == Set((200L, 100L), (200L, 101L)))
   }
 
+  test("upsertSink merges micro-batches latest-wins into a parquet target") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/tmp/graft_upsert_sink"
+    val ckpt = "/tmp/graft_upsert_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val mem = MemoryStream[Event]
+    val q = upsertSink(
+      mem.toDF().select($"event_id", $"value", $"ts"),
+      dir, ckpt, Seq("event_id"), "value")
+    try {
+      mem.addData(Event(1, ts(0), 1, "a", 1.0), Event(2, ts(1), 1, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(2), 1, "a", 2.0), Event(3, ts(3), 1, "a", 1.0))
+      q.processAllAvailable()
+      val state = spark.read.parquet(dir)
+        .select("event_id", "value").as[(Long, Double)].collect().toSet
+      assert(state == Set((1L, 2.0), (2L, 1.0), (3L, 1.0)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on event-time gaps and timeouts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
