@@ -288,9 +288,9 @@ object Similarity {
       .select(col("_unit")).collect()
       .map(r => r.getSeq[Double](0).toArray)
     def centerCols(cs: Array[Array[Double]]): Array[Column] =
-      cs.map(c => array(c.map(lit): _*))
+      cs.map(c => array(c.toIndexedSeq.map(lit): _*))
     def assignCell(v: Column, cs: Array[Array[Double]]): Column =
-      sort_array(array(centerCols(cs).zipWithIndex.map { case (c, j) =>
+      sort_array(array(centerCols(cs).zipWithIndex.toIndexedSeq.map { case (c, j) =>
         struct((-doubleDot(v, c)).as("negDot"), lit(j).as("cell"))
       }: _*)).getItem(0).getField("cell")
     for (_ <- 1 to maxIter) {
@@ -307,7 +307,7 @@ object Similarity {
       centers = next.map(normalized)
     }
     def cellRank(v: Column): Column =
-      sort_array(array(centerCols(centers).zipWithIndex.map { case (c, j) =>
+      sort_array(array(centerCols(centers).zipWithIndex.toIndexedSeq.map { case (c, j) =>
         struct((-doubleDot(v, c)).as("negDot"), lit(j).as("cell"))
       }: _*))
     // Verify on the ALREADY-normalized double vectors: cosine is then

@@ -33,7 +33,7 @@ object AsofJoin {
                prefix: String = "asof_"): DataFrame = {
     val payload = struct(rightPayload.map(col): _*)
     val payloadType = right.select(payload).schema.head.dataType
-    val leftRow = struct(left.columns.map(col): _*)
+    val leftRow = struct(left.columns.toIndexedSeq.map(col): _*)
     val leftRowType = left.select(leftRow).schema.head.dataType
 
     val l2 = left.select(
@@ -54,6 +54,6 @@ object AsofJoin {
 
     val outLeft = left.columns.map(c => col(s"_l.$c").as(c))
     val outRight = rightPayload.map(c => col(s"_asof.$c").as(s"$prefix$c"))
-    joined.select(outLeft ++ outRight: _*)
+    joined.select((outLeft ++ outRight).toIndexedSeq: _*)
   }
 }

@@ -159,7 +159,7 @@ object EventStreams {
         new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
         s.n, s.total)
       if (state.hasTimedOut) {
-        val out = state.getOption.map(emit).toIterator
+        val out = state.getOption.map(emit).iterator
         state.remove()
         out
       } else {
