@@ -907,6 +907,23 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- LOCF forward fill: value observed only on purchase rows,
+    //     carried forward to later events of the same user (the
+    //     sensor/price-series repair; one keyed window) ---
+    "q109_locf" -> ((s, dir) =>
+      Resample.locf(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("ts"),
+          when(col("event_type") === "purchase", col("value")).as("v")),
+        "user_id", "ts", "v", tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("v_filled"))),
+
+    // --- token-distribution entropy (gibberish / keyword-stuffing
+    //     detector; engine-stable decimal term sums) ---
+    "q110_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")),
+
     // --- engine-stable Pearson correlation: exact decimal moment
     //     sums, closed form applied once (built-in corr is partition-
     //     order-dependent double accumulation — unoracle-able) ---
@@ -2075,6 +2092,29 @@ object SparkEntry {
         |       CAST(2 AS INT) AS n_keys,
         |       'brand,type' AS keys
         |FROM part""".stripMargin,
+
+    "q109_locf" ->
+      """SELECT event_id, user_id, ts,
+        |       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+        |                  IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS v_filled
+        |FROM events""".stripMargin,
+
+    "q110_entropy" ->
+      """WITH tc AS (
+        |  SELECT doc_id, t, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, SUM(c) AS n,
+        |         SUM(CAST(ROUND(c * LN(c), 9) AS DECIMAL(18,9))) AS s
+        |  FROM tc GROUP BY 1)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |       ROUND(LN(n) - CAST(s AS DOUBLE) / n, 6) AS entropy
+        |FROM agg""".stripMargin,
 
     "q108_corr" ->
       """WITH a AS (

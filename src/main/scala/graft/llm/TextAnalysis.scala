@@ -166,6 +166,28 @@ object TextAnalysis {
             size(col("_grams"))).otherwise(0.0), 6).as("rep_ratio"))
   }
 
+  /** Token-distribution Shannon entropy per document — the gibberish /
+    * keyword-stuffing detector (uniform noise maxes entropy for its
+    * length; a single token repeated gives 0). Computed engine-stably:
+    * entropy = ln(N) − Σ c·ln(c) / N over token counts c; each
+    * c·ln(c) term is rounded to 9 decimals and summed as EXACT decimal
+    * (a double Σ would depend on partition visit order), then the
+    * closed form is applied once. Two narrow aggregations keyed by
+    * (doc, token) then doc.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(toks(textCol)).as("_t"))
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("_n"),
+        sum(round(col("_c") * log(col("_c")), 9).cast("decimal(18,9)"))
+          .as("_s"))
+      .select(col(idCol),
+        col("_n").cast("int").as("n_tokens"),
+        round(log(col("_n")) - col("_s").cast("double") / col("_n"), 6)
+          .as("entropy"))
+
   /** Corpus-level top-k word bigrams — the boilerplate / template
     * detector: a bigram whose count approaches the document count is
     * repeated scaffolding, not content. Bigram generation is a narrow

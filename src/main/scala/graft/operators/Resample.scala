@@ -44,4 +44,22 @@ object Resample {
         round(coalesce(col("_sv"), lit(0).cast("decimal(18,2)"))
           .cast("double"), 2).as("sum_value"))
   }
+
+  /** Last-observation-carried-forward: fill NULLs in `valueCol` with
+    * the most recent non-null value of the same key, by event time —
+    * the standard sensor/price-series repair before feature extraction.
+    * One keyed window with `last(ignoreNulls)` over an unbounded-
+    * preceding frame; `tieBreak` orders simultaneous rows so the fill
+    * is deterministic. Rows before a key's first observation stay
+    * null (no backward fill).
+    */
+  def locf(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn(s"${valueCol}_filled",
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
 }

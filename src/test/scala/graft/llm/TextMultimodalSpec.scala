@@ -126,6 +126,17 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(4L) == ((0, 0.0)))
   }
 
+  test("tokenEntropy: zero for single-token repeats, ln(n) for all-distinct") {
+    val d = Seq(
+      (1L, "x x x x"),      // one distinct token → entropy 0
+      (2L, "a b c d")       // uniform over 4 → entropy ln(4)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(d, "doc_id", "text")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((4, 0.0)))
+    assert(out(2L) == ((4, math.rint(math.log(4) * 1e6) / 1e6)))
+  }
+
   test("contiguousPack assigns packs by cumulative start offset within each stratum") {
     val d = Seq(
       (1L, "en", ("w " * 1000).trim), // 1000 toks: pack 0, offset 0

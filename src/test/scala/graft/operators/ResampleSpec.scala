@@ -28,6 +28,22 @@ class ResampleSpec extends SparkSpec {
       ("b", "2024-01-01 05:00:00", 1L, 7.0)))
   }
 
+  test("locf carries the last non-null forward per key, leaves leading nulls") {
+    val rows = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), None, 1L),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), Some(5.0), 2L),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), None, 3L),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), Some(7.0), 4L),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), None, 5L),
+      ("b", java.sql.Timestamp.valueOf("2024-01-01 00:02:30"), None, 6L))
+      .toDF("k", "ts", "v", "id")
+    val out = Resample.locf(rows, "k", "ts", "v", tieBreak = Seq("id"))
+      .select(col("id"), col("v_filled"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> None, 2L -> Some(5.0), 3L -> Some(5.0),
+      4L -> Some(7.0), 5L -> Some(7.0), 6L -> None))
+  }
+
   test("gapFill on an empty frame returns an empty frame (no sequence blow-up)") {
     val empty = Seq.empty[(String, java.sql.Timestamp, Double)]
       .toDF("k", "ts", "value")
