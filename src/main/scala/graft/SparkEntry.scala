@@ -907,6 +907,38 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- cohort retention: users cohorted by first-active week; cell
+    //     (cohort, offset) = distinct users active offset weeks later —
+    //     the product-analytics retention triangle. Two keyed aggs +
+    //     one join; cohort table is small and broadcasts ---
+    "q111_cohort_retention" -> ((s, dir) => {
+      val wk = date_trunc("week", col("ts"))
+      val activity = t(s, dir, "events")
+        .select(col("user_id"), wk.as("week")).distinct()
+      val cohorts = activity.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      activity.join(cohorts, "user_id")
+        .select(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7)
+            .cast("int").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // --- event-transition matrix: (previous type → type) counts per
+    //     user stream — first-order Markov profile of the event flow ---
+    "q112_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          col("event_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // --- LOCF forward fill: value observed only on purchase rows,
     //     carried forward to later events of the same user (the
     //     sensor/price-series repair; one keyed window) ---
@@ -2092,6 +2124,28 @@ object SparkEntry {
         |       CAST(2 AS INT) AS n_keys,
         |       'brand,type' AS keys
         |FROM part""".stripMargin,
+
+    "q111_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |           FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM a GROUP BY 1)
+        |SELECT c.cohort_week,
+        |       CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INT)
+        |         AS week_offset,
+        |       COUNT(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q112_transitions" ->
+      """WITH x AS (
+        |  SELECT user_id,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type,
+        |         event_type
+        |  FROM events)
+        |SELECT prev_type, event_type, COUNT(*) AS n
+        |FROM x WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     "q109_locf" ->
       """SELECT event_id, user_id, ts,
