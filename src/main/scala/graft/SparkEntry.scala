@@ -907,6 +907,15 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- weighted no-replacement sample: 20 docs per lang, weight =
+    //     doc length (Efraimidis–Spirakis rank on the content-hash
+    //     draw — deterministic, engine-replayable) ---
+    "q113_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedGroupSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "lang", "doc_id", "n_chars", k = 20)),
+
     // --- cohort retention: users cohorted by first-active week; cell
     //     (cohort, offset) = distinct users active offset weeks later —
     //     the product-analytics retention triangle. Two keyed aggs +
@@ -2124,6 +2133,20 @@ object SparkEntry {
         |       CAST(2 AS INT) AS n_keys,
         |       'brand,type' AS keys
         |FROM part""".stripMargin,
+
+    "q113_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         ROUND(LN(GREATEST(
+        |                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |                       1, 8)) AS BIGINT) / 4294967296.0, 1e-12))
+        |               / n_chars, 9) AS es_key
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |             ROW_NUMBER() OVER (PARTITION BY lang
+        |               ORDER BY es_key DESC, doc_id) AS rn
+        |      FROM d)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20""".stripMargin,
 
     "q111_cohort_retention" ->
       """WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week

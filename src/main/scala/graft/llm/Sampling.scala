@@ -48,6 +48,28 @@ object Sampling {
       .filter(col("_rn") <= k).drop("_rn")
   }
 
+  /** Weighted sampling WITHOUT replacement, k per group
+    * (Efraimidis–Spirakis A-Res): each row draws `u` from its content
+    * hash and ranks by `ln(u)/w` descending — the top-k are a true
+    * weight-proportional no-replacement sample, yet fully
+    * deterministic and engine-replayable (same md5 draw as
+    * [[hashDraw]]; the rank key is rounded to 9 decimals so the
+    * ordering is identical across engines, with the key column
+    * breaking exact ties). One keyed window — the per-group top-k
+    * shuffle shape.
+    */
+  def weightedGroupSample(df: DataFrame, groupCol: String, keyCol: String,
+                          weightCol: String, k: Int,
+                          salt: String = ""): DataFrame = {
+    val u = greatest(hashDraw(col(keyCol), salt), lit(1e-12))
+    val esKey = round(log(u) / col(weightCol), 9)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(esKey.desc, col(keyCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
+
   /** Weighted corpus mixing: per-stratum keep-fractions over one frame
     * (the "rebalance sources/languages" pipeline step). Weight 1.0
     * keeps a stratum whole; unlisted strata get `default`. The draw is

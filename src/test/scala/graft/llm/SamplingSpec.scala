@@ -90,6 +90,31 @@ class SamplingSpec extends SparkSpec {
     assert(top == Map(1L -> "unique1", 2L -> "unique2", 3L -> "filler"))
   }
 
+  test("weightedGroupSample: exactly k per group, repartition-invariant, zero-weight excluded") {
+    val rows = (1 to 200).map(i => (i.toLong, if (i % 2 == 0) "g1" else "g2",
+      if (i <= 190) i.toDouble else 0.0)).toDF("id", "grp", "w")
+    val a = Sampling.weightedGroupSample(rows, "grp", "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedGroupSample(rows.repartition(13), "grp", "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "sample must be partitioning-invariant")
+    assert(a.size == 20) // 10 per group
+    assert(a.forall(_ <= 190), "zero-weight rows can never be drawn")
+  }
+
+  test("weightedGroupSample favors heavy rows (statistical sanity over salts)") {
+    // one group, two weight classes; across many salted draws the
+    // heavy rows (weight 100) must dominate selections of the light
+    // rows (weight 1)
+    val rows = (1 to 100).map(i => (i.toLong, "g",
+      if (i <= 50) 100.0 else 1.0)).toDF("id", "grp", "w")
+    val heavyPicks = (1 to 10).map { s =>
+      Sampling.weightedGroupSample(rows, "grp", "id", "w", k = 10, salt = s.toString)
+        .select("id").as[Long].collect().count(_ <= 50)
+    }.sum
+    assert(heavyPicks >= 80, s"heavy rows picked only $heavyPicks/100 times")
+  }
+
   test("redactPii counts and masks emails and phones") {
     val docs = Seq(
       (1L, "write to alice.smith+x@corp.example.org or call 555-123-4567 now"),
