@@ -907,6 +907,32 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- data-quality constraint report (the publish gate): one row
+    //     per rule — null rate, uniqueness, range, referential
+    //     integrity — shared-pass aggregations + one anti-join ---
+    "q114_constraints" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Constraints.check(o, Seq(
+        Constraints.unique("o_orderkey"),
+        Constraints.nullRate("o_custkey", 0.0),
+        Constraints.inRange("o_totalprice", 0.0, 1000000.0)))
+        .unionByName(Constraints.referential(
+          o, "o_custkey", t(s, dir, "customer"), "c_custkey"))
+    }),
+
+    // --- per-group z-score standardization + outlier flag (feature
+    //     scaling with engine-stable decimal moments) ---
+    "q115_zscore" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val stats = e.groupBy(col("event_type")).agg(
+        Det.avgRounded(col("value"), 6).as("mu"),
+        Det.stddevRounded(col("value"), 6).as("sigma"))
+      e.join(stats, "event_type")
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+        .withColumn("is_outlier", (abs(col("z")) > 3.0).cast("int"))
+    }),
+
     // --- weighted no-replacement sample: 20 docs per lang, weight =
     //     doc length (Efraimidis–Spirakis rank on the content-hash
     //     draw — deterministic, engine-replayable) ---
@@ -2133,6 +2159,50 @@ object SparkEntry {
         |       CAST(2 AS INT) AS n_keys,
         |       'brand,type' AS keys
         |FROM part""".stripMargin,
+
+    "q114_constraints" ->
+      """WITH o AS (SELECT * FROM orders),
+        |base AS (
+        |  SELECT
+        |    ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*), 6)
+        |      AS uniq,
+        |    ROUND(CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |          AS DOUBLE) / COUNT(*), 6) AS nulls,
+        |    CAST(SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0
+        |             THEN 1 ELSE 0 END) AS DOUBLE) AS range_viol
+        |  FROM o),
+        |orph AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM o
+        |  WHERE o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer
+        |                    WHERE c_custkey = o_custkey))
+        |SELECT 'unique(o_orderkey)' AS constraint, uniq = 1.0 AS passed,
+        |       uniq AS observed FROM base
+        |UNION ALL
+        |SELECT 'null_rate(o_custkey) <= 0.0', nulls <= 0.0, nulls FROM base
+        |UNION ALL
+        |SELECT 'in_range(o_totalprice, 0.0, 1000000.0)', range_viol = 0,
+        |       range_viol FROM base
+        |UNION ALL
+        |SELECT 'referential(o_custkey -> c_custkey)', n = 0, n FROM orph""".stripMargin,
+
+    "q115_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |               / COUNT(value), 6) AS mu,
+        |         ROUND(SQRT((CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+        |                              CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |                     - CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |                       * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |                       / CAST(COUNT(value) AS DOUBLE))
+        |                    / (CAST(COUNT(value) AS DOUBLE) - 1.0)), 6) AS sigma
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |       ROUND((e.value - s.mu) / s.sigma, 4) AS z,
+        |       CAST(ABS(ROUND((e.value - s.mu) / s.sigma, 4)) > 3.0 AS INT)
+        |         AS is_outlier
+        |FROM events e JOIN s USING (event_type)""".stripMargin,
 
     "q113_weighted_sample" ->
       """WITH d AS (
