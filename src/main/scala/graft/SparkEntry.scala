@@ -907,6 +907,15 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- deterministic train/val/test assignment: split is a pure
+    //     function of the content hash, so it survives re-crawls and
+    //     repartitioning (no eval-set leakage across versions) ---
+    "q116_tvt_split" -> ((s, dir) =>
+      Sampling.splitAssign(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))),
+
     // --- data-quality constraint report (the publish gate): one row
     //     per rule — null rate, uniqueness, range, referential
     //     integrity — shared-pass aggregations + one anti-join ---
@@ -2159,6 +2168,19 @@ object SparkEntry {
         |       CAST(2 AS INT) AS n_keys,
         |       'brand,type' AS keys
         |FROM part""".stripMargin,
+
+    "q116_tvt_split" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |              AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT lang,
+        |       CASE WHEN u < 0.8 THEN 'train'
+        |            WHEN u < 0.9 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n
+        |FROM d GROUP BY 1, 2""".stripMargin,
 
     "q114_constraints" ->
       """WITH o AS (SELECT * FROM orders),

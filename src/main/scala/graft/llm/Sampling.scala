@@ -48,6 +48,28 @@ object Sampling {
       .filter(col("_rn") <= k).drop("_rn")
   }
 
+  /** Deterministic train/val/test assignment: the unit draw on the
+    * content hash is cut at the cumulative fractions, so every row's
+    * split is a pure function of its key — stable across runs,
+    * engines, partitionings, and (critically) across DATASET VERSIONS:
+    * a re-crawled corpus keeps every surviving document in the same
+    * split, so eval sets never silently leak into train. Fractions
+    * must sum to 1.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  fractions: Seq[(String, Double)],
+                  salt: String = ""): DataFrame = {
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = hashDraw(col(keyCol), salt)
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+    val expr = fractions.zip(cuts).init.foldRight(
+      lit(fractions.last._1)) { case (((name, _), cut), elseCol) =>
+      when(u < cut, name).otherwise(elseCol)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Weighted sampling WITHOUT replacement, k per group
     * (Efraimidis–Spirakis A-Res): each row draws `u` from its content
     * hash and ranks by `ln(u)/w` descending — the top-k are a true

@@ -115,6 +115,19 @@ class SamplingSpec extends SparkSpec {
     assert(heavyPicks >= 80, s"heavy rows picked only $heavyPicks/100 times")
   }
 
+  test("splitAssign is exhaustive, repartition-invariant, and roughly proportional") {
+    val rows = (1 to 10000).map(i => i.toLong).toDF("id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.splitAssign(rows, "id", fr)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val b = Sampling.splitAssign(rows.repartition(7), "id", fr)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.sum == 10000)
+    assert(math.abs(a("train") - 8000L) < 300, a.toString)
+    assert(math.abs(a("val") - 1000L) < 150 && math.abs(a("test") - 1000L) < 150)
+  }
+
   test("redactPii counts and masks emails and phones") {
     val docs = Seq(
       (1L, "write to alice.smith+x@corp.example.org or call 555-123-4567 now"),
