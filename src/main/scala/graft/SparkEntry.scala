@@ -907,6 +907,41 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- per-group mode (most frequent value, deterministic tiebreak
+    //     via max_by on the (count, value) struct — no second shuffle) ---
+    "q117_mode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("lang"))
+        .agg(expr("max_by(source, struct(n, source))").as("top_source"),
+          max(struct(col("n"), col("source"))).getField("n").as("n"))),
+
+    // --- percent-of-total: share per group via a global window over
+    //     the ALREADY-AGGREGATED frame (group-cardinality rows — the
+    //     one place a partitionless window is safe; contrast W1) ---
+    "q118_share" -> ((s, dir) => {
+      val byNation = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(Det.sumRounded(col("c_acctbal"), 2).as("bal"))
+      // the global total sums as exact decimal: a double Σ over the
+      // window would be order-dependent in its last bits
+      byNation.withColumn("share",
+        round(col("bal") / sum(col("bal").cast("decimal(18,2)")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("double"), 6))
+    }),
+
+    // --- schema-drift union: unionByName(allowMissingColumns) fills
+    //     absent columns with NULL (the multi-source ingest reality) ---
+    "q119_union_drift" -> ((s, dir) => {
+      val a = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val b = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      a.unionByName(b, allowMissingColumns = true)
+    }),
+
     // --- deterministic train/val/test assignment: split is a pure
     //     function of the content hash, so it survives re-crawls and
     //     repartitioning (no eval-set leakage across versions) ---
@@ -2168,6 +2203,32 @@ object SparkEntry {
         |       CAST(2 AS INT) AS n_keys,
         |       'brand,type' AS keys
         |FROM part""".stripMargin,
+
+    "q117_mode" ->
+      """WITH c AS (SELECT lang, source, COUNT(*) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, source, n,
+        |             ROW_NUMBER() OVER (PARTITION BY lang
+        |               ORDER BY n DESC, source DESC) AS rn
+        |      FROM c)
+        |SELECT lang, source AS top_source, n FROM r WHERE rn = 1""".stripMargin,
+
+    "q118_share" ->
+      """WITH b AS (
+        |  SELECT c_nationkey,
+        |         ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
+        |               2) AS bal
+        |  FROM customer GROUP BY 1)
+        |SELECT c_nationkey, bal,
+        |       ROUND(bal / CAST(SUM(CAST(bal AS DECIMAL(18,2))) OVER ()
+        |                   AS DOUBLE), 6) AS share
+        |FROM b""".stripMargin,
+
+    "q119_union_drift" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin,
 
     "q116_tvt_split" ->
       """WITH d AS (
