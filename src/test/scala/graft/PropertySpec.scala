@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{IdMapping, Splits, TopK}
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck property suite for the core invariants SURVEY §5 calls
+  * out. Each trial spins Spark jobs, so trials are capped — the value
+  * is the GENERATED shapes (duplicates, negatives, singletons, empty
+  * groups), not the trial count.
+  */
+object PropertySpec extends Properties("graft") {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val keyLists: Gen[List[Long]] =
+    Gen.listOfN(25, Gen.chooseNum(-50L, 50L)).map(_.take(25))
+
+  property("denseIds is a dense 0-based bijection equal to strictOrdinal") =
+    Prop.forAll(keyLists.suchThat(_.nonEmpty)) { keys =>
+      val df = keys.toDF("k")
+      val dense = IdMapping.denseIds(df, "k", "id")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val strict = IdMapping.strictOrdinal(df, "k", "id")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val distinctKeys = keys.distinct.sorted
+      val idsDense = dense.map(_._2).sorted.toList == (0L until distinctKeys.size).toList
+      idsDense && dense.toList == strict.toList &&
+        dense.map(_._1).toList == distinctKeys
+    }
+
+  property("foldAssign partitions each big-enough group; small groups get -1") =
+    Prop.forAll(
+      Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0, 999)))
+        .suchThat(_.nonEmpty)) { rows =>
+      val k = 3; val minRows = 4
+      val df = rows.toDF("g", "payload")
+      val out = Splits.foldAssign(df, "g", k, minRows)
+        .select(col("g"), col("fold")).as[(Long, Int)].collect()
+      val bySize = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      // row count preserved (a partition, not a sample)
+      out.length == rows.size &&
+        out.forall { case (g, f) =>
+          if (bySize(g) >= minRows) f >= 0 && f < k else f == -1
+        }
+    }
+
+  property("fillToK returns exactly min(k, available) rows per group, primary first") =
+    Prop.forAll(
+      Gen.chooseNum(1, 5),
+      Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0, 30)))
+    ) { (k, raw) =>
+      val prim = raw.distinct.map { case (g, i) => (g, i, 10.0 + i) }
+      // fallback: one shared pool per group, ids 100-119 (disjoint from primary)
+      val fall = (0L to 2L).flatMap(g =>
+        (100 to 119).map(i => (g, i, 1.0 + i))).toList
+      val p = prim.toDF("g", "item", "score")
+      val f = fall.toDF("g", "item", "score")
+      val out = TopK.fillToK(p, f, "g", "item", "score", k)
+        .select(col("g"), col("item")).as[(Long, Int)].collect()
+      val primByG = prim.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (0L to 2L).forall { g =>
+        val got = out.filter(_._1 == g).map(_._2)
+        val pSet = primByG.getOrElse(g, Set.empty)
+        // exactly k (fallback pool is big enough), primary items all
+        // kept up to k, no duplicates
+        got.length == k && got.distinct.length == k &&
+          pSet.take(k).forall(i => pSet.size > k || got.contains(i))
+      }
+    }
+
+  property("splitAssign is exhaustive and deterministic") =
+    Prop.forAll(keyLists.suchThat(_.nonEmpty)) { keys =>
+      val df = keys.distinct.toDF("k")
+      val fr = Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+      val s1 = graft.llm.Sampling.splitAssign(df, "k", fr)
+        .select(col("k"), col("split")).as[(Long, String)].collect().toMap
+      val s2 = graft.llm.Sampling.splitAssign(df.repartition(5), "k", fr)
+        .select(col("k"), col("split")).as[(Long, String)].collect().toMap
+      s1 == s2 && s1.keySet == keys.distinct.toSet &&
+        s1.values.forall(Set("a", "b", "c").contains)
+    }
+}
