@@ -907,6 +907,30 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- event-type co-occurrence with lift: which behaviors happen
+    //     in the same users (the association-rules/market-basket
+    //     primitive). Distinct (user, type) self-join on the user —
+    //     pair fan-out bounded by types-per-user, never user² ---
+    "q120_cooccurrence" -> ((s, dir) => {
+      val ut = t(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val perType = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_t"))
+      val total = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val a = ut.toDF("user_id", "type_a")
+      val b = ut.toDF("user_id", "type_b")
+      a.join(b, Seq("user_id")).filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(perType.toDF("type_a", "n_a"), Seq("type_a"))
+        .join(perType.toDF("type_b", "n_b"), Seq("type_b"))
+        .crossJoin(total)
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          round(col("n_both").cast("double") * col("n_users") /
+            (col("n_a") * col("n_b")), 6).as("lift"))
+    }),
+
     // --- per-group mode (most frequent value, deterministic tiebreak
     //     via max_by on the (count, value) struct — no second shuffle) ---
     "q117_mode" -> ((s, dir) =>
@@ -2203,6 +2227,24 @@ object SparkEntry {
         |       CAST(2 AS INT) AS n_keys,
         |       'brand,type' AS keys
         |FROM part""".stripMargin,
+
+    "q120_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |pt AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         COUNT(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                     AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_both,
+        |       ROUND(CAST(p.n_both AS DOUBLE) * tot.n_users /
+        |             (pa.n_t * pb.n_t), 6) AS lift
+        |FROM p
+        |JOIN pt pa ON pa.event_type = p.type_a
+        |JOIN pt pb ON pb.event_type = p.type_b
+        |CROSS JOIN tot""".stripMargin,
 
     "q117_mode" ->
       """WITH c AS (SELECT lang, source, COUNT(*) AS n
