@@ -907,6 +907,25 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- rolling 7-day distinct users: daily HLL sketches merged over
+    //     a 7-row window (the sketch composition that makes rolling
+    //     distinct FEASIBLE at scale — exact rolling distinct cannot
+    //     pre-aggregate; sketches merge associatively, so the raw data
+    //     is touched once). Window is over the ~|days| aggregated
+    //     frame, not the events. Rows-only; accuracy gated in
+    //     HllSketchSpec ---
+    "q121_rolling_distinct" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(graft.functions.HllSketch.sketchAgg(col("user_id")).as("sk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day")).rowsBetween(-6, 0)
+      daily.select(col("day"),
+        graft.functions.HllSketch.estimate(
+          graft.functions.HllSketch.mergeAgg(col("sk")).over(w))
+          .as("users_7d"))
+    }),
+
     // --- event-type co-occurrence with lift: which behaviors happen
     //     in the same users (the association-rules/market-basket
     //     primitive). Distinct (user, type) self-join on the user —

@@ -37,6 +37,26 @@ class HllSketchSpec extends SparkSpec {
     assert(java.util.Arrays.equals(a, b))
   }
 
+  test("sketch merge over a window gives rolling distinct within the error band") {
+    // 10 days × users; user set shifts by 20 per day with 80 overlap
+    val rows = (0 until 10).flatMap(d =>
+      (d * 20 until d * 20 + 100).map(u => (d, s"u$u")))
+      .toDF("day", "user")
+    val daily = rows.groupBy($"day")
+      .agg(HllSketch.sketchAgg($"user").as("sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"day").rowsBetween(-2, 0) // rolling 3 days
+    val est = daily.select($"day",
+      HllSketch.estimate(HllSketch.mergeAgg($"sk").over(w)).as("e"))
+      .as[(Int, Long)].collect().toMap
+    // exact rolling-3-day distinct: day d covers users (d-2)*20 .. d*20+99
+    (2 until 10).foreach { d =>
+      val exact = (d * 20 + 100) - (d - 2) * 20
+      assert(math.abs(est(d) - exact).toDouble / exact < 0.05,
+        s"day $d est=${est(d)} exact=$exact")
+    }
+  }
+
   test("duplicates do not move the estimate (distinct, not count)") {
     val once = (1 to 1000).map(i => s"d$i").toDF("u")
     val tenTimes = (1 to 10).flatMap(_ => (1 to 1000).map(i => s"d$i")).toDF("u")
