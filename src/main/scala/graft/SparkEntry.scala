@@ -907,6 +907,22 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- clickstream paths: per 30-min session, the time-ordered
+    //     event-type sequence folded to a path string, then counted
+    //     corpus-wide (the navigation-flow report). Ordering comes
+    //     from sort_array over (ts, event_id, type) structs — a
+    //     deterministic ordered-collect, not collect_list order ---
+    "q122_session_paths" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .select(concat_ws(">",
+          expr("transform(evs, e -> e.event_type)")).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))),
+
     // --- rolling 7-day distinct users: daily HLL sketches merged over
     //     a 7-row window (the sketch composition that makes rolling
     //     distinct FEASIBLE at scale — exact rolling distinct cannot
@@ -2246,6 +2262,24 @@ object SparkEntry {
         |       CAST(2 AS INT) AS n_keys,
         |       'brand,type' AS keys
         |FROM part""".stripMargin,
+
+    "q122_session_paths" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |p AS (
+        |  SELECT user_id, sid,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM g GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1""".stripMargin,
 
     "q120_cooccurrence" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
