@@ -907,6 +907,30 @@ object SparkEntry {
         col("p_name").rlike("\\d").cast("int").as("has_digit"),
         size(split(col("p_name"), "a", -1)).minus(1).as("n_a"))),
 
+    // --- inverted index build: per term, document frequency and the
+    //     top-5 posting list by term frequency (tf desc, doc_id) —
+    //     the search-index materialization; per-term window with
+    //     rank-limit pushdown (WindowGroupLimit), postings folded to a
+    //     string for a stable cross-engine representation ---
+    "q123_inverted_index" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))
+        .orderBy(col("tf").desc, col("doc_id"))
+      tf.withColumn("_rn", row_number().over(w))
+        .withColumn("_df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+        .filter(col("_rn") <= 5)
+        .groupBy(col("term"))
+        .agg(max(col("_df")).as("doc_freq"),
+          concat_ws(",", expr(
+            "transform(sort_array(collect_list(struct(_rn, doc_id))), " +
+              "x -> CAST(x.doc_id AS STRING))")).as("top_docs"))
+    }),
+
     // --- clickstream paths: per 30-min session, the time-ordered
     //     event-type sequence folded to a path string, then counted
     //     corpus-wide (the navigation-flow report). Ordering comes
@@ -2262,6 +2286,22 @@ object SparkEntry {
         |       CAST(2 AS INT) AS n_keys,
         |       'brand,type' AS keys
         |FROM part""".stripMargin,
+
+    "q123_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT term, doc_id, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+        |              ORDER BY tf DESC, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY term) AS df
+        |  FROM tf)
+        |SELECT term, MAX(df) AS doc_freq,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+        |         AS top_docs
+        |FROM r WHERE rn <= 5 GROUP BY 1""".stripMargin,
 
     "q122_session_paths" ->
       """WITH m AS (
