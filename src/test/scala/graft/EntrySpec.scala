@@ -1,0 +1,27 @@
+package graft
+
+/** Guards the driver's smoke contract: `SparkEntry.entry` must return
+  * rows on the sf0.001 testdata, and every `queries` key must have
+  * either an `oracleSql` entry or a documented rows-only gate — a
+  * missing oracle for an oracle-able query silently downgrades the
+  * driver's correctness check.
+  */
+class EntrySpec extends SparkSpec {
+
+  test("entry() returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query name is unique and oracle coverage is explicit") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    // every oracle refers to an existing query
+    assert(os.subsetOf(qs), s"orphan oracles: ${os -- qs}")
+    // rows-only queries are exactly the known not-SQL-expressible set
+    val rowsOnly = qs -- os
+    assert(rowsOnly == Set("q33_als_recs", "q44_serve_wide", "q46_simhash",
+      "q47_embed_lsh", "q57_embed_ivf", "q98_hll_sketch",
+      "q121_rolling_distinct"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+}
