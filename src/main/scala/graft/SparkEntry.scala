@@ -18,6 +18,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Per-JVM scratch sink path: concurrent runs against the same data
+    * dir (e.g. Bench and Verify) must not race on a shared write+re-read
+    * location, so the PID joins the sanitized dir in the path.
+    */
+  private[graft] def scratch(kind: String, dir: String): String =
+    s"/tmp/graft_${kind}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+      ProcessHandle.current().pid()
+
   /** Shared cleaned-ratings input (SURVEY P1–P3) mapped onto testdata:
     * user=l_suppkey, item=l_partkey, rating=int(l_quantity) in (0,10].
     */
@@ -727,7 +735,7 @@ object SparkEntry {
     //     readers of one stratum scan only its directory (partition
     //     pruning; asserted in PlanAuditSpec) ---
     "q74_partitioned_sink" -> ((s, dir) => {
-      val path = s"/tmp/graft_part_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = scratch("part", dir)
       t(s, dir, "documents").write.mode("overwrite")
         .partitionBy("lang").parquet(path)
       s.read.parquet(path).groupBy(col("lang"))
@@ -735,7 +743,7 @@ object SparkEntry {
     }),
 
     "q55_csv_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = scratch("csv", dir)
       val src = t(s, dir, "nation")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       Tables.writeCsv(src, path)
@@ -854,7 +862,7 @@ object SparkEntry {
     //     event-feed interchange format; schema is a contract, never
     //     inferred) ---
     "q94_json_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = scratch("json", dir)
       Tables.writeJson(
         t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"),
           col("s_nationkey"), col("s_acctbal")),
@@ -876,7 +884,7 @@ object SparkEntry {
     // --- ORC sink + source roundtrip (the second columnar format a
     //     mixed Hive estate runs; same pushdown properties) ---
     "q95_orc_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = scratch("orc", dir)
       Tables.writeOrc(
         t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
           col("p_retailprice")),
@@ -917,18 +925,21 @@ object SparkEntry {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy(col("term"), col("doc_id"))
         .agg(count(lit(1)).as("tf"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("term"))
-        .orderBy(col("tf").desc, col("doc_id"))
-      tf.withColumn("_rn", row_number().over(w))
-        .withColumn("_df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
-        .filter(col("_rn") <= 5)
-        .groupBy(col("term"))
-        .agg(max(col("_df")).as("doc_freq"),
+      // doc_freq and the bounded top-5 posting list ride ONE keyed
+      // aggregation (typed TopK Aggregator, q59's scale path): no
+      // per-term window sort, map-side partial combine ships ≤5
+      // postings per term per mapper, and the corpus is scanned once —
+      // a full-partition count window here would have buffered every
+      // posting before the rank filter (PlanAuditSpec pins the shape)
+      val topk = org.apache.spark.sql.functions.udaf(
+        new TopKAgg.TopK(5),
+        org.apache.spark.sql.Encoders.product[TopKAgg.ScoredId])
+      tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("doc_freq"),
+          topk(col("tf").cast("double"), col("doc_id")).as("_top"))
+        .select(col("term"), col("doc_freq"),
           concat_ws(",", expr(
-            "transform(sort_array(collect_list(struct(_rn, doc_id))), " +
-              "x -> CAST(x.doc_id AS STRING))")).as("top_docs"))
+            "transform(_top.items, x -> CAST(x.id AS STRING))")).as("top_docs"))
     }),
 
     // --- clickstream paths: per 30-min session, the time-ordered
@@ -1054,9 +1065,13 @@ object SparkEntry {
       val stats = e.groupBy(col("event_type")).agg(
         Det.avgRounded(col("value"), 6).as("mu"),
         Det.stddevRounded(col("value"), 6).as("sigma"))
+      // sigma=0 (constant group) → NULL z on both engines: Spark's
+      // non-ANSI x/0 is NULL but DuckDB's IEEE default is Inf/NaN, so
+      // the guard (with NULLIF in the oracle) keeps parity data-independent
       e.join(stats, "event_type")
         .select(col("event_id"), col("event_type"),
-          round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+          round((col("value") - col("mu")) /
+            when(col("sigma") =!= 0d, col("sigma")), 4).as("z"))
         .withColumn("is_outlier", (abs(col("z")) > 3.0).cast("int"))
     }),
 
@@ -1185,7 +1200,7 @@ object SparkEntry {
     //     the new column) — the additive-column migration every
     //     long-lived dataset goes through ---
     "q105_schema_merge" -> ((s, dir) => {
-      val path = s"/tmp/graft_merge_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = scratch("merge", dir)
       val nat = t(s, dir, "nation")
       nat.select(col("n_nationkey"), col("n_name"))
         .write.mode("overwrite").parquet(s"$path/b1")
@@ -1519,7 +1534,8 @@ object SparkEntry {
         |         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS pt
         |  FROM g GROUP BY user_id, sid)
         |SELECT user_id, COUNT(*) AS n_sessions,
-        |       SUM(CASE WHEN vt < ct AND ct < pt THEN 1 ELSE 0 END) AS n_converted
+        |       CAST(SUM(CASE WHEN vt < ct AND ct < pt THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_converted
         |FROM sess GROUP BY user_id""".stripMargin,
 
     "q61_session_window" ->
@@ -2111,7 +2127,7 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "q74_partitioned_sink" ->
-      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang""".stripMargin,
 
     "q82_unpivot" ->
@@ -2417,9 +2433,9 @@ object SparkEntry {
         |                    / (CAST(COUNT(value) AS DOUBLE) - 1.0)), 6) AS sigma
         |  FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type,
-        |       ROUND((e.value - s.mu) / s.sigma, 4) AS z,
-        |       CAST(ABS(ROUND((e.value - s.mu) / s.sigma, 4)) > 3.0 AS INT)
-        |         AS is_outlier
+        |       ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 4) AS z,
+        |       CAST(ABS(ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 4)) > 3.0
+        |            AS INT) AS is_outlier
         |FROM events e JOIN s USING (event_type)""".stripMargin,
 
     "q113_weighted_sample" ->

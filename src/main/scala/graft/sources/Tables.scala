@@ -137,9 +137,18 @@ object Tables {
               sortBy: Seq[String] = Nil): (Int, Int) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
-    def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(new org.apache.hadoop.fs.Path(p))
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toSeq
+    // recursive: a partitioned (subdirectory) layout must count and
+    // size its nested files, not report 0 and fall back to one output
+    def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
     val before = parquetFiles(inPath)
     val bytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / (targetMB * 1024L * 1024L)).toInt)

@@ -51,13 +51,23 @@ class PlanAuditSpec extends SparkSpec {
   test("partitionBy sink: a single-stratum read prunes to that partition's files") {
     import org.apache.spark.sql.functions._
     SparkEntry.queries("q74_partitioned_sink")(spark, dir) // materializes the layout
-    val pruned = spark.read.parquet(s"/tmp/graft_part__root_testdata_sf0_001")
+    val pruned = spark.read.parquet(SparkEntry.scratch("part", dir))
       .filter(col("lang") === "en")
     val scan = pruned.queryExecution.executedPlan.toString()
     // partition filter must be recognized as such, not a data filter
     assert(scan.contains("PartitionFilters") &&
       scan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("lang")),
       scan.take(2000))
+  }
+
+  test("q123: inverted index scans the corpus once, no window sort, " +
+    "and the top-5 aggregator partial-combines map-side") {
+    val p = plan("q123_inverted_index")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"corpus scanned more than once:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"unexpected window sort:\n${p.take(3000)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n${p.take(3000)}")
   }
 
   test("q86: corpus bigram top-k plans TakeOrderedAndProject over a partial agg") {

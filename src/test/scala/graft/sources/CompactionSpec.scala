@@ -19,6 +19,17 @@ class CompactionSpec extends SparkSpec {
     assert(back.agg(sum($"id")).as[Long].head() == (1 to 20000).map(_.toLong).sum)
   }
 
+  test("compact sizes a partitionBy (subdirectory) layout from its nested files") {
+    val in = "/tmp/graft_compact_pin"
+    val out = "/tmp/graft_compact_pout"
+    (1 to 5000).map(i => (i.toLong, s"g${i % 4}", i * 2.0)).toDF("id", "g", "v")
+      .repartition(8).write.mode("overwrite").partitionBy("g").parquet(in)
+    val (before, after) = Tables.compact(spark, in, out, targetMB = 64)
+    assert(before >= 8, s"nested files not counted: before=$before")
+    assert(after >= 1 && after <= 2, s"got $after output files")
+    assert(spark.read.parquet(out).count() == 5000)
+  }
+
   test("compact with sortBy lays rows out range-sorted for row-group skipping") {
     val in = "/tmp/graft_compact_sin"
     val out = "/tmp/graft_compact_sout"
