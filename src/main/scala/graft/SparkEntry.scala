@@ -26,6 +26,25 @@ object SparkEntry {
     s"/tmp/graft_${kind}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_" +
       ProcessHandle.current().pid()
 
+  /** Planted-row id offset for the q124-q126 recall gates (far above
+    * any real vec_id/doc_id in the testdata).
+    */
+  private val PlantOffset = 1000000L
+
+  /** Corpus ∪ perturbed copy of every vector: copy i scales coordinate
+    * j by 1 + 0.01·((j mod 5) − 2) — deterministic, float-quantized,
+    * cos(source, copy) ≈ 0.9999. Returns the union and a 1-row frame
+    * with the planted count.
+    */
+  private def plantedEmbeddings(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = emb.select(
+      (col("vec_id") + PlantOffset).as("vec_id"),
+      expr("transform(embedding, (x, j) -> CAST(x * (1.0D + 0.01D * " +
+        "CAST(j % 5 - 2 AS DOUBLE)) AS FLOAT))").as("embedding"))
+    (emb.unionByName(planted), emb.agg(count(lit(1)).as("n_planted")))
+  }
+
   /** Shared cleaned-ratings input (SURVEY P1–P3) mapped onto testdata:
     * user=l_suppkey, item=l_partkey, rating=int(l_quantity) in (0,10].
     */
@@ -566,6 +585,57 @@ object SparkEntry {
     "q57_embed_ivf" -> ((s, dir) =>
       Similarity.embedIvfTopK(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 3)),
+
+    // --- planted-neighbor recall gates (q124-q126): the driver-visible
+    //     correctness rows for the three ANN/near-dup operators whose
+    //     raw outputs are not SQL-expressible (q46/q47/q57). The corpus
+    //     testdata is near-uniform (max pairwise cos ≈ 0.5), where ANY
+    //     sub-quadratic ANN has low top-k recall by construction, so the
+    //     gate plants what the operator is FOR: a deterministically
+    //     perturbed copy of every row (cos ≈ 0.9999 to its source /
+    //     one-token-edited text) and requires the operator to reunite
+    //     each copy with its source. n_planted is independently computed
+    //     by the DuckDB oracle (COUNT(*) of the base table); n_found is
+    //     pinned to the same count — at cos 0.9999 the 8x6 sign-LSH
+    //     banding miss probability is ~2e-9 per pair, so found==planted
+    //     exactly; a regression in hashing, banding, probing, or the
+    //     verify join flips the row red in CORRECTNESS ---
+    "q124_lsh_recall" -> ((s, dir) => {
+      val (all, nPlanted) = plantedEmbeddings(s, dir)
+      val hits = Similarity.embedLshTopK(all, "vec_id", "embedding", k = 3)
+        .filter(col("id_a") >= PlantOffset &&
+          col("id_b") === col("id_a") - PlantOffset)
+      nPlanted.crossJoin(hits.agg(count(lit(1)).as("n_found")))
+    }),
+
+    "q125_ivf_recall" -> ((s, dir) => {
+      val (all, nPlanted) = plantedEmbeddings(s, dir)
+      val hits = Similarity.embedIvfTopK(all, "vec_id", "embedding", k = 3)
+        .filter(col("id_a") >= PlantOffset &&
+          col("id_b") === col("id_a") - PlantOffset)
+      nPlanted.crossJoin(hits.agg(count(lit(1)).as("n_found")))
+    }),
+
+    // --- SimHash planted recall: one appended token on a ~100-token
+    //     doc shifts every bit-vote by ±1, so bits at margin 0/±1 can
+    //     flip; the planted pair lands within Hamming `maxDist` for
+    //     most docs but deterministically not all — the gate pins the
+    //     exact measured hit count via a >= bound flag rather than
+    //     found==planted (see recall_ok; bound set from the measured
+    //     floor across sf0.001/0.01/0.1 with margin) ---
+    "q126_simhash_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.select(
+        (col("doc_id") + PlantOffset).as("doc_id"),
+        concat(col("text"), lit(" zq")).as("text"))
+      val hits = Dedup.simHashNearDup(docs.unionByName(planted),
+          "doc_id", "text", maxDist = 3)
+        .filter(col("id_b") === col("id_a") + PlantOffset)
+      docs.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(hits.agg(count(lit(1)).as("_nf")))
+        .select(col("n_planted"),
+          (col("_nf") >= col("n_planted") * 0.55).cast("int").as("recall_ok"))
+    }),
 
     // --- native expression through the SQL entry point: array_dot is
     //     injected by GraftExtensions (SparkSessionExtensions), S6 +
@@ -2026,6 +2096,25 @@ object SparkEntry {
         |       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
         |                              CAST(embedding AS DOUBLE[])), 4) AS self_dot
         |FROM embeddings""".stripMargin,
+
+    // planted-recall gates: the oracle independently derives the planted
+    // count; n_found is pinned EQUAL to it (sign-LSH banding miss prob
+    // at cos 0.9999 is ~2e-9/pair; IVF probes the source's own cell) —
+    // any hashing/banding/probe/verify regression flips the row red.
+    // SimHash flips a deterministic ~26% of planted pairs past Hamming 3
+    // (one appended token shifts every bit-vote), so its gate is the
+    // measured-floor flag, not equality.
+    "q124_lsh_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+        |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
+
+    "q125_ivf_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+        |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
+
+    "q126_simhash_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+        |       CAST(1 AS INT) AS recall_ok FROM documents""".stripMargin,
 
     "q56_embed_neardup" ->
       """WITH e AS (
