@@ -812,6 +812,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // --- JDBC sink + partitioned source roundtrip (S1 end-to-end,
+    //     `ALS_model3.py:67-73` shape): write to embedded Derby, read
+    //     back fanned out over 4 tasks via partitionColumn bounds.
+    //     Derby is single-JVM (embedded) — fine for local mode; a
+    //     cluster points the same API at a server-mode url ---
+    "q127_jdbc_roundtrip" -> ((s, dir) => {
+      System.setProperty("derby.system.home", "/tmp")
+      val url = s"jdbc:derby:${scratch("derby", dir)};create=true"
+      Tables.writeJdbc(
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey")),
+        url, "nation_rt")
+      Tables.jdbc(s, url, "nation_rt", "n_nationkey",
+        lowerBound = 0, upperBound = 25, numPartitions = 4)
+    }),
+
     "q55_csv_roundtrip" -> ((s, dir) => {
       val path = scratch("csv", dir)
       val src = t(s, dir, "nation")
@@ -2213,6 +2229,9 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
 
     "q55_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q127_jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
     "q74_partitioned_sink" ->

@@ -166,10 +166,25 @@ object Tables {
     * must supply a numeric partition column and bounds so the read
     * fans out over `numPartitions` tasks instead of one
     * (`ALS_model3.py:69-73` reads the whole table in a single task).
-    * Driver class availability is the caller's responsibility — this
-    * harness has no JDBC driver jars, so this path is untested here
-    * and kept optional by design (SURVEY §7.4).
+    * Driver class availability is the caller's responsibility;
+    * exercised end-to-end against embedded Derby (shipped in
+    * /opt/spark/jars) by JdbcSpec and q127_jdbc_roundtrip.
     */
+  /** JDBC sink (overwrite): the write face of S1. On a cluster each
+    * task opens its own connection and inserts its partition — the
+    * url must therefore point at a server-mode database; embedded
+    * engines (Derby/SQLite file URLs) only work single-JVM, which is
+    * exactly the local-mode test harness (JdbcSpec/q127).
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                options: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+      .mode("overwrite")
+      .save()
+
   def jdbc(spark: SparkSession, url: String, table: String,
            partitionColumn: String, lowerBound: Long, upperBound: Long,
            numPartitions: Int = 32,
