@@ -61,8 +61,8 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val ok = runs.filter(_._2.isEmpty)
-      if (ok.nonEmpty) (name, ok.map(_._1).min, None)
-      else (name, runs.head._1, runs.head._2)
+      if (ok.nonEmpty) (name, ok.map(_._1).min, ok.map(_._1).max, None)
+      else (name, runs.head._1, runs.head._1, runs.head._2)
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
@@ -71,14 +71,21 @@ object Bench {
     // "1,234", corrupting the JSON line.
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => s""""$k":${f3(v)}""" }
+    val ok = results.filter(_._4.isEmpty)
+    val qs = ok.map { case (k, v, _, _) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s""""$k":"${esc(e)}"""" }
+    // spread honesty: min hides variance — report max/min per query and
+    // flag anything whose reps differ by >3x (the q45 lesson: a 78 s
+    // round-2 number was neighborhood contamination, not the query)
+    val spread = ok.map { case (k, mn, mx, _) =>
+      s""""$k":${f3(if (mn > 0) mx / mn else 1.0)}""" }.mkString("{", ",", "}")
+    val noisy = ok.collect { case (k, mn, mx, _) if mn > 0 && mx / mn > 3.0 => s""""$k"""" }
+      .mkString("[", ",", "]")
+    val errs = results.collect { case (k, _, _, Some(e)) => s""""$k":"${esc(e)}"""" }
       .mkString("{", ",", "}")
     val total = f3(ok.map(_._2).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_fail":${results.size - ok.size},"reps":$reps,"stat":"min","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_fail":${results.size - ok.size},"reps":$reps,"stat":"min","spread":$spread,"noisy":$noisy,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       Files.writeString(Paths.get(p), line + "\n")
     }
