@@ -99,6 +99,37 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 1)))
   }
 
+  test("dupClusters converges on a 10k-node path within the pointer-jumping " +
+    "log bound (16 rounds), not the linear diameter") {
+    // adversarial high-diameter fixture: a 10,000-node chain. One-hop
+    // min-label propagation needs ~10k rounds; pointer jumping doubles
+    // reach per round → ceil(log2(10k)) + folded first hop + slack = 16.
+    // maxIter IS the assertion: an algorithmic regression to linear
+    // propagation leaves the tail unlabeled and fails the equality.
+    val n = 10000
+    val nodes = (0L until n.toLong).map(i => (i, "")).toDF("doc_id", "text")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(nodes, "doc_id", pairs, maxIter = 16)
+      .as[(Long, Long)].collect()
+    assert(out.length == n && out.forall(_._2 == 0L))
+  }
+
+  test("dupClusters resolves bridged stars in a constant round budget") {
+    // three 100-leaf stars (hubs 0, 100, 200) bridged leaf-to-leaf:
+    // high-degree hubs + short diameter — the skew-shaped fixture.
+    // 4 rounds is enough by construction (diameter 6, jumped).
+    val nodes = (0L until 300L).map(i => (i, "")).toDF("doc_id", "text")
+    val stars = (0 until 3).flatMap { s =>
+      val hub = s * 100L
+      (1 until 100).map(i => (hub, hub + i))
+    }
+    val bridges = Seq((99L, 100L), (199L, 200L))
+    val pairs = (stars ++ bridges).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(nodes, "doc_id", pairs, maxIter = 4)
+      .as[(Long, Long)].collect()
+    assert(out.length == 300 && out.forall(_._2 == 0L))
+  }
+
   test("dupClusters with no pairs labels every doc as its own cluster") {
     val nodes = (0L to 4L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -186,4 +186,79 @@ class EventStreamsSpec extends SparkSpec {
         (ts(30), ts(30), 1L, 3.0)))
     } finally q.stop()
   }
+
+  test("soak: intervalJoin state stays watermark-bounded across 100 micro-batches") {
+    // MemoryStream, not a rate source: batch boundaries and event times
+    // must be deterministic for the state-size assertion to be exact.
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[Event]
+    val rmem = MemoryStream[Event]
+    val left = lmem.toDF().select($"user_id", $"ts".as("buy_ts"),
+      $"event_id".as("buy_id"))
+    val right = rmem.toDF().select($"user_id", $"ts".as("click_ts"),
+      $"event_id".as("click_id"))
+    val q = intervalJoin(left, right, "user_id", "buy_ts", "click_ts",
+        lookback = "10 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("soak_ij")
+      .outputMode("append").start()
+    try {
+      var id = 0L
+      (0 until 100).foreach { b =>
+        val t = b * 10L // event time advances 10 minutes per batch
+        lmem.addData(Event(id + 1, ts(t), b % 5, "buy", 1.0))
+        rmem.addData(Event(id + 2, ts(t), b % 5, "click", 1.0),
+          Event(id + 3, ts(t - 5), b % 5, "click", 1.0))
+        id += 3
+        q.processAllAvailable()
+      }
+      // 1000 event-minutes ingested (300 rows); buffered join state may
+      // only hold ~watermark+lookback = 40 minutes of both sides. An
+      // eviction regression (watermark not applied to the buffers)
+      // would leave ~300 rows here.
+      val totalState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(totalState > 0 && totalState < 120,
+        s"join buffers not watermark-bounded: $totalState state rows")
+      // inner joins emit on match: same-ts and ts-5 clicks pair with
+      // every purchase, so output grows with the stream
+      assert(spark.table("soak_ij").count() >= 150)
+    } finally q.stop()
+  }
+
+  test("soak: upsertSink converges over 50 batches and replays idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/tmp/graft_upsert_soak"
+    Seq(dir, s"${dir}_ckpt", s"${dir}_ckpt2").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val mem = MemoryStream[Event]
+    val q = upsertSink(mem.toDF().select($"event_id", $"value", $"ts"),
+      dir, s"${dir}_ckpt", Seq("event_id"), "value")
+    try {
+      (0 until 50).foreach { b =>
+        // rotating 20-key space, strictly increasing version
+        mem.addData(Event(b % 20, ts(b), 1, "a", b.toDouble),
+          Event((b + 7) % 20, ts(b), 1, "a", b.toDouble))
+        q.processAllAvailable()
+      }
+      val fin = spark.read.parquet(dir).select("event_id", "value")
+        .as[(Long, Double)].collect().toMap
+      val expected = (0 until 50)
+        .flatMap(b => Seq((b % 20).toLong -> b.toDouble,
+          ((b + 7) % 20).toLong -> b.toDouble))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(fin == expected)
+      // replay: a fresh query (new checkpoint) re-merges the final
+      // batch into the same target — latest-wins must be a no-op
+      val mem2 = MemoryStream[Event]
+      val q2 = upsertSink(mem2.toDF().select($"event_id", $"value", $"ts"),
+        dir, s"${dir}_ckpt2", Seq("event_id"), "value")
+      try {
+        mem2.addData(Event(49 % 20, ts(49), 1, "a", 49.0),
+          Event((49 + 7) % 20, ts(49), 1, "a", 49.0))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val replayed = spark.read.parquet(dir).select("event_id", "value")
+        .as[(Long, Double)].collect().toMap
+      assert(replayed == fin, "replaying an already-applied batch changed the target")
+    } finally q.stop()
+  }
 }
