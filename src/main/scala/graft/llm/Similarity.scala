@@ -159,10 +159,12 @@ object Similarity {
     * Sign bits are scale-invariant (sign⟨v,p⟩ = sign⟨v/‖v‖,p⟩), so no
     * normalization pass is needed. Collision probability per bit for
     * angle θ is (1 − θ/π); per table (1 − θ/π)^bits; across tables
-    * 1 − (1 − (1−θ/π)^bits)^numTables. Defaults (8 bits × 6 tables):
+    * 1 − (1 − (1−θ/π)^bits)^numTables. At 8 bits × 6 tables:
     * ~0.97 recall for cos ≥ 0.9 neighbors, while uniform-random pairs
     * (θ ≈ π/2) collide with p ≈ 2^-8 per table → candidate volume
-    * ~2.3% of all pairs. On UNIFORM vectors the top-k cosine gap
+    * ~2.3% of all pairs. By default the bit count is sized from the
+    * corpus (≈ log2(n/16), min 8) so bucket occupancy — and the
+    * candidate join — stays constant per row as the corpus grows. On UNIFORM vectors the top-k cosine gap
     * vanishes (neighbors sit at the bulk distance) and any
     * sub-quadratic ANN degrades — real embedding corpora are
     * clustered; the recall gate in SimilaritySpec runs on clustered
@@ -175,19 +177,10 @@ object Similarity {
     * candidates with codegen-friendly array ops.
     */
   def embedLshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-                   k: Int, bitsPerTable: Int = 8, numTables: Int = 6,
-                   minCos: Double = -1.0, seed: Long = 42L): DataFrame = {
+                   k: Int, bitsPerTable: Int = -1, numTables: Int = 6,
+                   minCos: Double = -1.0, seed: Long = 42L,
+                   maxBucket: Option[Int] = None): DataFrame = {
     val dims = embeddings.select(size(col(vecCol))).head().getInt(0)
-    // Seeded hyperplanes, generated on the driver (tiny: tables×bits×d
-    // doubles) and inlined as literals — identical on every executor.
-    val rng = new scala.util.Random(seed)
-    def plane(): Column = array((0 until dims).map(_ => lit(rng.nextGaussian())): _*)
-    val buckets = (0 until numTables).map { t =>
-      val bits = (0 until bitsPerTable).map { j =>
-        when(doubleDot(col(vecCol), plane()) > 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
-    }
     // spread the corpus before the per-row sign tests: the parquet is
     // typically ONE file → one input partition, and 48 hyperplane dots
     // per row would otherwise run single-threaded (same fix as the IVF
@@ -196,6 +189,31 @@ object Similarity {
     val par = embeddings.sparkSession.sparkContext.defaultParallelism
     val spread = embeddings.select(col(idCol), col(vecCol))
       .repartition(par).localCheckpoint()
+    // Auto bits (default): bucket count must GROW with the corpus.
+    // Fixed bits fix the bucket count, so occupancy — and with it the
+    // candidate join — grows quadratically: the 10× scale smoke
+    // measured 34× growth at 8 bits before this. bits ≈ log2(n/16)
+    // keeps ~16 vectors per bucket at any n (count() on the
+    // checkpointed frame is a cheap block scan). High-cos recall
+    // stays put: at cos ≥ 0.99 a 16-bit table still collides with
+    // p ≈ 0.95^16 ≈ 0.44 per table → ≥ 0.97 over 6 tables.
+    val nBits =
+      if (bitsPerTable > 0) bitsPerTable
+      else {
+        val n = spread.count().toDouble
+        math.max(8, math.min(20,
+          math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
+      }
+    // Seeded hyperplanes, generated on the driver (tiny: tables×bits×d
+    // doubles) and inlined as literals — identical on every executor.
+    val rng = new scala.util.Random(seed)
+    def plane(): Column = array((0 until dims).map(_ => lit(rng.nextGaussian())): _*)
+    val buckets = (0 until numTables).map { t =>
+      val bits = (0 until nBits).map { j =>
+        when(doubleDot(col(vecCol), plane()) > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
+    }
     // Banded rows carry ONLY (id, table, bucket): the candidate join
     // and pair-dedup shuffle 16-byte pairs, not vectors. Vectors (and
     // their norms, computed once per row) come back via equi-joins on
@@ -204,9 +222,27 @@ object Similarity {
     // high-cardinality key. Carrying the vectors through the dedup
     // (round-2 shape) made the exchange ~50× wider and put array
     // copies on every sort/agg row.
-    val banded = spread
+    val banded0 = spread
       .select(col(idCol), explode(array(buckets: _*)).as("b"))
       .select(col(idCol), col("b.table"), col("b.bucket"))
+    // Hot-bucket cap (off by default): a bucket the hash cannot
+    // discriminate — duplicate-heavy corpora, degenerate regions,
+    // adversarial data — generates |bucket|² candidates and is THE
+    // way LSH melts down at scale. With `maxBucket`, each (table,
+    // bucket) keeps only a deterministic hash-ordered sample of its
+    // members for candidate GENERATION (verify still sees true
+    // vectors); near-dup pairs in an over-full bucket almost surely
+    // also collide in another table, so recall degrades gracefully
+    // while the join cost gets a hard |bucket|·cap bound.
+    val banded = maxBucket match {
+      case None => banded0
+      case Some(cap) =>
+        banded0.withColumn("_bn", row_number().over(
+            Window.partitionBy(col("table"), col("bucket"))
+              .orderBy(xxhash64(col(idCol)), col(idCol))))
+          .filter(col("_bn") <= cap)
+          .drop("_bn")
+    }
     val left = banded.toDF("id_a", "table", "bucket")
     val right = banded.toDF("id_b", "table", "bucket")
     val cands = left.join(right, Seq("table", "bucket"))
@@ -251,52 +287,77 @@ object Similarity {
     * anywhere.
     */
   def embedIvfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-                   k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                   k: Int, nCentroids: Int = -1, nProbe: Int = 4,
                    maxIter: Int = 2, seed: Long = 42L): DataFrame = {
+    val sess = embeddings.sparkSession
+    import sess.implicits._
     // repartition + eager localCheckpoint: the corpus parquet is often
-    // ONE file → one input partition, and every per-row op here (16
-    // centroid dots + sort per assignment) is CPU-bound — unspread, the
-    // whole training loop runs single-threaded. The checkpoint also
-    // materializes the normalized vectors once; training (maxIter+1
-    // passes), the probe side and the assigned side all re-scan blocks
-    // instead of re-deriving them from parquet.
-    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    // ONE file → one input partition, and every per-row op here (cell
+    // dots per assignment) is CPU-bound — unspread, the whole training
+    // loop runs single-threaded. The checkpoint also materializes the
+    // normalized vectors once; training (maxIter+1 passes), the probe
+    // side and the assigned side all re-scan blocks instead of
+    // re-deriving them from parquet.
+    val par = sess.sparkContext.defaultParallelism
     val unit = embeddings.select(
       col(idCol), col(vecCol),
       transform(col(vecCol).cast("array<double>"),
         (x: Column) => x / sqrt(doubleDot(col(vecCol), col(vecCol)))).as("_unit"))
       .repartition(par)
       .localCheckpoint()
+    // Auto cell count (default): candidate volume per query is
+    // corpus·nProbe/nCentroids, so FIXED cells make the total verify
+    // cost quadratic in the corpus — the 10× scale smoke measured 24×
+    // growth at 16 cells before this. nCentroids ≈ 4√n (the standard
+    // IVF sizing) keeps per-cell occupancy ~√n/4 and total candidates
+    // ~n^1.5·nProbe/4 — and the count() is a cheap checkpointed-block
+    // scan.
+    val nCells =
+      if (nCentroids > 0) nCentroids
+      else {
+        val n = unit.count().toDouble
+        math.max(16, math.min(4096, math.ceil(4.0 * math.sqrt(n)).toInt))
+      }
     // Quantizer training, natively: seed with a deterministic hash-
-    // sample of the corpus (the nCentroids rows with smallest
-    // xxhash64(id) — a uniform pseudo-random sample, reproducible on
-    // any partitioning), then `maxIter` Lloyd refinements where each
-    // step is ONE grouped aggregation (assign by argmax dot, mean per
-    // cell/dimension) and a tiny (nCentroids×dims) driver collect.
-    // Unlike an ml-pipeline fit this is a handful of predictable
-    // DataFrame jobs; centroids are re-normalized to the unit sphere
-    // so argmax-dot assignment stays argmin-euclidean. Standard IVF
-    // practice: train the coarse quantizer cheaply (sample + few
-    // iterations) — cells need balance, not optimality.
+    // sample of the corpus (the nCells rows with smallest xxhash64(id)
+    // — a uniform pseudo-random sample, reproducible on any
+    // partitioning), then `maxIter` Lloyd refinements where each step
+    // is one broadcast-join assignment + one grouped mean and a tiny
+    // (nCells×dims) driver collect. Centroids are re-normalized to the
+    // unit sphere so argmax-dot assignment stays argmin-euclidean.
+    // Standard IVF practice: train the coarse quantizer cheaply
+    // (sample + few iterations) — cells need balance, not optimality.
+    //
+    // Centroids travel as a BROADCAST TABLE, not inlined literals: at
+    // auto scale (hundreds of cells × dims) literal arrays blow past
+    // whole-stage codegen's method-size limit and the per-row argmax
+    // falls back to interpreted eval — the same two-orders-of-magnitude
+    // cliff the round-3 HOF dot products hit.
     def normalized(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
     var centers: Array[Array[Double]] = unit
       .select(col("_unit"), xxhash64(col(idCol), lit(seed)).as("_h"))
-      .orderBy(col("_h")).limit(nCentroids)
+      .orderBy(col("_h")).limit(nCells)
       .select(col("_unit")).collect()
       .map(r => r.getSeq[Double](0).toArray)
-    def centerCols(cs: Array[Array[Double]]): Array[Column] =
-      cs.map(c => array(c.toIndexedSeq.map(lit): _*))
-    def assignCell(v: Column, cs: Array[Array[Double]]): Column =
-      sort_array(array(centerCols(cs).zipWithIndex.toIndexedSeq.map { case (c, j) =>
-        struct((-doubleDot(v, c)).as("negDot"), lit(j).as("cell"))
-      }: _*)).getItem(0).getField("cell")
+    def cdf(cs: Array[Array[Double]]): DataFrame =
+      broadcast(cs.zipWithIndex.map { case (c, j) => (j, c) }
+        .toSeq.toDF("_cell", "_c"))
+    // (id, _unit, _cell, _dot) for every vector × centroid pair; the
+    // broadcast nested-loop join runs inside the corpus partitions, so
+    // the per-row dot scan parallelizes with no shuffle
+    def scored(cs: Array[Array[Double]]): DataFrame =
+      unit.crossJoin(cdf(cs))
+        .select(col(idCol), col("_unit"), col("_cell"),
+          doubleDot(col("_unit"), col("_c")).as("_dot"))
     for (_ <- 1 to maxIter) {
-      val sums = unit
-        .select(assignCell(col("_unit"), centers).as("_cell"),
-          posexplode(col("_unit")).as(Seq("_pos", "_x")))
+      val assign = scored(centers).groupBy(col(idCol))
+        .agg(max_by(col("_cell"),
+          struct(col("_dot"), (-col("_cell")).as("_t"))).as("_cell"))
+      val sums = unit.join(assign, Seq(idCol))
+        .select(col("_cell"), posexplode(col("_unit")).as(Seq("_pos", "_x")))
         .groupBy(col("_cell"), col("_pos")).agg(avg(col("_x")).as("_m"))
         .collect()
       val next = centers.map(_.clone())
@@ -306,23 +367,23 @@ object Similarity {
       // cells that captured no vectors keep their previous center
       centers = next.map(normalized)
     }
-    def cellRank(v: Column): Column =
-      sort_array(array(centerCols(centers).zipWithIndex.toIndexedSeq.map { case (c, j) =>
-        struct((-doubleDot(v, c)).as("negDot"), lit(j).as("cell"))
-      }: _*))
+    // Per vector, its top-nProbe cells by dot — ONE bounded typed
+    // aggregation (TopKAgg, map-side partial) instead of a per-row
+    // sort over all cells: rank 1 is the assignment cell, ranks
+    // 1..nProbe are the probe cells. Ordering (dot desc, cell asc)
+    // matches the previous literal-sort contract.
+    val ranked = graft.operators.TopKAgg.perGroup(
+        scored(centers), idCol, "_dot", "_cell", k = nProbe)
+      .join(unit.select(col(idCol), col("_unit")), Seq(idCol))
     // Verify on the ALREADY-normalized double vectors: cosine is then
-    // one codegen'd dot per pair — no norms, and no per-pair
-    // float→double cast allocations (3 dots × 2 casts each = 6 array
-    // copies per candidate was most of this stage's garbage). No
-    // explicit repartition needed anymore: probes derive NARROWLY from
-    // the checkpointed `unit` (no shuffle in between for AQE to
-    // coalesce), so they inherit its spread partitioning and the
-    // broadcast-join fan-out parallelizes across those tasks.
-    val assigned = unit.select(col(idCol).as("id_b"), col("_unit").as("_ub"),
-      cellRank(col("_unit")).getItem(0).getField("cell").as("cell"))
-    val probes = unit.select(col(idCol).as("id_a"), col("_unit").as("_ua"),
-      explode(slice(cellRank(col("_unit")), 1, nProbe)).as("p"))
-      .select(col("id_a"), col("_ua"), col("p.cell").as("cell"))
+    // one codegen'd dot per pair — no norms and no per-pair
+    // float→double cast allocations.
+    val assigned = ranked.filter(col("rank") === 1)
+      .select(col(idCol).as("id_b"), col("_unit").as("_ub"),
+        col("_cell").as("cell"))
+    val probes = ranked
+      .select(col(idCol).as("id_a"), col("_unit").as("_ua"),
+        col("_cell").as("cell"))
     val cos = probes.join(assigned, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("cos", round(doubleDot(col("_ua"), col("_ub")), 4))

@@ -1,0 +1,154 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: synthesizes an sf1-scale dataset (10× sf0.1 by
+  * replicate+salt) and runs the heaviest operators once at each scale,
+  * asserting the scaling properties the 100 TB design claims:
+  * no OOM, no heavy single-task stage, runtime growth ≲ linear (with
+  * a JIT/fixed-cost allowance). Writes the comparison to SCALE.md.
+  *
+  * Salting is designed to keep the workload's PAIR DENSITY linear —
+  * a naive 10× copy multiplies every within-block/near-dup pair count
+  * by 100 and would measure data construction, not the engine:
+  *  - documents: copy i rewrites token positions j ≡ i (mod 5) with an
+  *    '_i' suffix → cross-copy 3-gram Jaccard ≈ 0.15 < the 0.5
+  *    threshold, within-copy near-dup structure preserved;
+  *  - embeddings: copy i circularly rotates coordinates by i positions
+  *    — dot products within a copy are EXACTLY preserved (the workload
+  *    is identical per copy) while cross-copy cosine drops to bulk
+  *    level (a rotated near-uniform vector is just another near-
+  *    uniform vector). A small multiplicative perturbation was tried
+  *    first and measured 34×/24× LSH/IVF growth: cos≈0.9999 cross-copy
+  *    twins made TRUE pair density quadratic in the copy count;
+  *  - lineitem: user side (l_suppkey) offset per copy, items SHARED —
+  *    10× users per item deliberately stresses the DIMSUM per-user cap
+  *    (pair fan-out must stay linear because of the cap, not the data);
+  *  - part: p_size offset per copy → disjoint (brand, size) blocks,
+  *    modeling a catalog whose block key granularity grows with it.
+  *
+  * Usage: runMain graft.tools.ScaleSmoke [queries-csv]
+  */
+object ScaleSmoke {
+
+  private val Sf01 = "/root/testdata/sf0.1"
+  private val Sf1 = "/tmp/graft_sf1"
+  private val Copies = 10
+  private val DefaultQueries =
+    "q47_embed_lsh,q80_dup_clusters,q57_embed_ivf,q30_cosine_topk,q78_corpus_funnel,q89_edit_distance"
+
+  private def gen(spark: SparkSession): Unit = {
+    new java.io.File(Sf1).mkdirs()
+
+    def tenfold(name: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
+      if (new java.io.File(s"$Sf1/$name.parquet/_SUCCESS").exists()) return
+      val src = Tables.load(spark, Sf01, name)
+      (0 until Copies).map(copy(src, _)).reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$Sf1/$name.parquet")
+    }
+
+    tenfold("documents") { (d, i) =>
+      d.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (if (i == 0) col("text")
+         else expr(("array_join(transform(split(text, ' '), (t, j) -> " +
+           s"IF(j % 5 = $i % 5, concat(t, '_$i'), t)), ' ')"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    tenfold("embeddings") { (e, i) =>
+      e.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else expr(s"transform(embedding, (x, j) -> element_at(embedding, " +
+           s"CAST((j + $i * 7) % size(embedding) AS INT) + 1))")).as("embedding"),
+        col("label"))
+    }
+    tenfold("lineitem") { (l, i) =>
+      l.withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+    }
+    tenfold("part") { (p, i) =>
+      p.withColumn("p_partkey", col("p_partkey") + lit(i * 10000000L))
+        .withColumn("p_size", col("p_size") + lit(i * 1000))
+    }
+  }
+
+  final case class StageStat(tasks: Int, runMs: Long, name: String)
+
+  def main(args: Array[String]): Unit = {
+    val queries = args.headOption.getOrElse(DefaultQueries).split(",").toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val spark = Sessions.tune(Sessions.builder(cpus, "graft-scale").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    gen(spark)
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageStat]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          stages.add(StageStat(i.numTasks, i.taskMetrics.executorRunTime,
+            i.name.takeWhile(_ != '\n')))
+        }
+      })
+
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    // min over 2 reps, the bench lesson: single-shot local timings vary
+    // several-fold with GC/JIT phase (a 10× growth factor can otherwise
+    // be pure noise). Stage stats come from the faster rep.
+    def measure(q: String, dir: String): (Double, Int, Int, Int) = {
+      val runs = (1 to 2).map { _ =>
+        sweep(); stages.clear()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // listener drain
+        val ss = java.util.List.copyOf(stages).toArray(Array.empty[StageStat])
+        // a "heavy single-task stage" is the 100 TB red flag: one thread
+        // doing >2 s of executor work that parallelism should have spread
+        val heavy1 = ss.count(s => s.tasks == 1 && s.runMs > 2000)
+        (sec, ss.length, ss.map(_.tasks).sum, heavy1)
+      }
+      runs.minBy(_._1)
+    }
+
+    val rows = queries.map { q =>
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .write.mode("overwrite").format("noop").save() // JIT warm-up
+      val (s01, st01, tk01, h01) = measure(q, Sf01)
+      val (s1, st1, tk1, h1) = measure(q, Sf1)
+      val row = f"| $q | ${s01}%.1f | ${s1}%.1f | ${s1 / s01}%.1f× | $st01/$st1 | $tk01/$tk1 | $h01/$h1 |"
+      println(s"SCALE $row")
+      row
+    }
+
+    // no stripMargin: the table rows begin with '|', which stripMargin
+    // would eat as its margin marker
+    val md =
+      s"# SCALE — 10× smoke (sf0.1 → synthetic sf1, local[$cpus])\n\n" +
+        "sf1 = 10× sf0.1 via replicate+salt (see `tools/ScaleSmoke.scala`\n" +
+        "for the salting contract that keeps pair density linear).\n" +
+        "min-of-2 measured runs per scale after a warm-up pass; same\n" +
+        "harness hygiene as Bench (cache sweep + GC between runs).\n\n" +
+        "| query | sf0.1 s | sf1 s | growth | stages | tasks | heavy 1-task stages |\n" +
+        "|---|---|---|---|---|---|---|\n" +
+        rows.mkString("\n") + "\n\n" +
+        "Pass criteria: no OOM/failure, zero heavy single-task stages at\n" +
+        "sf1 (>2 s executor time in one task), growth ≲ 10× + fixed\n" +
+        "overhead. Iterative ops (dup clusters) may grow sublinearly —\n" +
+        "rounds are log-diameter, not data-size.\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/SCALE.md"), md)
+    println(md)
+    spark.stop()
+  }
+}

@@ -101,6 +101,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 1L)))
   }
 
+  test("embedLshTopK maxBucket caps a degenerate hot bucket yet still answers") {
+    // 300 IDENTICAL vectors: every table has ONE bucket holding the
+    // whole corpus — uncapped, candidate generation is corpus² (the
+    // way LSH melts down on duplicate-heavy data). With the cap, each
+    // query still gets k cos=1.0 neighbors from the sampled bucket
+    // members it coincides with — plus its own membership guarantees
+    // capped members still emit; sampled-out vectors lose their rows
+    // (graceful recall degradation, never a blow-up).
+    val base = Array.tabulate(16)(i => (i + 1).toFloat)
+    val rows = (0L until 300L).map(i => (i, base))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.embedLshTopK(emb, "vec_id", "embedding", k = 3,
+        maxBucket = Some(24))
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty && out.forall(_._3 == 1.0))
+    val perQuery = out.groupBy(_._1).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ <= 3))
+    // capped members (24 per table x 6 tables max 144 distinct ids)
+    assert(perQuery.size <= 144,
+      s"cap leaked: ${perQuery.size} ids emitted rows")
+  }
+
   test("embedLshTopK runs on the real embeddings table and bounds its fan-out") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val out = Similarity.embedLshTopK(emb, "vec_id", "embedding", k = 3)
