@@ -74,6 +74,13 @@ object ScaleSmoke {
       p.withColumn("p_partkey", col("p_partkey") + lit(i * 10000000L))
         .withColumn("p_size", col("p_size") + lit(i * 1000))
     }
+    // events: user/event ids offset per copy, timestamps kept — 10×
+    // users over the same time range (event density grows, per-user
+    // session/window structure is preserved exactly)
+    tenfold("events") { (e, i) =>
+      e.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+    }
   }
 
   final case class StageStat(tasks: Int, runMs: Long, name: String)
@@ -147,7 +154,12 @@ object ScaleSmoke {
         "sf1 (>2 s executor time in one task), growth ≲ 10× + fixed\n" +
         "overhead. Iterative ops (dup clusters) may grow sublinearly —\n" +
         "rounds are log-diameter, not data-size.\n"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/SCALE.md"), md)
+    // SCALE.md is the curated cumulative report — only overwrite it on
+    // explicit request (a default-on write would clobber earlier
+    // batches' rows and the findings narrative)
+    sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), md)
+    }
     println(md)
     spark.stop()
   }
