@@ -125,16 +125,26 @@ object Dedup {
     * (id, signature) frame: bucket on `xxhash64(bandIdx, bandSlice)`,
     * equality-join on (band, bucket). The shared candidate generator
     * for [[minHashNearDup]] and [[minHashNearDupVerified]].
+    *
+    * Unlike sign-bit LSH, the bucket space here grows with the corpus
+    * (hash of band VALUES), so occupancy stays at dup-cluster size —
+    * the quadratic hazard is duplicate-heavy corpora (k copies of one
+    * doc share every band → k² candidates). `maxBucket` caps each
+    * (band, bucket) to a deterministic hash-ordered sample for
+    * candidate generation; exact dedup upstream is the first-choice
+    * fix, the cap is the guard when it wasn't run.
     */
   private def lshCandidates(sig: DataFrame, idCol: String,
-                            bands: Int, r: Int): DataFrame = {
-    val banded = sig.select(
+                            bands: Int, r: Int,
+                            maxBucket: Option[Int] = None): DataFrame = {
+    val banded0 = sig.select(
       col(idCol),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
           xxhash64(lit(j), slice(col("signature"), j * r + 1, r)).as("bucket"))): _*))
         .as("b"))
       .select(col(idCol), col("b.band"), col("b.bucket"))
+    val banded = capBuckets(banded0, idCol, Seq("band", "bucket"), maxBucket)
     val left = banded.toDF("id_a", "band", "bucket")
     val right = banded.toDF("id_b", "band", "bucket")
     left.join(right, Seq("band", "bucket"))
@@ -142,15 +152,35 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Hot-bucket cap shared by the banded candidate generators: keep a
+    * deterministic hash-ordered sample of `cap` members per bucket.
+    * Over-full buckets degrade recall gracefully instead of exploding
+    * the candidate join quadratically.
+    */
+  private def capBuckets(banded: DataFrame, idCol: String,
+                         bucketCols: Seq[String],
+                         maxBucket: Option[Int]): DataFrame =
+    maxBucket match {
+      case None => banded
+      case Some(cap) =>
+        banded.withColumn("_bn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(bucketCols.map(col): _*)
+              .orderBy(xxhash64(col(idCol)), col(idCol))))
+          .filter(col("_bn") <= cap)
+          .drop("_bn")
+    }
+
   def minHashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                      threshold: Double = 0.5,
-                     cacheSignatures: Boolean = false): DataFrame = {
+                     cacheSignatures: Boolean = false,
+                     maxBucket: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sig0 = minHashSignatures(docs, idCol, textCol, n, numHashes)
     val sig = if (cacheSignatures) sig0.cache() else sig0
-    val cands = lshCandidates(sig, idCol, bands, r)
+    val cands = lshCandidates(sig, idCol, bands, r, maxBucket)
     val estEq = aggregate(
       zip_with(col("_sa"), col("_sb"),
         (x: Column, y: Column) => when(x === y, 1).otherwise(0)),
@@ -177,10 +207,11 @@ object Dedup {
     */
   def minHashNearDupVerified(docs: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, numHashes: Int = 64, bands: Int = 32,
-                             threshold: Double = 0.5): DataFrame = {
+                             threshold: Double = 0.5,
+                             maxBucket: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val sig = minHashSignatures(docs, idCol, textCol, n, numHashes)
-    val cands = lshCandidates(sig, idCol, bands, numHashes / bands)
+    val cands = lshCandidates(sig, idCol, bands, numHashes / bands, maxBucket)
     val sh = shingles(docs, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     // exact verify restricted to candidate pairs: fan each pair out to
@@ -332,16 +363,21 @@ object Dedup {
     */
   def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxDist: Int = 3,
-                     cacheFingerprints: Boolean = false): DataFrame = {
-    // same caching contract as [[minHashNearDup]]
+                     cacheFingerprints: Boolean = false,
+                     maxBucket: Option[Int] = None): DataFrame = {
+    // same caching contract as [[minHashNearDup]]; same hot-bucket cap
+    // contract as [[lshCandidates]] (a 16-bit band of near-identical
+    // fingerprints is the k-copies hazard here)
     val fp0 = simHash(docs, idCol, textCol)
     val fp = if (cacheFingerprints) fp0.cache() else fp0
-    val banded = fp.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("band"),
-          shiftrightunsigned(col("simhash"), j * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("b"))
-      .select(col(idCol), col("simhash"), col("b.band"), col("b.bucket"))
+    val banded = capBuckets(
+      fp.select(col(idCol), col("simhash"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("band"),
+            shiftrightunsigned(col("simhash"), j * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("b"))
+        .select(col(idCol), col("simhash"), col("b.band"), col("b.bucket")),
+      idCol, Seq("band", "bucket"), maxBucket)
     val left = banded.toDF("id_a", "fp_a", "band", "bucket")
     val right = banded.toDF("id_b", "fp_b", "band", "bucket")
     left.join(right, Seq("band", "bucket"))

@@ -130,6 +130,34 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 300 && out.forall(_._2 == 0L))
   }
 
+  test("minHashNearDup maxBucket caps a duplicate-heavy corpus yet still pairs " +
+    "the sampled copies") {
+    // 200 identical docs: every band is one bucket of 200 → 19,900
+    // candidate pairs uncapped. The cap bounds candidates to the
+    // sampled members; pairs among them still verify at jaccard 1.0.
+    val docs = (0L until 200L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minHashNearDup(docs, "doc_id", "text",
+        threshold = 0.9, maxBucket = Some(16))
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty && out.forall(_._3 == 1.0))
+    val ids = out.flatMap(p => Seq(p._1, p._2)).distinct
+    // 8 bands × ≤16 sampled members; identical signatures → the same
+    // hash-ordered sample in every band
+    assert(ids.length <= 16, s"cap leaked: ${ids.length} ids in candidate pairs")
+  }
+
+  test("simHashNearDup maxBucket bounds candidates on identical fingerprints") {
+    val docs = (0L until 200L).map(i => (i, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simHashNearDup(docs, "doc_id", "text",
+        maxDist = 3, maxBucket = Some(16))
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty && out.forall(_._3 == 0))
+    val ids = out.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(ids.length <= 16, s"cap leaked: ${ids.length} ids in candidate pairs")
+  }
+
   test("dupClusters with no pairs labels every doc as its own cluster") {
     val nodes = (0L to 4L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
