@@ -81,6 +81,22 @@ object ScaleSmoke {
       e.withColumn("event_id", col("event_id") + lit(i * 100000000L))
         .withColumn("user_id", col("user_id") + lit(i * 10000000L))
     }
+    tenfold("orders") { (o, i) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+    }
+    tenfold("customer") { (c, i) =>
+      c.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+    }
+    tenfold("supplier") { (s, i) =>
+      s.withColumn("s_suppkey", col("s_suppkey") + lit(i * 10000000L))
+    }
+    // tiny dims copied as-is (a 10× region table is not a thing)
+    Seq("nation", "region").foreach { n =>
+      if (!new java.io.File(s"$Sf1/$n.parquet/_SUCCESS").exists())
+        Tables.load(spark, Sf01, n)
+          .write.mode("overwrite").parquet(s"$Sf1/$n.parquet")
+    }
   }
 
   final case class StageStat(tasks: Int, runMs: Long, name: String)
