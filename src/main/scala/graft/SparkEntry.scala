@@ -1386,6 +1386,83 @@ object SparkEntry {
           round(abs(col("n_approx") - col("n_exact")).cast("double") /
             col("n_exact"), 4).as("rel_err"))
     }),
+
+    // --- HLL rollup accuracy gate: the driver-visible face of q98
+    //     (whose n_approx column is not SQL-expressible). n_exact is
+    //     independently recomputed by the DuckDB oracle; within_bound
+    //     pins |approx−exact|/exact ≤ 5% (3× the σ ≈ 1.04/√4096
+    //     standard error — deterministic on fixed data since the
+    //     sketch hash is seeded) ---
+    "q128_hll_rollup_accuracy" -> ((s, dir) => {
+      val sub = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(graft.functions.HllSketch.sketchAgg(col("l_partkey")).as("sk"))
+      val rolled = sub.groupBy(col("l_returnflag"))
+        .agg(graft.functions.HllSketch.estimate(
+          graft.functions.HllSketch.mergeAgg(col("sk"))).as("n_approx"))
+      val exact = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      rolled.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.05).cast("int").as("within_bound"))
+    }),
+
+    // --- ALS serving coverage gate: the driver-visible face of q33
+    //     (factor values are model state, not SQL-expressible, but the
+    //     serving CONTRACT is: every requested user gets exactly k
+    //     distinct catalog items). n_users is independently computed
+    //     by the oracle from the cleaned-ratings CTE ---
+    "q129_als_coverage" -> ((s, dir) => {
+      val r = ratings(s, dir)
+      val model = Als.fit(r, Als.Params(rank = 8, maxIter = 5, regParam = 0.1))
+      val users = r.select(col("userId")).distinct()
+        .orderBy(col("userId")).limit(50)
+      val recs = Als.explodeRecs(Als.recommendSubset(model, users, 5))
+      val items = r.select(col("itemId")).distinct()
+      val perUser = recs.join(items, Seq("itemId"), "left_semi")
+        .groupBy(col("userId"))
+        .agg(countDistinct(col("itemId")).as("_k"))
+      users.agg(count(lit(1)).as("n_users"))
+        .crossJoin(perUser.agg(
+          count(lit(1)).as("_nu"), min(col("_k")).as("_mink")))
+        .select(col("n_users"),
+          (col("_nu") === col("n_users") && col("_mink") === 5)
+            .cast("int").as("complete"))
+    }),
+
+    // --- rolling-HLL accuracy gate: q121's 7-row rolling distinct vs
+    //     the exact rolling distinct (rank-window self-join — exact
+    //     rolling distinct cannot pre-aggregate, which is the whole
+    //     reason q121 exists; at oracle scale the quadratic-ish join
+    //     is fine). Mirrors q121's ROWS (-6, 0) frame semantics ---
+    "q130_rolling_hll_accuracy" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val days = du.select(col("day")).distinct()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("day"))))
+      val exact = days.toDF("day", "rn")
+        .join(days.toDF("d2", "rn2"),
+          col("rn2") >= col("rn") - 6 && col("rn2") <= col("rn"))
+        .join(du.toDF("d2", "user_id"), Seq("d2"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val daily = t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(graft.functions.HllSketch.sketchAgg(col("user_id")).as("sk"))
+      val approx = daily.select(col("day"),
+        graft.functions.HllSketch.estimate(
+          graft.functions.HllSketch.mergeAgg(col("sk")).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("day")).rowsBetween(-6, 0))).as("users_7d"))
+      approx.join(exact, "day")
+        .select(col("day"), col("n_exact"),
+          (abs(col("users_7d") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.05).cast("int").as("within_bound"))
+    }),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -2131,6 +2208,34 @@ object SparkEntry {
     "q126_simhash_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
         |       CAST(1 AS INT) AS recall_ok FROM documents""".stripMargin,
+
+    // accuracy/coverage gates for the sketch/model operators: exact
+    // counts recomputed independently; the flag column pins the
+    // Spark-side behavioral bound (see the matching queries)
+    "q128_hll_rollup_accuracy" ->
+      """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |       CAST(1 AS INT) AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q129_als_coverage" ->
+      s"""WITH r AS ($ratingsSql)
+         |SELECT CAST(LEAST(50, COUNT(DISTINCT userId)) AS BIGINT) AS n_users,
+         |       CAST(1 AS INT) AS complete
+         |FROM r""".stripMargin,
+
+    "q130_rolling_hll_accuracy" ->
+      """WITH du AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |days AS (
+        |  SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn
+        |  FROM (SELECT DISTINCT day FROM du)),
+        |pairs AS (
+        |  SELECT a.day, b.day AS d2
+        |  FROM days a JOIN days b ON b.rn BETWEEN a.rn - 6 AND a.rn)
+        |SELECT p.day, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_exact,
+        |       CAST(1 AS INT) AS within_bound
+        |FROM pairs p JOIN du ON du.day = p.d2
+        |GROUP BY p.day""".stripMargin,
 
     "q56_embed_neardup" ->
       """WITH e AS (
