@@ -1463,6 +1463,56 @@ object SparkEntry {
           (abs(col("users_7d") - col("n_exact")).cast("double") /
             col("n_exact") <= 0.05).cast("int").as("within_bound"))
     }),
+
+    // --- real-codec decode gates (q131/q132): executors synthesize
+    //     payloads with known ground truth (solid-gray PNG / constant
+    //     16-bit PCM WAV — dims, luma, rate, frame count, RMS all
+    //     closed-form in doc_id), the REAL JDK codecs decode them, and
+    //     the gate pins decoded features to the formulas. The oracle
+    //     independently derives the sample size; n_decoded/n_ok are
+    //     pinned equal — any codec, byte-order, or batch-shape
+    //     regression flips the row red in CORRECTNESS ---
+    "q131_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).filter(col("doc_id") % 11 === 0)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.solidPng((16 + id % 32).toInt,
+            (16 + id % 24).toInt, (id % 256).toInt))
+        })
+        .toDF("doc_id", "png")
+      Multimodal.decodeImages(payloads, "doc_id", "png")(s).toDF()
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum(col("decoded").cast("long")).as("n_decoded"),
+          sum((col("decoded") &&
+            col("width") === (col("id") % 32 + 16).cast("int") &&
+            col("height") === (col("id") % 24 + 16).cast("int") &&
+            abs(col("meanLuma") - (col("id") % 256)) < 0.5)
+            .cast("long")).as("n_ok"))
+    }),
+
+    "q132_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).filter(col("doc_id") % 13 === 0)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.pcm16Wav(8000,
+            (500 + (id % 100) * 7).toShort, (64 + id % 64).toInt))
+        })
+        .toDF("doc_id", "wav")
+      Multimodal.audioFeatures(payloads, "doc_id", "wav")(s).toDF()
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum(col("decoded").cast("long")).as("n_decoded"),
+          sum((col("decoded") &&
+            col("sampleRate") === 8000 && col("channels") === 1 &&
+            col("nFrames") === (col("id") % 64 + 64) &&
+            abs(col("rms") - (col("id") % 100 * 7 + 500)) < 0.5)
+            .cast("long")).as("n_ok"))
+    }),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -2236,6 +2286,20 @@ object SparkEntry {
         |       CAST(1 AS INT) AS within_bound
         |FROM pairs p JOIN du ON du.day = p.d2
         |GROUP BY p.day""".stripMargin,
+
+    // real-codec decode gates: the oracle pins the sample size and the
+    // all-payloads-decode-correctly contract (see q131/q132 queries)
+    "q131_image_decode" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+        |       CAST(COUNT(*) AS BIGINT) AS n_decoded,
+        |       CAST(COUNT(*) AS BIGINT) AS n_ok
+        |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
+
+    "q132_audio_features" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |       CAST(COUNT(*) AS BIGINT) AS n_decoded,
+        |       CAST(COUNT(*) AS BIGINT) AS n_ok
+        |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
 
     "q56_embed_neardup" ->
       """WITH e AS (

@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   *    partition, schema declared by the case class Encoder, no
   *    per-row JVM↔UDF boundary.
   *
-  * DECODING IS STUBBED: this container ships no image/audio codecs, so
-  * the codec call is replaced by a deterministic fake (clearly marked
-  * below). The pipeline plumbing — schema, partitioning, batch shape,
-  * byte-level access — is real; swapping in javacv/ffmpeg is a 1-line
-  * change at the marked site.
+  * Image and audio decode are REAL — the JDK ships codecs
+  * (`javax.imageio`: PNG/BMP/GIF/JPEG; `javax.sound.sampled`:
+  * WAV/AIFF/AU), used by [[decodeImages]] / [[audioFeatures]] with
+  * poison-payload tolerance. Only [[decodeFramesStub]] /
+  * [[resampleStub]] remain deliberate stubs: the generic seam for
+  * formats the JDK lacks (video containers, modern codecs), where a
+  * real impl means javacv/ffmpeg at the marked site — the plumbing
+  * (schema, partitioning, batch shape, byte access) is real either way.
   */
 object Multimodal {
 
@@ -101,5 +104,151 @@ object Multimodal {
         }
       }
       .toDF(idCol, "resampled")
+  }
+
+  /** Encode a solid-gray image as PNG via the JDK codec — the
+    * write-back path of [[decodeImages]], and the payload synthesizer
+    * for the q131 decode gate (solid color ⇒ known dims + exact mean
+    * luma). Runs on executors; pure function of its arguments.
+    */
+  def solidPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Hand-rolled RIFF/WAVE container around constant-amplitude 16-bit
+    * mono PCM — the payload synthesizer for the q132 decode gate
+    * (constant signal ⇒ RMS == amplitude exactly). 44-byte canonical
+    * header, little-endian throughout.
+    */
+  def pcm16Wav(sampleRate: Int, amplitude: Short, nFrames: Int): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) { buf.putShort(amplitude); i += 1 }
+    buf.array()
+  }
+
+  final case class ImageMeta(id: Long, decoded: Boolean, width: Int,
+                             height: Int, meanLuma: Double)
+
+  /** REAL image decode — no stub, no external dependency: the JDK's
+    * `javax.imageio` handles PNG/BMP/GIF/JPEG. Same mapPartitions
+    * batch shape as [[decodeFramesStub]] (which remains the seam for
+    * formats the JDK lacks, e.g. video containers). Undecodable
+    * payloads get `decoded = false` rather than dropping the row or
+    * failing the task — at corpus scale a poison payload must never
+    * kill a partition.
+    */
+  def decodeImages(df: DataFrame, idCol: String, binCol: String)
+                  (implicit spark: SparkSession): Dataset[ImageMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case Some(i) =>
+              val (w, h) = (i.getWidth, i.getHeight)
+              // mean luma over a bounded sample grid: metadata pass
+              // cost must not scale with pixel count
+              val step = math.max(1, math.max(w, h) / 64)
+              var sum = 0.0; var n = 0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = i.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xFF) +
+                    0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                  n += 1
+                  x += step
+                }
+                y += step
+              }
+              ImageMeta(id, decoded = true, w, h, if (n == 0) 0.0 else sum / n)
+            case None => ImageMeta(id, decoded = false, -1, -1, 0.0)
+          }
+        }
+      }
+  }
+
+  final case class AudioMeta(id: Long, decoded: Boolean, sampleRate: Int,
+                             channels: Int, nFrames: Long, rms: Double)
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/
+    * AU): stream the PCM frames once, emit per-clip features. 16-bit
+    * PCM is decoded sample-exact for the RMS; other encodings report
+    * header metadata with rms = -1 (honest partial support beats a
+    * wrong number).
+    */
+  def audioFeatures(df: DataFrame, idCol: String, binCol: String)
+                   (implicit spark: SparkSession): Dataset[AudioMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.BufferedInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+            val fmt = in.getFormat
+            val frameLen = in.getFrameLength
+            val pcm16 = fmt.getSampleSizeInBits == 16 &&
+              fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            var sumSq = 0.0; var n = 0L
+            if (pcm16) {
+              val buf = new Array[Byte](8192)
+              var read = in.read(buf)
+              while (read > 0) {
+                var i = 0
+                while (i + 1 < read) {
+                  val s =
+                    if (fmt.isBigEndian)
+                      ((buf(i) << 8) | (buf(i + 1) & 0xFF)).toShort
+                    else ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
+                  sumSq += s.toDouble * s.toDouble
+                  n += 1
+                  i += 2
+                }
+                read = in.read(buf)
+              }
+            }
+            in.close()
+            AudioMeta(id, decoded = true, fmt.getSampleRate.toInt,
+              fmt.getChannels, frameLen,
+              if (pcm16 && n > 0) math.sqrt(sumSq / n) else -1.0)
+          } catch {
+            case _: Exception => AudioMeta(id, decoded = false, -1, -1, -1L, -1.0)
+          }
+        }
+      }
   }
 }

@@ -84,6 +84,40 @@ class TextMultimodalSpec extends SparkSpec {
     assert(frames.forall(f => f.width >= 16 && f.height >= 16))
   }
 
+  test("decodeImages: real JDK PNG decode recovers dims and luma; poison tolerated") {
+    implicit val s = spark
+    val rows = Seq(
+      (1L, Multimodal.solidPng(40, 30, 128)),
+      (2L, Multimodal.solidPng(17, 5, 0)),
+      (3L, Array.tabulate(64)(i => (i * 7 % 256).toByte)), // not an image
+      (4L, Array.empty[Byte])
+    ).toDF("doc_id", "b")
+    val out = Multimodal.decodeImages(rows, "doc_id", "b")
+      .collect().map(m => m.id -> m).toMap
+    assert(out(1L).decoded && out(1L).width == 40 && out(1L).height == 30)
+    assert(math.abs(out(1L).meanLuma - 128.0) < 0.5)
+    assert(out(2L).decoded && out(2L).width == 17 && out(2L).height == 5)
+    assert(out(2L).meanLuma == 0.0)
+    assert(!out(3L).decoded && !out(4L).decoded)
+  }
+
+  test("audioFeatures: real JDK WAV decode recovers rate/frames/RMS; poison tolerated") {
+    implicit val s = spark
+    val rows = Seq(
+      (1L, Multimodal.pcm16Wav(8000, 1000, 256)),
+      (2L, Multimodal.pcm16Wav(44100, -3000, 77)),
+      (3L, Array.tabulate(100)(_.toByte))                  // not audio
+    ).toDF("doc_id", "b")
+    val out = Multimodal.audioFeatures(rows, "doc_id", "b")
+      .collect().map(m => m.id -> m).toMap
+    assert(out(1L).decoded && out(1L).sampleRate == 8000 &&
+      out(1L).channels == 1 && out(1L).nFrames == 256L)
+    assert(math.abs(out(1L).rms - 1000.0) < 1e-9)
+    assert(out(2L).sampleRate == 44100 && out(2L).nFrames == 77L)
+    assert(math.abs(out(2L).rms - 3000.0) < 1e-9) // RMS of constant -a is a
+    assert(!out(3L).decoded)
+  }
+
   test("resampleStub strides the payload deterministically") {
     implicit val s = spark
     val bin = Seq((1L, Array.tabulate(10)(_.toByte))).toDF("doc_id", "b")
