@@ -1513,6 +1513,77 @@ object SparkEntry {
             abs(col("rms") - (col("id") % 100 * 7 + 500)) < 0.5)
             .cast("long")).as("n_ok"))
     }),
+
+    // --- mergeable quantile sketches (DDSketch-style): exact rolling/
+    //     rollup percentiles cannot pre-aggregate, so per-group
+    //     log-bucket histograms are the 100 TB answer (the quantile
+    //     analogue of the q121/q128 HLL family). The gates compute the
+    //     DISCRETE exact quantile (rank ⌈q·n⌉) with the same explicit
+    //     rank formula on both engines — no reliance on built-in
+    //     percentile interpolation semantics — and pin the sketch
+    //     estimate within its α = 2 % relative-error guarantee ---
+    "q133_quantile_sketch" -> ((s, dir) => {
+      import graft.functions.DdSketch
+      val ev = t(s, dir, "events")
+      val sk = ev.groupBy(col("event_type"))
+        .agg(DdSketch.sketchAgg(col("value")).as("sk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"))
+      val ranked = ev.select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      val exact = ranked
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === ceil(lit(0.5) * col("n")), col("value")))
+            .as("ex50"),
+          max(when(col("rn") === ceil(lit(0.95) * col("n")), col("value")))
+            .as("ex95"))
+      sk.join(exact, "event_type")
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          round(col("ex95"), 4).as("p95_exact"),
+          (abs(DdSketch.quantile(col("sk"), 0.5) / col("ex50") - 1) <= 0.02)
+            .cast("int").as("p50_ok"),
+          (abs(DdSketch.quantile(col("sk"), 0.95) / col("ex95") - 1) <= 0.02)
+            .cast("int").as("p95_ok"))
+    }),
+
+    // --- rolling 7-day p95 from daily sketches merged over a window
+    //     frame — ONE pass over raw data + an O(days) merge, vs the
+    //     exact path's re-scan of every 7-day window (the self-join
+    //     below, affordable only at oracle scale) ---
+    "q134_rolling_p95" -> ((s, dir) => {
+      import graft.functions.DdSketch
+      val ev = t(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("value"))
+      val daily = ev.groupBy(col("day"))
+        .agg(DdSketch.sketchAgg(col("value")).as("sk"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day")).rowsBetween(-6, 0)
+      val approx = daily.select(col("day"),
+        DdSketch.quantile(DdSketch.mergeAgg(col("sk")).over(wf), 0.95)
+          .as("p95_7d"))
+      val days = ev.select(col("day")).distinct()
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("day"))))
+      val windowVals = days.toDF("day", "rn")
+        .join(days.toDF("d2", "rn2"),
+          col("rn2") >= col("rn") - 6 && col("rn2") <= col("rn"))
+        .join(ev.toDF("d2", "value"), Seq("d2"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day")).orderBy(col("value"))
+      val exact = windowVals
+        .withColumn("rw", row_number().over(rw))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("day"))))
+        .filter(col("rw") === ceil(lit(0.95) * col("n")))
+        .select(col("day"), round(col("value"), 4).as("p95_exact"))
+      approx.join(exact, "day")
+        .select(col("day"), col("p95_exact"),
+          (abs(col("p95_7d") / col("p95_exact") - 1) <= 0.02)
+            .cast("int").as("within_bound"))
+    }),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -2300,6 +2371,39 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_decoded,
         |       CAST(COUNT(*) AS BIGINT) AS n_ok
         |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+
+    // quantile-sketch gates: the oracle recomputes the DISCRETE exact
+    // quantile with the identical rank-⌈q·n⌉ formula (IEEE double
+    // arithmetic is engine-independent) and pins the α-bound flags
+    "q133_quantile_sketch" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |       ROUND(MAX(CASE WHEN rn = CEIL(0.95 * n) THEN value END), 4)
+        |         AS p95_exact,
+        |       CAST(1 AS INT) AS p50_ok, CAST(1 AS INT) AS p95_ok
+        |FROM ranked GROUP BY event_type""".stripMargin,
+
+    "q134_rolling_p95" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('day', ts) AS day, value FROM events),
+        |days AS (
+        |  SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rn
+        |  FROM (SELECT DISTINCT day FROM ev)),
+        |wv AS (
+        |  SELECT a.day, e.value
+        |  FROM days a JOIN days b ON b.rn BETWEEN a.rn - 6 AND a.rn
+        |  JOIN ev e ON e.day = b.day),
+        |ranked AS (
+        |  SELECT day, value,
+        |         ROW_NUMBER() OVER (PARTITION BY day ORDER BY value) AS rw,
+        |         COUNT(*) OVER (PARTITION BY day) AS n
+        |  FROM wv)
+        |SELECT day, ROUND(value, 4) AS p95_exact, CAST(1 AS INT) AS within_bound
+        |FROM ranked WHERE rw = CEIL(0.95 * n)""".stripMargin,
 
     "q56_embed_neardup" ->
       """WITH e AS (
