@@ -1584,6 +1584,44 @@ object SparkEntry {
           (abs(col("p95_7d") / col("p95_exact") - 1) <= 0.02)
             .cast("int").as("within_bound"))
     }),
+
+    // --- Z-order (Morton) layout: the z-value itself is hash-checked
+    //     (the oracle replays the integer min/max scaling and the bit
+    //     interleave term-by-term); ZOrderSpec measures the actual
+    //     file-skipping win. Layout is the biggest 100 TB lever after
+    //     partitioning: a one-column sort leaves every OTHER filter
+    //     column unprunable ---
+    "q135_zorder_value" -> ((s, dir) =>
+      graft.sources.ZOrder.withZValue(
+          t(s, dir, "lineitem"), "l_partkey", "l_suppkey")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("zval"))),
+
+    // --- z-ordered sink roundtrip (q74 pattern): write range-
+    //     partitioned on the z-value, read back a 2-D box whose bounds
+    //     derive from the data (SF-independent), prove the layout is
+    //     lossless via content equality with the unwritten table ---
+    "q136_zorder_sink" -> ((s, dir) => {
+      val path = scratch("zorder", dir)
+      graft.sources.ZOrder.zorderWrite(
+        t(s, dir, "lineitem"), "l_partkey", "l_suppkey", path, 16)
+      val back = s.read.parquet(path)
+      val mm = back.agg(
+        min(col("l_partkey")).as("mnx"), max(col("l_partkey")).as("mxx"),
+        min(col("l_suppkey")).as("mny"), max(col("l_suppkey")).as("mxy"))
+      val lo = (mn: org.apache.spark.sql.Column, mx: org.apache.spark.sql.Column) =>
+        mn + floor((mx - mn) / 8).cast("long")
+      val hi = (mn: org.apache.spark.sql.Column, mx: org.apache.spark.sql.Column) =>
+        mn + floor((mx - mn) / 4).cast("long")
+      back.crossJoin(broadcast(mm))
+        .filter(col("l_partkey").between(
+            lo(col("mnx"), col("mxx")), hi(col("mnx"), col("mxx"))) &&
+          col("l_suppkey").between(
+            lo(col("mny"), col("mxy")), hi(col("mny"), col("mxy"))))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    }),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -2404,6 +2442,33 @@ object SparkEntry {
         |  FROM wv)
         |SELECT day, ROUND(value, 4) AS p95_exact, CAST(1 AS INT) AS within_bound
         |FROM ranked WHERE rw = CEIL(0.95 * n)""".stripMargin,
+
+    // z-order: the oracle replays the integer scaling and the Morton
+    // interleave (32 generated mask-shift terms) bit-for-bit
+    "q135_zorder_value" ->
+      s"""WITH mm AS (
+         |  SELECT MIN(l_partkey) AS mnx, MAX(l_partkey) AS mxx,
+         |         MIN(l_suppkey) AS mny, MAX(l_suppkey) AS mxy
+         |  FROM lineitem),
+         |s AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |         ((l_partkey - mnx) * 65535) // GREATEST(mxx - mnx, 1) AS zx,
+         |         ((l_suppkey - mny) * 65535) // GREATEST(mxy - mny, 1) AS zy
+         |  FROM lineitem, mm WHERE l_orderkey % 7 = 0)
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |       CAST(${graft.sources.ZOrder.interleaveSql("zx", "zy")} AS BIGINT)
+         |         AS zval
+         |FROM s""".stripMargin,
+
+    "q136_zorder_sink" ->
+      """WITH mm AS (
+        |  SELECT MIN(l_partkey) AS mnx, MAX(l_partkey) AS mxx,
+        |         MIN(l_suppkey) AS mny, MAX(l_suppkey) AS mxy
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem, mm
+        |WHERE l_partkey BETWEEN mnx + (mxx - mnx) // 8 AND mnx + (mxx - mnx) // 4
+        |  AND l_suppkey BETWEEN mny + (mxy - mny) // 8 AND mny + (mxy - mny) // 4""".stripMargin,
 
     "q56_embed_neardup" ->
       """WITH e AS (
