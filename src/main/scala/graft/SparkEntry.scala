@@ -1622,6 +1622,42 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"), col("l_quantity"))
     }),
+
+    // --- BM25 ranking over the q123 inverted-index family: idf ×
+    //     saturated-tf with length normalization (k1 = 1.2, b = 0.75).
+    //     All shuffles key on term or doc_id; the corpus-level stats
+    //     ride a broadcast 1-row cross-join. avgdl divides an EXACT
+    //     integer token sum (a distributed double Σ would be
+    //     order-dependent in its last bits); ties rank on the ROUNDED
+    //     score + doc_id so the top-3 cut is engine-independent ---
+    "q137_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term").filter(col("df") >= 5)
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"),
+          round(
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+              (col("tf") * 2.2) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl"))),
+            4).as("score"))
+      scored
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("term"), col("doc_id"), col("score"))
+    }),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -2469,6 +2505,33 @@ object SparkEntry {
         |FROM lineitem, mm
         |WHERE l_partkey BETWEEN mnx + (mxx - mnx) // 8 AND mnx + (mxx - mnx) // 4
         |  AND l_suppkey BETWEEN mny + (mxy - mny) // 8 AND mny + (mxy - mny) // 4""".stripMargin,
+
+    // BM25: same tokenization as q123; identical parenthesization of
+    // the double formula on both engines; rank cut on rounded score
+    "q137_bm25" ->
+      """WITH dl AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT term, doc_id, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.term, tf.doc_id,
+        |         ROUND(LN((n_docs - df.df + 0.5) / (df.df + 0.5) + 1) *
+        |           (tf.tf * 2.2) /
+        |           (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / avgdl)), 4) AS score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), st
+        |  WHERE df.df >= 5),
+        |r AS (
+        |  SELECT term, doc_id, score, ROW_NUMBER() OVER (
+        |    PARTITION BY term ORDER BY score DESC, doc_id) AS rn
+        |  FROM sc)
+        |SELECT term, doc_id, score FROM r WHERE rn <= 3""".stripMargin,
 
     "q56_embed_neardup" ->
       """WITH e AS (
