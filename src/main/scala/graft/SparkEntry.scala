@@ -1658,6 +1658,44 @@ object SparkEntry {
         .filter(col("rn") <= 3)
         .select(col("term"), col("doc_id"), col("score"))
     }),
+
+    // --- bloom-prefiltered semi join: at scale a semi join against a
+    //     non-broadcastable dim shuffles the whole fact side; the
+    //     bloom bit-test drops non-candidates AT THE SCAN and the
+    //     exact join removes false positives — output pinned equal to
+    //     the plain semi join by the oracle ---
+    "q138_bloom_semijoin" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+      graft.operators.BloomJoin.semiJoin(
+          t(s, dir, "lineitem"), "l_orderkey", bigOrders, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Det.sumRounded(col("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    // --- Count-Min frequency gate: one global CM sketch over the
+    //     token stream, probed at the exact top-20 terms. The sketch
+    //     never underestimates, and the deterministic fixed-seed hash
+    //     makes both flags constants of the data — the oracle pins
+    //     them with the exact counts it recomputes itself ---
+    "q139_cms_accuracy" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+      val sk = toks.agg(CountMin.sketchAgg(col("term")).as("sk"))
+      val top = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term")).limit(20)
+      top.crossJoin(broadcast(sk))
+        .select(col("term"), col("n_exact"),
+          (CountMin.estimate(col("sk"), col("term")) >= col("n_exact"))
+            .cast("int").as("ge_ok"),
+          (CountMin.estimate(col("sk"), col("term")) <=
+            col("n_exact") + ceil(lit(CountMin.Eps) *
+              CountMin.total(col("sk"))).cast("long"))
+            .cast("int").as("bound_ok"))
+    }),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -2532,6 +2570,24 @@ object SparkEntry {
         |    PARTITION BY term ORDER BY score DESC, doc_id) AS rn
         |  FROM sc)
         |SELECT term, doc_id, score FROM r WHERE rn <= 3""".stripMargin,
+
+    // bloom semi join: the oracle is the PLAIN semi join — the bloom
+    // prefilter must be output-invisible
+    "q138_bloom_semijoin" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // count-min gate: exact top-20 recomputed; flags pinned
+    "q139_cms_accuracy" ->
+      """SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |       CAST(1 AS INT) AS ge_ok, CAST(1 AS INT) AS bound_ok
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY n_exact DESC, term LIMIT 20""".stripMargin,
 
     "q56_embed_neardup" ->
       """WITH e AS (
