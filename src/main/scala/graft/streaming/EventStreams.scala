@@ -51,6 +51,26 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Hourly p95 latency-style rollup from DDSketch histograms — the
+    * streaming face of the q133/q134 quantile-sketch family. The
+    * typed Aggregator participates in streaming partial aggregation
+    * like any builtin: per-trigger partials merge into windowed state
+    * (one 16 KB histogram per open window, evicted by the watermark),
+    * and the finalized row carries BOTH the scalar estimate and the
+    * mergeable sketch bytes so downstream daily/weekly rollups never
+    * re-read events. Batch frames take the same code path.
+    */
+  def hourlyP95(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.DdSketch.sketchAgg(col("value")).as("sk"))
+      .select(col("w.start").as("hour_start"),
+        graft.functions.DdSketch.quantile(col("sk"), 0.95).as("p95"),
+        graft.functions.DdSketch.total(col("sk")).as("n"),
+        col("sk"))
+  }
+
   /** Streaming exactly-once dedup on event id: state is bounded by the
     * watermark (`dropDuplicatesWithinWatermark` evicts seen-ids once
     * the watermark passes them — the unbounded-state hazard of plain

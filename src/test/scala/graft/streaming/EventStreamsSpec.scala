@@ -40,6 +40,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourlyP95 emits finalized sketch windows that equal the batch twin exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = hourlyP95(mem.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("p95_test")
+      .outputMode("append").start()
+    try {
+      val evs = (1 to 40).map(i =>
+        Event(i, ts(i % 55), i, "click", i * 2.5)) :+
+        Event(41, ts(70), 41, "view", 7.0)
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(300), 9, "view", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val streamed = spark.table("p95_test")
+        .select("hour_start", "p95", "n")
+        .as[(Timestamp, Double, Long)].collect().toSet
+      assert(streamed.map(_._1) == Set(ts(0), ts(60)))
+      // batch twin over the same events: bit-identical sketches ⇒
+      // EXACTLY equal estimates, merge order and triggering be damned
+      val batch = hourlyP95(spark.createDataset(evs).toDF())
+        .select("hour_start", "p95", "n")
+        .as[(Timestamp, Double, Long)].collect()
+        .filter(r => r._1 == ts(0) || r._1 == ts(60)).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("hourlyCounts batch twin produces the q22 shape on static data") {
     val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val out = hourlyCounts(batch)
