@@ -1573,7 +1573,12 @@ object SparkEntry {
         .join(ev.toDF("d2", "value"), Seq("d2"))
       val rw = org.apache.spark.sql.expressions.Window
         .partitionBy(col("day")).orderBy(col("value"))
-      val exact = windowVals
+      // explicit repartition: the window-frame fan-out rows compress
+      // small enough that AQE coalesces the exchange to ONE partition
+      // and the per-day sort runs single-task (caught by the 10×
+      // smoke); a user-specified partitioning is exempt from
+      // coalescing and the window reuses it (no second exchange)
+      val exact = windowVals.repartition(32, col("day"))
         .withColumn("rw", row_number().over(rw))
         .withColumn("n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("day"))))
@@ -1695,6 +1700,33 @@ object SparkEntry {
             col("n_exact") + ceil(lit(CountMin.Eps) *
               CountMin.total(col("sk"))).cast("long"))
             .cast("int").as("bound_ok"))
+    }),
+
+    // --- KMV (theta) sketch overlap gate: per-event-type user
+    //     sketches, pairwise distinct-intersection estimates — the
+    //     set algebra HLL cannot do (register-max merge destroys the
+    //     sample; KMV IS a uniform hash sample). Exact overlaps
+    //     recomputed both sides; flags pinned (deterministic hash ⇒
+    //     the estimate is a constant of the data) ---
+    "q140_kmv_overlap" -> ((s, dir) => {
+      import graft.functions.KmvSketch
+      val ut = t(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val sk = ut.groupBy(col("event_type"))
+        .agg(KmvSketch.sketchAgg(col("user_id")).as("sk"))
+      val est = sk.toDF("type_a", "ska")
+        .join(sk.toDF("type_b", "skb"), col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          KmvSketch.intersect(col("ska"), col("skb")).as("est"))
+      val exact = ut.toDF("user_id", "type_a")
+        .join(ut.toDF("user_id", "type_b"), Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      est.join(exact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          (abs(col("est") - col("n_both")).cast("double") /
+            col("n_both") <= 0.10).cast("int").as("within_bound"))
     }),
   )
 
@@ -2588,6 +2620,16 @@ object SparkEntry {
         |       CAST(1 AS INT) AS ge_ok, CAST(1 AS INT) AS bound_ok
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n_exact DESC, term LIMIT 20""".stripMargin,
+
+    // kmv overlap gate: exact pairwise user overlaps recomputed
+    "q140_kmv_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_both,
+        |       CAST(1 AS INT) AS within_bound
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
 
     "q56_embed_neardup" ->
       """WITH e AS (
