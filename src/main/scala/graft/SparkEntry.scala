@@ -1728,6 +1728,21 @@ object SparkEntry {
           (abs(col("est") - col("n_both")).cast("double") /
             col("n_both") <= 0.10).cast("int").as("within_bound"))
     }),
+
+    // --- incremental ingest dedup: the NEW batch (doc_id % 4 == 0)
+    //     probes the STORED corpus's persisted MinHash signature
+    //     index; text is fetched only for band collisions. Oracle:
+    //     the exhaustive cross-set exact-Jaccard pairs — the index
+    //     path must find exactly what a full-corpus rescan would ---
+    "q141_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stored = docs.filter(col("doc_id") % 4 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 4 === 0)
+      val storedSigs = Dedup.minHashSignatures(
+        stored, "doc_id", "text", n = 3, numHashes = 64)
+      Dedup.incrementalNearDupVerified(fresh, "doc_id", "text",
+        storedSigs, stored, threshold = 0.5)
+    }),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -2630,6 +2645,31 @@ object SparkEntry {
         |FROM ut a JOIN ut b
         |  ON a.user_id = b.user_id AND a.event_type < b.event_type
         |GROUP BY 1, 2""".stripMargin,
+
+    // incremental dedup: exhaustive cross-set exact-Jaccard pairs —
+    // same shingle construction as q45, restricted to new×stored
+    "q141_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |           unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                   for i in range(1, len(s) - 1)]) AS shingle
+        |    FROM toks)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_new, b.doc_id AS id_stored, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT id_new, id_stored,
+        |       ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6)
+        |         AS jaccard
+        |FROM pairs JOIN sizes sa ON id_new = sa.doc_id
+        |           JOIN sizes sb ON id_stored = sb.doc_id
+        |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6)
+        |      >= 0.5""".stripMargin,
 
     "q56_embed_neardup" ->
       """WITH e AS (

@@ -52,6 +52,30 @@ class DedupSpec extends SparkSpec {
     assert(verified == exact)
   }
 
+  test("incremental dedup: a new batch against the stored signature index " +
+       "finds exactly the cross-set pairs a full rescan would") {
+    // stored = docs 0,2,4..9; new batch = docs 1,3 (1 dups 0/2; 3 near-dups them)
+    val stored = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val sigs = Dedup.minHashSignatures(stored, "doc_id", "text",
+      n = 3, numHashes = 64)
+    val found = Dedup.incrementalNearDupVerified(fresh, "doc_id", "text",
+        sigs, stored, threshold = 0.5)
+      .select("id_new", "id_stored").as[(Long, Long)].collect().toSet
+    // full-rescan truth restricted to cross-set pairs
+    val allPairs: Set[(Long, Long)] =
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = allPairs.filter(p => p._1 % 2 != p._2 % 2)
+      .map(p => if (p._1 % 2 == 1) p else p.swap)
+    assert(found == full && found.nonEmpty)
+    // estimator path agrees on the planted structure
+    val est = Dedup.incrementalNearDup(fresh, "doc_id", "text", sigs,
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id_new", "id_stored").as[(Long, Long)].collect().toSet
+    assert(est == full)
+  }
+
   test("simHash: identical docs share a fingerprint, near-dups are close, unrelated far") {
     val fp = Dedup.simHash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
