@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det
-import graft.llm.{CorpusPipeline, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{CorpusPipeline, Dedup, LangModel, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.ml.{Als, Eval, Serve}
 import graft.operators._
 import graft.sources.Tables
@@ -1743,6 +1743,49 @@ object SparkEntry {
       Dedup.incrementalNearDupVerified(fresh, "doc_id", "text",
         storedSigs, stored, threshold = 0.5)
     }),
+
+    // --- weighted PageRank over the part co-purchase graph (parts
+    //     linked when they share an order; symmetric by construction,
+    //     so no dangling mass). 3 synchronous power rounds: per round
+    //     one edges⋈ranks join + one decimal-exact aggregation — the
+    //     Pregel step as relational algebra. Edge fan-out is bounded
+    //     by order width (≤7 lines), so the edge list — and every
+    //     round's shuffle — grows linearly with the fact table ---
+    "q142_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      graft.operators.Graph.pageRank(e, "src", "dst", "w", iters = 3)
+        .orderBy(col("rank").desc, col("node")).limit(50)
+    }),
+
+    // --- bigram-LM cross-entropy scoring: the corpus's own bigram
+    //     model scores each document's average transition surprisal —
+    //     the classic cheap perplexity filter for training data.
+    //     Count tables grow with the vocabulary, not the corpus ---
+    "q143_bigram_lm" -> ((s, dir) =>
+      LangModel.bigramNll(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- top-500 vocabulary + per-language OOV coverage: the
+    //     fixed-vocab tokenizer-fit signal. Vocabulary via
+    //     TakeOrderedAndProject, membership via broadcast join — the
+    //     token stream never shuffles for the lookup ---
+    "q144_vocab_coverage" -> ((s, dir) =>
+      LangModel.oovStats(t(s, dir, "documents"), "doc_id", "text",
+        "lang", k = 500)),
+
+    // --- deterministic shard assignment audit: content-hash shard i
+    //     of 16 per document (stable across runs/engines/corpus
+    //     versions), then per-shard balance stats — the pre-write
+    //     check before partitionBy("shard") fan-out ---
+    "q145_shard_assign" -> ((s, dir) =>
+      Sampling.shardAssign(t(s, dir, "documents"), "doc_id", nShards = 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -2670,6 +2713,112 @@ object SparkEntry {
         |           JOIN sizes sb ON id_stored = sb.doc_id
         |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6)
         |      >= 0.5""".stripMargin,
+
+    // pagerank: 3 power rounds unrolled as CTEs. Parity discipline:
+    // every float step is a fixed scalar IEEE op sequence (literals
+    // cast to DOUBLE so DuckDB doesn't run them in DECIMAL), rounded
+    // to 12 digits; the only accumulation is an exact DECIMAL(38,12)
+    // SUM — partition/engine order cannot change a bit
+    "q142_pagerank" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS src, b.pk AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        |  GROUP BY 1, 2),
+        |o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+        |       (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS r FROM
+        |       (SELECT src AS node FROM e UNION SELECT dst FROM e), nn),
+        |r1 AS (
+        |  SELECT e.dst AS node,
+        |         ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+        |               CAST(0.85 AS DOUBLE) *
+        |               CAST(SUM(CAST(ROUND(r0.r * e.w / o.wout, 12)
+        |                 AS DECIMAL(38,12))) AS DOUBLE), 12) AS r
+        |  FROM e JOIN o ON e.src = o.src JOIN r0 ON e.src = r0.node, nn
+        |  GROUP BY e.dst, nn.n),
+        |r2 AS (
+        |  SELECT e.dst AS node,
+        |         ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+        |               CAST(0.85 AS DOUBLE) *
+        |               CAST(SUM(CAST(ROUND(r1.r * e.w / o.wout, 12)
+        |                 AS DECIMAL(38,12))) AS DOUBLE), 12) AS r
+        |  FROM e JOIN o ON e.src = o.src JOIN r1 ON e.src = r1.node, nn
+        |  GROUP BY e.dst, nn.n),
+        |r3 AS (
+        |  SELECT e.dst AS node,
+        |         ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+        |               CAST(0.85 AS DOUBLE) *
+        |               CAST(SUM(CAST(ROUND(r2.r * e.w / o.wout, 12)
+        |                 AS DECIMAL(38,12))) AS DOUBLE), 12) AS r
+        |  FROM e JOIN o ON e.src = o.src JOIN r2 ON e.src = r2.node, nn
+        |  GROUP BY e.dst, nn.n)
+        |SELECT node, ROUND(r, 8) AS rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 50""".stripMargin,
+
+    // bigram LM: same space tokenization as q86; nll per transition
+    // rounded then summed exactly in decimal (Det discipline)
+    "q143_bigram_lm" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i+1])) AS bigram
+        |  FROM documents),
+        |c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n2 FROM bg GROUP BY 1),
+        |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1,
+        |              CAST(COUNT(*) AS BIGINT) AS n1 FROM bg GROUP BY 1),
+        |nl AS (
+        |  SELECT bg.doc_id,
+        |         ROUND(LN(CAST(c1.n1 AS DOUBLE) / c2.n2), 6) AS nll
+        |  FROM bg JOIN c2 USING (bigram)
+        |          JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1),
+        |d AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+        |               / COUNT(*), 4) AS avg_nll
+        |  FROM nl GROUP BY 1)
+        |SELECT doc_id, n_bigrams, avg_nll, ROUND(EXP(avg_nll), 3) AS ppl
+        |FROM d""".stripMargin,
+
+    // vocab/OOV: top-500 cut is (n DESC, term) deterministic; the
+    // per-doc rate rounds before the exact decimal mean
+    "q144_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |v AS (SELECT term FROM (
+        |        SELECT term, COUNT(*) AS n FROM tok GROUP BY 1
+        |        ORDER BY n DESC, term LIMIT 500)),
+        |d AS (
+        |  SELECT tok.doc_id, tok.lang, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |         CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_oov
+        |  FROM tok LEFT JOIN v ON tok.term = v.term
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, ROUND(CAST(n_oov AS DOUBLE) / n_tok, 4) AS oov_rate
+        |      FROM d)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       ROUND(CAST(SUM(CAST(oov_rate AS DECIMAL(18,4))) AS DOUBLE)
+        |             / COUNT(*), 4) AS avg_oov_rate,
+        |       ROUND(CAST(1.0 AS DOUBLE) -
+        |             CAST(SUM(n_oov) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE),
+        |             4) AS token_coverage
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // shard assign: the md5-prefix hash is replayed verbatim (same
+    // portable-hash contract as q65)
+    "q145_shard_assign" ->
+      """WITH s AS (
+        |  SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |              AS BIGINT) % 16 AS INT) AS shard,
+        |         lang, n_chars
+        |  FROM documents)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM s GROUP BY 1""".stripMargin,
 
     "q56_embed_neardup" ->
       """WITH e AS (

@@ -132,4 +132,19 @@ object Sampling {
       explode(when(copies > 0, sequence(lit(0), copies - 1))
         .otherwise(array())))
   }
+
+  /** Deterministic shard assignment: shard i of n by a content-hash of
+    * the key, so a document lands on the same training shard across
+    * runs, engines, and corpus versions (the writing face of
+    * [[splitAssign]]). A 16-bit md5 prefix mod n is uniform for the
+    * shard counts that matter (n ≪ 65536); `df.write.partitionBy` on
+    * the result gives stable shard files. Narrow — no shuffle.
+    */
+  def shardAssign(df: DataFrame, keyCol: String, nShards: Int,
+                  salt: String = ""): DataFrame = {
+    require(nShards > 0 && nShards <= 4096, "nShards must be in [1, 4096]")
+    df.withColumn("shard",
+      (conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 4),
+        16, 10).cast("long") % nShards).cast("int"))
+  }
 }

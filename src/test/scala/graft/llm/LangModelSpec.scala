@@ -1,0 +1,72 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b a b", "en"),      // transitions: a→b ×2, b→a ×1
+    (2L, "a b c", "en"),        // a→b, b→c
+    (3L, "x", "de"),            // single token: no transitions
+    (4L, "c c c c", "de")       // c→c ×3
+  ).toDF("doc_id", "text", "lang")
+
+  test("bigramStream drops <2-token docs and keeps within-doc order pairs") {
+    val bg = LangModel.bigramStream(docs, "doc_id", "text")
+      .groupBy("bigram").count().as[(String, Long)].collect().toMap
+    assert(bg === Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L, "c c" -> 3L))
+    assert(LangModel.bigramStream(docs.filter($"doc_id" === 3), "doc_id", "text")
+      .count() === 0L)
+  }
+
+  test("bigramNll: deterministic transitions score zero; ppl = exp(nll)") {
+    val out = LangModel.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 4: only c→c transitions, c always followed by c → P=1, nll=0
+    assert(out(4L) === ((3L, 0.0, 1.0)))
+    // doc 2: a→b has P = c2(a b)/c1(a) = 3/3 = 1 → 0;
+    //        b→c has P = 1/2 → ln 2
+    val ln2 = BigDecimal(math.round(math.log(2) * 1e6) / 1e6)
+    val exp2 = ((0.0 + ln2.toDouble) / 2 * 1e4).round / 1e4
+    assert(out(2L)._1 === 2L)
+    assert(math.abs(out(2L)._2 - exp2) < 1e-9)
+    // single-token doc emits no row
+    assert(!out.contains(3L))
+  }
+
+  test("vocabulary takes top-k by count with term tiebreak") {
+    val v = LangModel.vocabulary(docs, "text", 2)
+      .as[(String, Long)].collect().toSeq
+    // counts: a=3, b=3, c=4(+1 in doc2)=5? -> a:3 b:3 c:5 x:1
+    assert(v === Seq(("c", 5L), ("a", 3L)))
+  }
+
+  test("oovStats: rates against a top-k vocab, exact coverage") {
+    val out = LangModel.oovStats(docs, "doc_id", "text", "lang", k = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // vocab = {c, a}. en doc1: 4 tok, 2 oov (b,b) = 0.5; en doc2: 3 tok,
+    // 1 oov = 0.3333. de doc3: 1 tok 1 oov = 1.0; doc4: 0 oov = 0.0
+    assert(out("en")._1 === 2L)
+    assert(math.abs(out("en")._2 - (0.5 + 0.3333) / 2) < 1e-4)
+    // en coverage = round(1 - 3/7, 4) = 0.5714
+    assert(out("en")._3 === 0.5714)
+    assert(out("de") === ((2L, 0.5, 0.8)))
+  }
+
+  test("shardAssign is stable, in-range, and repartition-invariant") {
+    val base = Sampling.shardAssign(docs, "doc_id", 8)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(base.values.forall(s => s >= 0 && s < 8))
+    val re = Sampling.shardAssign(docs.repartition(3), "doc_id", 8)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(base === re)
+    // salt changes the assignment function
+    val salted = Sampling.shardAssign(docs, "doc_id", 8, salt = "v2")
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(salted.values.forall(s => s >= 0 && s < 8))
+  }
+}

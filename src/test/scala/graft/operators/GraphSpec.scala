@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long, Long)], iters: Int = 3) =
+    Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("symmetric pair converges to equal ranks summing to 1") {
+    val r = ranks(Seq((1L, 2L, 1L), (2L, 1L, 1L)))
+    assert(r(1L) === r(2L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+  }
+
+  test("hub of a star outranks leaves; mass is conserved (no sinks)") {
+    // star with back-edges: hub 0 <-> leaves 1..4
+    val e = (1L to 4L).flatMap(i => Seq((0L, i, 1L), (i, 0L, 1L)))
+    val r = ranks(e)
+    assert((1L to 4L).forall(i => r(0L) > r(i)))
+    assert((1L to 4L).forall(i => r(i) === r(1L)))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+  }
+
+  test("weighted edges steer rank toward the heavy target") {
+    // 1 sends 9/10 of its mass to 2 and 1/10 to 3; back edges keep
+    // the graph sink-free
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+    val r = ranks(e)
+    assert(r(2L) > r(3L))
+  }
+
+  test("dangling sink keeps baseline inflow only and leaks mass") {
+    // 1 -> 2 with no return: 2 is a sink (simplified variant leaks
+    // its mass); 1 receives only the (1-d)/N baseline
+    val r = ranks(Seq((1L, 2L, 1L)), iters = 2)
+    assert(r(2L) > r(1L))
+    assert(r.values.sum < 1.0)
+  }
+
+  test("rank is invariant under input partitioning (decimal-exact sums)") {
+    val e = (1L to 200L).map(i => (i, (i * 7) % 200 + 1, i % 5 + 1))
+    val df1 = e.toDF("src", "dst", "w").repartition(1)
+    val df13 = e.toDF("src", "dst", "w").repartition(13)
+    val a = Graph.pageRank(df1, "src", "dst", "w", 4)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRank(df13, "src", "dst", "w", 4)
+      .orderBy("node").collect().toSeq
+    assert(a === b)
+  }
+
+  test("checkpointEvery cuts lineage without changing the result") {
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+    val plain = ranks(e, iters = 6)
+    val chk = Graph.pageRank(e.toDF("src", "dst", "w"), "src", "dst", "w",
+        iters = 6, checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain === chk)
+  }
+}
