@@ -1786,6 +1786,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
           countDistinct(col("lang")).as("n_langs"))),
+
+    // --- per-node triangle counts on the repeat-co-purchase graph
+    //     (parts sharing ≥2 orders). Degree orientation caps wedge
+    //     generation at O(m^1.5) — the hub-proof exact algorithm; the
+    //     oracle closes triangles the naive 3-way-join way on the
+    //     same canonical edge set ---
+    "q146_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+        .filter(col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      Graph.triangleCounts(e, "src", "dst")
+    }),
+
+    // --- PMI collocation mining over the corpus bigram tables (the
+    //     multi-word-expression detector that feeds tokenizer vocab
+    //     decisions) ---
+    "q147_pmi" -> ((s, dir) =>
+      LangModel.pmiCollocations(t(s, dir, "documents"), "doc_id", "text",
+        k = 50, minCount = 5)),
+
+    // --- chi-squared label-discriminative terms: exact integer 2×2
+    //     contingency per (term, lang) off one distinct (term, doc)
+    //     stream; label totals broadcast ---
+    "q148_chi2_terms" -> ((s, dir) =>
+      LangModel.chi2Terms(t(s, dir, "documents"), "doc_id", "text",
+        "lang", k = 50, minDocs = 5)),
+
+    // --- leave-one-out target encoding of part key against the
+    //     return flag: the leakage-free categorical mean encoding;
+    //     one agg + one join back, singleton categories → NULL ---
+    "q149_loo_encode" -> ((s, dir) =>
+      Features.looTargetEncode(t(s, dir, "lineitem"), "l_partkey",
+          (col("l_returnflag") === "R").cast("int"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("enc"))),
+
+    // --- pairwise Welch t-tests between event types on the value
+    //     metric: exact decimal moment sums, closed-form t and
+    //     Welch–Satterthwaite dof on the 5-row stats frame ---
+    "q150_welch_ab" -> ((s, dir) =>
+      Features.welchPairs(t(s, dir, "events"), "event_type", "value")),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -2809,6 +2853,115 @@ object SparkEntry {
 
     // shard assign: the md5-prefix hash is replayed verbatim (same
     // portable-hash contract as q65)
+    // triangles: oracle closes x<y<z the naive way on the SAME
+    // canonical edge set; per-node counts via 3-way node union
+    "q146_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS (
+        |  SELECT a.pk AS s, b.pk AS d, COUNT(*) AS w
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |e AS (SELECT s, d FROM e0 WHERE w >= 2),
+        |tri AS (
+        |  SELECT e1.s AS x, e1.d AS y, e2.d AS z
+        |  FROM e e1 JOIN e e2 ON e1.d = e2.s
+        |            JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d),
+        |nodes AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM nodes GROUP BY 1""".stripMargin,
+
+    // PMI: same bigram stream as q143; fixed scalar op order inside
+    // the LN
+    "q147_pmi" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i+1])) AS bigram
+        |  FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tr FROM bg),
+        |c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1),
+        |c1l AS (SELECT split_part(bigram, ' ', 1) AS w1,
+        |               CAST(COUNT(*) AS BIGINT) AS nl FROM bg GROUP BY 1),
+        |c1r AS (SELECT split_part(bigram, ' ', 2) AS w2,
+        |               CAST(COUNT(*) AS BIGINT) AS nr FROM bg GROUP BY 1)
+        |SELECT c2.bigram, c2.n,
+        |       ROUND(LN(CAST(n_tr AS DOUBLE) * c2.n /
+        |                (CAST(nl AS DOUBLE) * nr)), 4) AS pmi
+        |FROM c2 JOIN c1l ON split_part(c2.bigram, ' ', 1) = c1l.w1
+        |        JOIN c1r ON split_part(c2.bigram, ' ', 2) = c1r.w2, tot
+        |WHERE c2.n >= 5
+        |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+
+    // chi2: exact integer contingency; the only float is the final
+    // closed form, mirrored term by term
+    "q148_chi2_terms" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, label, term FROM (
+        |    SELECT doc_id, lang AS label,
+        |           unnest(string_split(text, ' ')) AS term
+        |    FROM documents)),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents),
+        |lt AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_label
+        |       FROM documents GROUP BY 1),
+        |tl AS (SELECT term, label, CAST(COUNT(*) AS BIGINT) AS a
+        |       FROM td GROUP BY 1, 2),
+        |tt AS (SELECT term, CAST(SUM(a) AS BIGINT) AS n_term
+        |       FROM tl GROUP BY 1),
+        |x AS (
+        |  SELECT tl.term, tl.label, a, n_term - a AS b, n_label - a AS c,
+        |         n_all - n_term - n_label + a AS d, n_all
+        |  FROM tl JOIN tt USING (term) JOIN lt USING (label), na
+        |  WHERE n_term >= 5)
+        |SELECT term, label,
+        |       CASE WHEN c + d = 0 OR b + d = 0 THEN 0.0
+        |            ELSE ROUND(CAST(n_all AS DOUBLE) * (a*d - b*c) * (a*d - b*c) /
+        |                 (CAST((a+b)*(c+d) AS DOUBLE) *
+        |                  CAST((a+c)*(b+d) AS DOUBLE)), 4) END AS chi2
+        |FROM x ORDER BY chi2 DESC, term, label LIMIT 50""".stripMargin,
+
+    // LOO encoding: integer sums; singleton categories NULL on both
+    // engines
+    "q149_loo_encode" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t
+        |  FROM lineitem),
+        |s AS (SELECT l_partkey, CAST(SUM(t) AS BIGINT) AS st,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM f GROUP BY 1)
+        |SELECT f.l_orderkey, f.l_linenumber, f.l_partkey,
+        |       CASE WHEN n > 1
+        |            THEN ROUND(CAST(st - t AS DOUBLE) / (n - 1), 6) END AS enc
+        |FROM f JOIN s USING (l_partkey)""".stripMargin,
+
+    // Welch: exact decimal moments per group; scalar double closed
+    // form mirrored op-for-op (se first, then t and dof)
+    "q150_welch_ab" ->
+      """WITH g AS (
+        |  SELECT event_type AS grp, COUNT("value") AS n,
+        |         CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST("value" AS DECIMAL(18,2)) *
+        |                  CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT grp, n, s1 / n AS m,
+        |         (s2 - s1 * s1 / n) / (CAST(n AS DOUBLE) - 1.0) AS v
+        |  FROM g),
+        |p AS (
+        |  SELECT a.grp AS type_a, b.grp AS type_b, a.n AS n_a, b.n AS n_b,
+        |         a.m AS m_a, b.m AS m_b, a.v / a.n AS se_a, b.v / b.n AS se_b
+        |  FROM m a JOIN m b ON a.grp < b.grp)
+        |SELECT type_a, type_b, n_a, n_b,
+        |       ROUND((m_a - m_b) / SQRT(se_a + se_b), 4) AS t_welch,
+        |       ROUND((se_a + se_b) * (se_a + se_b) /
+        |             (se_a * se_a / (CAST(n_a AS DOUBLE) - 1.0) +
+        |              se_b * se_b / (CAST(n_b AS DOUBLE) - 1.0)), 2) AS dof
+        |FROM p""".stripMargin,
+
     "q145_shard_assign" ->
       """WITH s AS (
         |  SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))

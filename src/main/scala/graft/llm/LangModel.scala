@@ -82,6 +82,76 @@ object LangModel {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(k)
 
+  /** Top-`k` collocations by pointwise mutual information:
+    * `pmi(w1,w2) = ln(N·c(w1 w2) / (c(w1·)·c(·w2)))` over transitions
+    * occurring at least `minCount` times — high-PMI pairs are
+    * multi-word expressions ("new york") worth a single tokenizer
+    * unit; near-zero pairs co-occur by chance. Same count tables as
+    * [[bigramNll]] (vocabulary-sized, corpus-sublinear); the total-N
+    * scalar rides a 1-row broadcast cross join. Output:
+    * `(bigram, n, pmi)`.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, minCount: Int = 5): DataFrame = {
+    val bg = bigramStream(docs, idCol, textCol)
+    val tot = bg.agg(count(lit(1)).as("n_tr"))
+    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val c1l = bg.select(substring_index(col("bigram"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("nl"))
+    val c1r = bg.select(substring_index(col("bigram"), " ", -1).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("nr"))
+    c2.filter(col("n") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(c1l, "w1").join(c1r, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("bigram"), col("n"),
+        round(log(col("n_tr").cast("double") * col("n") /
+          (col("nl").cast("double") * col("nr"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(k)
+  }
+
+  /** Top-`k` label-discriminative terms by chi-squared on the 2×2
+    * document-presence contingency (term ∈ doc? × label = L?):
+    * `χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` — the classic
+    * supervised feature-selection / domain-signature score. All
+    * counts are exact integers off one distinct `(term, doc)` stream;
+    * the per-label doc totals are a broadcast dim. Terms must appear
+    * in at least `minDocs` documents. Output:
+    * `(term, label, chi2)`.
+    */
+  def chi2Terms(docs: DataFrame, idCol: String, textCol: String,
+                labelCol: String, k: Int, minDocs: Int = 5): DataFrame = {
+    val td = docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+        explode(split(col(textCol), " ")).as("term"))
+      .select(col("doc_id"), col("label"), col("term")).distinct()
+    val nDocs = docs.agg(count(lit(1)).as("n_all"))
+    val labelTot = docs.select(col(labelCol).as("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val tl = td.groupBy(col("term"), col("label")).agg(count(lit(1)).as("a"))
+    val tTot = tl.groupBy(col("term")).agg(sum(col("a")).as("n_term"))
+    tl.join(tTot, "term").filter(col("n_term") >= minDocs)
+      .join(broadcast(labelTot), "label")
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("label"),
+        col("a"), (col("n_term") - col("a")).as("b"),
+        (col("n_label") - col("a")).as("c"),
+        (col("n_all") - col("n_term") - col("n_label") + col("a")).as("d"),
+        col("n_all"))
+      .select(col("term"), col("label"),
+        // a margin of zero (term in every doc / single label) means
+        // independence by construction: chi2 = 0, and the closed form
+        // would divide 0/0 — guard on the two degenerate margins
+        when(col("c") + col("d") === 0 || col("b") + col("d") === 0, lit(0.0))
+          .otherwise(round(col("n_all").cast("double") *
+            (col("a") * col("d") - col("b") * col("c")) *
+            (col("a") * col("d") - col("b") * col("c")) /
+            (((col("a") + col("b")) * (col("c") + col("d"))).cast("double") *
+              ((col("a") + col("c")) * (col("b") + col("d"))).cast("double")),
+            4)).as("chi2"))
+      .orderBy(col("chi2").desc, col("term"), col("label")).limit(k)
+  }
+
   /** Per-language out-of-vocabulary statistics against the top-`k`
     * corpus vocabulary: document count, mean per-document OOV rate,
     * and corpus-level token coverage. The vocabulary is broadcast —

@@ -57,6 +57,39 @@ class LangModelSpec extends SparkSpec {
     assert(out("de") === ((2L, 0.5, 0.8)))
   }
 
+  test("pmiCollocations: a perfect collocation outranks chance pairs") {
+    // "x y" always co-occur; fillers a/b/c transition randomly-ish
+    val corpus = Seq(
+      (1L, "x y a b c x y a b c x y", "en"),
+      (2L, "b a x y c b a x y c b a", "en"),
+      (3L, "c b a x y b c a x y b c", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = LangModel.pmiCollocations(corpus, "doc_id", "text",
+      k = 3, minCount = 2).collect()
+    assert(out.head.getString(0) === "x y")
+    // pmi of the deterministic pair: every x is followed by y and
+    // every y-predecessor is x → pmi = ln(N / n(x y)) > 0
+    assert(out.head.getDouble(2) > 0.0)
+  }
+
+  test("chi2Terms: label-exclusive term scores high, universal term zero") {
+    val corpus = Seq(
+      (1L, "alpha shared", "en"), (2L, "alpha shared", "en"),
+      (3L, "alpha shared", "en"), (4L, "beta shared", "de"),
+      (5L, "beta shared", "de"), (6L, "beta shared", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = LangModel.chi2Terms(corpus, "doc_id", "text", "lang",
+        k = 10, minDocs = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // alpha ∈ all en, no de: perfect 2x2 → chi2 = N = 6
+    assert(out(("alpha", "en")) === 6.0)
+    assert(out(("beta", "de")) === 6.0)
+    // shared ∈ every doc → independence → 0
+    assert(out(("shared", "en")) === 0.0)
+    assert(out(("shared", "de")) === 0.0)
+  }
+
   test("shardAssign is stable, in-range, and repartition-invariant") {
     val base = Sampling.shardAssign(docs, "doc_id", 8)
       .select("doc_id", "shard").as[(Long, Int)].collect().toMap
