@@ -47,8 +47,12 @@ object Graph {
                wCol: String, iters: Int, damping: Double = 0.85,
                outDigits: Int = 8, checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // The edge list is consumed once per iteration plus by the
+    // degree/node prep — materialize it ONCE (upstream edge
+    // construction is often a join/aggregation that would otherwise
+    // re-run every time the lazy plan is referenced)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("long").as("w"))
+      col(wCol).cast("long").as("w")).localCheckpoint()
     val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -78,6 +82,37 @@ object Graph {
     ranks.select(col("node"), round(col("r"), outDigits).as("rank"))
   }
 
+  /** Degree-capped sparsification of a weighted undirected graph:
+    * every node keeps its `maxDegree` strongest incident edges
+    * (weight desc, neighbor id tiebreak) and an edge survives if
+    * EITHER endpoint keeps it — the standard kNN-graph union. Output
+    * is the canonical `(a < b)` edge set.
+    *
+    * Why this exists: any absolute edge filter (weight ≥ T) densifies
+    * as the corpus grows — repeated/duplicated data inflates every
+    * co-occurrence weight past the threshold, degrees grow linearly
+    * with scale, and downstream wedge/pair work grows QUADRATICALLY
+    * (measured 22× at a 10× scale smoke before this cap existed).
+    * A per-node cap makes downstream cost a contract: at most
+    * `n · maxDegree` edges and `n · maxDegree²` wedges, whatever the
+    * data does. One shuffle (the per-node rank window).
+    */
+  def sparsifyByDegree(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, maxDegree: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col(srcCol).as("s"), col(dstCol).as("d"),
+        col(wCol).as("w"))
+      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d"),
+        col(wCol).as("w")))
+    val rank = Window.partitionBy(col("s"))
+      .orderBy(col("w").desc, col("d").asc)
+    sym.withColumn("_rn", row_number().over(rank))
+      .filter(col("_rn") <= maxDegree)
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+  }
+
   /** Per-node triangle counts over an undirected graph given as an
     * edge list (either orientation, duplicates tolerated).
     *
@@ -92,11 +127,13 @@ object Graph {
     * driver.
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // canonical undirected edge set (a < b), deduped
+    // canonical undirected edge set (a < b), deduped — materialized
+    // once: it feeds degree counting, orientation, and the wedge
+    // close, and its upstream construction should not re-run 3×
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

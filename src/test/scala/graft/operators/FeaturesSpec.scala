@@ -31,6 +31,31 @@ class FeaturesSpec extends SparkSpec {
     assert(r === Map(0L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("sparsifyByDegree keeps each node's strongest edges (union semantics)") {
+    // hub 0 with weights 5,4,3,2,1 to nodes 1..5; cap 2 — hub keeps
+    // (0,1),(0,2) but every leaf keeps its only edge, so ALL survive
+    // via the union rule except none are dropped; with leaf-leaf
+    // edges below rank the hub's cap actually binds
+    val e = Seq((0L, 1L, 5L), (0L, 2L, 4L), (0L, 3L, 3L), (0L, 4L, 2L),
+      (0L, 5L, 1L)).toDF("s", "d", "w")
+    val kept = Graph.sparsifyByDegree(e, "s", "d", "w", maxDegree = 2)
+      .as[(Long, Long)].collect().toSet
+    // leaves keep their single incident edge regardless of hub rank
+    assert(kept === Set((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L)))
+    // without leaf-side retention (cap on hub only) it would be 2 —
+    // now drop leaf edges by giving each leaf a better alternative
+    val e2 = e.union(Seq((1L, 2L, 9L), (3L, 4L, 9L), (3L, 5L, 8L),
+      (4L, 5L, 8L), (1L, 3L, 7L), (2L, 4L, 7L), (2L, 5L, 6L), (1L, 4L, 6L),
+      (1L, 5L, 6L), (2L, 3L, 6L)).toDF("s", "d", "w"))
+    val kept2 = Graph.sparsifyByDegree(e2, "s", "d", "w", maxDegree = 2)
+      .as[(Long, Long)].collect().toSet
+    // every leaf now has two ≥6-weight edges outranking its hub edge;
+    // the hub keeps only its top-2 → exactly (0,1),(0,2) survive from
+    // the star
+    assert(kept2.filter(_._1 == 0L) === Set((0L, 1L), (0L, 2L)))
+    assert(kept2.forall { case (a, b) => a < b })
+  }
+
   test("looTargetEncode excludes the row's own target; singletons NULL") {
     val df = Seq(
       ("a", 1), ("a", 0), ("a", 1),   // sums: 2 of 3
@@ -44,6 +69,49 @@ class FeaturesSpec extends SparkSpec {
     assert(a1.forall(_.getDouble(2) === 0.5))
     assert(a0.forall(_.getDouble(2) === 1.0))
     assert(out.filter(_.getString(0) == "b").forall(_.isNullAt(2)))
+  }
+
+  test("cuped: perfectly correlated covariate removes ~all variance; constant covariate none") {
+    // y = 2x exactly → theta = 2, var_adj = 0, reduction = 0
+    val u1 = (1 to 40).map(i => ("a", i.toDouble, 2.0 * i))
+    val out1 = Features.cuped(u1.toDF("g", "pre", "post"), "g", "pre", "post")
+      .collect().head
+    assert(math.abs(out1.getDouble(2) - 2.0) < 1e-9)   // theta
+    assert(math.abs(out1.getDouble(4)) < 1e-9)         // var_adj
+    assert(math.abs(out1.getDouble(5)) < 1e-9)         // reduction
+    // independent x (alternating) ≈ no reduction: reduction near 1
+    val u2 = (1 to 40).map(i => ("a", (i % 2).toDouble, i.toDouble))
+    val out2 = Features.cuped(u2.toDF("g", "pre", "post"), "g", "pre", "post")
+      .collect().head
+    assert(out2.getDouble(5) > 0.95)
+  }
+
+  test("weightedMedian: weights shift the cut; exact boundary picks lower value") {
+    val df = Seq(
+      ("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 5L), ("g", 3.0, 3L),
+      ("h", 1.0, 2L), ("h", 1.0, 3L), ("h", 9.0, 5L) // tie at half: lower
+    ).toDF("grp", "v", "w")
+    val out = Features.weightedMedian(df, "grp", "v", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("g") === 3.0)  // cum 1,2,10 vs tot 10 → first 2*cum>=10 is 3.0
+    assert(out("h") === 1.0)  // 2*5 >= 10 already at the first row
+  }
+
+  test("countConcentration: uniform keys → gini 0; all-in-one-key → near 1") {
+    val uniform = (1 to 100).map(i => ("k" + i))
+    val out1 = Features.countConcentration(uniform.toDF("k"), "k")
+      .collect().head
+    assert(out1.getLong(0) === 100L && out1.getLong(1) === 100L)
+    assert(out1.getDouble(2) === 0.0)
+    assert(out1.getDouble(3) === 0.01)
+    // 901 rows on one key + 99 singletons: heavy concentration
+    val skew = Seq.fill(901)("hot") ++ (1 to 99).map("k" + _)
+    val out2 = Features.countConcentration(skew.toDF("k"), "k")
+      .collect().head
+    assert(out2.getLong(0) === 100L && out2.getLong(1) === 1000L)
+    assert(out2.getDouble(2) > 0.85)
+    assert(out2.getDouble(3) === 0.901)
+    assert(out2.getDouble(4) === 0.91)  // hot + 9 singletons
   }
 
   test("welchPairs: identical groups give t=0; known case matches closed form") {
