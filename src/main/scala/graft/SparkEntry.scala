@@ -1876,6 +1876,36 @@ object SparkEntry {
     //     so no global per-key ranking exists anywhere in the plan ---
     "q154_skew_report" -> ((s, dir) =>
       Features.countConcentration(t(s, dir, "events"), "user_id")),
+
+    // --- last-touch attribution: purchases credited to the latest
+    //     prior click/view within 1 h — one ignore-nulls window pass
+    //     per user, no conversion×history self-join ---
+    "q155_attribution" -> ((s, dir) => {
+      val conv = Attribution.lastTouch(t(s, dir, "events"),
+        Seq("click", "view"), "purchase", lookbackS = 3600L)
+      conv.groupBy(coalesce(col("attr_type"), lit("unattributed"))
+          .as("attr_type"))
+        .agg(count(lit(1)).as("n_conv"),
+          Det.sumRounded(col("value"), 2).as("sum_value"),
+          when(count(col("attr_age_s")) > 0,
+            round(sum(col("attr_age_s")).cast("double") /
+              count(col("attr_age_s")), 2)).as("avg_age_s"))
+    }),
+
+    // --- association rules (market-basket): directed part pairs with
+    //     support ≥ 3 orders, confidence and lift from exact counts,
+    //     top-25 by lift ---
+    "q156_assoc_rules" -> ((s, dir) =>
+      Features.assocRules(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 3L, k = 25)),
+
+    // --- robust outlier report per event type: exact median + MAD
+    //     via the per-(group, value) histogram (nothing floats until
+    //     the cut multiply), |x−med| > 3·MAD ---
+    "q157_mad_outliers" -> ((s, dir) =>
+      Features.madOutliers(t(s, dir, "events"), "event_type", "value",
+        cut = 3.0)),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -3138,6 +3168,95 @@ object SparkEntry {
         |       ROUND(CAST(top1 AS DOUBLE) / total, 6) AS top1_share,
         |       ROUND(CAST(top10 AS DOUBLE) / total, 6) AS top10_share
         |FROM k""".stripMargin,
+
+    // attribution: ignore-nulls last_value over the same total
+    // ordering (ts, event_id); lookback gate and age in exact seconds
+    "q155_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, "value",
+        |         epoch_us(ts) // 1000000 AS ts_s
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, event_type, "value", ts_s,
+        |         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN ts_s END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS attr_ts,
+        |         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS attr_type_raw
+        |  FROM ev),
+        |c AS (
+        |  SELECT COALESCE(CASE WHEN attr_ts >= ts_s - 3600
+        |                       THEN attr_type_raw END,
+        |                  'unattributed') AS attr_type,
+        |         "value",
+        |         CASE WHEN attr_ts >= ts_s - 3600
+        |              THEN ts_s - attr_ts END AS age
+        |  FROM a WHERE event_type = 'purchase')
+        |SELECT attr_type, CAST(COUNT(*) AS BIGINT) AS n_conv,
+        |       ROUND(CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |         AS sum_value,
+        |       CASE WHEN COUNT(age) > 0
+        |            THEN ROUND(CAST(SUM(age) AS DOUBLE) / COUNT(age), 2)
+        |       END AS avg_age_s
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // association rules: exact distinct-basket counts; the oracle
+    // recomputes N itself so both sides scale the lift identically
+    "q156_assoc_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM bi),
+        |supp AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS s FROM bi GROUP BY 1),
+        |p AS (
+        |  SELECT a.it AS ante, b.it AS cons, CAST(COUNT(*) AS BIGINT)
+        |         AS supp_ab
+        |  FROM bi a JOIN bi b ON a.bk = b.bk AND a.it <> b.it
+        |  GROUP BY 1, 2),
+        |f AS (SELECT ante, cons, supp_ab FROM p WHERE supp_ab >= 3)
+        |SELECT ante, cons, supp_ab,
+        |       ROUND(CAST(supp_ab AS DOUBLE) / sa.s, 6) AS confidence,
+        |       ROUND(CAST(nb AS DOUBLE) * supp_ab /
+        |             CAST(sa.s * sc.s AS DOUBLE), 6) AS lift
+        |FROM f JOIN supp sa ON f.ante = sa.it
+        |       JOIN supp sc ON f.cons = sc.it, n
+        |ORDER BY lift DESC, ante, cons LIMIT 25""".stripMargin,
+
+    // MAD outliers: two histogram-median passes (same shape as q153);
+    // the only float op is the final 3·MAD cut, mirrored as a DOUBLE
+    "q157_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type AS grp, CAST("value" AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |pv AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS w
+        |       FROM b GROUP BY 1, 2),
+        |c AS (SELECT grp, v, SUM(w) OVER (PARTITION BY grp ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM pv),
+        |t AS (SELECT grp, CAST(SUM(w) AS BIGINT) AS tot FROM pv GROUP BY 1),
+        |med AS (SELECT c.grp, MIN(v) AS med FROM c JOIN t USING (grp)
+        |        WHERE cum * 2 >= tot GROUP BY 1),
+        |d AS (SELECT b.grp, ABS(v - med) AS v FROM b JOIN med USING (grp)),
+        |pv2 AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS w
+        |        FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT grp, v, SUM(w) OVER (PARTITION BY grp ORDER BY v
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM pv2),
+        |t2 AS (SELECT grp, CAST(SUM(w) AS BIGINT) AS tot FROM pv2 GROUP BY 1),
+        |mad AS (SELECT c2.grp, MIN(v) AS mad FROM c2 JOIN t2 USING (grp)
+        |        WHERE cum * 2 >= tot GROUP BY 1)
+        |SELECT b.grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MIN(med.med) AS DOUBLE) AS med,
+        |       CAST(MIN(mad.mad) AS DOUBLE) AS mad,
+        |       CAST(SUM(CASE WHEN ABS(v - med.med) >
+        |                          CAST(3.0 AS DOUBLE) * mad.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM b JOIN med USING (grp) JOIN mad USING (grp)
+        |GROUP BY 1""".stripMargin,
 
     "q145_shard_assign" ->
       """WITH s AS (

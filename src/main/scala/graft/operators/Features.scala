@@ -152,6 +152,85 @@ object Features {
       round(col("top10").cast("double") / col("total"), 6).as("top10_share"))
   }
 
+  /** Association rules over co-occurrence pairs: for every directed
+    * pair (a → b) with support ≥ `minSupport` baskets, confidence
+    * `supp(ab)/supp(a)` and lift `N·supp(ab)/(supp(a)·supp(b))`. The
+    * pair table comes from a basket self-join bounded by basket width;
+    * item supports are one hash aggregation joined back on each side
+    * (broadcast-sized next to the pair table). All counts exact
+    * integers; confidence/lift are final scalar divisions. Output:
+    * `(ante, cons, supp_ab, confidence, lift)` — top `k` by lift.
+    */
+  def assocRules(baskets: DataFrame, basketCol: String, itemCol: String,
+                 minSupport: Long, k: Int): DataFrame = {
+    val bi = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val nBaskets = bi.select(col("bk")).distinct().count()
+    val supp = bi.groupBy(col("it")).agg(count(lit(1)).as("supp"))
+    val pairs = bi.toDF("bk", "ante").join(bi.toDF("bk", "cons"), "bk")
+      .filter(col("ante") =!= col("cons"))
+      .groupBy(col("ante"), col("cons")).agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minSupport)
+    pairs
+      .join(supp.toDF("ante", "supp_a"), "ante")
+      .join(supp.toDF("cons", "supp_c"), "cons")
+      .select(col("ante"), col("cons"), col("supp_ab"),
+        round(col("supp_ab").cast("double") / col("supp_a"), 6)
+          .as("confidence"),
+        round(lit(nBaskets.toDouble) * col("supp_ab") /
+          (col("supp_a") * col("supp_c")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("ante"), col("cons")).limit(k)
+  }
+
+  /** Per-group robust location/scale and outlier count: exact median
+    * and MAD (median absolute deviation) via the same per-(group,
+    * value) histogram technique as [[weightedMedian]] — two histogram
+    * passes, never a per-row global sort. A value is an outlier when
+    * `|x − med| > cut · MAD` (cut ≈ 3.5/0.6745 for the usual modified
+    * z-score threshold — passed explicitly to keep every constant in
+    * the plan). Inputs with ≤2 fractional digits stay EXACT through
+    * the |x − med| arithmetic, so both medians and the outlier count
+    * are integers/2-digit decimals — nothing floating anywhere.
+    * Output: `(group, n, med, mad, n_outliers)`.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  cut: Double): DataFrame = {
+    val vd = col(valueCol).cast(DecimalType(18, 2))
+    // consumed 3× (median, deviations, final outlier agg) — shuffle
+    // to full parallelism on (grp, v) ONCE and materialize: the
+    // histogram groupBy reuses the partitioning, and a single-file
+    // input no longer serializes every downstream pass
+    val base = df.select(col(groupCol).as("grp"), vd.as("v"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("grp"), col("v"))
+      .localCheckpoint()
+    def medianOf(values: DataFrame): DataFrame = {
+      val pv = values.groupBy(col("grp"), col("v"))
+        .agg(count(lit(1)).as("_w"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("v").asc)
+      val cum = pv.withColumn("_cum",
+        sum(col("_w")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val tot = pv.groupBy(col("grp")).agg(sum(col("_w")).as("_tot"))
+      cum.join(tot, "grp").filter(col("_cum") * 2 >= col("_tot"))
+        .groupBy(col("grp")).agg(min(col("v")).as("med"))
+    }
+    // med/mad are group-cardinality frames — broadcast them, or the
+    // equi-join on grp re-exchanges the fact side into as many
+    // partitions as there are groups (one task streamed 5M rows in
+    // the 10× smoke)
+    val med = medianOf(base)
+    val dev = base.join(broadcast(med), "grp")
+      .select(col("grp"), abs(col("v") - col("med")).as("v"))
+    val mad = medianOf(dev).withColumnRenamed("med", "mad")
+    base.join(broadcast(med), "grp").join(broadcast(mad), "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).cast("double").as("med"),
+        min(col("mad")).cast("double").as("mad"),
+        sum(when(abs(col("v") - col("med")) > lit(cut) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Pairwise Welch t-tests between all group pairs (a < b) of
     * `valueCol` (≤2 fractional digits): the unequal-variance A/B test.
     * Per-group moments are EXACT decimal sums (one aggregation, any

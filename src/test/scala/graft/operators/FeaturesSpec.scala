@@ -114,6 +114,41 @@ class FeaturesSpec extends SparkSpec {
     assert(out2.getDouble(4) === 0.91)  // hot + 9 singletons
   }
 
+  test("assocRules: confidence and lift from exact basket counts") {
+    // 4 baskets: {a,b} ×3, {a,c} ×1 → supp(a)=4, supp(b)=3, supp(c)=1
+    val bi = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (4L, "a"), (4L, "c")).toDF("bk", "it")
+    val out = Features.assocRules(bi, "bk", "it", minSupport = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // b→a: supp 3, conf 3/3 = 1, lift 4·3/(3·4) = 1
+    assert(out(("b", "a")) === ((3L, 1.0, 1.0)))
+    // a→b: conf 3/4 = 0.75, lift 4·3/(4·3) = 1
+    assert(out(("a", "b")) === ((3L, 0.75, 1.0)))
+    // c→a: conf 1, lift 4·1/(1·4) = 1 ; a→c: conf 0.25
+    assert(out(("a", "c"))._2 === 0.25)
+    // duplicate items in one basket must not inflate support
+    val dup = bi.union(Seq((1L, "a")).toDF("bk", "it"))
+    val out2 = Features.assocRules(dup, "bk", "it", 1L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out2(("a", "b")) === 3L)
+  }
+
+  test("madOutliers: known median/MAD; a far point is flagged") {
+    // group g: values 1..9 plus outlier 100 → med 5 (lower-of-even
+    // via 2·cum ≥ tot on 10 values → 5), deviations |x−5|:
+    // 0,1,1,2,2,3,3,4,4,95 → mad = lower median = 2
+    val df = ((1 to 9).map(i => ("g", i.toDouble)) :+ (("g", 100.0)))
+      .toDF("grp", "value")
+    val out = Features.madOutliers(df, "grp", "value", cut = 3.0).collect()
+    val r = out.head
+    assert(r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 5.0)
+    assert(r.getDouble(3) === 2.0)
+    assert(r.getLong(4) === 1L)   // only 100 exceeds 5 ± 6
+  }
+
   test("welchPairs: identical groups give t=0; known case matches closed form") {
     val df = Seq.tabulate(20)(i => ("a", (i % 5 + 1).toDouble)) ++
       Seq.tabulate(20)(i => ("b", (i % 5 + 1).toDouble)) ++
