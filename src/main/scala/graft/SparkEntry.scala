@@ -1906,6 +1906,17 @@ object SparkEntry {
     "q157_mad_outliers" -> ((s, dir) =>
       Features.madOutliers(t(s, dir, "events"), "event_type", "value",
         cut = 3.0)),
+
+    // --- temperature (α = 0.5) source re-weighting to half the
+    //     corpus: per-source √n rates (decimal-exact normalizer),
+    //     content-hash membership, rates broadcast — the corpus never
+    //     shuffles ---
+    "q158_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMixHalf(t(s, dir, "documents"), "source",
+          "doc_id", targetFraction = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(min(col("rate")), 6).as("rate"))),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -3257,6 +3268,32 @@ object SparkEntry {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM b JOIN med USING (grp) JOIN mad USING (grp)
         |GROUP BY 1""".stripMargin,
+
+    // temperature mix: rate = min(1, T·p_s/n_s), p_s ∝ round(√n, 6)
+    // with a decimal-exact normalizer; membership replays the md5 draw
+    "q158_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(n_src) AS BIGINT) AS n_all,
+        |         CAST(SUM(CAST(ROUND(SQRT(n_src), 6) AS DECIMAL(18,6)))
+        |              AS DOUBLE) AS sum_sq
+        |  FROM c),
+        |r AS (
+        |  SELECT source,
+        |         LEAST(CAST(1.0 AS DOUBLE),
+        |               CAST(0.5 AS DOUBLE) * n_all *
+        |               (ROUND(SQRT(n_src), 6) / sum_sq) / n_src) AS rate
+        |  FROM c, t),
+        |k AS (
+        |  SELECT d.source, r.rate
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             AS BIGINT) / 4294967296.0 < r.rate)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       ROUND(MIN(rate), 6) AS rate
+        |FROM k GROUP BY 1""".stripMargin,
 
     "q145_shard_assign" ->
       """WITH s AS (

@@ -133,6 +133,41 @@ object Sampling {
         .otherwise(array())))
   }
 
+  /** Temperature-based source re-weighting (the T5/Llama data-mixing
+    * rule): source s is sampled with probability ∝ n_s^α, flattening
+    * the natural size distribution toward uniform as α → 0, so small
+    * high-quality sources are not drowned by the largest crawl. Each
+    * source's keep-rate is `min(1, T·p_s/n_s)` for a target corpus
+    * size `T = targetFraction·N`; membership is then the usual
+    * content-hash draw — reproducible and engine-replayable.
+    *
+    * Determinism: per-source √n are rounded to 6 digits and summed in
+    * DECIMAL (a 20-source double sum would already be order-dependent);
+    * every remaining step is a fixed-order scalar on per-source rows.
+    * The rates frame is group-cardinality — broadcast back onto the
+    * corpus, which never shuffles. Returns the kept rows with their
+    * per-source `rate` attached. Only α = 0.5 is exposed (IEEE sqrt is
+    * correctly rounded on every engine; pow(x, α) is not).
+    */
+  def temperatureMixHalf(df: DataFrame, sourceCol: String, keyCol: String,
+                         targetFraction: Double,
+                         salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_src"))
+    val tot = counts.agg(
+      sum(col("n_src")).as("n_all"),
+      sum(round(sqrt(col("n_src")), 6).cast(DecimalType(18, 6)))
+        .cast("double").as("sum_sq"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        least(lit(1.0),
+          lit(targetFraction) * col("n_all") *
+            (round(sqrt(col("n_src")), 6) / col("sum_sq")) / col("n_src"))
+          .as("rate"))
+    df.join(broadcast(rates), sourceCol)
+      .filter(hashDraw(col(keyCol), salt) < col("rate"))
+  }
+
   /** Deterministic shard assignment: shard i of n by a content-hash of
     * the key, so a document lands on the same training shard across
     * runs, engines, and corpus versions (the writing face of

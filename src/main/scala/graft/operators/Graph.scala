@@ -43,10 +43,33 @@ object Graph {
     * closed-form. Output: `(node, rank)` with rank rounded to
     * `outDigits`.
     */
-  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               wCol: String, iters: Int, damping: Double = 0.85,
-               outDigits: Int = 8, checkpointEvery: Int = 5): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
+  /** Shared power-iteration state: checkpointed edge list, out-degree
+    * totals, node frame, and the literal damping base.
+    */
+  private final case class PrState(e: DataFrame, outDeg: DataFrame,
+                                   nodes: DataFrame, base: Double,
+                                   damping: Double, nNodes: Long) {
+    /** One synchronous PageRank round over `ranks(node, r)`. */
+    def step(ranks: DataFrame): DataFrame = {
+      val contrib = e
+        .join(outDeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          // scalar double ops in a fixed order, then rounded: the
+          // only nondeterministic step (the SUM) runs in decimal
+          round(col("r") * col("w") / col("wout"), 12)
+            .cast(DecimalType(38, 12)).as("c"))
+      val next = contrib.groupBy(col("node"))
+        .agg(round(lit(base) +
+          lit(damping) * sum(col("c")).cast("double"), 12).as("r"))
+      nodes.join(next, Seq("node"), "left")
+        .select(col("node"), coalesce(col("r"), round(lit(base), 12)).as("r"))
+    }
+    def init: DataFrame = nodes.withColumn("r", lit(1.0 / nNodes))
+  }
+
+  private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+                      wCol: String, damping: Double): PrState = {
     // The edge list is consumed once per iteration plus by the
     // degree/node prep — materialize it ONCE (upstream edge
     // construction is often a join/aggregation that would otherwise
@@ -59,27 +82,50 @@ object Graph {
     // One tiny driver action: N. The per-round base (1-d)/N is then a
     // literal, so both engines evaluate the same two IEEE ops.
     val nNodes = nodes.count()
-    val base = (1.0 - damping) / nNodes
+    PrState(e, outDeg, nodes, (1.0 - damping) / nNodes, damping, nNodes)
+  }
 
-    var ranks = nodes.withColumn("r", lit(1.0 / nNodes))
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               wCol: String, iters: Int, damping: Double = 0.85,
+               outDigits: Int = 8, checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val st = prepare(edges, srcCol, dstCol, wCol, damping)
+    var ranks = st.init
     for (i <- 1 to iters) {
-      val contrib = e
-        .join(outDeg, "src")
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"),
-          // scalar double ops in a fixed order, then rounded: the
-          // only nondeterministic step (the SUM) runs in decimal
-          round(col("r") * col("w") / col("wout"), 12)
-            .cast(DecimalType(38, 12)).as("c"))
-      val next = contrib.groupBy(col("node"))
-        .agg(round(lit(base) +
-          lit(damping) * sum(col("c")).cast("double"), 12).as("r"))
-      ranks = nodes.join(next, Seq("node"), "left")
-        .select(col("node"), coalesce(col("r"), round(lit(base), 12)).as("r"))
+      ranks = st.step(ranks)
       if (i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), round(col("r"), outDigits).as("rank"))
+  }
+
+  /** PageRank iterated to a fixed point: rounds run until the max
+    * per-node rank change drops below `tol` (one tiny driver action
+    * per round — the convergence check IS the loop condition, the
+    * same driver-loop shape as `Dedup.dupClusters`). Every round is
+    * localCheckpointed, so the plan stays one-round deep no matter
+    * how many rounds the graph needs. Returns
+    * `(node, rank, n_iters)` with the round count attached for
+    * observability.
+    */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                        wCol: String, tol: Double = 1e-9,
+                        maxIters: Int = 50, damping: Double = 0.85,
+                        outDigits: Int = 8): DataFrame = {
+    require(tol > 0 && maxIters >= 1, "need tol > 0 and maxIters >= 1")
+    val st = prepare(edges, srcCol, dstCol, wCol, damping)
+    var ranks = st.init.localCheckpoint()
+    var iters = 0
+    var delta = Double.MaxValue
+    while (delta >= tol && iters < maxIters) {
+      val next = st.step(ranks).localCheckpoint()
+      delta = next.join(ranks.withColumnRenamed("r", "r0"), "node")
+        .agg(max(abs(col("r") - col("r0")))).head().getDouble(0)
+      ranks = next
+      iters += 1
+    }
+    ranks.select(col("node"), round(col("r"), outDigits).as("rank"),
+      lit(iters).as("n_iters"))
   }
 
   /** Degree-capped sparsification of a weighted undirected graph:

@@ -128,6 +128,34 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(a("val") - 1000L) < 150 && math.abs(a("test") - 1000L) < 150)
   }
 
+  test("temperatureMixHalf flattens toward small sources and is invariant") {
+    // 3 sources of very different sizes: α = 0.5 keeps a LARGER
+    // fraction of small sources than of big ones
+    // sizes 6400/1600/400 → rates 0.375 / 0.75 / 1.5-clamped-to-1
+    val docs = ((1 to 6400).map(i => (i.toLong, "big")) ++
+      (6401 to 8000).map(i => (i.toLong, "mid")) ++
+      (8001 to 8400).map(i => (i.toLong, "tiny")))
+      .toDF("doc_id", "source")
+    val kept = Sampling.temperatureMixHalf(docs, "source", "doc_id", 0.5)
+    val rates = kept.groupBy("source")
+      .agg(org.apache.spark.sql.functions.min("rate"))
+      .as[(String, Double)].collect().toMap
+    // rate ∝ √n/n = 1/√n → smaller sources keep a larger fraction
+    assert(rates("tiny") === 1.0)   // target exceeds the source: clamp
+    assert(math.abs(rates("mid") - 0.75) < 1e-6)
+    assert(math.abs(rates("big") - 0.375) < 1e-6)
+    // tiny kept whole; the rest ≈ rate·n (hash-draw tolerance)
+    val perSrc = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perSrc("tiny") === 400L)
+    assert(math.abs(perSrc("mid") - 1200L) < 120, perSrc.toString)
+    assert(math.abs(perSrc("big") - 2400L) < 200, perSrc.toString)
+    // repartition-invariant membership
+    val n2 = Sampling.temperatureMixHalf(docs.repartition(13), "source",
+      "doc_id", 0.5).count()
+    assert(n2 === kept.count())
+  }
+
   test("redactPii counts and masks emails and phones") {
     val docs = Seq(
       (1L, "write to alice.smith+x@corp.example.org or call 555-123-4567 now"),

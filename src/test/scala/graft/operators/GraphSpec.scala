@@ -52,6 +52,30 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("pageRankConverged reaches the fixed point and reports rounds") {
+    // 3-cycle: fixed point is uniform 1/3 from the uniform start —
+    // converges immediately (delta 0 after one round)
+    val cyc = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+    val c = Graph.pageRankConverged(cyc.toDF("src", "dst", "w"),
+      "src", "dst", "w", tol = 1e-9, maxIters = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2))))
+      .toMap
+    assert(c.values.forall { case (r, _) => math.abs(r - 1.0 / 3) < 1e-8 })
+    assert(c.values.head._2 === 1)
+    // asymmetric graph: converged ranks ≈ a long fixed-iteration run,
+    // and more rounds than the cycle
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L),
+      (2L, 3L, 2L))
+    val conv = Graph.pageRankConverged(e.toDF("src", "dst", "w"),
+      "src", "dst", "w", tol = 1e-10, maxIters = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fixed = Graph.pageRank(e.toDF("src", "dst", "w"),
+      "src", "dst", "w", iters = 60, checkpointEvery = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(conv.keySet === fixed.keySet)
+    assert(conv.forall { case (k, v) => math.abs(v - fixed(k)) < 1e-7 })
+  }
+
   test("checkpointEvery cuts lineage without changing the result") {
     val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
     val plain = ranks(e, iters = 6)
