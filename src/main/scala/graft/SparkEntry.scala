@@ -1917,6 +1917,30 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           round(min(col("rate")), 6).as("rate"))),
+
+    // --- salted exact distinct: 5 hot keys × millions of rows is the
+    //     case where per-key COUNT(DISTINCT) serializes on 5 reducers;
+    //     salting on the hash of the DISTINCT VALUE partitions each
+    //     key's value domain, so per-salt counts add exactly — output
+    //     pinned equal to the plain COUNT(DISTINCT) by the oracle ---
+    "q160_salted_distinct" -> ((s, dir) =>
+      graft.operators.Skew.saltedDistinct(t(s, dir, "events"),
+        "event_type", "user_id", saltFactor = 16)),
+
+    // --- HITS authorities over the bipartite customer→part purchase
+    //     graph (2 rounds, L1-normalized): the rank cut orders on the
+    //     ROUNDED score + id so the top-30 is engine-identical ---
+    "q159_hits" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+          "o_orderkey")
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      val (_, auth) = Graph.hits(e, "cust", "part", iters = 2)
+      auth.select(col("id").as("part"), round(col("a"), 8).as("authority"))
+        .orderBy(col("authority").desc, col("part")).limit(30)
+    }),
   )
 
   /** Fixed marker profiles for q50 (first-wins tie order). Profile
@@ -3294,6 +3318,47 @@ object SparkEntry {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |       ROUND(MIN(rate), 6) AS rate
         |FROM k GROUP BY 1""".stripMargin,
+
+    // salted distinct: the oracle is the PLAIN count-distinct — the
+    // salting must be output-invisible
+    "q160_salted_distinct" ->
+      """SELECT event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // HITS: 2 rounds = 4 half-steps unrolled; round-12 scores into
+    // DECIMAL(38,12) sums, L1 normalizer as a 1-row cross join
+    "q159_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS h FROM e),
+        |a1r AS (
+        |  SELECT e.dst AS id,
+        |         SUM(CAST(ROUND(h0.h, 12) AS DECIMAL(38,12))) AS raw
+        |  FROM e JOIN h0 ON e.src = h0.id GROUP BY 1),
+        |a1 AS (
+        |  SELECT id, ROUND(CAST(raw AS DOUBLE) / CAST(n.nrm AS DOUBLE), 12)
+        |         AS a
+        |  FROM a1r, (SELECT SUM(raw) AS nrm FROM a1r) n),
+        |h1r AS (
+        |  SELECT e.src AS id,
+        |         SUM(CAST(ROUND(a1.a, 12) AS DECIMAL(38,12))) AS raw
+        |  FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1),
+        |h1 AS (
+        |  SELECT id, ROUND(CAST(raw AS DOUBLE) / CAST(n.nrm AS DOUBLE), 12)
+        |         AS h
+        |  FROM h1r, (SELECT SUM(raw) AS nrm FROM h1r) n),
+        |a2r AS (
+        |  SELECT e.dst AS id,
+        |         SUM(CAST(ROUND(h1.h, 12) AS DECIMAL(38,12))) AS raw
+        |  FROM e JOIN h1 ON e.src = h1.id GROUP BY 1),
+        |a2 AS (
+        |  SELECT id, ROUND(CAST(raw AS DOUBLE) / CAST(n.nrm AS DOUBLE), 12)
+        |         AS a
+        |  FROM a2r, (SELECT SUM(raw) AS nrm FROM a2r) n)
+        |SELECT id AS part, ROUND(a, 8) AS authority FROM a2
+        |ORDER BY authority DESC, part LIMIT 30""".stripMargin,
 
     "q145_shard_assign" ->
       """WITH s AS (

@@ -37,4 +37,26 @@ object Skew {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     f.join(d, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Exact COUNT(DISTINCT v) per hot key without a per-key reducer
+    * bottleneck: salt on a hash OF THE DISTINCT VALUE, so the salt
+    * PARTITIONS each key's value domain — per-(key, salt) distinct
+    * sets are disjoint and their counts ADD exactly. (Salting on the
+    * row, as a join would, is WRONG here: the same value lands in
+    * several salts and the sum over-counts.) Stage 1 spreads every
+    * key over `saltFactor` reducers; stage 2 merges `saltFactor`
+    * longs per key. Count-distinct is the aggregate that needs this:
+    * sums/counts already combine map-side, but distinct sets cannot
+    * partially combine across arbitrary row splits.
+    */
+  def saltedDistinct(df: DataFrame, keyCol: String, valueCol: String,
+                     saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    df.select(col(keyCol), col(valueCol),
+        pmod(hash(col(valueCol)), lit(saltFactor)).as("_salt"))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(countDistinct(col(valueCol)).as("_d"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_d")).as("n_distinct"))
+  }
 }

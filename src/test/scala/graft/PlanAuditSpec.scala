@@ -94,4 +94,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Expand"), p.take(2000))
     assert(!p.contains("Exchange"), s"unpivot should not shuffle:\n${p.take(2000)}")
   }
+
+  test("q144: the vocabulary membership join is a broadcast, and the " +
+    "vocab cut is TakeOrderedAndProject") {
+    val p = plan("q144_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q157: the group-stats (median/MAD) frames join via broadcast — " +
+    "never an SMJ that re-exchanges the fact side on 5 groups") {
+    val p = plan("q157_mad_outliers")
+    assert(!p.contains("SortMergeJoin"),
+      s"group-stats join fell back to SMJ:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q146/q142: graph ops never plan a cartesian or nested-loop join") {
+    Seq("q146_triangles", "q142_pagerank").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q plans an all-pairs join:\n${p.take(2000)}")
+    }
+  }
+
+  test("q154: Gini windows run over the count histogram, not the keys " +
+    "(key-cardinality frames never enter a window)") {
+    // the plan has windows (tiny domain) but the window input must sit
+    // ABOVE the per-key aggregation: assert the window sort keys are
+    // the histogram columns (n), not the user key
+    val p = plan("q154_skew_report")
+    val winLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!winLines.contains("user_id"),
+      s"window runs over per-key rows:\n$winLines")
+  }
 }

@@ -76,6 +76,19 @@ class GraphSpec extends SparkSpec {
     assert(conv.forall { case (k, v) => math.abs(v - fixed(k)) < 1e-7 })
   }
 
+  test("hits: shared part dominates authorities; richer basket boosts hub") {
+    // customers 1,2,3 all buy part 10; customer 1 also buys part 11
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+    val (hub, auth) = Graph.hits(e.toDF("c", "p"), "c", "p", iters = 2)
+    val a = auth.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val h = hub.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a(10L) > a(11L))
+    assert(h(1L) > h(2L) && h(2L) === h(3L))
+    // L1 normalized each half-round
+    assert(math.abs(a.values.sum - 1.0) < 1e-9)
+    assert(math.abs(h.values.sum - 1.0) < 1e-9)
+  }
+
   test("checkpointEvery cuts lineage without changing the result") {
     val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
     val plain = ranks(e, iters = 6)

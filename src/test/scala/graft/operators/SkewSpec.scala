@@ -28,4 +28,24 @@ class SkewSpec extends SparkSpec {
     assert(salts > 8, s"expected the hot key spread over many salts, got $salts")
     assert(Skew.saltedJoin(fact, dim, "k", 16).count() == 2000)
   }
+
+  test("saltedDistinct equals plain countDistinct and is partition-invariant") {
+    import org.apache.spark.sql.functions._
+    // hot key "a": 5000 rows over 700 distinct values; "b" small
+    val rows = (1 to 5000).map(i => ("a", (i % 700).toLong)) ++
+      (1 to 50).map(i => ("b", (i % 7).toLong))
+    val df = rows.toDF("k", "v")
+    val salted = Skew.saltedDistinct(df, "k", "v", saltFactor = 16)
+      .as[(String, Long)].collect().toMap
+    val plain = df.groupBy("k").agg(countDistinct("v").cast("long"))
+      .as[(String, Long)].collect().toMap
+    assert(salted === plain)
+    assert(salted === Map("a" -> 700L, "b" -> 7L))
+    val re = Skew.saltedDistinct(df.repartition(13), "k", "v", 16)
+      .as[(String, Long)].collect().toMap
+    assert(re === plain)
+    // saltFactor 1 degenerates to the plain two-stage distinct
+    assert(Skew.saltedDistinct(df, "k", "v", 1)
+      .as[(String, Long)].collect().toMap === plain)
+  }
 }
