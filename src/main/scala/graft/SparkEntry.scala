@@ -1918,6 +1918,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"),
           round(min(col("rate")), 6).as("rate"))),
 
+    // --- quantile normalization of event values per type onto the
+    //     global distribution: per-value histogram CDFs + one
+    //     as-of-style ignore-nulls window per group — distribution
+    //     alignment without ever ranking raw rows ---
+    "q161_quantile_norm" -> ((s, dir) =>
+      Features.quantileNormalize(t(s, dir, "events"), "event_type",
+        "value")),
+
     // --- salted exact distinct: 5 hot keys × millions of rows is the
     //     case where per-key COUNT(DISTINCT) serializes on 5 reducers;
     //     salting on the hash of the DISTINCT VALUE partitions each
@@ -3318,6 +3326,42 @@ object SparkEntry {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |       ROUND(MIN(rate), 6) AS rate
         |FROM k GROUP BY 1""".stripMargin,
+
+    // quantile normalization: CDFs from per-value histograms; the
+    // as-of alignment replayed as the same union + ignore-nulls
+    // last_value over (cdf, tag, value) ordering
+    "q161_quantile_norm" ->
+      """WITH pv AS (
+        |  SELECT event_type AS grp, "value" AS v, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM events GROUP BY 1, 2),
+        |gt AS (SELECT grp, CAST(SUM(w) AS BIGINT) AS tot FROM pv GROUP BY 1),
+        |gc AS (
+        |  SELECT pv.grp, v,
+        |         ROUND(CAST(SUM(w) OVER (PARTITION BY pv.grp ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS DOUBLE) / tot, 9) AS cdf
+        |  FROM pv JOIN gt USING (grp)),
+        |gv AS (SELECT "value" AS v, CAST(COUNT(*) AS BIGINT) AS w
+        |       FROM events GROUP BY 1),
+        |gtot AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM gv),
+        |gcdf AS (
+        |  SELECT v AS v_ref,
+        |         ROUND(CAST(SUM(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |                 PRECEDING AND CURRENT ROW) AS DOUBLE) / tot, 9) AS cdf
+        |  FROM gv, gtot),
+        |u AS (
+        |  SELECT g.grp, CAST(NULL AS DOUBLE) AS v, r.cdf, 0 AS tag, r.v_ref
+        |  FROM (SELECT DISTINCT grp FROM gc) g, gcdf r
+        |  UNION ALL
+        |  SELECT grp, v, cdf, 1 AS tag, CAST(NULL AS DOUBLE) AS v_ref
+        |  FROM gc),
+        |m AS (
+        |  SELECT grp, v, cdf, tag,
+        |         LAST_VALUE(v_ref IGNORE NULLS) OVER (PARTITION BY grp
+        |           ORDER BY cdf, tag, COALESCE(v, v_ref)
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_norm
+        |  FROM u)
+        |SELECT grp, v, cdf, v_norm FROM m WHERE tag = 1""".stripMargin,
 
     // salted distinct: the oracle is the PLAIN count-distinct — the
     // salting must be output-invisible

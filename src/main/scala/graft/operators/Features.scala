@@ -231,6 +231,58 @@ object Features {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Quantile normalization: map every (group, value) onto the GLOBAL
+    * value at the same (or nearest-below) CDF position — the
+    * distribution-alignment transform for cross-group feature
+    * calibration (batch-effect correction). Both CDFs come from
+    * per-value histograms (the [[weightedMedian]] scale discipline —
+    * windows only over distinct values), and the alignment itself is
+    * an as-of match expressed as one ignore-nulls window over the
+    * per-group union of reference and probe points (reference points
+    * replicated per group: #groups × #distinct-values rows, bounded
+    * by the value domain, never by the table). A probe below the
+    * smallest reference CDF maps to NULL. Output:
+    * `(grp, v, cdf, v_norm)` per distinct (group, value).
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    val pv = df.groupBy(col(groupCol).as("grp"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("w"))
+    val wg = Window.partitionBy(col("grp")).orderBy(col("v").asc)
+    val tot = pv.groupBy(col("grp")).agg(sum(col("w")).as("tot"))
+    val gc = pv
+      .withColumn("cum",
+        sum(col("w")).over(wg.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(tot), "grp")
+      .select(col("grp"), col("v"),
+        round(col("cum").cast("double") / col("tot"), 9).as("cdf"))
+    val gv = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("w"))
+    val wAll = Window.orderBy(col("v").asc)
+    val gtot = gv.agg(sum(col("w")).as("tot"))
+    // global CDF: the window runs over distinct values only (the
+    // one safe partitionless-window case, same as the q118 share)
+    val gcdf = gv
+      .withColumn("cum",
+        sum(col("w")).over(wAll.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(gtot))
+      .select(col("v").as("v_ref"),
+        round(col("cum").cast("double") / col("tot"), 9).as("cdf"))
+    val groups = gc.select(col("grp")).distinct()
+    val refs = groups.crossJoin(gcdf)
+      .select(col("grp"), lit(null).cast("double").as("v"), col("cdf"),
+        lit(0).as("tag"), col("v_ref"))
+    val probes = gc.select(col("grp"), col("v"), col("cdf"),
+      lit(1).as("tag"), lit(null).cast("double").as("v_ref"))
+    val order = Window.partitionBy(col("grp"))
+      .orderBy(col("cdf").asc, col("tag").asc,
+        coalesce(col("v"), col("v_ref")).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    refs.unionByName(probes)
+      .withColumn("v_norm", last(col("v_ref"), ignoreNulls = true).over(order))
+      .filter(col("tag") === 1)
+      .select(col("grp"), col("v"), col("cdf"), col("v_norm"))
+  }
+
   /** Pairwise Welch t-tests between all group pairs (a < b) of
     * `valueCol` (≤2 fractional digits): the unequal-variance A/B test.
     * Per-group moments are EXACT decimal sums (one aggregation, any

@@ -149,6 +149,28 @@ class FeaturesSpec extends SparkSpec {
     assert(r.getLong(4) === 1L)   // only 100 exceeds 5 ± 6
   }
 
+  test("quantileNormalize aligns group CDFs onto the global distribution") {
+    // groups a={1,2,3}, b={11,12,13}; global CDF: 1→1/6, 2→1/3,
+    // 3→1/2, 11→2/3, 12→5/6, 13→1
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 11.0), ("b", 12.0), ("b", 13.0)).toDF("grp", "value")
+    val out = Features.quantileNormalize(df, "grp", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3))
+      .toMap
+    // b's 1/3-quantile lands on the global 1/3 point (value 2,
+    // CDF-tie resolved ref-first), 2/3 on 11, 1.0 on 13
+    assert(out(("b", 11.0)) === 2.0)
+    assert(out(("b", 12.0)) === 11.0)
+    assert(out(("b", 13.0)) === 13.0)
+    assert(out(("a", 1.0)) === 2.0)
+    // a degenerate single-group frame maps every value to itself
+    val self = Features.quantileNormalize(df.filter($"grp" === "a")
+        .union(Seq.empty[(String, Double)].toDF("grp", "value")),
+      "grp", "value")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    assert(self === Map(1.0 -> 1.0, 2.0 -> 2.0, 3.0 -> 3.0))
+  }
+
   test("welchPairs: identical groups give t=0; known case matches closed form") {
     val df = Seq.tabulate(20)(i => ("a", (i % 5 + 1).toDouble)) ++
       Seq.tabulate(20)(i => ("b", (i % 5 + 1).toDouble)) ++
