@@ -1918,6 +1918,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"),
           round(min(col("rate")), 6).as("rate"))),
 
+    // --- rolling 7-day correlation between daily quantity and revenue
+    //     totals: decimal-exact frame moments over the DAILY series
+    //     (day-count rows through the window, never the raw table) ---
+    "q162_rolling_corr" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("x"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("y"))
+      Features.rollingCorr(daily, "d", "x", "y", lookback = 7)
+    }),
+
     // --- quantile normalization of event values per type onto the
     //     global distribution: per-value histogram CDFs + one
     //     as-of-style ignore-nulls window per group — distribution
@@ -3326,6 +3339,37 @@ object SparkEntry {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |       ROUND(MIN(rate), 6) AS rate
         |FROM k GROUP BY 1""".stripMargin,
+
+    // rolling corr: identical frame, decimal moment sums, closed form
+    // guarded on frame size and positive variances
+    "q162_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT l_shipdate AS d,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS x,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS y
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT d, x, y,
+        |         CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(y AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x AS DECIMAL(18,2)) *
+        |                  CAST(x AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(y AS DECIMAL(18,2)) *
+        |                  CAST(y AS DECIMAL(18,2))) OVER w AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(x AS DECIMAL(18,2)) *
+        |                  CAST(y AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sxy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT d, x, y, CAST(n AS BIGINT) AS n_win,
+        |       CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
+        |                 AND n * syy - sy * sy > 0
+        |            THEN ROUND((n * sxy - sx * sy) /
+        |                 (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)),
+        |                 6)
+        |       END AS corr
+        |FROM m""".stripMargin,
 
     // quantile normalization: CDFs from per-value histograms; the
     // as-of alignment replayed as the same union + ignore-nulls

@@ -231,6 +231,42 @@ object Features {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Rolling Pearson correlation between two pre-aggregated series
+    * columns over a trailing window of `lookback` rows (e.g. 7 days
+    * over a daily frame): the time-series co-movement signal. Moment
+    * sums over the frame run in EXACT decimals (inputs ≤2 fractional
+    * digits), the closed form is per-row scalar double work, and
+    * degenerate frames (fewer than `minRows` rows or zero variance)
+    * yield NULL instead of dividing by zero on one engine and Inf on
+    * another. The window input is the aggregated series — day-count
+    * rows, never the raw table. Output: the input columns plus
+    * `(n_win, corr)`.
+    */
+  def rollingCorr(series: DataFrame, orderCol: String, xCol: String,
+                  yCol: String, lookback: Int, minRows: Int = 3,
+                  digits: Int = 6): DataFrame = {
+    val xd = col(xCol).cast(DecimalType(18, 2))
+    val yd = col(yCol).cast(DecimalType(18, 2))
+    val w = Window.orderBy(col(orderCol).asc)
+      .rowsBetween(-(lookback - 1), 0)
+    val withMoments = series
+      .withColumn("_n", count(lit(1)).over(w).cast("double"))
+      .withColumn("_sx", sum(xd).over(w).cast("double"))
+      .withColumn("_sy", sum(yd).over(w).cast("double"))
+      .withColumn("_sxx", sum(xd * xd).over(w).cast("double"))
+      .withColumn("_syy", sum(yd * yd).over(w).cast("double"))
+      .withColumn("_sxy", sum(xd * yd).over(w).cast("double"))
+    val varX = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val varY = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    withMoments
+      .withColumn("n_win", col("_n").cast("long"))
+      .withColumn("corr",
+        when(col("_n") >= minRows && varX > 0 && varY > 0,
+          round((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+            (sqrt(varX) * sqrt(varY)), digits)))
+      .drop("_n", "_sx", "_sy", "_sxx", "_syy", "_sxy")
+  }
+
   /** Quantile normalization: map every (group, value) onto the GLOBAL
     * value at the same (or nearest-below) CDF position — the
     * distribution-alignment transform for cross-group feature

@@ -171,6 +171,30 @@ class FeaturesSpec extends SparkSpec {
     assert(self === Map(1.0 -> 1.0, 2.0 -> 2.0, 3.0 -> 3.0))
   }
 
+  test("rollingCorr: perfect/anti correlation, short frames and flat series NULL") {
+    // y = 2x for days 1..10 → corr 1.0 once the frame has ≥3 rows
+    val up = (1 to 10).map(i => (i, i.toDouble, 2.0 * i))
+    val out = Features.rollingCorr(up.toDF("d", "x", "y"), "d", "x", "y",
+        lookback = 7)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    assert(out(1) === ((1L, null)))       // frame too short
+    assert(out(2) === ((2L, null)))
+    assert(out(3) === ((3L, 1.0)))
+    assert(out(10) === ((7L, 1.0)))       // full 7-row frame
+    // anti-correlated
+    val dn = (1 to 8).map(i => (i, i.toDouble, 100.0 - 3 * i))
+    val a = Features.rollingCorr(dn.toDF("d", "x", "y"), "d", "x", "y", 7)
+      .collect().filterNot(_.isNullAt(4))
+      .map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(a(8) === -1.0)
+    // constant x → zero variance → NULL, not Inf/NaN
+    val flat = (1 to 6).map(i => (i, 5.0, i.toDouble))
+    val f = Features.rollingCorr(flat.toDF("d", "x", "y"), "d", "x", "y", 7)
+      .collect()
+    assert(f.forall(_.isNullAt(4)))
+  }
+
   test("welchPairs: identical groups give t=0; known case matches closed form") {
     val df = Seq.tabulate(20)(i => ("a", (i % 5 + 1).toDouble)) ++
       Seq.tabulate(20)(i => ("b", (i % 5 + 1).toDouble)) ++
