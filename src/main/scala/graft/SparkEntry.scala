@@ -3079,7 +3079,7 @@ object SparkEntry {
         |SELECT f.l_orderkey, f.l_linenumber, f.l_partkey,
         |       CASE WHEN n > 1
         |            THEN ROUND(CAST(st - t AS DOUBLE) / (n - 1), 6) END AS enc
-        |FROM f JOIN s USING (l_partkey)""".stripMargin,
+        |FROM f LEFT JOIN s USING (l_partkey)""".stripMargin,
 
     // Welch: exact decimal moments per group; scalar double closed
     // form mirrored op-for-op (se first, then t and dof)
@@ -3099,10 +3099,10 @@ object SparkEntry {
         |         a.m AS m_a, b.m AS m_b, a.v / a.n AS se_a, b.v / b.n AS se_b
         |  FROM m a JOIN m b ON a.grp < b.grp)
         |SELECT type_a, type_b, n_a, n_b,
-        |       ROUND((m_a - m_b) / SQRT(se_a + se_b), 4) AS t_welch,
+        |       ROUND((m_a - m_b) / SQRT(NULLIF(se_a + se_b, 0)), 4) AS t_welch,
         |       ROUND((se_a + se_b) * (se_a + se_b) /
-        |             (se_a * se_a / (CAST(n_a AS DOUBLE) - 1.0) +
-        |              se_b * se_b / (CAST(n_b AS DOUBLE) - 1.0)), 2) AS dof
+        |             NULLIF(se_a * se_a / (CAST(n_a AS DOUBLE) - 1.0) +
+        |                    se_b * se_b / (CAST(n_b AS DOUBLE) - 1.0), 0), 2) AS dof
         |FROM p""".stripMargin,
 
     // interval union: same sweep (pmax → open flag → segment id →
@@ -3124,7 +3124,7 @@ object SparkEntry {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
         |  FROM m),
         |g AS (
-        |  SELECT user_id, seg, COUNT(*) AS nn, MAX(en) - MIN(st) AS len
+        |  SELECT user_id, seg, COUNT(*) AS nn, GREATEST(MAX(en) - MIN(st), 0) AS len
         |  FROM sg GROUP BY 1, 2)
         |SELECT user_id, CAST(SUM(nn) AS BIGINT) AS n_intervals,
         |       CAST(COUNT(*) AS BIGINT) AS n_segments,
@@ -3164,10 +3164,11 @@ object SparkEntry {
         |           (CAST(n_units AS DOUBLE) - 1) AS cxy
         |  FROM mo)
         |SELECT grp, n_units,
-        |       ROUND(cxy / vx, 6) AS theta,
+        |       ROUND(cxy / NULLIF(vx, 0), 6) AS theta,
         |       ROUND(vy, 6) AS var_y,
-        |       ROUND(vy - cxy * cxy / vx, 6) AS var_adj,
-        |       ROUND((vy - cxy * cxy / vx) / vy, 6) AS reduction
+        |       ROUND(vy - cxy * cxy / NULLIF(vx, 0), 6) AS var_adj,
+        |       ROUND((vy - cxy * cxy / NULLIF(vx, 0)) / NULLIF(vy, 0), 6)
+        |         AS reduction
         |FROM v""".stripMargin,
 
     // weighted median: per-value weight histogram, cumulative over

@@ -139,9 +139,14 @@ object KmvSketch {
   def intersectEst(a: Array[Byte], b: Array[Byte]): Long = {
     val x = unpack(a); val y = unpack(b)
     val thMin = math.min(theta(x), theta(y))
-    val bound = // hashes strictly inside both samples' valid region
-      if (thMin >= 1.0) Long.MaxValue
-      else (Long.MinValue.toDouble + thMin * math.pow(2.0, 64)).toLong
+    // The cutoff is compared against EXACT long hashes, so derive it
+    // from the exact k-th ordered hash (the smaller of the two sides'
+    // bounds) rather than round-tripping theta through a double, which
+    // can include/exclude boundary hashes inconsistently with the
+    // theta used to scale the estimate below.
+    val bound = // hashes inside both samples' valid region
+      math.min(if (x.length < K) Long.MaxValue else x(K - 1),
+               if (y.length < K) Long.MaxValue else y(K - 1))
     var i = 0; var j = 0; var both = 0L
     while (i < x.length && j < y.length && x(i) <= bound && y(j) <= bound) {
       if (x(i) == y(j)) { both += 1; i += 1; j += 1 }

@@ -37,16 +37,29 @@ object BloomJoin {
     * empty (`stat.bloomFilter` has no zero-row representation). The
     * build already scans dim, so the empty probe is not an extra pass
     * worth optimizing away.
+    *
+    * Both sides go through `xxhash64` BEFORE the filter — build
+    * inserts hashes, probe tests hashes — so the key may be ANY
+    * orderable type (string/int/date), exactly like Spark's own
+    * `InjectRuntimeFilter` wraps the key in `XxHash64`. (Inserting
+    * native values and probing a `cast("long")` silently returns an
+    * EMPTY result for string keys: the cast yields NULL and the
+    * null-intolerant predicate drops every fact row.)
     */
   private def buildFilter(dim: DataFrame, dimKey: String,
                           expectedItems: Long, fpp: Double): Option[Array[Byte]] =
     if (dim.isEmpty) None
     else {
-      val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+      val bf = dim.stat.bloomFilter(xxhash64(col(dimKey)), expectedItems, fpp)
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       Some(bos.toByteArray)
     }
+
+  private def probe(bytes: Array[Byte], factKey: String) =
+    Bridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      Bridge.expression(xxhash64(col(factKey)))))
 
   def semiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
                dimKey: String, expectedItems: Long = 1L << 20,
@@ -54,11 +67,8 @@ object BloomJoin {
     buildFilter(dim, dimKey, expectedItems, fpp) match {
       case None => fact.limit(0)
       case Some(bytes) =>
-        val pred = Bridge.column(BloomFilterMightContain(
-          Literal(bytes, BinaryType),
-          Bridge.expression(col(factKey).cast("long"))))
         val keys = dim.select(col(dimKey).as("__bloom_key")).distinct()
-        fact.filter(pred)
+        fact.filter(probe(bytes, factKey))
           .join(keys, col(factKey) === col("__bloom_key"), "left_semi")
     }
 
@@ -71,8 +81,6 @@ object BloomJoin {
     buildFilter(dim, dimKey, expectedItems, fpp) match {
       case None => fact.limit(0)
       case Some(bytes) =>
-        fact.filter(Bridge.column(BloomFilterMightContain(
-          Literal(bytes, BinaryType),
-          Bridge.expression(col(factKey).cast("long")))))
+        fact.filter(probe(bytes, factKey))
     }
 }

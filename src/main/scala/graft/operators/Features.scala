@@ -28,7 +28,11 @@ object Features {
     val t = targetCol.cast("long")
     val stats = df.groupBy(col(catCol))
       .agg(sum(t).as("_sum_t"), count(lit(1)).as("_n_t"))
-    df.join(stats, catCol)
+    // LEFT join: rows with a NULL category can't equi-match their own
+    // stats row, and must pass through with a NULL encoding rather
+    // than vanish from the output (an inner join changes row count for
+    // nullable categorical inputs).
+    df.join(stats, Seq(catCol), "left")
       .withColumn(outCol,
         when(col("_n_t") > 1,
           round((col("_sum_t") - t).cast("double") / (col("_n_t") - 1), digits)))
@@ -70,13 +74,19 @@ object Features {
         (col("syy") - col("sy") * col("sy") / col("nd")) / (col("nd") - 1))
       .withColumn("cxy",
         (col("sxy") - col("sx") * col("sy") / col("nd")) / (col("nd") - 1))
+    // vx = 0 (all-constant covariate) leaves θ undefined: Spark's
+    // non-ANSI x/0 gives NULL but DuckDB gives Inf/NaN, so guard the
+    // divisors explicitly (mirrored by NULLIF in the oracle SQL);
+    // same for vy = 0 in the reduction ratio.
     m.select(col("grp"), col("n_units"),
-      round(col("cxy") / col("vx"), digits).as("theta"),
+      when(col("vx") =!= 0, round(col("cxy") / col("vx"), digits)).as("theta"),
       round(col("vy"), digits).as("var_y"),
-      round(col("vy") - col("cxy") * col("cxy") / col("vx"), digits)
+      when(col("vx") =!= 0,
+        round(col("vy") - col("cxy") * col("cxy") / col("vx"), digits))
         .as("var_adj"),
-      round((col("vy") - col("cxy") * col("cxy") / col("vx")) / col("vy"),
-        digits).as("reduction"))
+      when(col("vx") =!= 0 && col("vy") =!= 0,
+        round((col("vy") - col("cxy") * col("cxy") / col("vx")) / col("vy"),
+          digits)).as("reduction"))
   }
 
   /** Per-group weighted median: the smallest value whose cumulative
@@ -341,15 +351,21 @@ object Features {
       col("m").as("m_a"), col("v").as("v_a"))
     val b = g.select(col("grp").as("type_b"), col("n").as("n_b"),
       col("m").as("m_b"), col("v").as("v_b"))
+    // Zero-variance guards: two all-constant groups give se_a+se_b = 0.
+    // Spark's non-ANSI x/0 yields NULL but DuckDB yields Inf/NaN, so
+    // an unguarded divide makes oracle parity data-dependent (the q110
+    // sigma=0 lesson). Guard here, NULLIF in the oracle SQL.
     a.join(b, col("type_a") < col("type_b"))
       .withColumn("se_a", col("v_a") / col("n_a"))
       .withColumn("se_b", col("v_b") / col("n_b"))
+      .withColumn("se", col("se_a") + col("se_b"))
+      .withColumn("dof_den",
+        col("se_a") * col("se_a") / (col("n_a").cast("double") - lit(1.0)) +
+          col("se_b") * col("se_b") / (col("n_b").cast("double") - lit(1.0)))
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
-        round((col("m_a") - col("m_b")) / sqrt(col("se_a") + col("se_b")), 4)
-          .as("t_welch"),
-        round((col("se_a") + col("se_b")) * (col("se_a") + col("se_b")) /
-          (col("se_a") * col("se_a") / (col("n_a").cast("double") - lit(1.0)) +
-            col("se_b") * col("se_b") / (col("n_b").cast("double") - lit(1.0))),
-          2).as("dof"))
+        when(col("se") =!= 0,
+          round((col("m_a") - col("m_b")) / sqrt(col("se")), 4)).as("t_welch"),
+        when(col("dof_den") =!= 0,
+          round(col("se") * col("se") / col("dof_den"), 2)).as("dof"))
   }
 }

@@ -22,8 +22,9 @@ object Intervals {
 
   /** Merge per-key intervals `[startCol, endCol]` (integer seconds)
     * and report the union: `(key, n_intervals, n_segments,
-    * covered_s)`. Zero- or negative-length intervals contribute their
-    * clamped positive length through the same sweep.
+    * covered_s)`. Zero- or inverted (end < start) intervals count as
+    * length 0 — segment lengths are clamped at 0 so an isolated
+    * inverted interval can never drive `covered_s` negative.
     */
   def coveredTime(df: DataFrame, keyCol: String,
                   startCol: String, endCol: String): DataFrame = {
@@ -38,7 +39,7 @@ object Intervals {
         .over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
     seg.groupBy(col(keyCol), col("_seg"))
       .agg(count(lit(1)).as("_n"),
-        (max(col(endCol)) - min(col(startCol))).as("_len"))
+        greatest(max(col(endCol)) - min(col(startCol)), lit(0L)).as("_len"))
       .groupBy(col(keyCol))
       .agg(sum(col("_n")).as("n_intervals"),
         count(lit(1)).as("n_segments"),

@@ -50,6 +50,15 @@ class KmvSketchSpec extends SparkSpec {
     assert(est <= 300L, s"disjoint est=$est") // ≤ ~1% of either side
   }
 
+  test("self-intersection of a full sketch ≈ its distinct estimate (exact cutoff)") {
+    // the cutoff is the exact k-th hash, so every sampled hash of a
+    // self-intersection is counted: est = round(K/θ) vs round((K-1)/θ)
+    val a = sketchOf((1 to 60000).map(i => s"u$i"))
+    val self = KmvSketch.intersectEst(a, a).toDouble
+    val est = KmvSketch.countDistinctEst(a).toDouble
+    assert(math.abs(self / est - 1.0) < 0.01, s"self=$self est=$est")
+  }
+
   test("native estimate/intersect expressions stay codegen'd") {
     val df = (1 to 2000).map(i => (i % 2, s"u${i % 700}")).toDF("g", "v")
       .groupBy(col("g")).agg(KmvSketch.sketchAgg(col("v")).as("sk"))

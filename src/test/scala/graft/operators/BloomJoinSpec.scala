@@ -41,6 +41,22 @@ class BloomJoinSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"))
   }
 
+  test("string keys: semiJoin equals the exact semi-join (hash-both-sides)") {
+    // regression: probing cast("long") on a string key yields NULL and
+    // the null-intolerant predicate silently dropped EVERY fact row;
+    // both sides now go through xxhash64 so any key type works
+    val factS = (0 until 5000).map(i => (i.toLong, s"k${i % 311}"))
+      .toDF("id", "k")
+    val dimS = (0 until 311).filter(_ % 7 == 0).map(k => (s"k$k", k))
+      .toDF("k", "v")
+    val viaBloom = BloomJoin.semiJoin(factS, "k", dimS, "k")
+      .select(col("id")).as[Long].collect().sorted
+    val exact = factS.join(dimS.select(col("k")), Seq("k"), "left_semi")
+      .select(col("id")).as[Long].collect().sorted
+    assert(exact.nonEmpty)
+    assert(viaBloom.sameElements(exact))
+  }
+
   test("empty dim prunes everything; null fact keys never match") {
     val emptyDim = dim.filter(col("k") < 0)
     assert(BloomJoin.semiJoin(fact, "k", emptyDim, "k").count() == 0L)

@@ -195,6 +195,29 @@ class FeaturesSpec extends SparkSpec {
     assert(f.forall(_.isNullAt(4)))
   }
 
+  test("looTargetEncode: NULL categories pass through with NULL enc") {
+    val df = Seq[(String, Integer)](("a", 1), ("a", 0), (null, 1), (null, 0))
+      .toDF("cat", "t")
+    val out = Features.looTargetEncode(df, "cat", col("t")).collect()
+    assert(out.length === 4) // inner join used to drop the NULL-cat rows
+    assert(out.filter(_.isNullAt(0)).length === 2)
+    assert(out.filter(_.isNullAt(0)).forall(_.isNullAt(2)))
+  }
+
+  test("welchPairs/cuped: zero-variance groups yield NULL, not NaN/Inf") {
+    // both groups all-constant → se_a + se_b = 0; t and dof undefined
+    val df = (Seq.fill(5)(("a", 3.0)) ++ Seq.fill(7)(("b", 8.0)))
+      .toDF("grp", "value")
+    val w = Features.welchPairs(df, "grp", "value").collect().head
+    assert(w.isNullAt(4) && w.isNullAt(5))
+    // constant covariate → vx = 0 → theta/var_adj/reduction NULL
+    val u = (1 to 10).map(i => ("a", 5.0, i.toDouble))
+    val c = Features.cuped(u.toDF("g", "pre", "post"), "g", "pre", "post")
+      .collect().head
+    assert(c.isNullAt(2) && c.isNullAt(4) && c.isNullAt(5))
+    assert(!c.isNullAt(3)) // var_y is still defined
+  }
+
   test("welchPairs: identical groups give t=0; known case matches closed form") {
     val df = Seq.tabulate(20)(i => ("a", (i % 5 + 1).toDouble)) ++
       Seq.tabulate(20)(i => ("b", (i % 5 + 1).toDouble)) ++

@@ -34,6 +34,15 @@ class IntervalsSpec extends SparkSpec {
     assert(out(1L) === ((3L, 1L, 200L)))
   }
 
+  test("inverted (end < start) intervals clamp to zero, never negative") {
+    // an isolated inverted interval forms its own segment whose raw
+    // max(en)-min(st) is negative; the clamp keeps covered_s ≥ 0
+    val out = covered(Seq((1L, 10L, 4L),                 // inverted alone
+      (2L, 0L, 5L), (2L, 30L, 20L), (2L, 50L, 60L)))    // mixed
+    assert(out(1L) === ((1L, 1L, 0L)))
+    assert(out(2L) === ((3L, 3L, 15L)))                  // 5 + 0 + 10
+  }
+
   test("result is partitioning-invariant") {
     val iv = (0L until 500L).map(i => (i % 7, i * 3 % 97, i * 3 % 97 + 5))
     val a = Intervals.coveredTime(iv.toDF("k", "st", "en").repartition(1),
