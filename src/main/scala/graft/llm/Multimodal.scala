@@ -153,6 +153,29 @@ object Multimodal {
   final case class ImageMeta(id: Long, decoded: Boolean, width: Int,
                              height: Int, meanLuma: Double)
 
+  /** Mean luma of a decoded image over a bounded sample grid — the
+    * metadata-pass cost must not scale with pixel count. Shared by the
+    * still-image and video-frame decode paths.
+    */
+  private def sampledLuma(i: java.awt.image.BufferedImage): Double = {
+    val (w, h) = (i.getWidth, i.getHeight)
+    val step = math.max(1, math.max(w, h) / 64)
+    var sum = 0.0; var n = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = i.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xFF) +
+          0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+        n += 1
+        x += step
+      }
+      y += step
+    }
+    if (n == 0) 0.0 else sum / n
+  }
+
   /** REAL image decode — no stub, no external dependency: the JDK's
     * `javax.imageio` handles PNG/BMP/GIF/JPEG. Same mapPartitions
     * batch shape as [[decodeFramesStub]] (which remains the seam for
@@ -174,24 +197,8 @@ object Multimodal {
             catch { case _: Exception => None }
           img match {
             case Some(i) =>
-              val (w, h) = (i.getWidth, i.getHeight)
-              // mean luma over a bounded sample grid: metadata pass
-              // cost must not scale with pixel count
-              val step = math.max(1, math.max(w, h) / 64)
-              var sum = 0.0; var n = 0
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = i.getRGB(x, y)
-                  sum += 0.299 * ((rgb >> 16) & 0xFF) +
-                    0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
-                  n += 1
-                  x += step
-                }
-                y += step
-              }
-              ImageMeta(id, decoded = true, w, h, if (n == 0) 0.0 else sum / n)
+              ImageMeta(id, decoded = true, i.getWidth, i.getHeight,
+                sampledLuma(i))
             case None => ImageMeta(id, decoded = false, -1, -1, 0.0)
           }
         }
