@@ -154,8 +154,8 @@ object Multimodal {
                              height: Int, meanLuma: Double)
 
   /** Mean luma of a decoded image over a bounded sample grid — the
-    * metadata-pass cost must not scale with pixel count. Shared by the
-    * still-image and video-frame decode paths.
+    * metadata-pass cost must not scale with pixel count. Used by every
+    * BufferedImage-producing decode path (currently decodeImages).
     */
   private def sampledLuma(i: java.awt.image.BufferedImage): Double = {
     val (w, h) = (i.getWidth, i.getHeight)

@@ -30,7 +30,9 @@ object Attribution {
     val touch = col("event_type").isin(touchTypes: _*)
     events
       .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value"), col("ts").cast("long").as("ts_s"))
+        // cast("timestamp") first: tolerates TIMESTAMP_NTZ input (NTZ
+        // has no direct long cast; under UTC session tz it's identical)
+        col("value"), col("ts").cast("timestamp").cast("long").as("ts_s"))
       .withColumn("attr_ts", last(when(touch, col("ts_s")), ignoreNulls = true).over(w))
       .withColumn("attr_type_raw",
         last(when(touch, col("event_type")), ignoreNulls = true).over(w))

@@ -28,13 +28,17 @@ object RangeJoin {
                       binSeconds: Long = 86400L): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
     val binMicros = binSeconds * 1000000L
+    // cast-to-timestamp first: tolerates TIMESTAMP_NTZ inputs (the
+    // testdata has shipped both encodings; unix_micros requires ltz,
+    // and under a UTC session tz the cast is value-identical)
+    def micros(c: String) = unix_micros(col(c).cast("timestamp"))
     // end is exclusive: the last covered bin holds end − 1µs
     val iv = intervals.withColumn("_bin",
       explode(sequence(
-        floor(unix_micros(col(startCol)) / binMicros),
-        floor((unix_micros(col(endCol)) - 1) / binMicros))))
+        floor(micros(startCol) / binMicros),
+        floor((micros(endCol) - 1) / binMicros))))
     val pt = points.withColumn("_bin",
-      floor(unix_micros(col(timeCol)) / binMicros))
+      floor(micros(timeCol) / binMicros))
     iv.join(pt, Seq(keyCol, "_bin"))
       .filter(col(timeCol) >= col(startCol) && col(timeCol) < col(endCol))
       .drop("_bin")

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType}
 
 /** Source layer: named-table loading over parquet (primary), CSV and
   * JDBC (optional), plus temp-view registration so both the DataFrame
@@ -22,29 +22,39 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Columns that the testdata stores as parquet TIMESTAMP(NANOS),
-    * which Spark 4.x cannot read natively (PARQUET_TYPE_ILLEGAL).
-    * With `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * [[graft.Sessions]]) they arrive as long nanoseconds; `load`
-    * converts them back to TimestampType (micros) so downstream
-    * time functions (`window`, `date_trunc`) work unchanged.
+  /** Timestamp columns whose parquet encoding has drifted across
+    * driver testdata generations: TIMESTAMP(NANOS) (arrives as long
+    * nanoseconds under `spark.sql.legacy.parquet.nanosAsLong=true`,
+    * set in [[graft.Sessions]]) and plain `timestamp[us]` without a
+    * UTC flag (arrives as TIMESTAMP_NTZ). `load` normalizes BOTH
+    * encodings to TimestampType (micros, session-tz) so downstream
+    * time functions (`window`, `date_trunc`, epoch casts) work
+    * unchanged whichever generation is on disk. The session timezone
+    * is pinned UTC, so NTZ→TIMESTAMP is value-identical.
     */
   val nanoTsColumns: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
   /** Parquet scan (SURVEY S2). Column pruning + filter pushdown happen
     * in Catalyst; nothing to do here beyond not materializing. The
-    * nanos→timestamp conversion is a narrow projection that codegen
+    * timestamp normalization is a narrow projection that codegen
     * fuses into the scan — no extra pass.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     nanoTsColumns.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      if (df.schema.fieldNames.contains(c) && df.schema(c).dataType == LongType)
-        // integer `div`, not `/`: the latter promotes to double, and
-        // epoch-nanos (~1.7e18) exceed double's 53-bit exact range —
-        // truncating after double division can be off by 1µs
-        df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
-      else df
+      if (!df.schema.fieldNames.contains(c)) df
+      else df.schema(c).dataType match {
+        case LongType =>
+          // integer `div`, not `/`: the latter promotes to double, and
+          // epoch-nanos (~1.7e18) exceed double's 53-bit exact range —
+          // truncating after double division can be off by 1µs
+          df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        case TimestampNTZType =>
+          // session tz is UTC (Sessions.scala), so the instant is
+          // bit-identical; this restores TimestampType for epoch math
+          df.withColumn(c, col(c).cast("timestamp"))
+        case _ => df
+      }
     }
   }
 
