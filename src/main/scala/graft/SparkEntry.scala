@@ -524,6 +524,29 @@ object SparkEntry {
       Serve.wide(Serve.topKWithFallback(model, users, r, k = 5), k = 5)
     }),
 
+    // --- q44's serving semantics with the model swapped for a
+    //     deterministic scorer: first-seen dedup → tiered popularity
+    //     fill → bounded wide pivot, all SQL-expressible so the
+    //     dedup order, fill tie-break (tier, score desc, itemId) and
+    //     pivot layout of `recommendations3.py:100-177` are oracled,
+    //     not rows-only ---
+    "q164_serve_wide_det" -> ((s, dir) => {
+      val r = ratings(s, dir)
+      val users = r.select(col("userId")).distinct()
+        .orderBy(col("userId")).limit(20)
+      val primary = TopK.dedupFirstSeen(
+          r.join(users, Seq("userId")).filter(col("rating") >= 9),
+          "userId", "itemId", Seq(col("rating").desc, col("itemId")))
+        .select(col("userId"), col("itemId"),
+          col("rating").cast("double").as("score"))
+      val pool = Popularity.topByCount(r, "itemId", 10)
+        .select(col("itemId"), col("num_ratings").cast("double").as("score"))
+      val fallback = users.crossJoin(pool)
+      Serve.wide(
+        TopK.fillToK(primary, fallback, "userId", "itemId", "score", k = 5),
+        k = 5)
+    }),
+
     // --- LLM dedup: exact content-hash ---
     "q29_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")),
@@ -1493,6 +1516,40 @@ object SparkEntry {
             .cast("long")).as("n_ok"))
     }),
 
+    // --- real video-container decode gate: executors synthesize
+    //     MJPEG-in-AVI payloads (1 + doc_id % 4 solid-gray JPEG
+    //     frames, dims + gray closed-form in doc_id and frame index),
+    //     decodeVideoFrames walks the RIFF tree and JPEG-decodes each
+    //     frame; the oracle derives frame counts from the same
+    //     formulas. Luma tolerance 2.0 covers JPEG DC quantization of
+    //     a constant block (±1 gray) plus RGB↔YCbCr rounding ---
+    "q163_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).filter(col("doc_id") % 17 === 0)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (1 + id % 4).toInt
+          val w = (16 + id % 16).toInt
+          val h = (16 + id % 12).toInt
+          val frames = (0 until n).map(f =>
+            Multimodal.solidJpeg(w, h, ((id * 31 + f * 17) % 256).toInt))
+          (id, Multimodal.mjpegAvi(frames, w, h))
+        })
+        .toDF("doc_id", "avi")
+      Multimodal.decodeVideoFrames(payloads, "doc_id", "avi")(s).toDF()
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(col("decoded").cast("long")).as("n_decoded"),
+          sum((col("decoded") &&
+            col("frameIdx") >= 0 && col("frameIdx") < (col("id") % 4 + 1) &&
+            col("width") === (col("id") % 16 + 16).cast("int") &&
+            col("height") === (col("id") % 12 + 16).cast("int") &&
+            abs(col("meanLuma") -
+              pmod(col("id") * 31 + col("frameIdx") * 17, lit(256))) <= 2.0)
+            .cast("long")).as("n_ok"))
+    }),
+
     "q132_audio_features" -> ((s, dir) => {
       import s.implicits._
       val payloads = t(s, dir, "documents")
@@ -2362,6 +2419,37 @@ object SparkEntry {
          |           FROM un)
          |SELECT userId, itemId, score, tier, rank FROM ranked WHERE rank <= 3""".stripMargin,
 
+    // serve-wide with a deterministic scorer: first-seen dedup →
+    // tiered fill (tier, score desc, itemId) → conditional-aggregation
+    // pivot — the SQL mirror of dedupFirstSeen + fillToK + wide
+    "q164_serve_wide_det" ->
+      s"""WITH r AS ($ratingsSql),
+         |u AS (SELECT DISTINCT userId FROM r ORDER BY userId LIMIT 20),
+         |d AS (SELECT r.userId, itemId, CAST(rating AS DOUBLE) AS score,
+         |             ROW_NUMBER() OVER (PARTITION BY r.userId, itemId
+         |                  ORDER BY rating DESC) AS dup_rn
+         |      FROM r JOIN u USING (userId) WHERE rating >= 9),
+         |p AS (SELECT userId, itemId, score, 0 AS tier FROM d WHERE dup_rn = 1),
+         |pool AS (SELECT itemId, CAST(COUNT(*) AS DOUBLE) AS score
+         |         FROM r GROUP BY itemId
+         |         ORDER BY score DESC, itemId LIMIT 10),
+         |f AS (SELECT u.userId, pool.itemId, pool.score, 1 AS tier
+         |      FROM u CROSS JOIN pool
+         |      WHERE NOT EXISTS (SELECT 1 FROM p
+         |                        WHERE p.userId = u.userId AND p.itemId = pool.itemId)),
+         |un AS (SELECT * FROM p UNION ALL SELECT * FROM f),
+         |ranked AS (SELECT userId, itemId,
+         |                  ROW_NUMBER() OVER (PARTITION BY userId
+         |                       ORDER BY tier, score DESC, itemId) AS rank
+         |           FROM un)
+         |SELECT userId,
+         |       MAX(CASE WHEN rank = 1 THEN itemId END) AS item_1,
+         |       MAX(CASE WHEN rank = 2 THEN itemId END) AS item_2,
+         |       MAX(CASE WHEN rank = 3 THEN itemId END) AS item_3,
+         |       MAX(CASE WHEN rank = 4 THEN itemId END) AS item_4,
+         |       MAX(CASE WHEN rank = 5 THEN itemId END) AS item_5
+         |FROM ranked WHERE rank <= 5 GROUP BY userId""".stripMargin,
+
     "q35_explode_struct" ->
       """SELECT l_orderkey,
         |       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
@@ -2749,6 +2837,14 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_decoded,
         |       CAST(COUNT(*) AS BIGINT) AS n_ok
         |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+
+    // the oracle re-derives the per-doc frame count (1 + doc_id % 4)
+    // and pins every frame decoded and formula-exact
+    "q163_video_frames" ->
+      """SELECT CAST(SUM(1 + doc_id % 4) AS BIGINT) AS n_frames,
+        |       CAST(SUM(1 + doc_id % 4) AS BIGINT) AS n_decoded,
+        |       CAST(SUM(1 + doc_id % 4) AS BIGINT) AS n_ok
+        |FROM documents WHERE doc_id % 17 = 0""".stripMargin,
 
     // quantile-sketch gates: the oracle recomputes the DISCRETE exact
     // quantile with the identical rank-⌈q·n⌉ formula (IEEE double

@@ -15,13 +15,14 @@ import org.apache.spark.sql.functions._
   *    partition, schema declared by the case class Encoder, no
   *    per-row JVM↔UDF boundary.
   *
-  * Image and audio decode are REAL — the JDK ships codecs
-  * (`javax.imageio`: PNG/BMP/GIF/JPEG; `javax.sound.sampled`:
-  * WAV/AIFF/AU), used by [[decodeImages]] / [[audioFeatures]] with
-  * poison-payload tolerance. Only [[decodeFramesStub]] /
-  * [[resampleStub]] remain deliberate stubs: the generic seam for
-  * formats the JDK lacks (video containers, modern codecs), where a
-  * real impl means javacv/ffmpeg at the marked site — the plumbing
+  * Image, audio AND video-container decode are REAL — the JDK ships
+  * codecs (`javax.imageio`: PNG/BMP/GIF/JPEG; `javax.sound.sampled`:
+  * WAV/AIFF/AU), used by [[decodeImages]] / [[audioFeatures]] /
+  * [[decodeVideoFrames]] (a hand-walked RIFF tree over MJPEG-in-AVI)
+  * with poison-payload tolerance. [[decodeFramesStub]] /
+  * [[resampleStub]] remain deliberate stubs only for the exotic-
+  * container case: codecs the JDK lacks (H.264, modern audio), where
+  * a real impl means javacv/ffmpeg at the marked site — the plumbing
   * (schema, partitioning, batch shape, byte access) is real either way.
   */
 object Multimodal {
@@ -150,12 +151,169 @@ object Multimodal {
     buf.array()
   }
 
+  /** Encode a solid-gray image as baseline JPEG via the JDK codec —
+    * the per-frame payload for [[mjpegAvi]]. Solid gray survives JPEG
+    * almost exactly (constant blocks quantize to their DC; at the
+    * default quality the DC step reconstructs within ±1 gray level),
+    * so decoded mean luma stays closed-form within a small tolerance.
+    */
+  def solidJpeg(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Build a spec-correct MJPEG-in-AVI container: RIFF('AVI ') with
+    * an 'hdrl' list (avih + one 'vids'/'MJPG' stream), a 'movi' list
+    * of '00dc' chunks (one baseline JPEG per frame, word-aligned) and
+    * an 'idx1' index. This is the payload synthesizer for the q163
+    * video gate — built by hand so the gate exercises the real
+    * container walk in [[decodeVideoFrames]], not a shared codepath.
+    */
+  def mjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+               fps: Int = 25): Array[Byte] = {
+    def fourcc(s: String) = s.getBytes("US-ASCII")
+    val paddedSizes = frames.map(f => f.length + (f.length & 1))
+    val moviBody = 4 + paddedSizes.map(_ + 8).sum          // 'movi' + chunks
+    val idx1Body = frames.size * 16
+    val hdrlBody = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody) + (8 + idx1Body)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(fourcc("RIFF")).putInt(riffBody).put(fourcc("AVI "))
+    // hdrl
+    buf.put(fourcc("LIST")).putInt(hdrlBody).put(fourcc("hdrl"))
+    buf.put(fourcc("avih")).putInt(56)
+      .putInt(1000000 / fps)                               // µs per frame
+      .putInt(0).putInt(0)
+      .putInt(0x10)                                        // AVIF_HASINDEX
+      .putInt(frames.size).putInt(0)
+      .putInt(1)                                           // one stream
+      .putInt(0).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.put(fourcc("LIST")).putInt(4 + (8 + 56) + (8 + 40)).put(fourcc("strl"))
+    buf.put(fourcc("strh")).putInt(56)
+      .put(fourcc("vids")).put(fourcc("MJPG"))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps)                               // scale / rate
+      .putInt(0).putInt(frames.size)
+      .putInt(0).putInt(-1).putInt(0)                      // bufsize, quality, samplesize
+      .putShort(0).putShort(0)
+      .putShort(width.toShort).putShort(height.toShort)    // rcFrame
+    buf.put(fourcc("strf")).putInt(40)
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24)
+      .put(fourcc("MJPG"))
+      .putInt(width * height * 3)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    // movi
+    buf.put(fourcc("LIST")).putInt(moviBody).put(fourcc("movi"))
+    val offsets = new Array[Int](frames.size)
+    var off = 4                                            // relative to 'movi'
+    frames.zipWithIndex.foreach { case (f, i) =>
+      offsets(i) = off
+      buf.put(fourcc("00dc")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+      off += 8 + f.length + (f.length & 1)
+    }
+    // idx1
+    buf.put(fourcc("idx1")).putInt(idx1Body)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      buf.put(fourcc("00dc")).putInt(0x10).putInt(offsets(i)).putInt(f.length)
+    }
+    buf.array()
+  }
+
+  final case class VideoFrame(id: Long, frameIdx: Int, decoded: Boolean,
+                              width: Int, height: Int, meanLuma: Double)
+
+  /** REAL video-container decode for MJPEG-in-AVI — pure JVM: walk the
+    * RIFF chunk tree to the 'movi' list, hand each '..dc'/'..db'
+    * payload to the JDK JPEG codec, emit one typed row per frame.
+    * Same mapPartitions batch shape as [[decodeImages]]; poison
+    * payloads (bad container, bad frame) degrade to `decoded = false`
+    * rows rather than killing the task. Containers whose codec the
+    * JDK lacks keep [[decodeFramesStub]] as the declared seam.
+    */
+  def decodeVideoFrames(df: DataFrame, idCol: String, binCol: String)
+                       (implicit spark: SparkSession): Dataset[VideoFrame] = {
+    import spark.implicits._
+
+    def u32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+    def tag(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, "US-ASCII")
+
+    // collect '..dc'/'..db' payload spans inside a chunk range,
+    // recursing into LIST('movi') and LIST('rec ')
+    def frameSpans(b: Array[Byte], from: Int, to: Int,
+                   inMovi: Boolean): Vector[(Int, Int)] = {
+      var p = from
+      var out = Vector.empty[(Int, Int)]
+      while (p + 8 <= to) {
+        val id = tag(b, p)
+        val len = u32(b, p + 4).toInt
+        val dataStart = p + 8
+        if (len < 0 || dataStart + len > to) return out   // truncated: stop
+        if (id == "LIST" && len >= 4) {
+          val lt = tag(b, dataStart)
+          if (lt == "movi" || (inMovi && lt == "rec "))
+            out ++= frameSpans(b, dataStart + 4, dataStart + len,
+              inMovi = true)
+        } else if (inMovi && id.length == 4 &&
+          (id.endsWith("dc") || id.endsWith("db"))) {
+          out :+= (dataStart, len)
+        }
+        p = dataStart + len + (len & 1)
+      }
+      out
+    }
+
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val ok = bytes != null && bytes.length >= 12 &&
+            tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "AVI "
+          if (!ok) Iterator.single(VideoFrame(id, -1, decoded = false, -1, -1, 0.0))
+          else {
+            val end = math.min(bytes.length, 8 + u32(bytes, 4).toInt)
+            val spans = frameSpans(bytes, 12, end, inMovi = false)
+            if (spans.isEmpty)
+              Iterator.single(VideoFrame(id, -1, decoded = false, -1, -1, 0.0))
+            else spans.iterator.zipWithIndex.map { case ((start, len), i) =>
+              val img =
+                try Option(javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes, start, len)))
+                catch { case _: Exception => None }
+              img match {
+                case Some(im) => VideoFrame(id, i, decoded = true,
+                  im.getWidth, im.getHeight, sampledLuma(im))
+                case None => VideoFrame(id, i, decoded = false, -1, -1, 0.0)
+              }
+            }
+          }
+        }
+      }
+  }
+
   final case class ImageMeta(id: Long, decoded: Boolean, width: Int,
                              height: Int, meanLuma: Double)
 
   /** Mean luma of a decoded image over a bounded sample grid — the
-    * metadata-pass cost must not scale with pixel count. Used by every
-    * BufferedImage-producing decode path (currently decodeImages).
+    * metadata-pass cost must not scale with pixel count. Shared by the
+    * still-image ([[decodeImages]]) and video-frame
+    * ([[decodeVideoFrames]]) decode paths.
     */
   private def sampledLuma(i: java.awt.image.BufferedImage): Double = {
     val (w, h) = (i.getWidth, i.getHeight)

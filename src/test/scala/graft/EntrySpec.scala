@@ -24,4 +24,15 @@ class EntrySpec extends SparkSpec {
       "q121_rolling_distinct"),
       s"unexpected rows-only queries: $rowsOnly")
   }
+
+  test("README query counts match SparkEntry (no hand-count drift)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = raw"(\d+) oracled queries of (\d+)".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README no longer states the query counts")
+    assert(m.get.group(1).toInt == SparkEntry.oracleSql.size,
+      s"README says ${m.get.group(1)} oracled, actual ${SparkEntry.oracleSql.size}")
+    assert(m.get.group(2).toInt == SparkEntry.queries.size,
+      s"README says ${m.get.group(2)} queries, actual ${SparkEntry.queries.size}")
+  }
 }

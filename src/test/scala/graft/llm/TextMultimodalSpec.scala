@@ -101,6 +101,41 @@ class TextMultimodalSpec extends SparkSpec {
     assert(!out(3L).decoded && !out(4L).decoded)
   }
 
+  test("decodeVideoFrames: MJPEG-in-AVI RIFF walk + JPEG decode; poison tolerated") {
+    implicit val s = spark
+    val frames1 = Seq(Multimodal.solidJpeg(32, 24, 100),
+      Multimodal.solidJpeg(32, 24, 200))
+    val frames2 = Seq(Multimodal.solidJpeg(17, 9, 0))   // odd-size chunk → pad path
+    val rows = Seq(
+      (1L, Multimodal.mjpegAvi(frames1, 32, 24)),
+      (2L, Multimodal.mjpegAvi(frames2, 17, 9)),
+      (3L, Array.tabulate(64)(i => (i * 3 % 256).toByte)), // not RIFF
+      (4L, "RIFF".getBytes("US-ASCII") ++ Array.fill(20)(0.toByte)) // RIFF, not AVI
+    ).toDF("doc_id", "b")
+    val out = Multimodal.decodeVideoFrames(rows, "doc_id", "b")
+      .collect().groupBy(_.id)
+    assert(out(1L).length == 2)
+    val f1 = out(1L).sortBy(_.frameIdx)
+    assert(f1.forall(f => f.decoded && f.width == 32 && f.height == 24))
+    assert(math.abs(f1(0).meanLuma - 100.0) <= 2.0)
+    assert(math.abs(f1(1).meanLuma - 200.0) <= 2.0)
+    assert(out(2L).length == 1 && out(2L).head.decoded &&
+      out(2L).head.width == 17 && out(2L).head.height == 9 &&
+      math.abs(out(2L).head.meanLuma - 0.0) <= 2.0)
+    assert(out(3L).length == 1 && !out(3L).head.decoded)
+    assert(out(4L).length == 1 && !out(4L).head.decoded)
+  }
+
+  test("mjpegAvi container is well-formed RIFF (sizes consistent)") {
+    val avi = Multimodal.mjpegAvi(
+      Seq(Multimodal.solidJpeg(16, 16, 50)), 16, 16)
+    def u32(p: Int): Long = (avi(p) & 0xFFL) | ((avi(p + 1) & 0xFFL) << 8) |
+      ((avi(p + 2) & 0xFFL) << 16) | ((avi(p + 3) & 0xFFL) << 24)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(u32(4) == avi.length - 8)   // RIFF size covers the whole body
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+  }
+
   test("audioFeatures: real JDK WAV decode recovers rate/frames/RMS; poison tolerated") {
     implicit val s = spark
     val rows = Seq(
