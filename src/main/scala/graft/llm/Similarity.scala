@@ -265,15 +265,24 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN: the second scale path next to
-    * [[embedLshTopK]]. A coarse quantizer (seeded hash-sample +
-    * Lloyd refinements over L2-normalized vectors, trained natively
-    * below) partitions the corpus into `nCentroids` cells; each query
-    * probes its `nProbe` nearest cells and verifies exact cosine only
-    * against vectors assigned there — candidate volume ≈ corpus ×
-    * nProbe / nCentroids per query, an equality join on the cell id
-    * (no all-pairs). Centroids are tiny and shipped as literals; the
-    * assignment/probe argmax is a codegen'd dot-product scan over
-    * them.
+    * [[embedLshTopK]]. A TWO-LEVEL coarse quantizer partitions the
+    * corpus into ≈ `nCentroids` cells (default 4√n, the standard IVF
+    * sizing — NO upper cap): √cells level-1 centroids trained by a
+    * few Lloyd rounds, then √cells level-2 centroids trained WITHIN
+    * each level-1 cell. Each query probes its best level-1 cells,
+    * ranks their level-2 children, and verifies exact cosine only
+    * against vectors assigned to its `nProbe` best (c1, c2) cells —
+    * candidate volume ≈ corpus × nProbe / cells per query, an
+    * equality join on the cell pair (no all-pairs).
+    *
+    * Why two levels: flat IVF needs n·cells assignment dots (n^1.5
+    * at the 4√n sizing — quadratic-ish past ~10⁶ vectors) and a
+    * cells×dims centroid table that must reach the driver. Here
+    * assignment costs n·2√cells dots, level-1 centroids are the only
+    * broadcast (√cells × dims), and level-2 centroids live in a
+    * DataFrame equi-joined on the level-1 cell — nothing is ever
+    * collect()ed, so the cell count scales with the corpus instead of
+    * being capped by driver memory (the round-4/5 watch item).
     *
     * Cosine-correctness: on unit vectors, nearest-centroid by
     * Euclidean = nearest by cosine (d² = 2 − 2cos), so normalizing
@@ -282,9 +291,8 @@ object Similarity {
     * Round-3 note: the quantizer was first an `ml.clustering.KMeans`
     * fit — functionally fine, but its ~15 scheduler-bound micro-jobs
     * ran 15× slower inside a long-lived churned session (83 s in the
-    * 60-query bench vs 5 s isolated). The native trainer is a handful
-    * of grouped aggregations with tiny driver collects — predictable
-    * anywhere.
+    * 60-query bench vs 5 s isolated). The native trainer is grouped
+    * aggregations end-to-end — predictable anywhere.
     */
   def embedIvfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                    k: Int, nCentroids: Int = -1, nProbe: Int = 4,
@@ -309,87 +317,225 @@ object Similarity {
     // corpus·nProbe/nCentroids, so FIXED cells make the total verify
     // cost quadratic in the corpus — the 10× scale smoke measured 24×
     // growth at 16 cells before this. nCentroids ≈ 4√n (the standard
-    // IVF sizing) keeps per-cell occupancy ~√n/4 and total candidates
-    // ~n^1.5·nProbe/4 — and the count() is a cheap checkpointed-block
-    // scan.
+    // IVF sizing) keeps per-cell occupancy ~√n/4 — and with the
+    // two-level quantizer there is no upper cap: nothing about the
+    // cell count touches the driver.
     val nCells =
       if (nCentroids > 0) nCentroids
       else {
         val n = unit.count().toDouble
-        math.max(16, math.min(4096, math.ceil(4.0 * math.sqrt(n)).toInt))
+        math.max(16, math.ceil(4.0 * math.sqrt(n)).toInt)
       }
-    // Quantizer training, natively: seed with a deterministic hash-
-    // sample of the corpus (the nCells rows with smallest xxhash64(id)
-    // — a uniform pseudo-random sample, reproducible on any
-    // partitioning), then `maxIter` Lloyd refinements where each step
-    // is one broadcast-join assignment + one grouped mean and a tiny
-    // (nCells×dims) driver collect. Centroids are re-normalized to the
-    // unit sphere so argmax-dot assignment stays argmin-euclidean.
-    // Standard IVF practice: train the coarse quantizer cheaply
-    // (sample + few iterations) — cells need balance, not optimality.
-    //
-    // Centroids travel as a BROADCAST TABLE, not inlined literals: at
-    // auto scale (hundreds of cells × dims) literal arrays blow past
-    // whole-stage codegen's method-size limit and the per-row argmax
-    // falls back to interpreted eval — the same two-orders-of-magnitude
-    // cliff the round-3 HOF dot products hit.
-    def normalized(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
+    // Below FlatMax cells (corpus ≲ 16k vectors) a single level is
+    // both safe (the broadcast is bounded by FlatMax×dims) and ~3×
+    // faster — the hierarchy's extra joins/shuffles only pay for
+    // themselves once the cell count would otherwise be driver-sized.
+    // l2n == 1 selects the flat path below.
+    val FlatMax = 512
+    val l1n =
+      if (nCells <= FlatMax) nCells
+      else math.max(2, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val l2n = math.max(1, math.ceil(nCells.toDouble / l1n).toInt)
+
+    // re-normalize a mean vector back to the unit sphere so argmax-dot
+    // assignment stays argmin-euclidean; zero-mean cells stay zero
+    def unitize(v: Column): Column = {
+      val nrm = sqrt(doubleDot(v, v))
+      transform(v, (x: Column) => when(nrm > 0, x / nrm).otherwise(x))
     }
-    var centers: Array[Array[Double]] = unit
-      .select(col("_unit"), xxhash64(col(idCol), lit(seed)).as("_h"))
-      .orderBy(col("_h")).limit(nCells)
-      .select(col("_unit")).collect()
-      .map(r => r.getSeq[Double](0).toArray)
-    def cdf(cs: Array[Array[Double]]): DataFrame =
-      broadcast(cs.zipWithIndex.map { case (c, j) => (j, c) }
-        .toSeq.toDF("_cell", "_c"))
-    // (id, _unit, _cell, _dot) for every vector × centroid pair; the
-    // broadcast nested-loop join runs inside the corpus partitions, so
-    // the per-row dot scan parallelizes with no shuffle
-    def scored(cs: Array[Array[Double]]): DataFrame =
-      unit.crossJoin(cdf(cs))
-        .select(col(idCol), col("_unit"), col("_cell"),
-          doubleDot(col("_unit"), col("_c")).as("_dot"))
+    // rebuild an array column from exploded (pos, mean) pairs — struct
+    // sort is lexicographic, so _pos ordering reassembles positions
+    def assemble(pm: Column): Column =
+      unitize(transform(array_sort(pm), (s: Column) => s.getField("_m")))
+
+    // ---- level 1: √cells centroids, seeded by a deterministic
+    // hash-sample, refined by Lloyd rounds. The ONLY broadcast table
+    // (l1n × dims); every other quantizer structure stays distributed.
+    var l1: DataFrame = unit
+      .select(col(idCol), col("_unit"), xxhash64(col(idCol), lit(seed)).as("_h"))
+      .orderBy(col("_h"), col(idCol)).limit(l1n)
+      .select((row_number().over(
+          Window.orderBy(col("_h"), col(idCol))) - 1).as("_c1"),
+        col("_unit").as("_c1v"))
+      .localCheckpoint()
+    // (id, _c1) per vector: broadcast nested-loop over the l1 table,
+    // argmax dot with a deterministic tie-break on the cell id
+    def l1Assign(cs: DataFrame): DataFrame =
+      unit.crossJoin(broadcast(cs))
+        .select(col(idCol), col("_c1"),
+          doubleDot(col("_unit"), col("_c1v")).as("_dot"))
+        .groupBy(col(idCol))
+        .agg(max_by(col("_c1"),
+          struct(col("_dot"), (-col("_c1")).as("_t"))).as("_c1"))
     for (_ <- 1 to maxIter) {
-      val assign = scored(centers).groupBy(col(idCol))
-        .agg(max_by(col("_cell"),
-          struct(col("_dot"), (-col("_cell")).as("_t"))).as("_cell"))
-      val sums = unit.join(assign, Seq(idCol))
-        .select(col("_cell"), posexplode(col("_unit")).as(Seq("_pos", "_x")))
-        .groupBy(col("_cell"), col("_pos")).agg(avg(col("_x")).as("_m"))
-        .collect()
-      val next = centers.map(_.clone())
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-      }
+      // explicit spread before the coordinate explode: the mean pass
+      // is CPU-dense over few bytes, and AQE's byte-based coalescing
+      // would otherwise run the whole explode+partial-agg in one task
+      val means = unit.join(l1Assign(l1), Seq(idCol))
+        .repartition(par)
+        .select(col("_c1"), posexplode(col("_unit")).as(Seq("_pos", "_x")))
+        .groupBy(col("_c1"), col("_pos")).agg(avg(col("_x")).as("_m"))
+        .groupBy(col("_c1"))
+        .agg(collect_list(struct(col("_pos"), col("_m"))).as("_pm"))
+        .select(col("_c1"), assemble(col("_pm")).as("_nv"))
       // cells that captured no vectors keep their previous center
-      centers = next.map(normalized)
+      l1 = l1.join(means, Seq("_c1"), "left")
+        .select(col("_c1"), coalesce(col("_nv"), col("_c1v")).as("_c1v"))
+        .localCheckpoint()
     }
-    // Per vector, its top-nProbe cells by dot — ONE bounded typed
-    // aggregation (TopKAgg, map-side partial) instead of a per-row
-    // sort over all cells: rank 1 is the assignment cell, ranks
-    // 1..nProbe are the probe cells. Ordering (dot desc, cell asc)
-    // matches the previous literal-sort contract.
-    val ranked = graft.operators.TopKAgg.perGroup(
-        scored(centers), idCol, "_dot", "_cell", k = nProbe)
+    // corpus with its final level-1 cell, reused by every stage below
+    val corpus = unit.join(l1Assign(l1), Seq(idCol)).localCheckpoint()
+
+    // (assigned, probes): the corpus side and the query side of the
+    // candidate join, computed flat (one level) for small cell counts
+    // or hierarchically (two levels) past FlatMax.
+    val (assigned: DataFrame, probes: DataFrame) = if (l2n == 1) {
+      // ---- flat path: level-1 IS the quantizer. Assignment cell =
+      // argmax dot (already in corpus); probe = top-nProbe cells.
+      val a = corpus.select(col(idCol).as("id_b"), col("_unit").as("_ub"),
+        col("_c1"), lit(0).as("_c2"))
+      val p = graft.operators.TopKAgg.perGroup(
+          unit.crossJoin(broadcast(l1))
+            .select(col(idCol), col("_c1"),
+              doubleDot(col("_unit"), col("_c1v")).as("_dot")),
+          idCol, "_dot", "_c1", k = math.min(l1n, nProbe))
+        .select(col(idCol), col("_c1").cast("int").as("_c1"),
+          lit(0).as("_c2"))
+        .join(unit, Seq(idCol))
+        .select(col(idCol).as("id_a"), col("_unit").as("_ua"),
+          col("_c1"), col("_c2"))
+      (a, p)
+    } else {
+    // ---- level 2: up to √cells centroids WITHIN each level-1 cell.
+    // Seeds are a per-cell hash-sample (partitioned window — bounded
+    // by the cell, not the corpus); assignment is an EQUI-JOIN on _c1
+    // (each vector meets only its own cell's centroids), so the level-2
+    // table can be arbitrarily large — it is never broadcast and never
+    // collected.
+    //
+    // _c1 has only √cells distinct values — too few keys for shuffle
+    // parallelism (the un-salted version measured 3 heavy single-task
+    // stages at the 10× smoke). Every _c1 join therefore salts the
+    // big (per-vector) side and EXPLODES the small (per-cell centroid)
+    // side saltN×: parallelism becomes √cells·saltN at the cost of
+    // replicating only centroid rows. The big side is also explicitly
+    // repartitioned on the salted key: these frames are small-bytes
+    // but CPU-dense (a dot per row), and AQE sizes partitions by
+    // bytes, so its coalescing would serialize the dot scans back
+    // into one task (measured 3× ~3 s single-task stages); an
+    // explicit keyed repartition is exempt from AQE coalescing.
+    val saltN = math.max(1, math.ceil(4.0 * par / l1n).toInt)
+    def salted(bigSide: DataFrame): DataFrame =
+      bigSide.withColumn("_salt",
+        pmod(xxhash64(col(idCol), lit(seed + 2)), lit(saltN)).cast("int"))
+        .repartition(math.max(par, math.min(l1n * saltN, par * 4)),
+          col("_c1"), col("_salt"))
+    def replicated(cellSide: DataFrame): DataFrame =
+      cellSide.withColumn("_salt",
+        explode(sequence(lit(0), lit(saltN - 1))))
+    // seeds: the l2n smallest-hash members per cell, via the bounded
+    // TopKAgg (map-side partial) rather than a per-cell window — with
+    // only √cells distinct keys the window's shuffle coalesces to a
+    // handful of tasks (the 10× smoke measured a 1-task 3.8 s stage
+    // here); the aggregator ships ≤ l2n rows per (mapper, cell) and
+    // never funnels. Score is the negated hash: top-k desc = smallest
+    // hashes, id tie-break inside the aggregator.
+    var l2: DataFrame = graft.operators.TopKAgg.perGroup(
+        corpus.select(col("_c1"), col(idCol),
+          (-pmod(xxhash64(col(idCol), lit(seed + 1)), lit(1L << 40))
+            .cast("double")).as("_nh")),
+        "_c1", "_nh", idCol, k = l2n)
+      .select(col("_c1"), (col("rank") - 1).as("_c2"), col(idCol))
       .join(unit.select(col(idCol), col("_unit")), Seq(idCol))
+      .select(col("_c1"), col("_c2"), col("_unit").as("_c2v"))
+      .localCheckpoint()
+    def l2Assign(cs: DataFrame): DataFrame =
+      salted(corpus).join(replicated(cs), Seq("_c1", "_salt"))
+        .select(col(idCol), col("_c1"), col("_c2"),
+          doubleDot(col("_unit"), col("_c2v")).as("_dot"))
+        .groupBy(col(idCol), col("_c1"))
+        .agg(max_by(col("_c2"),
+          struct(col("_dot"), (-col("_c2")).as("_t"))).as("_c2"))
+    for (_ <- 1 to maxIter) {
+      // spread by CELL, not round-robin: co-locating each (c1, c2)
+      // makes the per-task partial aggregation complete for its own
+      // cells, so the final exchange carries only cells×dims rows —
+      // round-robin left mappers×cells×dims partial states whose
+      // single-task merge was the 10× smoke's last ~3 s hotspot. At
+      // corpus scale the cell count grows as 4√n, so this keyed
+      // spread also parallelizes better, not worse, with the data.
+      val means = corpus.join(l2Assign(l2), Seq(idCol, "_c1"))
+        .repartition(par, col("_c1"), col("_c2"))
+        .select(col("_c1"), col("_c2"),
+          posexplode(col("_unit")).as(Seq("_pos", "_x")))
+        .groupBy(col("_c1"), col("_c2"), col("_pos"))
+        .agg(avg(col("_x")).as("_m"))
+        .groupBy(col("_c1"), col("_c2"))
+        .agg(collect_list(struct(col("_pos"), col("_m"))).as("_pm"))
+        .select(col("_c1"), col("_c2"), assemble(col("_pm")).as("_nv"))
+      l2 = l2.join(means, Seq("_c1", "_c2"), "left")
+        .select(col("_c1"), col("_c2"),
+          coalesce(col("_nv"), col("_c2v")).as("_c2v"))
+        .localCheckpoint()
+    }
+    val assignedT = corpus.join(l2Assign(l2), Seq(idCol, "_c1"))
+      .select(col(idCol).as("id_b"), col("_unit").as("_ub"),
+        col("_c1"), col("_c2").cast("int").as("_c2"))
+
+    // ---- probe: best level-1 cells per query (broadcast argtop over
+    // the small l1 table), then, among those cells' children, the
+    // union of (a) the globally best nProbe (c1, c2) cells by center
+    // dot and (b) the argmax child WITHIN each probed level-1 cell.
+    // (b) is what makes hierarchical assignment and probing
+    // consistent: a vector is assigned to the argmax child of its
+    // argmax level-1 cell, and that cell can rank below nProbe
+    // OTHER cells' centers globally — without (b) a query can fail to
+    // probe its own (and its near-duplicate's) home cell, which is
+    // exactly the 499/500 planted-recall miss this fixed. Per-query
+    // quantizer cost is O(√cells · (1 + nProbe)) dots, ≤ nProbe + pL1
+    // probed cells.
+    val pL1 = math.min(l1n, math.max(2, nProbe))
+    val probe1 = graft.operators.TopKAgg.perGroup(
+      unit.crossJoin(broadcast(l1))
+        .select(col(idCol), col("_c1"),
+          doubleDot(col("_unit"), col("_c1v")).as("_dot")),
+      idCol, "_dot", "_c1", k = pL1)
+      .select(col(idCol), col("_c1"))
+    val beam = salted(probe1.join(unit, Seq(idCol)))
+      .join(replicated(l2), Seq("_c1", "_salt"))
+      .select(col(idCol), col("_c1"), col("_c2"),
+        doubleDot(col("_unit"), col("_c2v")).as("_dot"))
+      .localCheckpoint()
+    // composite cell id for the bounded top-k aggregation, decoded
+    // back after ranking
+    val probeGlobal = graft.operators.TopKAgg.perGroup(
+      beam.select(col(idCol),
+        (col("_c1").cast("long") * l2n + col("_c2")).as("_cid"),
+        col("_dot")),
+      idCol, "_dot", "_cid", k = nProbe)
+      .select(col(idCol), expr(s"_cid div $l2n").cast("int").as("_c1"),
+        pmod(col("_cid"), lit(l2n.toLong)).cast("int").as("_c2"))
+    val probeHier = beam.groupBy(col(idCol), col("_c1"))
+      .agg(max_by(col("_c2"),
+        struct(col("_dot"), (-col("_c2")).as("_t"))).as("_c2"))
+      .select(col(idCol), col("_c1").cast("int").as("_c1"),
+        col("_c2").cast("int").as("_c2"))
+    val probesT = probeGlobal.unionByName(probeHier).distinct()
+      .join(unit, Seq(idCol))
+      .select(col(idCol).as("id_a"), col("_unit").as("_ua"),
+        col("_c1"), col("_c2"))
+    (assignedT, probesT)
+    }
+
     // Verify on the ALREADY-normalized double vectors: cosine is then
     // one codegen'd dot per pair — no norms and no per-pair
     // float→double cast allocations.
-    val assigned = ranked.filter(col("rank") === 1)
-      .select(col(idCol).as("id_b"), col("_unit").as("_ub"),
-        col("_cell").as("cell"))
-    val probes = ranked
-      .select(col(idCol).as("id_a"), col("_unit").as("_ua"),
-        col("_cell").as("cell"))
-    val cos = probes.join(assigned, Seq("cell"))
+    val cos = probes.join(assigned, Seq("_c1", "_c2"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("cos", round(doubleDot(col("_ua"), col("_ub")), 4))
       .select(col("id_a"), col("id_b"), col("cos"))
     // no pair-dedup needed: each corpus vector lives in exactly one
-    // cell and a query probes distinct cells
+    // (c1, c2) cell and a query probes distinct cells
     cos.withColumn("rank", row_number().over(
         Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
       .filter(col("rank") <= k)

@@ -57,9 +57,9 @@ object BxFixture {
     * takes overrides for re-calibration.
     */
   val Mu = 7.65
-  val SdUser = 0.85
-  val SdItem = 0.65
-  val SdNoise = 1.55
+  val SdUser = 0.75
+  val SdItem = 0.55
+  val SdNoise = 1.30
 
   /** ~N(0,1) from four xxhash64-uniform draws (Irwin–Hall, rescaled);
     * plenty for calibrating second moments.
@@ -79,7 +79,7 @@ object BxFixture {
     * conflicting noise draws, which sets the final model's train-RMSE
     * floor (rank-30 ALS can memorize everything else).
     */
-  val SkewExp = 2.2
+  val SkewExp = 3.5
 
   def ratings(spark: SparkSession,
               mu: Double = Mu, sdUser: Double = SdUser,
