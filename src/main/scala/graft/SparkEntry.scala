@@ -52,6 +52,39 @@ object SparkEntry {
     Cleaning.cleanRatings(t(s, dir, "lineitem"),
       "l_suppkey", "l_partkey", "l_quantity", lo = 0, hi = 10)
 
+  /** Shared DuckDB CTE chain: exact 3-gram-Jaccard near-dup pairs →
+    * symmetric edges → recursive reachability → cluster = min reachable
+    * doc_id. The oracle for every cluster-derived query (q80, q165,
+    * q166). Callers prepend `WITH RECURSIVE ` and append their own
+    * CTEs/SELECT over `cl(doc_id, cluster)`.
+    */
+  private val dupClusterCte =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |           unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |                   for i in range(1, len(s) - 1)]) AS shingle
+      |    FROM toks)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |cnt AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT id_a, id_b
+      |  FROM cnt JOIN sizes sa ON id_a = sa.doc_id
+      |           JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5),
+      |e AS (SELECT id_a AS s, id_b AS d FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.d FROM reach r JOIN e ON r.dst = e.s),
+      |cl AS (SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src)""".stripMargin
+
   private val ratingsSql =
     """SELECT CAST(l_suppkey AS BIGINT) AS userId,
       |       CAST(l_partkey AS BIGINT) AS itemId,
@@ -575,6 +608,28 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       Dedup.dupClusters(d, "doc_id",
         Dedup.minHashNearDupVerified(d, "doc_id", "text", threshold = 0.5))
+    }),
+
+    // --- cluster canonicalization: one representative per near-dup
+    //     cluster by (quality desc, doc_id asc) — the keep-one step
+    //     after dedup; argmax via map-side max_by, no window ---
+    "q165_dup_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val clusters = Dedup.dupClusters(d, "doc_id",
+        Dedup.minHashNearDupVerified(d, "doc_id", "text", threshold = 0.5))
+      val quality = TextAnalysis.qualityScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      Dedup.canonicalize(clusters, quality, "doc_id", "cluster", "quality")
+    }),
+
+    // --- dedup-aware split: train/val/test keyed by the near-dup
+    //     CLUSTER id so paraphrases of train docs can never land in
+    //     eval; leak_free is verified, not assumed ---
+    "q166_dedup_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val clusters = Dedup.dupClusters(d, "doc_id",
+        Dedup.minHashNearDupVerified(d, "doc_id", "text", threshold = 0.5))
+      Sampling.dedupAwareSplit(clusters, "doc_id", "cluster")
     }),
 
     // --- item-item cosine (M9, sparse self-join rewrite with the
@@ -2508,31 +2563,51 @@ object SparkEntry {
     // reachability closure over the exact near-dup pairs (both
     // directions), min reachable id = cluster label
     "q80_dup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS s FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, shingle FROM (
-        |    SELECT doc_id,
-        |           unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
-        |                   for i in range(1, len(s) - 1)]) AS shingle
-        |    FROM toks)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |cnt AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |p AS (
-        |  SELECT id_a, id_b
-        |  FROM cnt JOIN sizes sa ON id_a = sa.doc_id
-        |           JOIN sizes sb ON id_b = sb.doc_id
-        |  WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5),
-        |e AS (SELECT id_a AS s, id_b AS d FROM p
-        |      UNION ALL SELECT id_b, id_a FROM p),
-        |reach(src, dst) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.src, e.d FROM reach r JOIN e ON r.dst = e.s)
-        |SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src""".stripMargin,
+      s"""WITH RECURSIVE $dupClusterCte
+         |SELECT doc_id, cluster FROM cl""".stripMargin,
+
+    // canonicalization on top of the same recursive-reachability
+    // clusters + the q52 quality formula; argmax via window
+    "q165_dup_canonical" ->
+      s"""WITH RECURSIVE $dupClusterCte,
+         |tk2 AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+         |st2 AS (SELECT doc_id,
+         |               LENGTH(text) AS n_chars, LEN(s) AS n_tokens,
+         |               LEN(list_distinct(s)) AS n_unique,
+         |               ROUND(CAST(LEN(list_filter(s, t -> t IN ('the','a','and','of','in','to','is'))) AS DOUBLE) / LEN(s), 6) AS stop_ratio
+         |        FROM tk2),
+         |q AS (SELECT doc_id,
+         |             ROUND((LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+         |                    + LEAST(stop_ratio * 5.0, 1.0)
+         |                    + CAST(n_unique AS DOUBLE) / n_tokens) / 3.0, 6) AS quality
+         |      FROM st2),
+         |r AS (SELECT cl.cluster, q.doc_id, q.quality,
+         |             ROW_NUMBER() OVER (PARTITION BY cl.cluster
+         |                  ORDER BY q.quality DESC, q.doc_id) AS rn,
+         |             COUNT(*) OVER (PARTITION BY cl.cluster) AS nm,
+         |             MAX(q.quality) OVER (PARTITION BY cl.cluster) AS bq
+         |      FROM cl JOIN q USING (doc_id))
+         |SELECT cluster, doc_id AS canonical_id,
+         |       CAST(nm AS BIGINT) AS n_members, bq AS best_score
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    // dedup-aware split over the same clusters: split is a pure
+    // function of the cluster id, leak_free recomputed not assumed
+    "q166_dedup_split" ->
+      s"""WITH RECURSIVE $dupClusterCte,
+         |ws AS (SELECT doc_id, cluster,
+         |              CASE WHEN cluster % 10 < 8 THEN 'train'
+         |                   WHEN cluster % 10 = 8 THEN 'val'
+         |                   ELSE 'test' END AS split
+         |       FROM cl),
+         |lf AS (SELECT CAST(CASE WHEN MAX(nsp) <= 1 THEN 1 ELSE 0 END AS INT)
+         |                 AS leak_free
+         |       FROM (SELECT cluster, COUNT(DISTINCT split) AS nsp
+         |             FROM ws GROUP BY 1))
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+         |       lf.leak_free
+         |FROM ws CROSS JOIN lf GROUP BY split, lf.leak_free""".stripMargin,
 
     // replays the stub codec in SQL: frames = fixed 64-char slices
     // (documents.text is pure ASCII, so char slicing ≡ byte slicing

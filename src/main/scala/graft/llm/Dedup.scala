@@ -428,6 +428,25 @@ object Dedup {
       .select(col("_id").as(idCol), col("_lbl").as("cluster"))
   }
 
+  /** Cluster canonicalization — the step every dedup pipeline runs
+    * after [[dupClusters]]: keep ONE representative per near-dup
+    * cluster, chosen by a score (highest quality wins, lowest id
+    * breaks ties deterministically). One grouped aggregation over the
+    * (id → cluster) labels joined with the score table: `max_by` on
+    * the (score, −id) struct keeps the argmax entirely map-side
+    * partial — no window, no per-cluster sort. Emits
+    * (cluster, canonical_id, n_members, best_score).
+    */
+  def canonicalize(clusters: DataFrame, scores: DataFrame, idCol: String,
+                   clusterCol: String, scoreCol: String): DataFrame =
+    clusters.join(scores, Seq(idCol))
+      .groupBy(col(clusterCol))
+      .agg(
+        max_by(col(idCol),
+          struct(col(scoreCol), (-col(idCol)).as("_t"))).as("canonical_id"),
+        count(lit(1)).as("n_members"),
+        max(col(scoreCol)).as("best_score"))
+
   /** 64-bit SimHash fingerprint per document: token-frequency-weighted
     * bit votes over `xxhash64(token)`. 64 per-bit vote sums in ONE
     * grouped aggregation (all codegen'd), then bit assembly.

@@ -182,4 +182,36 @@ object Sampling {
       (conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 4),
         16, 10).cast("long") % nShards).cast("int"))
   }
+
+  /** Dedup-aware split report: split by the near-dup CLUSTER id, not
+    * the document id, so near-duplicates can never straddle
+    * train/val/test (hashing doc ids leaks paraphrases of train docs
+    * into eval — the contamination mode exact-dedup misses). Takes the
+    * (id, cluster) labels from [[Dedup.dupClusters]]; buckets the
+    * cluster id mod `nBuckets` (< `trainUpTo` → train, == → val,
+    * rest → test — pure integer arithmetic, replayable in any
+    * engine). Emits one row per split: (split, n_docs, n_clusters,
+    * leak_free) where leak_free VERIFIES (not assumes) that no cluster
+    * spans two splits — a 1-row broadcast joined onto the 3-row
+    * report.
+    */
+  def dedupAwareSplit(clusters: DataFrame, idCol: String,
+                      clusterCol: String, nBuckets: Int = 10,
+                      trainUpTo: Int = 8): DataFrame = {
+    require(nBuckets >= 2 && trainUpTo >= 1 && trainUpTo < nBuckets,
+      "need train < val < test bucket ranges")
+    val withSplit = clusters.withColumn("split",
+      when(pmod(col(clusterCol), lit(nBuckets)) < trainUpTo, "train")
+        .when(pmod(col(clusterCol), lit(nBuckets)) === trainUpTo, "val")
+        .otherwise("test"))
+    val leakFree = withSplit
+      .groupBy(col(clusterCol))
+      .agg(countDistinct(col("split")).as("_nsp"))
+      .agg((coalesce(max(col("_nsp")), lit(0L)) <= 1L).cast("int")
+        .as("leak_free"))
+    withSplit.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(clusterCol)).as("n_clusters"))
+      .crossJoin(broadcast(leakFree))
+  }
 }

@@ -190,6 +190,29 @@ class DedupSpec extends SparkSpec {
     assert(out == (0L to 4L).map(i => i -> i).toMap)
   }
 
+  test("canonicalize keeps the highest-score member, min id on ties") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.1))
+      .toDF("doc_id", "quality")
+    val out = Dedup.canonicalize(clusters, scores, "doc_id", "cluster", "quality")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // cluster 1: 0.9 tie between 2 and 3 → min id 2; cluster 4: tie → 4
+    assert(out(1L) == ((1L, 2L, 3L, 0.9)))
+    assert(out(4L) == ((4L, 4L, 2L, 0.1)))
+  }
+
+  test("dedupAwareSplit keys splits by cluster and verifies no leakage") {
+    // clusters 0..9 → buckets 0..9: 8 train, 1 val, 1 test; members of
+    // the same cluster must land together regardless of their own ids
+    val clusters = (0L until 30L).map(i => (i, i % 10)).toDF("doc_id", "cluster")
+    val out = Sampling.dedupAwareSplit(clusters, "doc_id", "cluster")
+      .as[(String, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out("train") == (("train", 24L, 8L, 1)))
+    assert(out("val") == (("val", 3L, 1L, 1)))
+    assert(out("test") == (("test", 3L, 1L, 1)))
+  }
+
   test("editDistancePairs length band prunes before levenshtein runs") {
     // |len diff| > maxDist pairs must be filtered by the cheap band,
     // not reach the quadratic distance call: verify via result only
