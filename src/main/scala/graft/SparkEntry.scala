@@ -1768,11 +1768,12 @@ object SparkEntry {
               (col("tf") + lit(1.2) *
                 (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl"))),
             4).as("score"))
-      scored
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
-            .orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("rn") <= 3)
+      // bounded top-3 per term via TopKAgg, not a window: the per-term
+      // window shuffles every scored row and its small-bytes/CPU-dense
+      // exchange coalesces to one task under AQE (measured 3.1 s
+      // single-task at the 10× smoke); the aggregator ships ≤3 rows
+      // per (mapper, term) and keeps the same (score desc, id) order
+      graft.operators.TopKAgg.perGroup(scored, "term", "score", "doc_id", k = 3)
         .select(col("term"), col("doc_id"), col("score"))
     }),
 
