@@ -205,15 +205,23 @@ object Similarity {
           math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
       }
     // Seeded hyperplanes, generated on the driver (tiny: tables×bits×d
-    // doubles) and inlined as literals — identical on every executor.
+    // doubles) and shipped as a BROADCAST TABLE, not inlined literals:
+    // tables×bits CreateArray expressions (each dims literals) in one
+    // projection blow past whole-stage codegen's method-size limit, so
+    // the entire banding ran INTERPRETED — measured as two ~185 s CPU
+    // stages at the 10× smoke (once per candidate-join side, since the
+    // banding wasn't materialized). Same cliff the IVF centroids hit
+    // in round 3, same fix: broadcast nested-loop over the 72-row
+    // plane table keeps the per-row dot inside codegen, and the
+    // (id, table, bucket) result is checkpointed so both join sides
+    // scan it instead of re-banding.
     val rng = new scala.util.Random(seed)
-    def plane(): Column = array((0 until dims).map(_ => lit(rng.nextGaussian())): _*)
-    val buckets = (0 until numTables).map { t =>
-      val bits = (0 until nBits).map { j =>
-        when(doubleDot(col(vecCol), plane()) > 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
+    val planeRows = (0 until numTables).flatMap { t =>
+      (0 until nBits).map { j => (t, j, Array.fill(dims)(rng.nextGaussian())) }
     }
+    val sess = embeddings.sparkSession
+    import sess.implicits._
+    val planes = broadcast(planeRows.toDF("table", "_j", "_p"))
     // Banded rows carry ONLY (id, table, bucket): the candidate join
     // and pair-dedup shuffle 16-byte pairs, not vectors. Vectors (and
     // their norms, computed once per row) come back via equi-joins on
@@ -222,9 +230,13 @@ object Similarity {
     // high-cardinality key. Carrying the vectors through the dedup
     // (round-2 shape) made the exchange ~50× wider and put array
     // copies on every sort/agg row.
-    val banded0 = spread
-      .select(col(idCol), explode(array(buckets: _*)).as("b"))
-      .select(col(idCol), col("b.table"), col("b.bucket"))
+    val banded0 = spread.crossJoin(planes)
+      .select(col(idCol), col("table"),
+        when(doubleDot(col(vecCol), col("_p")) > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), _j)")).otherwise(lit(0L)).as("_bit"))
+      .groupBy(col(idCol), col("table"))
+      .agg(sum(col("_bit")).as("bucket"))
+      .localCheckpoint()
     // Hot-bucket cap (off by default): a bucket the hash cannot
     // discriminate — duplicate-heavy corpora, degenerate regions,
     // adversarial data — generates |bucket|² candidates and is THE
