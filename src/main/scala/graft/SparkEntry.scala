@@ -694,6 +694,23 @@ object SparkEntry {
       nPlanted.crossJoin(hits.agg(count(lit(1)).as("n_found")))
     }),
 
+    // --- cross-table ANN (the SERVING shape): NEW query vectors
+    //     (perturbed copies, disjoint id namespace) searched against
+    //     the corpus-trained IVF index — every query must rank its
+    //     source in the top-3 ---
+    "q167_ann_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.select(
+        (col("vec_id") + PlantOffset).as("vec_id"),
+        expr("transform(embedding, (x, j) -> CAST(x * (1.0D + 0.01D * " +
+          "CAST(j % 5 - 2 AS DOUBLE)) AS FLOAT))").as("embedding"))
+      val hits = Similarity.embedIvfSearch(emb, queries,
+          "vec_id", "vec_id", "embedding", k = 3)
+        .filter(col("id_b") === col("id_a") - PlantOffset)
+      emb.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_found")))
+    }),
+
     // --- SimHash planted recall: one appended token on a ~100-token
     //     doc shifts every bit-vote by ±1, so bits at margin 0/±1 can
     //     flip; the planted pair lands within Hamming `maxDist` for
@@ -2866,6 +2883,10 @@ object SparkEntry {
 
     "q125_ivf_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+        |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
+
+    "q167_ann_search" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
 
     "q126_simhash_recall" ->

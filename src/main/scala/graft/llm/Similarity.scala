@@ -308,7 +308,31 @@ object Similarity {
     */
   def embedIvfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                    k: Int, nCentroids: Int = -1, nProbe: Int = 4,
-                   maxIter: Int = 2, seed: Long = 42L): DataFrame = {
+                   maxIter: Int = 2, seed: Long = 42L): DataFrame =
+    ivfCore(embeddings, None, idCol, idCol, vecCol, k, nCentroids, nProbe,
+      maxIter, seed)
+
+  /** Cross-table IVF ANN — the SERVING shape: rank the top-k corpus
+    * neighbors of each NEW query vector (queries ∉ corpus). The quantizer
+    * is trained on — and the inverted lists built from — the CORPUS
+    * only; queries are normalized, probed against the trained cells
+    * and verified exactly, so a small query batch against a huge
+    * corpus costs |queries| · (√cells·(1+nProbe) quantizer dots +
+    * nProbe·occupancy exact dots) and never scans the corpus.
+    * Output: (id_a = query id, id_b = corpus id, cos, rank).
+    */
+  def embedIvfSearch(corpus: DataFrame, queries: DataFrame,
+                     corpusIdCol: String, queryIdCol: String,
+                     vecCol: String, k: Int, nCentroids: Int = -1,
+                     nProbe: Int = 4, maxIter: Int = 2,
+                     seed: Long = 42L): DataFrame =
+    ivfCore(corpus, Some(queries), corpusIdCol, queryIdCol, vecCol, k,
+      nCentroids, nProbe, maxIter, seed)
+
+  private def ivfCore(embeddings: DataFrame, queriesOpt: Option[DataFrame],
+                      idCol: String, queryIdCol: String, vecCol: String,
+                      k: Int, nCentroids: Int, nProbe: Int,
+                      maxIter: Int, seed: Long): DataFrame = {
     val sess = embeddings.sparkSession
     import sess.implicits._
     // repartition + eager localCheckpoint: the corpus parquet is often
@@ -319,12 +343,19 @@ object Similarity {
     // side and the assigned side all re-scan blocks instead of
     // re-deriving them from parquet.
     val par = sess.sparkContext.defaultParallelism
-    val unit = embeddings.select(
-      col(idCol), col(vecCol),
-      transform(col(vecCol).cast("array<double>"),
-        (x: Column) => x / sqrt(doubleDot(col(vecCol), col(vecCol)))).as("_unit"))
-      .repartition(par)
-      .localCheckpoint()
+    def normalized(df: DataFrame, id: String): DataFrame =
+      df.select(
+        col(id).as(idCol), col(vecCol),
+        transform(col(vecCol).cast("array<double>"),
+          (x: Column) => x / sqrt(doubleDot(col(vecCol), col(vecCol)))).as("_unit"))
+        .repartition(par)
+        .localCheckpoint()
+    val unit = normalized(embeddings, idCol)
+    // the probe side: the corpus itself (self top-k) or a separate
+    // query frame (serving search) — every probe stage below reads
+    // qunit, every train/assign stage reads unit
+    val qunit = queriesOpt.map(normalized(_, queryIdCol)).getOrElse(unit)
+    val excludeSelf = queriesOpt.isEmpty
     // Auto cell count (default): candidate volume per query is
     // corpus·nProbe/nCentroids, so FIXED cells make the total verify
     // cost quadratic in the corpus — the 10× scale smoke measured 24×
@@ -407,13 +438,13 @@ object Similarity {
       val a = corpus.select(col(idCol).as("id_b"), col("_unit").as("_ub"),
         col("_c1"), lit(0).as("_c2"))
       val p = graft.operators.TopKAgg.perGroup(
-          unit.crossJoin(broadcast(l1))
+          qunit.crossJoin(broadcast(l1))
             .select(col(idCol), col("_c1"),
               doubleDot(col("_unit"), col("_c1v")).as("_dot")),
           idCol, "_dot", "_c1", k = math.min(l1n, nProbe))
         .select(col(idCol), col("_c1").cast("int").as("_c1"),
           lit(0).as("_c2"))
-        .join(unit, Seq(idCol))
+        .join(qunit, Seq(idCol))
         .select(col(idCol).as("id_a"), col("_unit").as("_ua"),
           col("_c1"), col("_c2"))
       (a, p)
@@ -508,12 +539,12 @@ object Similarity {
     // probed cells.
     val pL1 = math.min(l1n, math.max(2, nProbe))
     val probe1 = graft.operators.TopKAgg.perGroup(
-      unit.crossJoin(broadcast(l1))
+      qunit.crossJoin(broadcast(l1))
         .select(col(idCol), col("_c1"),
           doubleDot(col("_unit"), col("_c1v")).as("_dot")),
       idCol, "_dot", "_c1", k = pL1)
       .select(col(idCol), col("_c1"))
-    val beam = salted(probe1.join(unit, Seq(idCol)))
+    val beam = salted(probe1.join(qunit, Seq(idCol)))
       .join(replicated(l2), Seq("_c1", "_salt"))
       .select(col(idCol), col("_c1"), col("_c2"),
         doubleDot(col("_unit"), col("_c2v")).as("_dot"))
@@ -533,7 +564,7 @@ object Similarity {
       .select(col(idCol), col("_c1").cast("int").as("_c1"),
         col("_c2").cast("int").as("_c2"))
     val probesT = probeGlobal.unionByName(probeHier).distinct()
-      .join(unit, Seq(idCol))
+      .join(qunit, Seq(idCol))
       .select(col(idCol).as("id_a"), col("_unit").as("_ua"),
         col("_c1"), col("_c2"))
     (assignedT, probesT)
@@ -541,9 +572,12 @@ object Similarity {
 
     // Verify on the ALREADY-normalized double vectors: cosine is then
     // one codegen'd dot per pair — no norms and no per-pair
-    // float→double cast allocations.
-    val cos = probes.join(assigned, Seq("_c1", "_c2"))
-      .filter(col("id_a") =!= col("id_b"))
+    // float→double cast allocations. The self-pair filter only applies
+    // to the self-top-k shape; in serving search query and corpus ids
+    // are different namespaces.
+    val paired = probes.join(assigned, Seq("_c1", "_c2"))
+    val cos = (if (excludeSelf) paired.filter(col("id_a") =!= col("id_b"))
+               else paired)
       .withColumn("cos", round(doubleDot(col("_ua"), col("_ub")), 4))
       .select(col("id_a"), col("id_b"), col("cos"))
     // no pair-dedup needed: each corpus vector lives in exactly one

@@ -87,6 +87,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("embedIvfSearch: new queries recover brute-force corpus neighbors") {
+    val rng = new scala.util.Random(23)
+    val centers = Array.fill(10, 32)(rng.nextGaussian().toFloat)
+    val corpusRows = (0 until 300).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(v => v + 0.1f * rng.nextGaussian().toFloat))
+    }
+    val corpus = corpusRows.toDF("vec_id", "embedding").cache()
+    // queries: fresh perturbations around the same centers, disjoint ids
+    val queryRows = (0 until 60).map { i =>
+      val c = centers(i % 10)
+      (10000L + i, c.map(v => v + 0.1f * rng.nextGaussian().toFloat))
+    }
+    val queries = queryRows.toDF("vec_id", "embedding").cache()
+    val brute = Similarity.embedCosineTopK(corpus, queries,
+        "vec_id", "embedding", k = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Similarity.embedIvfSearch(corpus, queries,
+        "vec_id", "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // no self pairs possible, and every result must be a corpus id
+    assert(approx.forall { case (a, b) => a >= 10000L && b < 10000L })
+    val recall = brute.count(approx.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"IVF search recall $recall")
+  }
+
   test("embedNearDupPairs finds planted near-duplicates and respects the block bound") {
     val base = Array.fill(16)(1.0f)
     val rows = Seq(
