@@ -711,6 +711,26 @@ object SparkEntry {
         .crossJoin(hits.agg(count(lit(1)).as("n_found")))
     }),
 
+    // --- persisted ANN index (train-once/serve-many): build + save
+    //     the IVF index, then search it from DISK with the same
+    //     perturbed queries — every query must still rank its source
+    //     top-3, proving the parquet round-trip preserves the
+    //     quantizer and inverted lists ---
+    "q168_ann_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.select(
+        (col("vec_id") + PlantOffset).as("vec_id"),
+        expr("transform(embedding, (x, j) -> CAST(x * (1.0D + 0.01D * " +
+          "CAST(j % 5 - 2 AS DOUBLE)) AS FLOAT))").as("embedding"))
+      val path = scratch("ivfidx", dir)
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", path)
+      val hits = Similarity.searchIvfIndex(s, path, queries,
+          "vec_id", "embedding", k = 3)
+        .filter(col("id_b") === col("id_a") - PlantOffset)
+      emb.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_found")))
+    }),
+
     // --- SimHash planted recall: one appended token on a ~100-token
     //     doc shifts every bit-vote by ±1, so bits at margin 0/±1 can
     //     flip; the planted pair lands within Hamming `maxDist` for
@@ -2886,6 +2906,10 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
 
     "q167_ann_search" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
+
+    "q168_ann_index" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
 

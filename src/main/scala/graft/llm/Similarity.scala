@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -329,33 +329,55 @@ object Similarity {
     ivfCore(corpus, Some(queries), corpusIdCol, queryIdCol, vecCol, k,
       nCentroids, nProbe, maxIter, seed)
 
-  private def ivfCore(embeddings: DataFrame, queriesOpt: Option[DataFrame],
-                      idCol: String, queryIdCol: String, vecCol: String,
-                      k: Int, nCentroids: Int, nProbe: Int,
-                      maxIter: Int, seed: Long): DataFrame = {
-    val sess = embeddings.sparkSession
-    import sess.implicits._
-    // repartition + eager localCheckpoint: the corpus parquet is often
-    // ONE file → one input partition, and every per-row op here (cell
-    // dots per assignment) is CPU-bound — unspread, the whole training
-    // loop runs single-threaded. The checkpoint also materializes the
-    // normalized vectors once; training (maxIter+1 passes), the probe
-    // side and the assigned side all re-scan blocks instead of
-    // re-deriving them from parquet.
-    val par = sess.sparkContext.defaultParallelism
-    def normalized(df: DataFrame, id: String): DataFrame =
-      df.select(
+  /** Internal trained-index handle: level-1 centroids (broadcastable),
+    * optional level-2 centroids (hierarchical path only), and the
+    * inverted lists — the corpus unit vectors keyed by their (c1, c2)
+    * cell. `lists` IS the searchable index; everything a query needs.
+    */
+  private final case class IvfIndex(l1: DataFrame, l2: Option[DataFrame],
+                                    lists: DataFrame, l1n: Int, l2n: Int,
+                                    seed: Long)
+
+  /** (id as `idCol`, original vec, L2-normalized `_unit`), spread and
+    * checkpointed — the shared input shape for training and probing.
+    */
+  private def normalizedVecs(df: DataFrame, id: String, idCol: String,
+                             vecCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(
         col(id).as(idCol), col(vecCol),
         transform(col(vecCol).cast("array<double>"),
           (x: Column) => x / sqrt(doubleDot(col(vecCol), col(vecCol)))).as("_unit"))
-        .repartition(par)
-        .localCheckpoint()
-    val unit = normalized(embeddings, idCol)
-    // the probe side: the corpus itself (self top-k) or a separate
-    // query frame (serving search) — every probe stage below reads
-    // qunit, every train/assign stage reads unit
-    val qunit = queriesOpt.map(normalized(_, queryIdCol)).getOrElse(unit)
-    val excludeSelf = queriesOpt.isEmpty
+      .repartition(par)
+      .localCheckpoint()
+  }
+
+  // salted-key helpers for the low-cardinality _c1 joins: _c1 has only
+  // √cells distinct values, so the big (per-vector) side is salted and
+  // explicitly repartitioned (AQE-coalescing-exempt — these frames are
+  // small-bytes/CPU-dense) while the small centroid side replicates
+  private def ivfSaltN(par: Int, l1n: Int): Int =
+    math.max(1, math.ceil(4.0 * par / l1n).toInt)
+  private def salted(bigSide: DataFrame, idCol: String, par: Int,
+                     l1n: Int, seed: Long): DataFrame = {
+    val saltN = ivfSaltN(par, l1n)
+    bigSide.withColumn("_salt",
+        pmod(xxhash64(col(idCol), lit(seed + 2)), lit(saltN)).cast("int"))
+      .repartition(math.max(par, math.min(l1n * saltN, par * 4)),
+        col("_c1"), col("_salt"))
+  }
+  private def replicated(cellSide: DataFrame, par: Int, l1n: Int): DataFrame =
+    cellSide.withColumn("_salt",
+      explode(sequence(lit(0), lit(ivfSaltN(par, l1n) - 1))))
+
+  /** Train the two-level (or flat, below FlatMax cells) quantizer and
+    * build the inverted lists. See [[embedIvfTopK]] for the design
+    * rationale; this is the half a persisted index stores.
+    */
+  private def trainIvfIndex(unit: DataFrame, idCol: String,
+                            nCentroids: Int, maxIter: Int,
+                            seed: Long): IvfIndex = {
+    val par = unit.sparkSession.sparkContext.defaultParallelism
     // Auto cell count (default): candidate volume per query is
     // corpus·nProbe/nCentroids, so FIXED cells make the total verify
     // cost quadratic in the corpus — the 10× scale smoke measured 24×
@@ -373,7 +395,6 @@ object Similarity {
     // both safe (the broadcast is bounded by FlatMax×dims) and ~3×
     // faster — the hierarchy's extra joins/shuffles only pay for
     // themselves once the cell count would otherwise be driver-sized.
-    // l2n == 1 selects the flat path below.
     val FlatMax = 512
     val l1n =
       if (nCells <= FlatMax) nCells
@@ -429,163 +450,205 @@ object Similarity {
     // corpus with its final level-1 cell, reused by every stage below
     val corpus = unit.join(l1Assign(l1), Seq(idCol)).localCheckpoint()
 
-    // (assigned, probes): the corpus side and the query side of the
-    // candidate join, computed flat (one level) for small cell counts
-    // or hierarchically (two levels) past FlatMax.
-    val (assigned: DataFrame, probes: DataFrame) = if (l2n == 1) {
-      // ---- flat path: level-1 IS the quantizer. Assignment cell =
-      // argmax dot (already in corpus); probe = top-nProbe cells.
-      val a = corpus.select(col(idCol).as("id_b"), col("_unit").as("_ub"),
-        col("_c1"), lit(0).as("_c2"))
-      val p = graft.operators.TopKAgg.perGroup(
-          qunit.crossJoin(broadcast(l1))
+    if (l2n == 1) {
+      // ---- flat path: level-1 IS the quantizer; lists carry c2 = 0.
+      val lists = corpus.select(col(idCol).as("id_b"),
+        col("_unit").as("_ub"), col("_c1"), lit(0).as("_c2"))
+      IvfIndex(l1, None, lists, l1n, l2n, seed)
+    } else {
+      // ---- level 2: up to √cells centroids WITHIN each level-1 cell.
+      // Seeds are a per-cell hash-sample; assignment is an EQUI-JOIN on
+      // _c1 (each vector meets only its own cell's centroids), so the
+      // level-2 table can be arbitrarily large — it is never broadcast
+      // and never collected. Seeds come from the bounded TopKAgg
+      // (map-side partial) rather than a per-cell window — with only
+      // √cells distinct keys the window's shuffle coalesces to a
+      // handful of tasks (the 10× smoke measured a 1-task 3.8 s stage
+      // here). Score is the negated hash: top-k desc = smallest hashes.
+      var l2: DataFrame = graft.operators.TopKAgg.perGroup(
+          corpus.select(col("_c1"), col(idCol),
+            (-pmod(xxhash64(col(idCol), lit(seed + 1)), lit(1L << 40))
+              .cast("double")).as("_nh")),
+          "_c1", "_nh", idCol, k = l2n)
+        .select(col("_c1"), (col("rank") - 1).as("_c2"), col(idCol))
+        .join(unit.select(col(idCol), col("_unit")), Seq(idCol))
+        .select(col("_c1"), col("_c2"), col("_unit").as("_c2v"))
+        .localCheckpoint()
+      def l2Assign(cs: DataFrame): DataFrame =
+        salted(corpus, idCol, par, l1n, seed)
+          .join(replicated(cs, par, l1n), Seq("_c1", "_salt"))
+          .select(col(idCol), col("_c1"), col("_c2"),
+            doubleDot(col("_unit"), col("_c2v")).as("_dot"))
+          .groupBy(col(idCol), col("_c1"))
+          .agg(max_by(col("_c2"),
+            struct(col("_dot"), (-col("_c2")).as("_t"))).as("_c2"))
+      for (_ <- 1 to maxIter) {
+        // spread by CELL, not round-robin: co-locating each (c1, c2)
+        // makes the per-task partial aggregation complete for its own
+        // cells, so the final exchange carries only cells×dims rows —
+        // round-robin left mappers×cells×dims partial states whose
+        // single-task merge was the 10× smoke's last ~3 s hotspot.
+        val means = corpus.join(l2Assign(l2), Seq(idCol, "_c1"))
+          .repartition(par, col("_c1"), col("_c2"))
+          .select(col("_c1"), col("_c2"),
+            posexplode(col("_unit")).as(Seq("_pos", "_x")))
+          .groupBy(col("_c1"), col("_c2"), col("_pos"))
+          .agg(avg(col("_x")).as("_m"))
+          .groupBy(col("_c1"), col("_c2"))
+          .agg(collect_list(struct(col("_pos"), col("_m"))).as("_pm"))
+          .select(col("_c1"), col("_c2"), assemble(col("_pm")).as("_nv"))
+        l2 = l2.join(means, Seq("_c1", "_c2"), "left")
+          .select(col("_c1"), col("_c2"),
+            coalesce(col("_nv"), col("_c2v")).as("_c2v"))
+          .localCheckpoint()
+      }
+      val lists = corpus.join(l2Assign(l2), Seq(idCol, "_c1"))
+        .select(col(idCol).as("id_b"), col("_unit").as("_ub"),
+          col("_c1"), col("_c2").cast("int").as("_c2"))
+      IvfIndex(l1, Some(l2), lists, l1n, l2n, seed)
+    }
+  }
+
+  /** Probe a trained index with a normalized query frame → one row per
+    * probed (query, cell): (id_a, _ua, _c1, _c2). Hierarchical probing
+    * unions (a) the globally best nProbe (c1, c2) cells by center dot
+    * with (b) the argmax child WITHIN each probed level-1 cell — (b)
+    * is what keeps hierarchical assignment and probing consistent: a
+    * vector is assigned to the argmax child of its argmax level-1
+    * cell, and that cell can rank below nProbe OTHER cells' centers
+    * globally; without (b) a query can fail to probe its own (and its
+    * near-duplicate's) home cell — exactly the 499/500 planted-recall
+    * miss this fixed. Per-query quantizer cost is
+    * O(√cells · (1 + nProbe)) dots, ≤ nProbe + pL1 probed cells.
+    */
+  private def probeIvfIndex(idx: IvfIndex, qunit: DataFrame, idCol: String,
+                            nProbe: Int): DataFrame = {
+    val par = qunit.sparkSession.sparkContext.defaultParallelism
+    idx.l2 match {
+      case None =>
+        graft.operators.TopKAgg.perGroup(
+            qunit.crossJoin(broadcast(idx.l1))
+              .select(col(idCol), col("_c1"),
+                doubleDot(col("_unit"), col("_c1v")).as("_dot")),
+            idCol, "_dot", "_c1", k = math.min(idx.l1n, nProbe))
+          .select(col(idCol), col("_c1").cast("int").as("_c1"),
+            lit(0).as("_c2"))
+          .join(qunit, Seq(idCol))
+          .select(col(idCol).as("id_a"), col("_unit").as("_ua"),
+            col("_c1"), col("_c2"))
+      case Some(l2) =>
+        val pL1 = math.min(idx.l1n, math.max(2, nProbe))
+        val probe1 = graft.operators.TopKAgg.perGroup(
+          qunit.crossJoin(broadcast(idx.l1))
             .select(col(idCol), col("_c1"),
               doubleDot(col("_unit"), col("_c1v")).as("_dot")),
-          idCol, "_dot", "_c1", k = math.min(l1n, nProbe))
-        .select(col(idCol), col("_c1").cast("int").as("_c1"),
-          lit(0).as("_c2"))
-        .join(qunit, Seq(idCol))
-        .select(col(idCol).as("id_a"), col("_unit").as("_ua"),
-          col("_c1"), col("_c2"))
-      (a, p)
-    } else {
-    // ---- level 2: up to √cells centroids WITHIN each level-1 cell.
-    // Seeds are a per-cell hash-sample (partitioned window — bounded
-    // by the cell, not the corpus); assignment is an EQUI-JOIN on _c1
-    // (each vector meets only its own cell's centroids), so the level-2
-    // table can be arbitrarily large — it is never broadcast and never
-    // collected.
-    //
-    // _c1 has only √cells distinct values — too few keys for shuffle
-    // parallelism (the un-salted version measured 3 heavy single-task
-    // stages at the 10× smoke). Every _c1 join therefore salts the
-    // big (per-vector) side and EXPLODES the small (per-cell centroid)
-    // side saltN×: parallelism becomes √cells·saltN at the cost of
-    // replicating only centroid rows. The big side is also explicitly
-    // repartitioned on the salted key: these frames are small-bytes
-    // but CPU-dense (a dot per row), and AQE sizes partitions by
-    // bytes, so its coalescing would serialize the dot scans back
-    // into one task (measured 3× ~3 s single-task stages); an
-    // explicit keyed repartition is exempt from AQE coalescing.
-    val saltN = math.max(1, math.ceil(4.0 * par / l1n).toInt)
-    def salted(bigSide: DataFrame): DataFrame =
-      bigSide.withColumn("_salt",
-        pmod(xxhash64(col(idCol), lit(seed + 2)), lit(saltN)).cast("int"))
-        .repartition(math.max(par, math.min(l1n * saltN, par * 4)),
-          col("_c1"), col("_salt"))
-    def replicated(cellSide: DataFrame): DataFrame =
-      cellSide.withColumn("_salt",
-        explode(sequence(lit(0), lit(saltN - 1))))
-    // seeds: the l2n smallest-hash members per cell, via the bounded
-    // TopKAgg (map-side partial) rather than a per-cell window — with
-    // only √cells distinct keys the window's shuffle coalesces to a
-    // handful of tasks (the 10× smoke measured a 1-task 3.8 s stage
-    // here); the aggregator ships ≤ l2n rows per (mapper, cell) and
-    // never funnels. Score is the negated hash: top-k desc = smallest
-    // hashes, id tie-break inside the aggregator.
-    var l2: DataFrame = graft.operators.TopKAgg.perGroup(
-        corpus.select(col("_c1"), col(idCol),
-          (-pmod(xxhash64(col(idCol), lit(seed + 1)), lit(1L << 40))
-            .cast("double")).as("_nh")),
-        "_c1", "_nh", idCol, k = l2n)
-      .select(col("_c1"), (col("rank") - 1).as("_c2"), col(idCol))
-      .join(unit.select(col(idCol), col("_unit")), Seq(idCol))
-      .select(col("_c1"), col("_c2"), col("_unit").as("_c2v"))
-      .localCheckpoint()
-    def l2Assign(cs: DataFrame): DataFrame =
-      salted(corpus).join(replicated(cs), Seq("_c1", "_salt"))
-        .select(col(idCol), col("_c1"), col("_c2"),
-          doubleDot(col("_unit"), col("_c2v")).as("_dot"))
-        .groupBy(col(idCol), col("_c1"))
-        .agg(max_by(col("_c2"),
-          struct(col("_dot"), (-col("_c2")).as("_t"))).as("_c2"))
-    for (_ <- 1 to maxIter) {
-      // spread by CELL, not round-robin: co-locating each (c1, c2)
-      // makes the per-task partial aggregation complete for its own
-      // cells, so the final exchange carries only cells×dims rows —
-      // round-robin left mappers×cells×dims partial states whose
-      // single-task merge was the 10× smoke's last ~3 s hotspot. At
-      // corpus scale the cell count grows as 4√n, so this keyed
-      // spread also parallelizes better, not worse, with the data.
-      val means = corpus.join(l2Assign(l2), Seq(idCol, "_c1"))
-        .repartition(par, col("_c1"), col("_c2"))
-        .select(col("_c1"), col("_c2"),
-          posexplode(col("_unit")).as(Seq("_pos", "_x")))
-        .groupBy(col("_c1"), col("_c2"), col("_pos"))
-        .agg(avg(col("_x")).as("_m"))
-        .groupBy(col("_c1"), col("_c2"))
-        .agg(collect_list(struct(col("_pos"), col("_m"))).as("_pm"))
-        .select(col("_c1"), col("_c2"), assemble(col("_pm")).as("_nv"))
-      l2 = l2.join(means, Seq("_c1", "_c2"), "left")
-        .select(col("_c1"), col("_c2"),
-          coalesce(col("_nv"), col("_c2v")).as("_c2v"))
-        .localCheckpoint()
+          idCol, "_dot", "_c1", k = pL1)
+          .select(col(idCol), col("_c1"))
+        val beam = salted(probe1.join(qunit, Seq(idCol)), idCol, par,
+            idx.l1n, idx.seed)
+          .join(replicated(l2, par, idx.l1n), Seq("_c1", "_salt"))
+          .select(col(idCol), col("_c1"), col("_c2"),
+            doubleDot(col("_unit"), col("_c2v")).as("_dot"))
+          .localCheckpoint()
+        // composite cell id for the bounded top-k aggregation, decoded
+        // back after ranking
+        val probeGlobal = graft.operators.TopKAgg.perGroup(
+          beam.select(col(idCol),
+            (col("_c1").cast("long") * idx.l2n + col("_c2")).as("_cid"),
+            col("_dot")),
+          idCol, "_dot", "_cid", k = nProbe)
+          .select(col(idCol),
+            expr(s"_cid div ${idx.l2n}").cast("int").as("_c1"),
+            pmod(col("_cid"), lit(idx.l2n.toLong)).cast("int").as("_c2"))
+        val probeHier = beam.groupBy(col(idCol), col("_c1"))
+          .agg(max_by(col("_c2"),
+            struct(col("_dot"), (-col("_c2")).as("_t"))).as("_c2"))
+          .select(col(idCol), col("_c1").cast("int").as("_c1"),
+            col("_c2").cast("int").as("_c2"))
+        probeGlobal.unionByName(probeHier).distinct()
+          .join(qunit, Seq(idCol))
+          .select(col(idCol).as("id_a"), col("_unit").as("_ua"),
+            col("_c1"), col("_c2"))
     }
-    val assignedT = corpus.join(l2Assign(l2), Seq(idCol, "_c1"))
-      .select(col(idCol).as("id_b"), col("_unit").as("_ub"),
-        col("_c1"), col("_c2").cast("int").as("_c2"))
+  }
 
-    // ---- probe: best level-1 cells per query (broadcast argtop over
-    // the small l1 table), then, among those cells' children, the
-    // union of (a) the globally best nProbe (c1, c2) cells by center
-    // dot and (b) the argmax child WITHIN each probed level-1 cell.
-    // (b) is what makes hierarchical assignment and probing
-    // consistent: a vector is assigned to the argmax child of its
-    // argmax level-1 cell, and that cell can rank below nProbe
-    // OTHER cells' centers globally — without (b) a query can fail to
-    // probe its own (and its near-duplicate's) home cell, which is
-    // exactly the 499/500 planted-recall miss this fixed. Per-query
-    // quantizer cost is O(√cells · (1 + nProbe)) dots, ≤ nProbe + pL1
-    // probed cells.
-    val pL1 = math.min(l1n, math.max(2, nProbe))
-    val probe1 = graft.operators.TopKAgg.perGroup(
-      qunit.crossJoin(broadcast(l1))
-        .select(col(idCol), col("_c1"),
-          doubleDot(col("_unit"), col("_c1v")).as("_dot")),
-      idCol, "_dot", "_c1", k = pL1)
-      .select(col(idCol), col("_c1"))
-    val beam = salted(probe1.join(qunit, Seq(idCol)))
-      .join(replicated(l2), Seq("_c1", "_salt"))
-      .select(col(idCol), col("_c1"), col("_c2"),
-        doubleDot(col("_unit"), col("_c2v")).as("_dot"))
-      .localCheckpoint()
-    // composite cell id for the bounded top-k aggregation, decoded
-    // back after ranking
-    val probeGlobal = graft.operators.TopKAgg.perGroup(
-      beam.select(col(idCol),
-        (col("_c1").cast("long") * l2n + col("_c2")).as("_cid"),
-        col("_dot")),
-      idCol, "_dot", "_cid", k = nProbe)
-      .select(col(idCol), expr(s"_cid div $l2n").cast("int").as("_c1"),
-        pmod(col("_cid"), lit(l2n.toLong)).cast("int").as("_c2"))
-    val probeHier = beam.groupBy(col(idCol), col("_c1"))
-      .agg(max_by(col("_c2"),
-        struct(col("_dot"), (-col("_c2")).as("_t"))).as("_c2"))
-      .select(col(idCol), col("_c1").cast("int").as("_c1"),
-        col("_c2").cast("int").as("_c2"))
-    val probesT = probeGlobal.unionByName(probeHier).distinct()
-      .join(qunit, Seq(idCol))
-      .select(col(idCol).as("id_a"), col("_unit").as("_ua"),
-        col("_c1"), col("_c2"))
-    (assignedT, probesT)
-    }
-
-    // Verify on the ALREADY-normalized double vectors: cosine is then
-    // one codegen'd dot per pair — no norms and no per-pair
-    // float→double cast allocations. The self-pair filter only applies
-    // to the self-top-k shape; in serving search query and corpus ids
-    // are different namespaces.
-    val paired = probes.join(assigned, Seq("_c1", "_c2"))
+  /** Candidate join + exact-cosine verify + per-query top-k ranking.
+    * Verify runs on the ALREADY-normalized double vectors: cosine is
+    * one codegen'd dot per pair — no norms and no per-pair
+    * float→double cast allocations. The self-pair filter only applies
+    * to the self-top-k shape; in serving search query and corpus ids
+    * are different namespaces. No pair-dedup is needed: each corpus
+    * vector lives in exactly one (c1, c2) cell and a query probes
+    * distinct cells.
+    */
+  private def rankIvfPairs(probes: DataFrame, lists: DataFrame, k: Int,
+                           excludeSelf: Boolean): DataFrame = {
+    val paired = probes.join(lists, Seq("_c1", "_c2"))
     val cos = (if (excludeSelf) paired.filter(col("id_a") =!= col("id_b"))
                else paired)
       .withColumn("cos", round(doubleDot(col("_ua"), col("_ub")), 4))
       .select(col("id_a"), col("id_b"), col("cos"))
-    // no pair-dedup needed: each corpus vector lives in exactly one
-    // (c1, c2) cell and a query probes distinct cells
     cos.withColumn("rank", row_number().over(
         Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("id_b"), col("cos"), col("rank"))
+  }
+
+  private def ivfCore(embeddings: DataFrame, queriesOpt: Option[DataFrame],
+                      idCol: String, queryIdCol: String, vecCol: String,
+                      k: Int, nCentroids: Int, nProbe: Int,
+                      maxIter: Int, seed: Long): DataFrame = {
+    val unit = normalizedVecs(embeddings, idCol, idCol, vecCol)
+    // the probe side: the corpus itself (self top-k) or a separate
+    // query frame (serving search)
+    val qunit = queriesOpt.map(normalizedVecs(_, queryIdCol, idCol, vecCol))
+      .getOrElse(unit)
+    val idx = trainIvfIndex(unit, idCol, nCentroids, maxIter, seed)
+    rankIvfPairs(probeIvfIndex(idx, qunit, idCol, nProbe), idx.lists, k,
+      excludeSelf = queriesOpt.isEmpty)
+  }
+
+  /** Train an IVF index on a corpus and PERSIST it: level-1 centroids,
+    * level-2 centroids (hierarchical path) and the inverted lists
+    * (corpus unit vectors keyed by cell) as parquet, plus a one-line
+    * meta JSON. The index is the train-once/serve-many half of ANN:
+    * query batches hit [[searchIvfIndex]] without ever re-scanning or
+    * re-clustering the corpus. The lists are corpus-sized by nature
+    * (they ARE the corpus, cell-keyed) — at 100 TB they live where the
+    * corpus lives; int8 quantization ([[quantizeInt8]]) is the
+    * storage-compression extension point.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, nCentroids: Int = -1, maxIter: Int = 2,
+                    seed: Long = 42L): Unit = {
+    val unit = normalizedVecs(corpus, idCol, idCol, vecCol)
+    val idx = trainIvfIndex(unit, idCol, nCentroids, maxIter, seed)
+    idx.l1.write.mode("overwrite").parquet(s"$path/l1")
+    idx.l2.foreach(_.write.mode("overwrite").parquet(s"$path/l2"))
+    idx.lists.write.mode("overwrite").parquet(s"$path/lists")
+    val meta = s"""{"l1n":${idx.l1n},"l2n":${idx.l2n},"seed":${idx.seed}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/meta.json"),
+      meta.getBytes("UTF-8"))
+  }
+
+  /** Search a PERSISTED IVF index (see [[buildIvfIndex]]) with new
+    * query vectors: (id_a = query id, id_b = corpus id, cos, rank).
+    */
+  def searchIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
+                     queryIdCol: String, vecCol: String, k: Int,
+                     nProbe: Int = 4): DataFrame = {
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/meta.json")), "UTF-8")
+    def intOf(key: String): Int =
+      s""""$key":(-?\\d+)""".r.findFirstMatchIn(meta).get.group(1).toInt
+    val l1n = intOf("l1n"); val l2n = intOf("l2n"); val seed = intOf("seed")
+    val l2 = if (l2n > 1) Some(spark.read.parquet(s"$path/l2")) else None
+    val idx = IvfIndex(spark.read.parquet(s"$path/l1"), l2,
+      spark.read.parquet(s"$path/lists"), l1n, l2n, seed.toLong)
+    val qunit = normalizedVecs(queries, queryIdCol, queryIdCol, vecCol)
+    rankIvfPairs(probeIvfIndex(idx, qunit, queryIdCol, nProbe), idx.lists,
+      k, excludeSelf = false)
   }
 
   /** Per-row double dot product — the native codegen'd

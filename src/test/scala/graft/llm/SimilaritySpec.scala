@@ -113,6 +113,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF search recall $recall")
   }
 
+  test("buildIvfIndex + searchIvfIndex round-trips the direct search exactly") {
+    val rng = new scala.util.Random(31)
+    val centers = Array.fill(8, 16)(rng.nextGaussian().toFloat)
+    val corpus = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + 0.1f * rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    val queries = (0 until 40).map { i =>
+      val c = centers(i % 8)
+      (10000L + i, c.map(v => v + 0.1f * rng.nextGaussian().toFloat))
+    }.toDF("qid", "embedding").cache()
+    val path = s"/tmp/graft_ivf_idx_${ProcessHandle.current().pid()}"
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", path,
+      nCentroids = 8)
+    val loaded = Similarity.searchIvfIndex(spark, path, queries,
+        "qid", "embedding", k = 3, nProbe = 3)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val direct = Similarity.embedIvfSearch(corpus, queries,
+        "vec_id", "qid", "embedding", k = 3, nCentroids = 8, nProbe = 3)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(loaded == direct, s"persisted-index search diverged: " +
+      s"${(loaded -- direct).take(3)} vs ${(direct -- loaded).take(3)}")
+    assert(loaded.nonEmpty)
+  }
+
   test("embedNearDupPairs finds planted near-duplicates and respects the block bound") {
     val base = Array.fill(16)(1.0f)
     val rows = Seq(
