@@ -56,9 +56,9 @@ object Bench {
         // blocks behind to evict later queries' working set. The RDD
         // sweep matters for spark.ml (ALS persists internal RDDs that
         // catalog.clearCache does not see).
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        // shared sweep: drops everything EXCEPT the memoized shared ANN
+        // corpus (see SparkEntry.protectedRddIds / Sessions.sweep)
+        Sessions.sweep(spark, SparkEntry.protectedRddIds)
         System.gc()
         val t0 = System.nanoTime()
         val err: Option[String] =

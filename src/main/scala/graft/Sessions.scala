@@ -58,4 +58,20 @@ object Sessions {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
+
+  /** Between-measurement cache sweep shared by Bench/ScaleSmoke/
+    * Profile: drop cached relations and persistent RDDs so one query's
+    * leftovers can never evict the next query's working set — EXCEPT
+    * the ids in `keep` ([[SparkEntry.protectedRddIds]]: the memoized
+    * shared ANN corpus). localCheckpoint blocks have truncated lineage,
+    * so unpersisting a memoized one would be data LOSS for later
+    * queries, not a recompute; the memo also self-heals (rebuilds) if
+    * an external sweep does drop its blocks.
+    */
+  def sweep(spark: SparkSession, keep: Int => Boolean = _ => false): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keep(id)) rdd.unpersist(blocking = true)
+    }
+  }
 }

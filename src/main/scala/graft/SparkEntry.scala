@@ -31,18 +31,77 @@ object SparkEntry {
     */
   private val PlantOffset = 1000000L
 
+  // --- memoized shared ANN input -----------------------------------
+  // q47/q57/q124/q125/q167/q168 all start from the same normalized
+  // embeddings corpus (and q124/q125/q167/q168 from the same perturbed
+  // copy); re-reading + re-normalizing it per query cost ~4 redundant
+  // input preps per bench/Verify run. The memo holds the
+  // Similarity.prepareUnit checkpoint per (SparkContext, dir, tag) and
+  // SELF-HEALS: entries record the RDD ids their localCheckpoint
+  // created, and an entry whose blocks were swept (Sessions.sweep by a
+  // harness that doesn't pass `keep`) is rebuilt instead of reused —
+  // a truncated-lineage checkpoint cannot recompute itself.
+  private val unitMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, String, String), (DataFrame, Set[Int])]
+  private val memoIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** RDD ids backing memoized shared inputs — [[Sessions.sweep]]
+    * callers pass this as `keep` so the (few-MB) shared corpus
+    * survives between-query cache sweeps.
+    */
+  private[graft] def protectedRddIds(id: Int): Boolean = memoIds.contains(id)
+
+  private def memoUnit(s: SparkSession, dir: String, tag: String)
+                      (build: => DataFrame): DataFrame = synchronized {
+    val key = (System.identityHashCode(s.sparkContext), dir, tag)
+    unitMemo.get(key) match {
+      case Some((df, ids))
+        if ids.subsetOf(s.sparkContext.getPersistentRDDs.keySet) => df
+      case stale =>
+        stale.foreach { case (_, ids) => ids.foreach(memoIds.remove(_)) }
+        val before = s.sparkContext.getPersistentRDDs.keySet
+        val df = build
+        val ids: Set[Int] =
+          (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
+        ids.foreach(memoIds.add(_))
+        unitMemo.put(key, (df, ids))
+        df
+    }
+  }
+
+  /** Normalized (vec_id, embedding, _unit) corpus, memoized per JVM. */
+  private def unitEmb(s: SparkSession, dir: String): DataFrame =
+    memoUnit(s, dir, "base") {
+      Similarity.prepareUnit(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+    }
+
+  /** Perturbed copy of every corpus vector (ids offset by
+    * [[PlantOffset]]), normalized and memoized — the planted half of
+    * the q124/q125 recall gates and the query batch of q167/q168.
+    */
+  private def unitPerturbed(s: SparkSession, dir: String): DataFrame =
+    memoUnit(s, dir, "perturbed") {
+      Similarity.prepareUnit(
+        t(s, dir, "embeddings").select(
+          (col("vec_id") + PlantOffset).as("vec_id"),
+          expr("transform(embedding, (x, j) -> CAST(x * (1.0D + 0.01D * " +
+            "CAST(j % 5 - 2 AS DOUBLE)) AS FLOAT))").as("embedding")),
+        "vec_id", "embedding")
+    }
+
   /** Corpus ∪ perturbed copy of every vector: copy i scales coordinate
     * j by 1 + 0.01·((j mod 5) − 2) — deterministic, float-quantized,
-    * cos(source, copy) ≈ 0.9999. Returns the union and a 1-row frame
-    * with the planted count.
+    * cos(source, copy) ≈ 0.9999. Returns the union (both halves
+    * pre-normalized/memoized; the union itself is narrow) and a 1-row
+    * frame with the planted count.
     */
   private def plantedEmbeddings(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val planted = emb.select(
-      (col("vec_id") + PlantOffset).as("vec_id"),
-      expr("transform(embedding, (x, j) -> CAST(x * (1.0D + 0.01D * " +
-        "CAST(j % 5 - 2 AS DOUBLE)) AS FLOAT))").as("embedding"))
-    (emb.unionByName(planted), emb.agg(count(lit(1)).as("n_planted")))
+    val all = unitEmb(s, dir).unionByName(unitPerturbed(s, dir))
+    (all, unitEmb(s, dir).agg(count(lit(1)).as("n_planted")))
   }
 
   /** Shared cleaned-ratings input (SURVEY P1–P3) mapped onto testdata:
@@ -648,7 +707,7 @@ object SparkEntry {
     // --- LSH-bucketed ANN over the full corpus (rows-only; recall vs
     //     brute force asserted in SimilaritySpec) ---
     "q47_embed_lsh" -> ((s, dir) =>
-      Similarity.embedLshTopK(t(s, dir, "embeddings"), "vec_id",
+      Similarity.embedLshTopK(unitEmb(s, dir), "vec_id",
         "embedding", k = 3)),
 
     // --- embedding-cosine near-dup pairs, block-bounded exact verify
@@ -661,7 +720,7 @@ object SparkEntry {
     //     (rows-only: KMeans centroids are not SQL-expressible;
     //     recall gate in SimilaritySpec) ---
     "q57_embed_ivf" -> ((s, dir) =>
-      Similarity.embedIvfTopK(t(s, dir, "embeddings"), "vec_id",
+      Similarity.embedIvfTopK(unitEmb(s, dir), "vec_id",
         "embedding", k = 3)),
 
     // --- planted-neighbor recall gates (q124-q126): the driver-visible
@@ -699,12 +758,8 @@ object SparkEntry {
     //     the corpus-trained IVF index — every query must rank its
     //     source in the top-3 ---
     "q167_ann_search" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val queries = emb.select(
-        (col("vec_id") + PlantOffset).as("vec_id"),
-        expr("transform(embedding, (x, j) -> CAST(x * (1.0D + 0.01D * " +
-          "CAST(j % 5 - 2 AS DOUBLE)) AS FLOAT))").as("embedding"))
-      val hits = Similarity.embedIvfSearch(emb, queries,
+      val emb = unitEmb(s, dir)
+      val hits = Similarity.embedIvfSearch(emb, unitPerturbed(s, dir),
           "vec_id", "vec_id", "embedding", k = 3)
         .filter(col("id_b") === col("id_a") - PlantOffset)
       emb.agg(count(lit(1)).as("n_queries"))
@@ -717,14 +772,10 @@ object SparkEntry {
     //     top-3, proving the parquet round-trip preserves the
     //     quantizer and inverted lists ---
     "q168_ann_index" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val queries = emb.select(
-        (col("vec_id") + PlantOffset).as("vec_id"),
-        expr("transform(embedding, (x, j) -> CAST(x * (1.0D + 0.01D * " +
-          "CAST(j % 5 - 2 AS DOUBLE)) AS FLOAT))").as("embedding"))
+      val emb = unitEmb(s, dir)
       val path = scratch("ivfidx", dir)
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", path)
-      val hits = Similarity.searchIvfIndex(s, path, queries,
+      val hits = Similarity.searchIvfIndex(s, path, unitPerturbed(s, dir),
           "vec_id", "embedding", k = 3)
         .filter(col("id_b") === col("id_a") - PlantOffset)
       emb.agg(count(lit(1)).as("n_queries"))

@@ -163,6 +163,160 @@ object ArrayDecimalDotProduct {
   }
 }
 
+/** Argmax-dot against a FIXED centroid matrix embedded in the
+  * expression — the IVF coarse-assignment step as one narrow,
+  * codegen'd map: `result = argmax_c ⟨vec, m[c]⟩` with ties broken to
+  * the smallest index (identical to the previous
+  * `max_by(_c1, struct(_dot, -_c1))` over a crossJoin).
+  *
+  * Why an expression and not a join: the broadcast-nested-loop shape
+  * materialized n×cells rows, each copying BOTH dim-length arrays into
+  * the join output before the per-row dot — measured ~20 s CPU and
+  * GC-bound at 2 000×179×512 on the round-7 profile, for what is
+  * arithmetically ~0.2 s of multiplies. The matrix here is the
+  * level-1 centroid table — the quantizer structure that is BY DESIGN
+  * driver/broadcast-bounded (√cells × dims; see
+  * [[graft.llm.Similarity.embedIvfTopK]]) — so embedding it as a
+  * reference object is the same memory contract as broadcasting it,
+  * minus the row explosion, the shuffle and the barrier.
+  *
+  * Null vector → null; null ELEMENTS contribute 0 (same treat-as-
+  * missing contract as [[ArrayDotProduct]]). Empty matrix → -1.
+  */
+case class ArgmaxMatrixDot(child: Expression, matrix: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "argmax_matrix_dot"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    var best = -1
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < matrix.length) {
+      val row = matrix(c)
+      val n = math.min(row.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) s += row(i) * v.getDouble(i)
+        i += 1
+      }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("mat", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val best = ctx.freshName("best"); val bestDot = ctx.freshName("bestDot")
+      s"""
+         |int $best = -1;
+         |double $bestDot = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $mat.length; $c++) {
+         |  double[] $row = $mat[$c];
+         |  int $n = java.lang.Math.min($row.length, $v.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$v.isNullAt($i)) $s += $row[$i] * $v.getDouble($i);
+         |  }
+         |  if ($s > $bestDot) { $bestDot = $s; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArgmaxMatrixDot =
+    copy(child = newChild)
+}
+
+/** Top-k rows of a FIXED matrix by dot product with the input vector,
+  * returned as their indices in descending-dot order (ties → smaller
+  * index first — matching a `_dot DESC, _c1 ASC` rank). The IVF
+  * probe-selection step as one narrow codegen'd map; same rationale
+  * and memory contract as [[ArgmaxMatrixDot]]. k is clamped to the
+  * matrix size. O(cells·dims + cells·k) per row with k ≤ ~8.
+  */
+case class TopKMatrixDot(child: Expression, matrix: Array[Array[Double]], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "topk_matrix_dot"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TopKMatrixDot.topK(v, matrix, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("mat", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.TopKMatrixDot.topK($v, $mat, $k));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopKMatrixDot =
+    copy(child = newChild)
+}
+
+object TopKMatrixDot {
+  /** Selection of the k best matrix rows by dot with `v`: repeated
+    * strict-max scan over unpicked rows (k is tiny), ties to the
+    * smallest index.
+    */
+  def topK(v: ArrayData, matrix: Array[Array[Double]], k: Int): Array[Int] = {
+    val cells = matrix.length
+    val dots = new Array[Double](cells)
+    var c = 0
+    while (c < cells) {
+      val row = matrix(c)
+      val n = math.min(row.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) s += row(i) * v.getDouble(i)
+        i += 1
+      }
+      dots(c) = s
+      c += 1
+    }
+    val kk = math.min(k, cells)
+    val out = new Array[Int](kk)
+    val used = new Array[Boolean](cells)
+    var j = 0
+    while (j < kk) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < cells) {
+        if (!used(c2) && dots(c2) > bestDot) { bestDot = dots(c2); best = c2 }
+        c2 += 1
+      }
+      used(best) = true
+      out(j) = best
+      j += 1
+    }
+    out
+  }
+}
+
 object VectorExprs {
   /** `Σ a[i]·b[i]` as a codegen'd column; inputs are cast to
     * array<double> (float vectors widen losslessly).
@@ -184,4 +338,14 @@ object VectorExprs {
   def decimalDot(a: Column, b: Column): Column =
     Bridge.column(ArrayDecimalDotProduct(
       Bridge.expression(a), Bridge.expression(b)))
+
+  /** argmax over a fixed centroid matrix ([[ArgmaxMatrixDot]]). */
+  def argmaxDot(v: Column, matrix: Array[Array[Double]]): Column =
+    Bridge.column(ArgmaxMatrixDot(
+      Bridge.expression(v.cast("array<double>")), matrix))
+
+  /** top-k indices over a fixed centroid matrix ([[TopKMatrixDot]]). */
+  def topKDot(v: Column, matrix: Array[Array[Double]], k: Int): Column =
+    Bridge.column(TopKMatrixDot(
+      Bridge.expression(v.cast("array<double>")), matrix, k))
 }

@@ -248,33 +248,39 @@ object Multimodal {
                        (implicit spark: SparkSession): Dataset[VideoFrame] = {
     import spark.implicits._
 
-    def u32(b: Array[Byte], p: Int): Long =
+    def u32(b: Array[Byte], pos: Long): Long = {
+      val p = pos.toInt
       (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
         ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+    }
     def tag(b: Array[Byte], p: Int): String =
       new String(b, p, 4, "US-ASCII")
 
     // collect '..dc'/'..db' payload spans inside a chunk range,
-    // recursing into LIST('movi') and LIST('rec ')
+    // recursing into LIST('movi') and LIST('rec '). All offset/length
+    // arithmetic stays in Long: a crafted chunk length near 2^31 would
+    // wrap negative under Int truncation, pass the bounds check and
+    // index out of the array — poison containers must degrade, not
+    // kill the task. Emitted spans are safe Ints (≤ to ≤ array length).
     def frameSpans(b: Array[Byte], from: Int, to: Int,
                    inMovi: Boolean): Vector[(Int, Int)] = {
-      var p = from
+      var p = from.toLong
       var out = Vector.empty[(Int, Int)]
       while (p + 8 <= to) {
-        val id = tag(b, p)
-        val len = u32(b, p + 4).toInt
+        val id = tag(b, p.toInt)
+        val len = u32(b, p + 4)                 // unsigned 32-bit, ≥ 0
         val dataStart = p + 8
-        if (len < 0 || dataStart + len > to) return out   // truncated: stop
+        if (dataStart + len > to) return out    // truncated: stop
         if (id == "LIST" && len >= 4) {
-          val lt = tag(b, dataStart)
+          val lt = tag(b, dataStart.toInt)
           if (lt == "movi" || (inMovi && lt == "rec "))
-            out ++= frameSpans(b, dataStart + 4, dataStart + len,
+            out ++= frameSpans(b, dataStart.toInt + 4, (dataStart + len).toInt,
               inMovi = true)
         } else if (inMovi && id.length == 4 &&
           (id.endsWith("dc") || id.endsWith("db"))) {
-          out :+= (dataStart, len)
+          out :+= ((dataStart.toInt, len.toInt))
         }
-        p = dataStart + len + (len & 1)
+        p = dataStart + len + (len & 1L)
       }
       out
     }
@@ -287,8 +293,12 @@ object Multimodal {
             tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "AVI "
           if (!ok) Iterator.single(VideoFrame(id, -1, decoded = false, -1, -1, 0.0))
           else {
-            val end = math.min(bytes.length, 8 + u32(bytes, 4).toInt)
-            val spans = frameSpans(bytes, 12, end, inMovi = false)
+            val end = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
+            // belt over the Long-arithmetic braces: ANY container-walk
+            // failure yields one decoded=false row, never a dead task
+            val spans =
+              try frameSpans(bytes, 12, end, inMovi = false)
+              catch { case _: Exception => Vector.empty[(Int, Int)] }
             if (spans.isEmpty)
               Iterator.single(VideoFrame(id, -1, decoded = false, -1, -1, 0.0))
             else spans.iterator.zipWithIndex.map { case ((start, len), i) =>

@@ -187,8 +187,13 @@ object Similarity {
     // trainer). Checkpointing also stops banded+vecs from re-scanning
     // parquet independently.
     val par = embeddings.sparkSession.sparkContext.defaultParallelism
-    val spread = embeddings.select(col(idCol), col(vecCol))
-      .repartition(par).localCheckpoint()
+    // a [[prepareUnit]] frame is already spread + checkpointed — the
+    // narrow projection below reuses its blocks directly
+    val spread =
+      if (embeddings.columns.contains("_unit"))
+        embeddings.select(col(idCol), col(vecCol))
+      else embeddings.select(col(idCol), col(vecCol))
+        .repartition(par).localCheckpoint()
     // Auto bits (default): bucket count must GROW with the corpus.
     // Fixed bits fix the bucket count, so occupancy — and with it the
     // candidate join — grows quadratically: the 10× scale smoke
@@ -230,12 +235,17 @@ object Similarity {
     // high-cardinality key. Carrying the vectors through the dedup
     // (round-2 shape) made the exchange ~50× wider and put array
     // copies on every sort/agg row.
+    // bit_or, not sum: with a duplicated id the per-plane contributions
+    // arrive once PER COPY, and summing 2·(1<<j) carries into the wrong
+    // bit — a garbage bucket that silently kills recall on corpora with
+    // repeated ids. OR is idempotent (copies of the same vector set the
+    // same bits) and identical to sum for unique ids (disjoint bits).
     val banded0 = spread.crossJoin(planes)
       .select(col(idCol), col("table"),
         when(doubleDot(col(vecCol), col("_p")) > 0,
           expr("shiftleft(CAST(1 AS BIGINT), _j)")).otherwise(lit(0L)).as("_bit"))
       .groupBy(col(idCol), col("table"))
-      .agg(sum(col("_bit")).as("bucket"))
+      .agg(bit_or(col("_bit")).as("bucket"))
       .localCheckpoint()
     // Hot-bucket cap (off by default): a bucket the hash cannot
     // discriminate — duplicate-heavy corpora, degenerate regions,
@@ -308,7 +318,7 @@ object Similarity {
     */
   def embedIvfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                    k: Int, nCentroids: Int = -1, nProbe: Int = 4,
-                   maxIter: Int = 2, seed: Long = 42L): DataFrame =
+                   maxIter: Int = 1, seed: Long = 42L): DataFrame =
     ivfCore(embeddings, None, idCol, idCol, vecCol, k, nCentroids, nProbe,
       maxIter, seed)
 
@@ -324,33 +334,54 @@ object Similarity {
   def embedIvfSearch(corpus: DataFrame, queries: DataFrame,
                      corpusIdCol: String, queryIdCol: String,
                      vecCol: String, k: Int, nCentroids: Int = -1,
-                     nProbe: Int = 4, maxIter: Int = 2,
+                     nProbe: Int = 4, maxIter: Int = 1,
                      seed: Long = 42L): DataFrame =
     ivfCore(corpus, Some(queries), corpusIdCol, queryIdCol, vecCol, k,
       nCentroids, nProbe, maxIter, seed)
 
-  /** Internal trained-index handle: level-1 centroids (broadcastable),
-    * optional level-2 centroids (hierarchical path only), and the
-    * inverted lists — the corpus unit vectors keyed by their (c1, c2)
-    * cell. `lists` IS the searchable index; everything a query needs.
+  /** Internal trained-index handle: the level-1 centroid MATRIX
+    * (l1n × dims — the one structure the design allows on the driver;
+    * it is what would be broadcast, held as plain arrays so assignment
+    * and probing run as narrow codegen'd expressions), optional
+    * level-2 centroids (hierarchical path only, a DataFrame — never
+    * collected), and the inverted lists — the corpus unit vectors
+    * keyed by their (c1, c2) cell. `lists` IS the searchable index.
     */
-  private final case class IvfIndex(l1: DataFrame, l2: Option[DataFrame],
+  private final case class IvfIndex(l1m: Array[Array[Double]],
+                                    l2: Option[DataFrame],
                                     lists: DataFrame, l1n: Int, l2n: Int,
                                     seed: Long)
 
   /** (id as `idCol`, original vec, L2-normalized `_unit`), spread and
     * checkpointed — the shared input shape for training and probing.
+    * A frame that ALREADY carries `_unit` (built by [[prepareUnit]],
+    * e.g. a caller-memoized corpus shared across several ANN queries
+    * in one JVM) is passed through with just the id realignment — no
+    * second normalize/repartition/checkpoint.
     */
   private def normalizedVecs(df: DataFrame, id: String, idCol: String,
-                             vecCol: String): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    df.select(
-        col(id).as(idCol), col(vecCol),
-        transform(col(vecCol).cast("array<double>"),
-          (x: Column) => x / sqrt(doubleDot(col(vecCol), col(vecCol)))).as("_unit"))
-      .repartition(par)
-      .localCheckpoint()
-  }
+                             vecCol: String): DataFrame =
+    if (df.columns.contains("_unit"))
+      df.select(col(id).as(idCol), col(vecCol), col("_unit"))
+    else {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      df.select(
+          col(id).as(idCol), col(vecCol),
+          transform(col(vecCol).cast("array<double>"),
+            (x: Column) => x / sqrt(doubleDot(col(vecCol), col(vecCol)))).as("_unit"))
+        .repartition(par)
+        .localCheckpoint()
+    }
+
+  /** Pre-normalize an embedding frame ONCE for use across several ANN
+    * calls ([[embedIvfTopK]]/[[embedIvfSearch]]/[[buildIvfIndex]]/
+    * [[embedLshTopK]]): returns the spread + checkpointed
+    * (id, vec, `_unit`) shape that every entry point detects and
+    * reuses instead of re-reading and re-normalizing the corpus. Same
+    * results either way — this is purely input-prep sharing.
+    */
+  def prepareUnit(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    normalizedVecs(df.select(col(idCol), col(vecCol)), idCol, idCol, vecCol)
 
   // salted-key helpers for the low-cardinality _c1 joins: _c1 has only
   // √cells distinct values, so the big (per-vector) side is salted and
@@ -411,51 +442,73 @@ object Similarity {
     // sort is lexicographic, so _pos ordering reassembles positions
     def assemble(pm: Column): Column =
       unitize(transform(array_sort(pm), (s: Column) => s.getField("_m")))
+    // driver-side twin of `unitize` for the collected level-1 matrix
+    def unitizeArr(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(s)
+      if (nrm > 0) {
+        val o = new Array[Double](v.length)
+        var j = 0
+        while (j < v.length) { o(j) = v(j) / nrm; j += 1 }
+        o
+      } else v
+    }
 
     // ---- level 1: √cells centroids, seeded by a deterministic
-    // hash-sample, refined by Lloyd rounds. The ONLY broadcast table
-    // (l1n × dims); every other quantizer structure stays distributed.
-    var l1: DataFrame = unit
+    // hash-sample, refined by Lloyd rounds — held as the l1n×dims
+    // MATRIX, the one structure the design allows to be
+    // driver/broadcast-sized (it is exactly what the old broadcast
+    // table shipped). Assignment runs as the narrow codegen'd
+    // [[graft.functions.ArgmaxMatrixDot]] expression, so a Lloyd round
+    // is ONE job (assign-expression → coordinate explode → partial agg
+    // → l1n×dims-row collect) with no crossJoin row explosion, no
+    // vector shuffle and no checkpoint barrier: the round-7 profile
+    // measured the broadcast-nested-loop shape at ~20 s CPU (GC-bound
+    // array copying across n×cells join rows) for what is ~0.2 s of
+    // multiplies, and the fixed per-training job count as the dominant
+    // local cost of the uncapped quantizer.
+    var l1m: Array[Array[Double]] = unit
       .select(col(idCol), col("_unit"), xxhash64(col(idCol), lit(seed)).as("_h"))
       .orderBy(col("_h"), col(idCol)).limit(l1n)
-      .select((row_number().over(
-          Window.orderBy(col("_h"), col(idCol))) - 1).as("_c1"),
-        col("_unit").as("_c1v"))
-      .localCheckpoint()
-    // (id, _c1) per vector: broadcast nested-loop over the l1 table,
-    // argmax dot with a deterministic tie-break on the cell id
-    def l1Assign(cs: DataFrame): DataFrame =
-      unit.crossJoin(broadcast(cs))
-        .select(col(idCol), col("_c1"),
-          doubleDot(col("_unit"), col("_c1v")).as("_dot"))
-        .groupBy(col(idCol))
-        .agg(max_by(col("_c1"),
-          struct(col("_dot"), (-col("_c1")).as("_t"))).as("_c1"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    // per-row argmax cell under the CURRENT matrix (ties → smallest
+    // cell id, identical to the old max_by(struct(_dot, -_c1)))
+    def l1AssignCol: Column =
+      graft.functions.VectorExprs.argmaxDot(col("_unit"), l1m)
     for (_ <- 1 to maxIter) {
-      // explicit spread before the coordinate explode: the mean pass
-      // is CPU-dense over few bytes, and AQE's byte-based coalescing
-      // would otherwise run the whole explode+partial-agg in one task
-      val means = unit.join(l1Assign(l1), Seq(idCol))
-        .repartition(par)
-        .select(col("_c1"), posexplode(col("_unit")).as(Seq("_pos", "_x")))
+      val meanRows = unit
+        .select(l1AssignCol.as("_c1"),
+          posexplode(col("_unit")).as(Seq("_pos", "_x")))
         .groupBy(col("_c1"), col("_pos")).agg(avg(col("_x")).as("_m"))
-        .groupBy(col("_c1"))
-        .agg(collect_list(struct(col("_pos"), col("_m"))).as("_pm"))
-        .select(col("_c1"), assemble(col("_pm")).as("_nv"))
+        .collect()
       // cells that captured no vectors keep their previous center
-      l1 = l1.join(means, Seq("_c1"), "left")
-        .select(col("_c1"), coalesce(col("_nv"), col("_c1v")).as("_c1v"))
-        .localCheckpoint()
+      val updated = l1m.clone()
+      meanRows.groupBy(_.getInt(0)).foreach { case (c, rows) =>
+        val v = new Array[Double](l1m(c).length)
+        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+        updated(c) = unitizeArr(v)
+      }
+      l1m = updated
     }
-    // corpus with its final level-1 cell, reused by every stage below
-    val corpus = unit.join(l1Assign(l1), Seq(idCol)).localCheckpoint()
 
     if (l2n == 1) {
       // ---- flat path: level-1 IS the quantizer; lists carry c2 = 0.
-      val lists = corpus.select(col(idCol).as("id_b"),
-        col("_unit").as("_ub"), col("_c1"), lit(0).as("_c2"))
-      IvfIndex(l1, None, lists, l1n, l2n, seed)
+      // The lists build is NARROW over the checkpointed unit frame —
+      // whole flat-path training is 1 count + 1 seed collect + maxIter
+      // mean-collect jobs, zero extra barriers.
+      val lists = unit.select(col(idCol).as("id_b"), col("_unit").as("_ub"),
+        l1AssignCol.as("_c1"), lit(0).as("_c2"))
+      IvfIndex(l1m, None, lists, l1n, l2n, seed)
     } else {
+      // corpus with its final level-1 cell — a narrow assignment, but
+      // checkpointed ONCE: its three consumers (level-2 seeding, the
+      // per-round assignment join, the lists build) would otherwise
+      // each redo the n×√cells assignment dots.
+      val corpus = unit
+        .select(col(idCol), col("_unit"), l1AssignCol.as("_c1"))
+        .localCheckpoint()
       // ---- level 2: up to √cells centroids WITHIN each level-1 cell.
       // Seeds are a per-cell hash-sample; assignment is an EQUI-JOIN on
       // _c1 (each vector meets only its own cell's centroids), so the
@@ -465,15 +518,15 @@ object Similarity {
       // √cells distinct keys the window's shuffle coalesces to a
       // handful of tasks (the 10× smoke measured a 1-task 3.8 s stage
       // here). Score is the negated hash: top-k desc = smallest hashes.
+      // (seed plan lazy for the same one-consumer reason as level 1)
       var l2: DataFrame = graft.operators.TopKAgg.perGroup(
           corpus.select(col("_c1"), col(idCol),
             (-pmod(xxhash64(col(idCol), lit(seed + 1)), lit(1L << 40))
               .cast("double")).as("_nh")),
           "_c1", "_nh", idCol, k = l2n)
         .select(col("_c1"), (col("rank") - 1).as("_c2"), col(idCol))
-        .join(unit.select(col(idCol), col("_unit")), Seq(idCol))
+        .join(corpus.select(col(idCol), col("_unit")), Seq(idCol))
         .select(col("_c1"), col("_c2"), col("_unit").as("_c2v"))
-        .localCheckpoint()
       def l2Assign(cs: DataFrame): DataFrame =
         salted(corpus, idCol, par, l1n, seed)
           .join(replicated(cs, par, l1n), Seq("_c1", "_salt"))
@@ -505,7 +558,7 @@ object Similarity {
       val lists = corpus.join(l2Assign(l2), Seq(idCol, "_c1"))
         .select(col(idCol).as("id_b"), col("_unit").as("_ub"),
           col("_c1"), col("_c2").cast("int").as("_c2"))
-      IvfIndex(l1, Some(l2), lists, l1n, l2n, seed)
+      IvfIndex(l1m, Some(l2), lists, l1n, l2n, seed)
     }
   }
 
@@ -526,26 +579,23 @@ object Similarity {
     val par = qunit.sparkSession.sparkContext.defaultParallelism
     idx.l2 match {
       case None =>
-        graft.operators.TopKAgg.perGroup(
-            qunit.crossJoin(broadcast(idx.l1))
-              .select(col(idCol), col("_c1"),
-                doubleDot(col("_unit"), col("_c1v")).as("_dot")),
-            idCol, "_dot", "_c1", k = math.min(idx.l1n, nProbe))
-          .select(col(idCol), col("_c1").cast("int").as("_c1"),
-            lit(0).as("_c2"))
-          .join(qunit, Seq(idCol))
-          .select(col(idCol).as("id_a"), col("_unit").as("_ua"),
-            col("_c1"), col("_c2"))
+        // flat probe: top-nProbe cells per query as ONE narrow
+        // expression over the centroid matrix + explode — no crossJoin
+        // row explosion, no per-query aggregation shuffle (the old
+        // TopKAgg shape copied the dim-length arrays into n×cells join
+        // rows before aggregating them back down)
+        qunit.select(col(idCol).as("id_a"), col("_unit").as("_ua"),
+            explode(graft.functions.VectorExprs.topKDot(col("_unit"),
+              idx.l1m, math.min(idx.l1n, nProbe))).as("_c1"))
+          .withColumn("_c2", lit(0))
       case Some(l2) =>
         val pL1 = math.min(idx.l1n, math.max(2, nProbe))
-        val probe1 = graft.operators.TopKAgg.perGroup(
-          qunit.crossJoin(broadcast(idx.l1))
-            .select(col(idCol), col("_c1"),
-              doubleDot(col("_unit"), col("_c1v")).as("_dot")),
-          idCol, "_dot", "_c1", k = pL1)
-          .select(col(idCol), col("_c1"))
-        val beam = salted(probe1.join(qunit, Seq(idCol)), idCol, par,
-            idx.l1n, idx.seed)
+        // level-1 beam per query via the same narrow top-k expression;
+        // `_unit` rides along for the level-2 center dots
+        val probe1 = qunit.select(col(idCol), col("_unit"),
+          explode(graft.functions.VectorExprs.topKDot(col("_unit"),
+            idx.l1m, pL1)).as("_c1"))
+        val beam = salted(probe1, idCol, par, idx.l1n, idx.seed)
           .join(replicated(l2, par, idx.l1n), Seq("_c1", "_salt"))
           .select(col(idCol), col("_c1"), col("_c2"),
             doubleDot(col("_unit"), col("_c2v")).as("_dot"))
@@ -583,12 +633,20 @@ object Similarity {
     */
   private def rankIvfPairs(probes: DataFrame, lists: DataFrame, k: Int,
                            excludeSelf: Boolean): DataFrame = {
+    val par = probes.sparkSession.sparkContext.defaultParallelism
     val paired = probes.join(lists, Seq("_c1", "_c2"))
     val cos = (if (excludeSelf) paired.filter(col("id_a") =!= col("id_b"))
                else paired)
       .withColumn("cos", round(doubleDot(col("_ua"), col("_ub")), 4))
       .select(col("id_a"), col("id_b"), col("cos"))
-    cos.withColumn("rank", row_number().over(
+    // explicit spread before the rank window: the pair frame is
+    // small-bytes/CPU-dense, so AQE's byte-based coalescing funnels
+    // the verify+rank into ONE task (1.3 s single-task stage on the
+    // round-7 profile). User-specified hash partitioning on the window
+    // key is coalescing-exempt and the window reuses it — no second
+    // exchange.
+    cos.repartition(par, col("id_a"))
+      .withColumn("rank", row_number().over(
         Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("id_b"), col("cos"), col("rank"))
@@ -619,17 +677,36 @@ object Similarity {
     * storage-compression extension point.
     */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-                    path: String, nCentroids: Int = -1, maxIter: Int = 2,
+                    path: String, nCentroids: Int = -1, maxIter: Int = 1,
                     seed: Long = 42L): Unit = {
     val unit = normalizedVecs(corpus, idCol, idCol, vecCol)
     val idx = trainIvfIndex(unit, idCol, nCentroids, maxIter, seed)
-    idx.l1.write.mode("overwrite").parquet(s"$path/l1")
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    idx.l1m.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toDF("_c1", "_c1v")
+      .write.mode("overwrite").parquet(s"$path/l1")
     idx.l2.foreach(_.write.mode("overwrite").parquet(s"$path/l2"))
-    idx.lists.write.mode("overwrite").parquet(s"$path/lists")
+    // lists are partitioned by the level-1 cell so a serve-time probe
+    // reading nProbe cells prunes to those directories instead of
+    // scanning the corpus-sized index (the 100 TB serve contract).
+    // Repartition by _c1 first: a partitionBy write otherwise emits
+    // one file per (task × cell) — tasks × √cells tiny files; hashing
+    // cells to tasks bounds it at one file per cell.
+    idx.lists
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("_c1"))
+      .write.mode("overwrite").partitionBy("_c1")
+      .parquet(s"$path/lists")
     val meta = s"""{"l1n":${idx.l1n},"l2n":${idx.l2n},"seed":${idx.seed}}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$path/meta.json"),
-      meta.getBytes("UTF-8"))
+    // meta goes through the Hadoop FileSystem resolved from the path —
+    // java.nio would silently write local (or throw) for hdfs://s3a://
+    // paths, the natural home of a corpus-sized index
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = metaPath.getFileSystem(
+      corpus.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
   }
 
   /** Search a PERSISTED IVF index (see [[buildIvfIndex]]) with new
@@ -638,14 +715,27 @@ object Similarity {
   def searchIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
                      queryIdCol: String, vecCol: String, k: Int,
                      nProbe: Int = 4): DataFrame = {
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$path/meta.json")), "UTF-8")
-    def intOf(key: String): Int =
-      s""""$key":(-?\\d+)""".r.findFirstMatchIn(meta).get.group(1).toInt
-    val l1n = intOf("l1n"); val l2n = intOf("l2n"); val seed = intOf("seed")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(metaPath)
+    val meta =
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    // seed is written as a Long verbatim — parse it as one (an
+    // Int-range parse rejected any index built with a wide seed)
+    def longOf(key: String): Long =
+      s""""$key":(-?\\d+)""".r.findFirstMatchIn(meta).get.group(1).toLong
+    val l1n = longOf("l1n").toInt; val l2n = longOf("l2n").toInt
+    val seed = longOf("seed")
     val l2 = if (l2n > 1) Some(spark.read.parquet(s"$path/l2")) else None
-    val idx = IvfIndex(spark.read.parquet(s"$path/l1"), l2,
-      spark.read.parquet(s"$path/lists"), l1n, l2n, seed.toLong)
+    // the level-1 matrix is driver/broadcast-bounded by design — read
+    // it back into the same in-expression shape training used
+    val l1m = spark.read.parquet(s"$path/l1").orderBy(col("_c1"))
+      .collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("_c1v")).toArray)
+    val idx = IvfIndex(l1m, l2,
+      spark.read.parquet(s"$path/lists"), l1n, l2n, seed)
     val qunit = normalizedVecs(queries, queryIdCol, queryIdCol, vecCol)
     rankIvfPairs(probeIvfIndex(idx, qunit, queryIdCol, nProbe), idx.lists,
       k, excludeSelf = false)

@@ -39,9 +39,9 @@ object Profile {
     // same pre-measurement hygiene as Bench: stray cached blocks and
     // warm-run garbage otherwise bill their GC to the measured run
     def sweep(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      // shared sweep: drops everything EXCEPT the memoized shared ANN
+      // corpus (see SparkEntry.protectedRddIds / Sessions.sweep)
+      graft.Sessions.sweep(spark, graft.SparkEntry.protectedRddIds)
       System.gc()
     }
     names.foreach { n =>

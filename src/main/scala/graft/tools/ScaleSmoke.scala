@@ -120,9 +120,9 @@ object ScaleSmoke {
       })
 
     def sweep(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      // shared sweep: drops everything EXCEPT the memoized shared ANN
+      // corpus (see SparkEntry.protectedRddIds / Sessions.sweep)
+      graft.Sessions.sweep(spark, graft.SparkEntry.protectedRddIds)
       System.gc()
     }
     // min over 2 reps, the bench lesson: single-shot local timings vary
