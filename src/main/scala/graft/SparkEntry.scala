@@ -657,7 +657,9 @@ object SparkEntry {
       Dedup.minHashNearDupVerified(t(s, dir, "documents"), "doc_id",
         "text", threshold = 0.5)),
 
-    // --- LLM dedup: SimHash fingerprints (rows-only) ---
+    // --- LLM dedup: SimHash fingerprints — oracled EXACTLY since the
+    //     md5-60 token hash landed (the DuckDB oracle replays the
+    //     per-bit votes; q126 remains the behavioral recall companion) ---
     "q46_simhash" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -1714,6 +1716,49 @@ object SparkEntry {
             .cast("long")).as("n_ok"))
     }),
 
+    // --- REAL audio resample gate (retires the last stub seam, SURVEY
+    //     §8 L17): executors synthesize constant-amplitude 8 kHz PCM
+    //     WAVs (amplitude + frame count closed-form in doc_id),
+    //     resampleAudio linearly interpolates them to 16 kHz, and the
+    //     gate pins the exact interpolation contract — nOut =
+    //     ⌊(nIn−1)·dst/src⌋+1 = 2·nIn−1, and a constant signal
+    //     resamples to the same constant EXACTLY (rms == amplitude,
+    //     1e-9) — then re-decodes the written WAV with the independent
+    //     q132 decoder and pins rate/frames/RMS of the round trip ---
+    "q169_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).filter(col("doc_id") % 13 === 0)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.pcm16Wav(8000,
+            (500 + (id % 100) * 7).toShort, (64 + id % 64).toInt))
+        })
+        .toDF("doc_id", "wav")
+      val res = Multimodal.resampleAudio(payloads, "doc_id", "wav", 16000)(s)
+        .toDF()
+      val roundTrip = Multimodal.audioFeatures(
+          res.select(col("id").as("doc_id"), col("wav")), "doc_id", "wav")(s)
+        .toDF()
+        .select(col("id"), col("decoded").as("rt_ok"),
+          col("sampleRate").as("rt_rate"), col("nFrames").as("rt_frames"),
+          col("rms").as("rt_rms"))
+      res.join(roundTrip, Seq("id"))
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum(col("decoded").cast("long")).as("n_decoded"),
+          sum((col("decoded") &&
+            col("srcRate") === 8000 && col("dstRate") === 16000 &&
+            col("channels") === 1 &&
+            col("nIn") === (col("id") % 64 + 64) &&
+            col("nOut") === (col("id") % 64 + 64) * 2 - 1 &&
+            abs(col("rmsOut") - (col("id") % 100 * 7 + 500)) < 1e-9 &&
+            col("rt_ok") && col("rt_rate") === 16000 &&
+            col("rt_frames") === col("nOut") &&
+            abs(col("rt_rms") - (col("id") % 100 * 7 + 500)) < 0.5)
+            .cast("long")).as("n_ok"))
+    }),
+
     // --- mergeable quantile sketches (DDSketch-style): exact rolling/
     //     rollup percentiles cannot pre-aggregate, so per-group
     //     log-bucket histograms are the 100 TB answer (the quantile
@@ -2649,6 +2694,30 @@ object SparkEntry {
         |           JOIN sizes sb ON id_b = sb.doc_id
         |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5""".stripMargin,
 
+    // exact SimHash fingerprint replay: the per-token hash is the
+    // leading 60 bits of md5 — computable bit-identically in both
+    // engines (see Dedup.SimBits) — so the oracle rebuilds every
+    // fingerprint from scratch: per-bit ±1 frequency votes over the
+    // token multiset, bit j set iff its vote sum is positive
+    "q46_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, r.j,
+        |         SUM(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) r
+        |  GROUP BY doc_id, r.j)
+        |SELECT doc_id,
+        |       CAST(SUM(CASE WHEN v > 0
+        |                     THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |                     ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin,
+
     // reachability closure over the exact near-dup pairs (both
     // directions), min reachable id = cluster label
     "q80_dup_clusters" ->
@@ -3005,6 +3074,14 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
 
     "q132_audio_features" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |       CAST(COUNT(*) AS BIGINT) AS n_decoded,
+        |       CAST(COUNT(*) AS BIGINT) AS n_ok
+        |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+
+    // resample gate: the oracle pins the sample size and the
+    // every-clip-resamples-exactly contract (see q169 query)
+    "q169_audio_resample" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_clips,
         |       CAST(COUNT(*) AS BIGINT) AS n_decoded,
         |       CAST(COUNT(*) AS BIGINT) AS n_ok

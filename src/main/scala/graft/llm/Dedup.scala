@@ -447,19 +447,33 @@ object Dedup {
         count(lit(1)).as("n_members"),
         max(col(scoreCol)).as("best_score"))
 
-  /** 64-bit SimHash fingerprint per document: token-frequency-weighted
-    * bit votes over `xxhash64(token)`. 64 per-bit vote sums in ONE
-    * grouped aggregation (all codegen'd), then bit assembly.
+  /** Number of SimHash fingerprint bits (and the band split: 4 bands
+    * of [[SimBits]]/4). 60, not 64: the per-token hash is the leading
+    * 15 hex digits of md5 — a hash BOTH engines can compute
+    * bit-identically (Spark `conv(substring(md5(t),1,15),16,10)`,
+    * DuckDB `CAST('0x'||substring(md5(t),1,15) AS BIGINT)`), which is
+    * what lets the q46 oracle replay the fingerprints exactly instead
+    * of settling for a rows-only check. md5's avalanche is as good a
+    * SimHash basis as xxhash64; 60 vs 64 bits changes banding recall
+    * negligibly (15-bit bands vs 16-bit).
+    */
+  val SimBits = 60
+
+  /** SimHash fingerprint per document: token-frequency-weighted bit
+    * votes over the engine-portable md5-60 token hash ([[SimBits]]).
+    * 60 per-bit vote sums in ONE grouped aggregation (all codegen'd),
+    * then bit assembly.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("_t"))
-      .withColumn("_h", xxhash64(col("_t")))
-    val votes = (0 until 64).map { j =>
+      .withColumn("_h",
+        conv(substring(md5(col("_t")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until SimBits).map { j =>
       sum(when(shiftrightunsigned(col("_h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"_v$j")
     }
-    val fp = (0 until 64)
+    val fp = (0 until SimBits)
       .map(j => when(col(s"_v$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
     tok.groupBy(col(idCol))
@@ -468,7 +482,7 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`.
-    * Candidates come from equality on 16-bit bands (any pair within
+    * Candidates come from equality on 15-bit bands (any pair within
     * Hamming 3 shares at least one of 4 bands — pigeonhole); verify
     * with `bit_count(xor)`.
     */
@@ -481,12 +495,14 @@ object Dedup {
     // fingerprints is the k-copies hazard here)
     val fp0 = simHash(docs, idCol, textCol)
     val fp = if (cacheFingerprints) fp0.cache() else fp0
+    val bandBits = SimBits / 4
+    val bandMask = (1L << bandBits) - 1
     val banded = capBuckets(
       fp.select(col(idCol), col("simhash"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("band"),
-            shiftrightunsigned(col("simhash"), j * 16)
-              .bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("b"))
+            shiftrightunsigned(col("simhash"), j * bandBits)
+              .bitwiseAND(lit(bandMask)).as("bucket"))): _*)).as("b"))
         .select(col(idCol), col("simhash"), col("b.band"), col("b.bucket")),
       idCol, Seq("band", "bucket"), maxBucket)
     val left = banded.toDF("id_a", "fp_a", "band", "bucket")

@@ -88,9 +88,13 @@ object Multimodal {
       }
   }
 
-  /** Batched "resample": keep every `factor`-th byte of each payload
-    * (the resize/downsample seam, same mapPartitions shape).
+  /** Byte-stride subsample — RETIRED seam. Audio resampling is now
+    * REAL ([[resampleAudio]]: decoded 16-bit PCM, linear
+    * interpolation, WAV write-back); this stub remains only as the
+    * extension point for payloads whose codec the JVM lacks entirely
+    * (same status as [[decodeFramesStub]] for H.264-class video).
     */
+  @deprecated("use resampleAudio — real PCM resampling over the same batch seam", "round 7")
   def resampleStub(df: DataFrame, idCol: String, binCol: String,
                    factor: Int)
                   (implicit spark: SparkSession): DataFrame = {
@@ -99,12 +103,144 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // STUB: real impl = proper resampling filter over decoded
-          // samples; fake = stride subsampling of the raw bytes.
           (id, bytes.zipWithIndex.collect { case (b, i) if i % factor == 0 => b })
         }
       }
       .toDF(idCol, "resampled")
+  }
+
+  /** Typed resample record: per-clip stats plus the re-encoded WAV
+    * (the write-back half of the pipeline). `rmsOut` is over all
+    * output samples (all channels), pre-quantization.
+    */
+  final case class ResampledAudio(id: Long, decoded: Boolean, srcRate: Int,
+                                  dstRate: Int, channels: Int, nIn: Long,
+                                  nOut: Long, rmsOut: Double,
+                                  wav: Array[Byte])
+
+  /** REAL batched audio resample (SURVEY §8 L17 — the last stub seam,
+    * retired): decode 16-bit PCM via the JDK (`javax.sound.sampled`,
+    * WAV/AIFF/AU), resample each channel to `targetRate` by linear
+    * interpolation, re-encode as canonical little-endian PCM WAV.
+    * Same `mapPartitions` batch shape as [[audioFeatures]].
+    *
+    * Interpolation positions use EXACT rational arithmetic
+    * (p_j = j·src/dst as integer div + remainder, never a float
+    * accumulator), so output length and values are bit-deterministic:
+    * nOut = ⌊(nIn−1)·dst/src⌋ + 1, and a constant-amplitude input
+    * resamples to the same constant exactly — the q169 closed-form
+    * gate. A linear interpolator is a first-order lowpass — adequate
+    * for feature pipelines; a windowed-sinc drop-in would slot into
+    * the same per-channel loop. Non-PCM16 or undecodable payloads
+    * degrade to `decoded = false` rows (poison tolerance, as
+    * everywhere in this family).
+    */
+  def resampleAudio(df: DataFrame, idCol: String, binCol: String,
+                    targetRate: Int)
+                   (implicit spark: SparkSession): Dataset[ResampledAudio] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.BufferedInputStream(
+                new java.io.ByteArrayInputStream(bytes)))
+            val fmt = in.getFormat
+            val pcm16 = fmt.getSampleSizeInBits == 16 &&
+              fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            if (!pcm16) {
+              in.close()
+              ResampledAudio(id, decoded = false, fmt.getSampleRate.toInt,
+                targetRate, fmt.getChannels, in.getFrameLength, 0L, -1.0,
+                Array.emptyByteArray)
+            } else {
+              val ch = fmt.getChannels
+              val srcRate = fmt.getSampleRate.toInt
+              val raw = in.readAllBytes(); in.close()
+              val nIn = raw.length / (2 * ch)
+              // deinterleave to per-channel double arrays
+              val src = Array.ofDim[Double](ch, nIn)
+              var f = 0
+              while (f < nIn) {
+                var c = 0
+                while (c < ch) {
+                  val o = (f * ch + c) * 2
+                  val s =
+                    if (fmt.isBigEndian)
+                      ((raw(o) << 8) | (raw(o + 1) & 0xFF)).toShort
+                    else ((raw(o + 1) << 8) | (raw(o) & 0xFF)).toShort
+                  src(c)(f) = s.toDouble
+                  c += 1
+                }
+                f += 1
+              }
+              val nOut =
+                if (nIn == 0) 0
+                else ((nIn - 1).toLong * targetRate / srcRate).toInt + 1
+              val out = Array.ofDim[Double](ch, nOut)
+              var j = 0
+              while (j < nOut) {
+                // exact rational position: p = j·src/dst
+                val num = j.toLong * srcRate
+                val i0 = (num / targetRate).toInt
+                val frac = (num % targetRate).toDouble / targetRate
+                val i1 = math.min(i0 + 1, nIn - 1)
+                var c = 0
+                while (c < ch) {
+                  val s = src(c)
+                  out(c)(j) = s(i0) * (1.0 - frac) + s(i1) * frac
+                  c += 1
+                }
+                j += 1
+              }
+              var sumSq = 0.0
+              var c2 = 0
+              while (c2 < ch) {
+                var k = 0
+                while (k < nOut) {
+                  val v = out(c2)(k); sumSq += v * v; k += 1
+                }
+                c2 += 1
+              }
+              val rms =
+                if (nOut > 0) math.sqrt(sumSq / (nOut.toLong * ch)) else 0.0
+              // re-encode: canonical 44-byte PCM WAV, interleaved LE,
+              // round-half-up with clamp to the 16-bit range
+              val dataLen = nOut * ch * 2
+              val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+                .put("WAVE".getBytes("US-ASCII"))
+                .put("fmt ".getBytes("US-ASCII")).putInt(16)
+                .putShort(1).putShort(ch.toShort)
+                .putInt(targetRate).putInt(targetRate * ch * 2)
+                .putShort((ch * 2).toShort).putShort(16)
+                .put("data".getBytes("US-ASCII")).putInt(dataLen)
+              var k2 = 0
+              while (k2 < nOut) {
+                var c3 = 0
+                while (c3 < ch) {
+                  val q = math.max(Short.MinValue.toDouble,
+                    math.min(Short.MaxValue.toDouble,
+                      math.rint(out(c3)(k2))))
+                  buf.putShort(q.toShort)
+                  c3 += 1
+                }
+                k2 += 1
+              }
+              ResampledAudio(id, decoded = true, srcRate, targetRate, ch,
+                nIn.toLong, nOut.toLong, rms, buf.array())
+            }
+          } catch {
+            case _: Exception =>
+              ResampledAudio(id, decoded = false, -1, targetRate, -1, -1L,
+                -1L, -1.0, Array.emptyByteArray)
+          }
+        }
+      }
   }
 
   /** Encode a solid-gray image as PNG via the JDK codec — the
@@ -132,22 +268,29 @@ object Multimodal {
     * (constant signal ⇒ RMS == amplitude exactly). 44-byte canonical
     * header, little-endian throughout.
     */
-  def pcm16Wav(sampleRate: Int, amplitude: Short, nFrames: Int): Array[Byte] = {
-    val dataLen = nFrames * 2
+  def pcm16Wav(sampleRate: Int, amplitude: Short, nFrames: Int): Array[Byte] =
+    pcm16WavSamples(sampleRate, Array.fill(nFrames)(amplitude))
+
+  /** General 16-bit PCM WAV synthesizer: interleaved samples (length =
+    * frames × channels), canonical 44-byte header, little-endian.
+    */
+  def pcm16WavSamples(sampleRate: Int, samples: Array[Short],
+                      channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1)                       // PCM
-      .putShort(1)                       // mono
+      .putShort(channels.toShort)
       .putInt(sampleRate)
-      .putInt(sampleRate * 2)            // byte rate
-      .putShort(2)                       // block align
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
       .putShort(16)                      // bits/sample
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
-    while (i < nFrames) { buf.putShort(amplitude); i += 1 }
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
     buf.array()
   }
 

@@ -17,12 +17,24 @@ class EntrySpec extends SparkSpec {
     val os = SparkEntry.oracleSql.keySet
     // every oracle refers to an existing query
     assert(os.subsetOf(qs), s"orphan oracles: ${os -- qs}")
-    // rows-only queries are exactly the known not-SQL-expressible set
+    // rows-only queries are exactly the known not-SQL-expressible set,
+    // and EVERY one names a green oracled companion that gates the
+    // same operator behaviorally (planted recall / sketch accuracy /
+    // serve fill) — prose in the README is not a gate; this is
+    val companions = Map(
+      "q33_als_recs" -> "q129_als_coverage",
+      "q44_serve_wide" -> "q164_serve_wide_det",
+      "q47_embed_lsh" -> "q124_lsh_recall",
+      "q57_embed_ivf" -> "q125_ivf_recall",
+      "q98_hll_sketch" -> "q128_hll_rollup_accuracy",
+      "q121_rolling_distinct" -> "q130_rolling_hll_accuracy")
     val rowsOnly = qs -- os
-    assert(rowsOnly == Set("q33_als_recs", "q44_serve_wide", "q46_simhash",
-      "q47_embed_lsh", "q57_embed_ivf", "q98_hll_sketch",
-      "q121_rolling_distinct"),
+    assert(rowsOnly == companions.keySet,
       s"unexpected rows-only queries: $rowsOnly")
+    companions.foreach { case (q, companion) =>
+      assert(os.contains(companion),
+        s"rows-only $q names companion $companion which has no oracle")
+    }
   }
 
   test("README query counts match SparkEntry (no hand-count drift)") {

@@ -153,6 +153,59 @@ class TextMultimodalSpec extends SparkSpec {
     assert(!out(3L).decoded)
   }
 
+  test("resampleAudio: constant signal resamples exactly, sine within linear-interp band, poison tolerated") {
+    implicit val s = spark
+    val amp = 9000
+    val sine = Array.tabulate(800)(i =>
+      (amp * math.sin(2 * math.Pi * 440 * i / 8000.0)).toShort)
+    val rows = Seq(
+      (1L, Multimodal.pcm16Wav(8000, 1000, 100)),          // constant up
+      (2L, Multimodal.pcm16Wav(16000, -2500, 101)),        // constant down
+      (3L, Multimodal.pcm16WavSamples(8000, sine)),        // sine up
+      (4L, Array.tabulate(50)(_.toByte))                   // not audio
+    ).toDF("doc_id", "b")
+    val out = Multimodal.resampleAudio(rows, "doc_id", "b", 16000)
+      .collect().map(r => r.id -> r).toMap
+    // upsample 2x: nOut = 2·nIn − 1; constant → same constant exactly
+    assert(out(1L).decoded && out(1L).nOut == 199L &&
+      math.abs(out(1L).rmsOut - 1000.0) < 1e-9)
+    // same-rate "resample" degenerates to identity
+    assert(out(2L).decoded && out(2L).srcRate == 16000 &&
+      out(2L).nOut == 101L && math.abs(out(2L).rmsOut - 2500.0) < 1e-9)
+    // sine at 440/8000: interpolated midpoints attenuate by
+    // cos(π·440/8000) ≈ 0.985 → RMS within 3% of A/√2
+    val expected = amp / math.sqrt(2.0)
+    assert(out(3L).decoded && out(3L).nOut == 1599L &&
+      math.abs(out(3L).rmsOut - expected) < 0.03 * expected)
+    assert(!out(4L).decoded)
+    // write-back round trip: the emitted WAV re-decodes at the target
+    // rate with the same frame count and (constant) RMS
+    val rt = Multimodal.audioFeatures(
+        Seq((1L, out(1L).wav)).toDF("doc_id", "b"), "doc_id", "b")
+      .head()
+    assert(rt.decoded && rt.sampleRate == 16000 && rt.nFrames == 199L &&
+      math.abs(rt.rms - 1000.0) < 1e-9)
+  }
+
+  test("resampleAudio: true downsample halves the rate; stereo channels resample independently") {
+    implicit val s = spark
+    val stereo = Array.tabulate(120)(i =>
+      (if (i % 2 == 0) 800 else -600).toShort)             // L=800, R=−600
+    val rows = Seq(
+      (1L, Multimodal.pcm16Wav(16000, 3000, 101)),
+      (2L, Multimodal.pcm16WavSamples(8000, stereo, channels = 2))
+    ).toDF("doc_id", "b")
+    val down = Multimodal.resampleAudio(rows, "doc_id", "b", 8000)
+      .collect().map(r => r.id -> r).toMap
+    // nOut = ⌊(101−1)·8000/16000⌋+1 = 51; constant stays exact
+    assert(down(1L).decoded && down(1L).nOut == 51L &&
+      math.abs(down(1L).rmsOut - 3000.0) < 1e-9)
+    // stereo: 60 frames → same-rate identity, RMS = √((800²+600²)/2)
+    assert(down(2L).decoded && down(2L).channels == 2 &&
+      down(2L).nIn == 60L && down(2L).nOut == 60L &&
+      math.abs(down(2L).rmsOut - math.sqrt((800.0 * 800 + 600.0 * 600) / 2)) < 1e-9)
+  }
+
   test("resampleStub strides the payload deterministically") {
     implicit val s = spark
     val bin = Seq((1L, Array.tabulate(10)(_.toByte))).toDF("doc_id", "b")
