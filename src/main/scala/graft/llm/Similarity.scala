@@ -365,10 +365,16 @@ object Similarity {
       df.select(col(id).as(idCol), col(vecCol), col("_unit"))
     else {
       val par = df.sparkSession.sparkContext.defaultParallelism
-      df.select(
-          col(id).as(idCol), col(vecCol),
+      // norm as its own column FIRST: referencing the dot inside the
+      // transform lambda re-evaluated it per ELEMENT (higher-order
+      // lambdas are interpreted and nothing hoists the invariant) —
+      // dims² interpreted ops per row, measured ~32 s CPU at the 10×
+      // smoke for what is one dot per row
+      df.select(col(id).as(idCol), col(vecCol),
+          sqrt(doubleDot(col(vecCol), col(vecCol))).as("_nrm"))
+        .select(col(idCol), col(vecCol),
           transform(col(vecCol).cast("array<double>"),
-            (x: Column) => x / sqrt(doubleDot(col(vecCol), col(vecCol)))).as("_unit"))
+            (x: Column) => x / col("_nrm")).as("_unit"))
         .repartition(par)
         .localCheckpoint()
     }
@@ -595,10 +601,18 @@ object Similarity {
         val probe1 = qunit.select(col(idCol), col("_unit"),
           explode(graft.functions.VectorExprs.topKDot(col("_unit"),
             idx.l1m, pL1)).as("_c1"))
+        // spread by QUERY id before the checkpoint: the beam is
+        // small-bytes/CPU-dense (|queries|·pL1·l2n slim rows), so AQE
+        // byte-coalescing funneled BOTH consumers' aggregations into
+        // one task (2× ~4 s single-task stages at the 10× smoke).
+        // Hash-partitioning on id is reused by probeGlobal's
+        // per-query top-k AND probeHier's (id, _c1) agg — clustering
+        // on a subset key satisfies both, zero further exchanges.
         val beam = salted(probe1, idCol, par, idx.l1n, idx.seed)
           .join(replicated(l2, par, idx.l1n), Seq("_c1", "_salt"))
           .select(col(idCol), col("_c1"), col("_c2"),
             doubleDot(col("_unit"), col("_c2v")).as("_dot"))
+          .repartition(par, col(idCol))
           .localCheckpoint()
         // composite cell id for the bounded top-k aggregation, decoded
         // back after ranking
@@ -687,17 +701,20 @@ object Similarity {
       .map { case (v, i) => (i, v.toSeq) }.toDF("_c1", "_c1v")
       .write.mode("overwrite").parquet(s"$path/l1")
     idx.l2.foreach(_.write.mode("overwrite").parquet(s"$path/l2"))
-    // lists are partitioned by the level-1 cell so a serve-time probe
-    // reading nProbe cells prunes to those directories instead of
+    // lists are RANGE-LAID-OUT by cell: each file covers a contiguous
+    // (_c1, _c2) range, so a serve-time `_c1 IN (probed cells)` filter
+    // prunes files and row groups via parquet min/max stats instead of
     // scanning the corpus-sized index (the 100 TB serve contract).
-    // Repartition by _c1 first: a partitionBy write otherwise emits
-    // one file per (task × cell) — tasks × √cells tiny files; hashing
-    // cells to tasks bounds it at one file per cell.
+    // Sort-based layout, not partitionBy: one directory per cell means
+    // √cells tiny files at any local scale (566 dirs → a packed
+    // single-task scan at the 10× smoke) and millions of directories
+    // at corpus scale; range+sort gives the same pruning with
+    // bounded-count, well-sized files.
     idx.lists
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
-        col("_c1"))
-      .write.mode("overwrite").partitionBy("_c1")
-      .parquet(s"$path/lists")
+      .repartitionByRange(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("_c1"), col("_c2"))
+      .sortWithinPartitions("_c1", "_c2")
+      .write.mode("overwrite").parquet(s"$path/lists")
     val meta = s"""{"l1n":${idx.l1n},"l2n":${idx.l2n},"seed":${idx.seed}}"""
     // meta goes through the Hadoop FileSystem resolved from the path —
     // java.nio would silently write local (or throw) for hdfs://s3a://
@@ -737,7 +754,26 @@ object Similarity {
     val idx = IvfIndex(l1m, l2,
       spark.read.parquet(s"$path/lists"), l1n, l2n, seed)
     val qunit = normalizedVecs(queries, queryIdCol, queryIdCol, vecCol)
-    rankIvfPairs(probeIvfIndex(idx, qunit, queryIdCol, nProbe), idx.lists,
+    // probes are |queries|·≤(nProbe+pL1) slim rows — checkpoint them
+    // so the probed-cell set (≤ l1n distinct values, driver-bounded by
+    // the same contract as the centroid matrix) can be collected and
+    // PUSHED DOWN onto the lists scan: with the range/sorted layout
+    // the IN filter prunes files and row groups via parquet stats, so
+    // a small query batch reads only the cells it probes instead of
+    // the corpus-sized index. Results are identical — an unprobed
+    // cell's lists cannot join anyway.
+    // spread by query id before the checkpoint: AQE coalesces the
+    // probe-dedup shuffle to ONE partition (slim rows), and since the
+    // verify join broadcasts the pruned lists, everything downstream
+    // would run narrow in that single task (6.4 s at the 10× smoke).
+    // Hash(id_a) is also what the rank window wants.
+    val probes = probeIvfIndex(idx, qunit, queryIdCol, nProbe)
+      .repartition(spark.sparkContext.defaultParallelism, col("id_a"))
+      .localCheckpoint()
+    val probedCells = probes.select(col("_c1")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    rankIvfPairs(probes,
+      idx.lists.filter(col("_c1").isin(probedCells.map(Integer.valueOf): _*)),
       k, excludeSelf = false)
   }
 
