@@ -317,6 +317,78 @@ object TopKMatrixDot {
   }
 }
 
+/** All LSH sign-bucket codes for one vector in one pass: for each of
+  * the `planes.length` tables, bucket = packed sign bits of the
+  * vector's dots with that table's hyperplanes. Returns
+  * array<long>(numTables), position = table id.
+  *
+  * Same design contract as [[ArgmaxMatrixDot]]: the plane tensor
+  * (tables × bits × dims, e.g. 6×20×dims ≈ a few hundred KB) is the
+  * structure the old code already broadcast as a table; embedding it
+  * in the expression removes the n×(tables·bits) crossJoin row
+  * explosion AND the groupBy(id, table) bit-assembly shuffle — banding
+  * becomes one narrow codegen'd map. Per-copy independence also
+  * sidesteps the duplicate-id bit-merge hazard entirely (each row is
+  * banded on its own vector; nothing is summed across rows).
+  */
+case class SignBandsMatrix(child: Expression, planes: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_bands"
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      SignBandsMatrix.bands(a.asInstanceOf[ArrayData], planes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planes", planes, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.SignBandsMatrix.bands($v, $mat));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBandsMatrix =
+    copy(child = newChild)
+}
+
+object SignBandsMatrix {
+  /** bucket[t] = Σ_j (⟨v, planes[t][j]⟩ > 0 ? 1L<<j : 0); null
+    * elements contribute 0 to the dot (treat-as-missing, as in
+    * [[ArrayDotProduct]]).
+    */
+  def bands(v: ArrayData, planes: Array[Array[Array[Double]]]): Array[Long] = {
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val table = planes(t)
+      var bucket = 0L
+      var j = 0
+      while (j < table.length) {
+        val p = table(j)
+        val n = math.min(p.length, v.numElements())
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          if (!v.isNullAt(i)) s += p(i) * v.getDouble(i)
+          i += 1
+        }
+        if (s > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+}
+
 object VectorExprs {
   /** `Σ a[i]·b[i]` as a codegen'd column; inputs are cast to
     * array<double> (float vectors widen losslessly).
@@ -348,4 +420,11 @@ object VectorExprs {
   def topKDot(v: Column, matrix: Array[Array[Double]], k: Int): Column =
     Bridge.column(TopKMatrixDot(
       Bridge.expression(v.cast("array<double>")), matrix, k))
+
+  /** per-table LSH sign buckets over a fixed hyperplane tensor
+    * ([[SignBandsMatrix]]).
+    */
+  def signBands(v: Column, planes: Array[Array[Array[Double]]]): Column =
+    Bridge.column(SignBandsMatrix(
+      Bridge.expression(v.cast("array<double>")), planes))
 }

@@ -210,23 +210,23 @@ object Similarity {
           math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
       }
     // Seeded hyperplanes, generated on the driver (tiny: tables×bits×d
-    // doubles) and shipped as a BROADCAST TABLE, not inlined literals:
-    // tables×bits CreateArray expressions (each dims literals) in one
-    // projection blow past whole-stage codegen's method-size limit, so
-    // the entire banding ran INTERPRETED — measured as two ~185 s CPU
-    // stages at the 10× smoke (once per candidate-join side, since the
-    // banding wasn't materialized). Same cliff the IVF centroids hit
-    // in round 3, same fix: broadcast nested-loop over the 72-row
-    // plane table keeps the per-row dot inside codegen, and the
-    // (id, table, bucket) result is checkpointed so both join sides
-    // scan it instead of re-banding.
+    // doubles) and embedded in the banding EXPRESSION
+    // ([[graft.functions.SignBandsMatrix]]) — the same memory contract
+    // as the broadcast plane table this replaces (and NOT inlined
+    // literals: tables×bits CreateArray expressions blew past
+    // whole-stage codegen's method-size limit in round 3 and ran the
+    // banding interpreted, ~185 s CPU at the 10× smoke). The
+    // expression computes all numTables bucket codes per row in one
+    // narrow codegen'd map: no n×(tables·bits) crossJoin row
+    // explosion, no groupBy(id, table) bit-assembly shuffle, and each
+    // row is banded on its own vector so a duplicated id can never
+    // merge bits across copies (the round-6 advice hazard). The
+    // (id, table, bucket) result is checkpointed so both candidate-
+    // join sides scan it instead of re-banding.
     val rng = new scala.util.Random(seed)
-    val planeRows = (0 until numTables).flatMap { t =>
-      (0 until nBits).map { j => (t, j, Array.fill(dims)(rng.nextGaussian())) }
-    }
-    val sess = embeddings.sparkSession
-    import sess.implicits._
-    val planes = broadcast(planeRows.toDF("table", "_j", "_p"))
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(numTables, nBits)((_, _) =>
+        Array.fill(dims)(rng.nextGaussian()))
     // Banded rows carry ONLY (id, table, bucket): the candidate join
     // and pair-dedup shuffle 16-byte pairs, not vectors. Vectors (and
     // their norms, computed once per row) come back via equi-joins on
@@ -235,17 +235,10 @@ object Similarity {
     // high-cardinality key. Carrying the vectors through the dedup
     // (round-2 shape) made the exchange ~50× wider and put array
     // copies on every sort/agg row.
-    // bit_or, not sum: with a duplicated id the per-plane contributions
-    // arrive once PER COPY, and summing 2·(1<<j) carries into the wrong
-    // bit — a garbage bucket that silently kills recall on corpora with
-    // repeated ids. OR is idempotent (copies of the same vector set the
-    // same bits) and identical to sum for unique ids (disjoint bits).
-    val banded0 = spread.crossJoin(planes)
-      .select(col(idCol), col("table"),
-        when(doubleDot(col(vecCol), col("_p")) > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), _j)")).otherwise(lit(0L)).as("_bit"))
-      .groupBy(col(idCol), col("table"))
-      .agg(bit_or(col("_bit")).as("bucket"))
+    val banded0 = spread
+      .select(col(idCol),
+        posexplode(graft.functions.VectorExprs.signBands(col(vecCol), planes))
+          .as(Seq("table", "bucket")))
       .localCheckpoint()
     // Hot-bucket cap (off by default): a bucket the hash cannot
     // discriminate — duplicate-heavy corpora, degenerate regions,
