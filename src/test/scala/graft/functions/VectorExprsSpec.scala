@@ -105,4 +105,50 @@ class VectorExprsSpec extends SparkSpec {
     val expect = one.multiply(java.math.BigDecimal.valueOf(64))
     assert(got.underlying().compareTo(expect) == 0)
   }
+
+  test("argmaxDot: best row wins, exact ties break to the smallest index, null vec -> null") {
+    val m = Array(
+      Array(1.0, 0.0),   // c0
+      Array(0.0, 1.0),   // c1
+      Array(0.0, 1.0))   // c2: duplicate of c1 — tie must pick c1
+    val df = Seq(
+      (1L, Some(Array(3.0, 1.0))),  // argmax c0
+      (2L, Some(Array(1.0, 5.0))),  // c1 and c2 tie at 5 → c1
+      (3L, None: Option[Array[Double]]))
+      .toDF("id", "v")
+    val got = df.select($"id", VectorExprs.argmaxDot($"v", m).as("c"))
+      .as[(Long, Option[Int])].collect().toMap
+    assert(got(1L).contains(0) && got(2L).contains(1) && got(3L).isEmpty)
+  }
+
+  test("topKDot: descending-dot order, ties to smaller index, k clamped to matrix size") {
+    val m = Array(
+      Array(1.0, 0.0),
+      Array(0.0, 1.0),
+      Array(0.0, 1.0),
+      Array(-1.0, -1.0))
+    val got = Seq((1L, Array(1.0, 2.0))).toDF("id", "v")
+      .select(VectorExprs.topKDot($"v", m, 3).as("c"))
+      .as[Seq[Int]].head()
+    // dots: c0=1, c1=2, c2=2, c3=-3 → top3 = [1, 2, 0]
+    assert(got == Seq(1, 2, 0))
+    val all = Seq((1L, Array(1.0, 2.0))).toDF("id", "v")
+      .select(VectorExprs.topKDot($"v", m, 99).as("c"))
+      .as[Seq[Int]].head()
+    assert(all == Seq(1, 2, 0, 3))
+  }
+
+  test("signBands packs one sign bit per plane per table; scale-invariant signs") {
+    val planes = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),    // table 0: 2 bits
+      Array(Array(-1.0, 0.0), Array(0.0, -1.0)))  // table 1: negated
+    val got = Seq((1L, Array(2.0, -3.0)), (2L, Array(200.0, -300.0)))
+      .toDF("id", "v")
+      .select($"id", VectorExprs.signBands($"v", planes).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // v=(+,−): table0 bits = (1,0) → 1; table1 bits = (0,1) → 2
+    assert(got(1L) == Seq(1L, 2L))
+    // sign bits are scale-invariant — same buckets at 100× magnitude
+    assert(got(2L) == got(1L))
+  }
 }
