@@ -707,6 +707,31 @@ object SparkEntry {
       Sampling.dedupAwareSplit(clusters, "doc_id", "cluster")
     }),
 
+    // --- chunk-level exact dedup: remove every occurrence of any
+    //     6-token chunk shared by >1 documents, reassemble the rest —
+    //     sub-document boilerplate removal (the suffix-array-dedup
+    //     stand-in); oracle replays tokenize→chunk→count→anti→
+    //     reassemble verbatim ---
+    "q170_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- benchmark decontamination (the REMOVAL face of q68's
+    //     measurement): strip every 6-token chunk appearing verbatim
+    //     in the benchmark slice from the training docs; bench chunk
+    //     set broadcast by contract ---
+    "q172_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.decontaminate(d.filter(col("doc_id") >= 20), "doc_id", "text",
+        d.filter(col("doc_id") < 20), "doc_id", "text")
+    }),
+
+    // --- deterministic pretraining order: content-hash shard + in-
+    //     shard hash-ordered position — a reproducible, engine-
+    //     replayable global permutation of the corpus ---
+    "q173_pretrain_order" -> ((s, dir) =>
+      Sampling.pretrainOrder(t(s, dir, "documents"), "doc_id", nShards = 16)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
     // --- item-item cosine (M9, sparse self-join rewrite with the
     //     DIMSUM-style per-user cap that bounds pair fan-out) ---
     "q30_cosine_topk" -> ((s, dir) =>
@@ -796,6 +821,20 @@ object SparkEntry {
         .filter(col("id_b") === col("id_a") - PlantOffset)
       emb.agg(count(lit(1)).as("n_queries"))
         .crossJoin(hits.agg(count(lit(1)).as("n_found")))
+    }),
+
+    // --- semantic dedup (SemDeDup shape): near-dup pairs whose
+    //     candidate buckets are the LEARNED k-means cells of the IVF
+    //     quantizer, exact-cosine verified; planted gate — every
+    //     (source, perturbed copy) pair at cos ≈ 0.9999 must surface,
+    //     n_found pinned EQUAL (both share their home cell and each
+    //     probes its own) ---
+    "q171_semdedup_recall" -> ((s, dir) => {
+      val (all, nPlanted) = plantedEmbeddings(s, dir)
+      val hits = Similarity.semDedupPairs(all, "vec_id", "embedding",
+          minCos = 0.999)
+        .filter(col("id_b") === col("id_a") + PlantOffset)
+      nPlanted.crossJoin(hits.agg(count(lit(1)).as("n_found")))
     }),
 
     // --- SimHash planted recall: one appended token on a ~100-token
@@ -2781,6 +2820,70 @@ object SparkEntry {
          |       lf.leak_free
          |FROM ws CROSS JOIN lf GROUP BY split, lf.leak_free""".stripMargin,
 
+    // replays chunk dedup verbatim: same tokenize (single-space
+    // split), same 6-token non-overlapping chunks (list slice clamps
+    // like Spark's `slice`), same >1-distinct-docs removal rule, same
+    // in-order reassembly; docs losing every chunk keep a '' row
+    "q170_chunk_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i.idx AS idx,
+        |         array_to_string(ts[(i.idx*6+1):(i.idx*6+6)], ' ') AS chunk
+        |  FROM tok, LATERAL unnest(range(0, (len(ts)-1)//6 + 1)) AS i(idx)),
+        |dup AS (
+        |  SELECT chunk FROM chunks GROUP BY chunk
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |rea AS (
+        |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text_dedup,
+        |         count(*) AS n_kept
+        |  FROM (SELECT c.doc_id, c.idx, c.chunk
+        |        FROM chunks c ANTI JOIN dup d USING (chunk))
+        |  GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+        |       CAST(t.n_chunks AS BIGINT) AS n_chunks,
+        |       CAST(t.n_chunks - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM tot t LEFT JOIN rea r USING (doc_id)""".stripMargin,
+
+    // same chunk replay; membership set = the benchmark slice's chunks
+    "q172_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i.idx AS idx,
+        |         array_to_string(ts[(i.idx*6+1):(i.idx*6+6)], ' ') AS chunk
+        |  FROM tok, LATERAL unnest(range(0, (len(ts)-1)//6 + 1)) AS i(idx)),
+        |bench AS (
+        |  SELECT DISTINCT chunk FROM chunks WHERE doc_id < 20),
+        |train AS (SELECT * FROM chunks WHERE doc_id >= 20),
+        |rea AS (
+        |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text_clean,
+        |         count(*) AS n_kept
+        |  FROM (SELECT t.doc_id, t.idx, t.chunk
+        |        FROM train t ANTI JOIN bench b USING (chunk))
+        |  GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM train GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean,
+        |       CAST(t.n_chunks AS BIGINT) AS n_chunks,
+        |       CAST(t.n_chunks - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM tot t LEFT JOIN rea r USING (doc_id)""".stripMargin,
+
+    // replays shardAssign's 16-bit md5 prefix mod 16, then the
+    // in-shard order on (full md5 draw, key) — hex compares agree
+    // byte-for-byte (both engines emit lowercase hex)
+    "q173_pretrain_order" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |              AS BIGINT) % 16 AS INT) AS shard,
+        |         md5(CAST(doc_id AS VARCHAR)) AS draw
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |                               ORDER BY draw, doc_id) AS INT) AS pos
+        |FROM s""".stripMargin,
+
     // replays the stub codec in SQL: frames = fixed 64-char slices
     // (documents.text is pure ASCII, so char slicing ≡ byte slicing
     // of the UTF-8 payload), byte sum via per-char codepoints
@@ -3045,6 +3148,10 @@ object SparkEntry {
 
     "q168_ann_index" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
+
+    "q171_semdedup_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
         |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
 
     "q126_simhash_recall" ->

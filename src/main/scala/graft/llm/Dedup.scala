@@ -514,4 +514,103 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Cross-document chunk-level exact dedup — the scalable stand-in
+    * for suffix-array substring dedup (the "dedup the boilerplate,
+    * keep the document" operation; cf. Lee et al. 2022 and the
+    * RefinedWeb line-dedup recipe): split every document into
+    * consecutive `chunkTokens`-token chunks, count each chunk's
+    * distinct-document frequency corpus-wide, REMOVE every occurrence
+    * of any chunk appearing in more than `maxDocs` documents, and
+    * reassemble the survivors in order. Document-level dedup
+    * (exact / MinHash / SimHash) drops whole near-copies; this kills
+    * templates, headers and license blocks shared ACROSS otherwise
+    * distinct documents without dropping the documents themselves.
+    *
+    * Output: one row per input document —
+    * (id, text_dedup, n_chunks, n_removed).
+    *
+    * Scale: the chunk stream is |tokens|/chunkTokens rows; the
+    * frequency count is ONE map-side-combinable aggregation keyed on
+    * the chunk text; only the duplicated-key set (freq > maxDocs) —
+    * tiny at natural dup rates — joins back (left_anti, AQE
+    * broadcasts it when it fits); reassembly is one keyed aggregation
+    * with an in-row `array_sort` over (idx, chunk) structs — no
+    * window, no row-level sort, two shuffles total beyond the scans.
+    * The chunk-frequency shuffle carries each distinct chunk string
+    * once per doc; at 100 TB key it on xxhash64(chunk) instead to
+    * halve bytes (collision odds ~n²/2⁶⁴) — string keys are kept here
+    * so the SQL oracle replays membership exactly.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 6, maxDocs: Int = 1): DataFrame = {
+    val chunks = chunkStream(docs, idCol, textCol, chunkTokens)
+    val dup = chunks.groupBy(col("_chunk"))
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") > maxDocs)
+      .select(col("_chunk"))
+    reassembled(chunks, chunks.join(dup, Seq("_chunk"), "left_anti"),
+      idCol, "text_dedup")
+  }
+
+  /** Benchmark DECONTAMINATION — the removal face of [[contamination]]
+    * (which only measures): strip from every document each
+    * `chunkTokens`-token chunk that appears verbatim anywhere in the
+    * benchmark/eval corpus, reassembling the survivors in order —
+    * eval answers cannot leak into training text they no longer
+    * appear in. Output: (id, text_clean, n_chunks, n_removed).
+    *
+    * Scale: the benchmark chunk set derives from the EVAL corpus —
+    * orders of magnitude smaller than training data by nature — so it
+    * is explicitly broadcast (same contract [[contamination]] pins for
+    * its shingle set) and the anti-join is map-side: the corpus-sized
+    * chunk stream never shuffles for the membership test, only for
+    * the per-doc reassembly.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchIdCol: String,
+                    benchTextCol: String, chunkTokens: Int = 6): DataFrame = {
+    val chunks = chunkStream(docs, idCol, textCol, chunkTokens)
+    val benchChunks = broadcast(
+      chunkStream(bench, benchIdCol, benchTextCol, chunkTokens)
+        .select(col("_chunk")).distinct())
+    reassembled(chunks, chunks.join(benchChunks, Seq("_chunk"), "left_anti"),
+      idCol, "text_clean")
+  }
+
+  /** One row per consecutive `k`-token chunk: (id, _idx, _chunk) —
+    * non-overlapping, last chunk partial. Shuffle-free scan
+    * projection; the shared candidate stream of [[chunkDedup]] and
+    * [[decontaminate]].
+    */
+  private def chunkStream(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame =
+    df.withColumn("_toks", split(col(textCol), " "))
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, (size(_toks) - 1) div $k), " +
+            s"i -> concat_ws(' ', slice(_toks, i * $k + 1, $k)))"))
+          .as(Seq("_idx", "_chunk")))
+
+  /** Rebuild documents from a surviving chunk subset: in-order
+    * reassembly via one keyed aggregation with an in-row `array_sort`
+    * over (idx, chunk) structs — no window, no row-level sort. Docs
+    * that lost every chunk keep a row with an empty `textOut`.
+    */
+  private def reassembled(chunks: DataFrame, kept: DataFrame, idCol: String,
+                          textOut: String): DataFrame = {
+    val rea = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("_idx"), col("_chunk")))),
+            (s: Column) => s.getField("_chunk"))).as(textOut),
+        count(lit(1)).as("_n_kept"))
+    chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(rea, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(textOut), lit("")).as(textOut),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
 }

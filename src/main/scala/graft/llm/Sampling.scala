@@ -183,6 +183,33 @@ object Sampling {
         16, 10).cast("long") % nShards).cast("int"))
   }
 
+  /** Deterministic PRETRAINING ORDER: [[shardAssign]]'s shard plus the
+    * document's position WITHIN its shard, ordered by the full
+    * content-hash draw (tie-break on the key) — a reproducible global
+    * pseudo-random permutation of the corpus. Training-data order is
+    * part of a pretraining run's recipe; `rand(seed)`-based shuffles
+    * are partition-layout-dependent and unreplayable across engines,
+    * while (shard, pos) here is a pure function of the key: stable
+    * across runs, engines, cluster sizes and corpus versions
+    * (documents added later change positions only AFTER their hash
+    * draw, like a consistent-hash ring).
+    *
+    * Scale: ONE exchange — the window's hash partitioning on `shard`,
+    * which then doubles as the clustering for the per-shard ordered
+    * write; per-task sort is bounded by the shard size n/nShards, and
+    * nShards grows with the corpus by contract (it is the output file
+    * count), so no shard outgrows an executor.
+    */
+  def pretrainOrder(df: DataFrame, keyCol: String, nShards: Int,
+                    salt: String = ""): DataFrame =
+    shardAssign(df, keyCol, nShards, salt)
+      .withColumn("_draw",
+        md5(concat(col(keyCol).cast("string"), lit(salt))))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("_draw"), col(keyCol))))
+      .drop("_draw")
+
   /** Dedup-aware split report: split by the near-dup CLUSTER id, not
     * the document id, so near-duplicates can never straddle
     * train/val/test (hashing doc ids leaks paraphrases of train docs

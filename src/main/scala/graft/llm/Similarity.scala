@@ -332,6 +332,49 @@ object Similarity {
     ivfCore(corpus, Some(queries), corpusIdCol, queryIdCol, vecCol, k,
       nCentroids, nProbe, maxIter, seed)
 
+  /** Semantic dedup (SemDeDup-style, Abbas et al. 2023): ALL pairs
+    * with cosine ≥ `minCos` whose candidate generation comes from a
+    * LEARNED clustering of the embedding space — the k-means cells of
+    * the IVF quantizer — instead of a user-supplied block column
+    * ([[embedNearDupPairs]]'s contract) or random hyperplanes
+    * ([[embedLshTopK]]'s). Each vector's `nProbe` nearest cells are
+    * candidate buckets; a pair is a candidate when either member's
+    * home cell is probed by the other, then verified by exact cosine.
+    * Near-identical vectors share a home cell (and each probes its
+    * own), so recall at dedup-grade thresholds is effectively exact —
+    * the q171 planted gate pins it EQUAL.
+    *
+    * Output: (id_a < id_b, cos) — symmetric, deduplicated. Feed into
+    * [[graft.llm.Dedup.dupClusters]] + `canonicalize` for the
+    * keep-one-per-semantic-cluster step.
+    *
+    * Scale: inherits the quantizer's contract — cells ≈ 4√n so
+    * per-cell occupancy grows as √n; the candidate join is an
+    * equality join on (c1, c2); nothing all-pairs, nothing
+    * driver-sized beyond the level-1 matrix.
+    */
+  def semDedupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                    minCos: Double, nCentroids: Int = -1, nProbe: Int = 2,
+                    maxIter: Int = 1, seed: Long = 42L): DataFrame = {
+    val unit = normalizedVecs(embeddings, idCol, idCol, vecCol)
+    val idx = trainIvfIndex(unit, idCol, nCentroids, maxIter, seed)
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    probeIvfIndex(idx, unit, idCol, nProbe)
+      .join(idx.lists, Seq("_c1", "_c2"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", round(doubleDot(col("_ua"), col("_ub")), 4))
+      .filter(col("cos") >= minCos)
+      // orient then dedup: the SAME pair surfaces once per direction
+      // that probed it (dot is dim-order-identical both ways, so the
+      // rounded cos agrees and distinct() collapses them). Spread by
+      // pair before the distinct — the verified frame is slim and AQE
+      // would coalesce it to a task or two.
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+      .repartition(par, col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   /** Internal trained-index handle: the level-1 centroid MATRIX
     * (l1n × dims — the one structure the design allows on the driver;
     * it is what would be broadcast, held as plain arrays so assignment

@@ -220,4 +220,64 @@ class DedupSpec extends SparkSpec {
     val docs = Seq((1L, "g", "a"), (2L, "g", "a" * 20)).toDF("id", "grp", "txt")
     assert(Dedup.editDistancePairs(docs, "id", "txt", "grp", 3).isEmpty)
   }
+
+  test("chunkDedup removes cross-document chunks, keeps within-doc repeats, " +
+    "reassembles in order") {
+    val shared = "c1 c2 c3 c4 c5 c6"
+    val corpus = Seq(
+      // shared chunk mid-document (chunk-aligned), unique chunks survive
+      1L -> s"a1 a2 a3 a4 a5 a6 $shared a7 a8 a9 a10 a11 a12",
+      // shared chunk leading, partial trailing chunk survives
+      2L -> s"$shared b1 b2 b3 b4 b5 b6",
+      // unrelated doc: nothing removed, partial last chunk intact
+      3L -> "x1 x2 x3 x4 x5 x6 x7 x8",
+      // doc that IS the shared chunk: everything removed, '' row kept
+      4L -> shared,
+      // chunk repeated within ONE doc only: distinct-doc count is 1,
+      // so it must NOT be removed
+      5L -> "e1 e2 e3 e4 e5 e6 e1 e2 e3 e4 e5 e6"
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(corpus, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12", 3L, 1L)))
+    assert(out(2L) == (("b1 b2 b3 b4 b5 b6", 2L, 1L)))
+    assert(out(3L) == (("x1 x2 x3 x4 x5 x6 x7 x8", 2L, 0L)))
+    assert(out(4L) == (("", 1L, 1L)))
+    assert(out(5L) == (("e1 e2 e3 e4 e5 e6 e1 e2 e3 e4 e5 e6", 2L, 0L)))
+    assert(out.size == 5)
+  }
+
+  test("decontaminate strips exactly the benchmark's chunks from training docs") {
+    val leak = "q1 q2 q3 q4 q5 q6"
+    val bench = Seq(100L -> s"$leak ans1 ans2").toDF("doc_id", "text")
+    val train = Seq(
+      // contains the leaked chunk, chunk-aligned → stripped
+      1L -> s"$leak t1 t2 t3 t4 t5 t6",
+      // clean doc → untouched
+      2L -> "u1 u2 u3 u4 u5 u6 u7"
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, "doc_id", "text",
+        bench, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("t1 t2 t3 t4 t5 t6", 2L, 1L)))
+    assert(out(2L) == (("u1 u2 u3 u4 u5 u6 u7", 2L, 0L)))
+    // bench docs themselves are not in the output
+    assert(out.size == 2)
+  }
+
+  test("chunkDedup maxDocs raises the removal threshold") {
+    val shared = "c1 c2 c3 c4 c5 c6"
+    val corpus = Seq(
+      1L -> s"$shared a1", 2L -> s"$shared b1", 3L -> s"$shared d1"
+    ).toDF("doc_id", "text")
+    // at maxDocs = 2 a chunk must appear in ≥3 docs to be removed
+    val loose = Dedup.chunkDedup(corpus, "doc_id", "text", maxDocs = 3)
+      .as[(Long, String, Long, Long)].collect()
+    assert(loose.forall(_._4 == 0L))
+    val strict = Dedup.chunkDedup(corpus, "doc_id", "text", maxDocs = 2)
+      .as[(Long, String, Long, Long)].collect()
+    assert(strict.forall(r => r._4 == 1L && !r._2.contains("c1")))
+  }
 }

@@ -156,6 +156,27 @@ class SamplingSpec extends SparkSpec {
     assert(n2 === kept.count())
   }
 
+  test("pretrainOrder: positions are a per-shard bijection, stable under " +
+    "repartitioning, and consistent with shardAssign") {
+    val docs = (0L until 300L).toDF("doc_id")
+    val out = Sampling.pretrainOrder(docs, "doc_id", nShards = 8)
+      .as[(Long, Int, Int)].collect()
+    assert(out.length == 300)
+    // per shard: pos is exactly 1..size
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"shard $shard positions not a bijection")
+    }
+    // same shard as shardAssign for every key
+    val shards = Sampling.shardAssign(docs, "doc_id", nShards = 8)
+      .as[(Long, Int)].collect().toMap
+    out.foreach { case (id, shard, _) => assert(shards(id) == shard) }
+    // deterministic: identical output from a differently-partitioned input
+    val out2 = Sampling.pretrainOrder(docs.repartition(7), "doc_id", nShards = 8)
+      .as[(Long, Int, Int)].collect()
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+  }
+
   test("redactPii counts and masks emails and phones") {
     val docs = Seq(
       (1L, "write to alice.smith+x@corp.example.org or call 555-123-4567 now"),

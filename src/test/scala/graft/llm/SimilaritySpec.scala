@@ -152,6 +152,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 1L)))
   }
 
+  test("semDedupPairs surfaces every planted near-identical pair, verified " +
+    "and symmetric-deduplicated") {
+    val rng = new scala.util.Random(31)
+    val centers = Array.fill(10, 32)(rng.nextGaussian().toFloat)
+    val base = (0 until 200).map { i =>
+      val c = centers(i % 10)
+      (i.toLong, c.map(v => v + 0.1f * rng.nextGaussian().toFloat))
+    }
+    // perturbed copy of every base vector, cos ≈ 0.9999 to its source
+    val copies = base.map { case (id, v) =>
+      (id + 1000L,
+        v.zipWithIndex.map { case (x, j) => x * (1.0f + 0.01f * ((j % 5) - 2)) })
+    }
+    val emb = (base ++ copies).toDF("vec_id", "embedding").cache()
+    val rows = Similarity.semDedupPairs(emb, "vec_id", "embedding",
+        minCos = 0.999, nCentroids = 8, nProbe = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val pairs = rows.toSet
+    assert(rows.length == pairs.size, "pair set must be deduplicated")
+    assert(pairs.forall { case (a, b) => a < b }, "pairs must be oriented")
+    (0 until 200).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 1000L)), s"planted pair $i missing")
+    }
+    // the exact-cosine verify must hold for every reported pair
+    val unit = (base ++ copies).map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      id -> v.map(_ / n)
+    }.toMap
+    pairs.foreach { case (a, b) =>
+      val cos = unit(a).zip(unit(b)).map { case (x, y) => x * y }.sum
+      assert(cos >= 0.9985, s"pair ($a,$b) cos $cos below threshold")
+    }
+  }
+
   test("embedLshTopK maxBucket caps a degenerate hot bucket yet still answers") {
     // 300 IDENTICAL vectors: every table has ONE bucket holding the
     // whole corpus — uncapped, candidate generation is corpus² (the
