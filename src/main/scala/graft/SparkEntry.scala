@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det
 import graft.llm.{CorpusPipeline, Dedup, LangModel, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
-import graft.ml.{Als, Eval, Serve}
+import graft.ml.{Als, Eval, QualityModel, Serve}
 import graft.operators._
 import graft.sources.Tables
 
@@ -731,6 +731,26 @@ object SparkEntry {
     "q173_pretrain_order" -> ((s, dir) =>
       Sampling.pretrainOrder(t(s, dir, "documents"), "doc_id", nShards = 16)
         .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // --- model-based quality filter (the classifier-filter shape:
+    //     label a 20% sample, train logistic regression on the cheap
+    //     text features, score the rest): the model must RECOVER the
+    //     labeling rule on held-out docs — AUC ≥ 0.9 pinned as a flag;
+    //     the rule (heuristic quality ≥ 0.5) is a saturating function
+    //     of the features, so a linear model that learned anything
+    //     clears 0.9 with wide margin and a broken one cannot ---
+    "q174_quality_model" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val labels = TextAnalysis.qualityScore(d, "doc_id", "text")
+        .select(col("doc_id"), (col("quality") >= 0.5).cast("int").as("label"))
+      val sample = labels.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val scores = QualityModel.fitScore(d, "doc_id", "text", sample, "label")
+      val heldOut = scores.join(labels, Seq("doc_id"))
+        .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      d.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(Eval.aucDf(heldOut, "label", "quality_prob")
+          .select((col("auc") >= 0.9).cast("int").as("auc_ok")))
+    }),
 
     // --- item-item cosine (M9, sparse self-join rewrite with the
     //     DIMSUM-style per-user cap that bounds pair fan-out) ---
@@ -2872,6 +2892,12 @@ object SparkEntry {
     // replays shardAssign's 16-bit md5 prefix mod 16, then the
     // in-shard order on (full md5 draw, key) — hex compares agree
     // byte-for-byte (both engines emit lowercase hex)
+    // behavioral flag gate (q126 pattern): the count is exact, the
+    // flag pins the Spark-side AUC bound
+    "q174_quality_model" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(1 AS INT) AS auc_ok FROM documents""".stripMargin,
+
     "q173_pretrain_order" ->
       """WITH s AS (
         |  SELECT doc_id,
