@@ -725,6 +725,21 @@ object SparkEntry {
         d.filter(col("doc_id") < 20), "doc_id", "text")
     }),
 
+    // --- CCNet-shape reference-perplexity filter: add-one-smoothed
+    //     bigram LM trained on the src0 slice, every doc scored
+    //     against it, per-language head/middle/tail perplexity
+    //     tertiles via a value-histogram cutoff (no global rank) ---
+    "q175_ref_perplexity" -> ((s, dir) =>
+      LangModel.refPerplexityBuckets(t(s, dir, "documents"), "doc_id",
+        "text", "lang", col("source") === "src0")),
+
+    // --- exact-substring duplicate spans (suffix-array-dedup
+    //     reporting shape): 5-token windows duplicated anywhere in
+    //     the corpus, merged per doc into maximal spans; per-doc
+    //     duplicated-token coverage ---
+    "q176_substr_spans" -> ((s, dir) =>
+      Dedup.substrDupSpans(t(s, dir, "documents"), "doc_id", "text")),
+
     // --- deterministic pretraining order: content-hash shard + in-
     //     shard hash-ordered position — a reproducible, engine-
     //     replayable global permutation of the corpus ---
@@ -2897,6 +2912,90 @@ object SparkEntry {
     "q174_quality_model" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(1 AS INT) AS auc_ok FROM documents""".stripMargin,
+
+    // add-one-smoothed bigram LM on the src0 slice; cutoffs replayed
+    // off the same (lang, ppl) value histogram the Spark plan uses
+    "q175_ref_perplexity" ->
+      """WITH bg AS (
+        |  SELECT doc_id, lang, source,
+        |         unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |           i -> string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i+1])) AS bigram
+        |  FROM documents),
+        |ref AS (SELECT bigram FROM bg WHERE source = 'src0'),
+        |c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n2 FROM ref GROUP BY 1),
+        |c1 AS (SELECT split_part(bigram, ' ', 1) AS w1,
+        |              CAST(COUNT(*) AS BIGINT) AS n1 FROM ref GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS vsz FROM (
+        |        SELECT unnest(string_split(text, ' ')) AS term
+        |        FROM documents WHERE source = 'src0')),
+        |nl AS (
+        |  SELECT bg.doc_id, bg.lang,
+        |         ROUND(LN(CAST(COALESCE(c1.n1, 0) + v.vsz AS DOUBLE)
+        |                  / (COALESCE(c2.n2, 0) + 1)), 6) AS nll
+        |  FROM bg
+        |  LEFT JOIN c2 USING (bigram)
+        |  LEFT JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
+        |  CROSS JOIN v),
+        |d AS (
+        |  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |         ROUND(EXP(ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+        |                         / COUNT(*), 4)), 3) AS ppl
+        |  FROM nl GROUP BY 1, 2),
+        |hist AS (SELECT lang, ppl, COUNT(*) AS n FROM d GROUP BY 1, 2),
+        |cum AS (SELECT lang, ppl,
+        |               SUM(n) OVER (PARTITION BY lang ORDER BY ppl) AS cn,
+        |               SUM(n) OVER (PARTITION BY lang) AS tot
+        |        FROM hist),
+        |cuts AS (SELECT lang,
+        |                MIN(ppl) FILTER (cn * 3 >= tot) AS cut1,
+        |                MIN(ppl) FILTER (cn * 3 >= 2 * tot) AS cut2
+        |         FROM cum GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_bigrams, d.ppl,
+        |       CASE WHEN d.ppl <= cuts.cut1 THEN 'head'
+        |            WHEN d.ppl <= cuts.cut2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM d JOIN cuts USING (lang)""".stripMargin,
+
+    // 5-token sliding windows, duplicate grams, per-doc
+    // gaps-and-islands span merge — replayed verbatim
+    "q176_substr_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t) - 3),
+        |           i -> struct_pack(pos := i - 1,
+        |                gram := array_to_string(t[i:i+4], ' '))),
+        |           recursive := true)
+        |  FROM toks WHERE len(t) >= 5),
+        |dup AS (SELECT gram FROM g GROUP BY 1 HAVING COUNT(*) > 1),
+        |occ AS (SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s,
+        |               CAST(g.pos + 4 AS BIGINT) AS e
+        |        FROM g JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |         CASE WHEN s > COALESCE(MAX(e) OVER (
+        |             PARTITION BY doc_id ORDER BY s, e
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |           THEN 1 ELSE 0 END AS brk
+        |  FROM occ),
+        |grp AS (SELECT doc_id, s, e,
+        |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |        FROM isl),
+        |spans AS (SELECT doc_id, gid, MIN(s) AS s0, MAX(e) AS e0
+        |          FROM grp GROUP BY 1, 2),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |               CAST(SUM(e0 - s0 + 1) AS BIGINT) AS dup_tokens
+        |        FROM spans GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       COALESCE(p.n_spans, 0) AS n_spans,
+        |       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+        |       ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+        |             / len(string_split(d.text, ' ')), 4) AS dup_frac
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
 
     "q173_pretrain_order" ->
       """WITH s AS (

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-level deduplication for LLM training-data pipelines:
@@ -576,6 +577,67 @@ object Dedup {
         .select(col("_chunk")).distinct())
     reassembled(chunks, chunks.join(benchChunks, Seq("_chunk"), "left_anti"),
       idCol, "text_clean")
+  }
+
+  /** Exact-substring duplicate SPANS — the sliding-window face of
+    * [[chunkDedup]] (which is non-overlapping): mark every `w`-token
+    * window whose exact text occurs more than once anywhere in the
+    * corpus, merge a document's overlapping/adjacent duplicated
+    * windows into maximal spans, and report per-document duplicated-
+    * token coverage. This is the reporting shape of suffix-array
+    * exact-substring dedup (duplicated ≥w-token passages — boilerplate
+    * headers, license blocks, syndicated paragraphs — that document-
+    * level near-dup misses because the surrounding text differs).
+    *
+    * Scale design: windows shuffle once on the gram for the
+    * duplicate test (map-side partial counts; AQE splits hot
+    * boilerplate grams), duplicated occurrences shuffle once on
+    * doc_id for the span merge — window state per doc is bounded by
+    * document length, never corpus size. At 100 TB key the duplicate
+    * test on `xxhash64(gram)` to shrink shuffle bytes (the string key
+    * is kept here so the SQL oracle replays membership exactly).
+    *
+    * Output: `(doc_id, n_tokens, n_spans, dup_tokens, dup_frac)` —
+    * one row per input document (docs shorter than `w` tokens or with
+    * no duplicated window report zero coverage).
+    */
+  def substrDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int = 5): DataFrame = {
+    val grams = docs.withColumn("_toks", split(col(textCol), " "))
+      .filter(size(col("_toks")) >= w)
+      .select(col(idCol).as("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(_toks) - ${w - 1}), " +
+            s"i -> concat_ws(' ', slice(_toks, i, $w)))"))
+          .as(Seq("pos", "gram")))
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).select(col("gram"))
+    val occ = grams.join(dup, Seq("gram"))
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + (w - 1)).cast("long").as("e"))
+    // gaps-and-islands merge: a window starts a new span iff it
+    // begins past every previously-seen end + 1 (adjacent spans fuse)
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val spans = occ
+      .withColumn("_pmax",
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_brk",
+        when(col("s") > coalesce(col("_pmax"), lit(-1L)) + 1, 1).otherwise(0))
+      .withColumn("_gid",
+        sum(col("_brk")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("_gid"))
+      .agg(min(col("s")).as("s0"), max(col("e")).as("e0"))
+    val per = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e0") - col("s0") + 1).as("dup_tokens"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("dup_frac"))
   }
 
   /** One row per consecutive `k`-token chunk: (id, _idx, _chunk) —

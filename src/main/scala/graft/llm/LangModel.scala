@@ -74,6 +74,81 @@ object LangModel {
       .withColumn("ppl", round(exp(col("avg_nll")), 3))
   }
 
+  /** CCNet-style reference-perplexity filter: train an add-one-
+    * smoothed bigram model on the slice of the corpus selected by
+    * `refFilter` (the "known-clean" reference — a trusted source, a
+    * hand-curated sample), score EVERY document against it, and
+    * bucket each language's documents into perplexity tertiles
+    * `head` / `middle` / `tail` — the shape CCNet uses to keep the
+    * head, downsample the middle, and drop the tail before training.
+    *
+    * Unlike [[bigramNll]] (scored corpus == training corpus, so no
+    * smoothing is needed), the scored stream here contains bigrams
+    * the reference never saw, so the model smooths add-one over the
+    * reference vocabulary `V`:
+    * `nll(w1 w2) = ln((c(w1·) + V) / (c(w1 w2) + 1))`
+    * (unseen context ⇒ uniform `1/V`).
+    *
+    * Scale design: the count tables are reference-vocabulary-sized
+    * (corpus-sublinear) and join the scored bigram stream on the
+    * bigram / first-token key; `V` rides a 1-row broadcast. The
+    * tertile cutoffs deliberately avoid a global `row_number` (a
+    * single-partition sort at 100 TB): they come from a cumulative
+    * count over the distinct `(lang, rounded-ppl)` VALUE histogram —
+    * thousands of rows regardless of corpus size — and are broadcast
+    * back. Ties at a cutoff value share a bucket, so the result is
+    * independent of partitioning and replayable by an external
+    * engine.
+    *
+    * Output: `(doc_id, lang, n_bigrams, ppl, bucket)`; documents
+    * with fewer than two tokens have no transitions and emit nothing.
+    */
+  def refPerplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                           langCol: String, refFilter: org.apache.spark.sql.Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+      refFilter.as("_ref"), split(col(textCol), " ").as("_toks"))
+    val bg = toks.filter(size(col("_toks")) >= 2)
+      .select(col("doc_id"), col("lang"), col("_ref"),
+        explode(expr("transform(sequence(1, size(_toks) - 1), " +
+          "i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1)))"))
+          .as("bigram"))
+    val ref = bg.filter(col("_ref"))
+    val c2 = ref.groupBy(col("bigram")).agg(count(lit(1)).as("n2"))
+    val c1 = ref.select(substring_index(col("bigram"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val vsz = docs.filter(refFilter)
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .agg(count_distinct(col("term")).as("vsz"))
+    val scored = bg
+      .join(c2, Seq("bigram"), "left")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vsz))
+      .select(col("doc_id"), col("lang"),
+        round(log((coalesce(col("n1"), lit(0L)) + col("vsz")).cast("double") /
+          (coalesce(col("n2"), lit(0L)) + lit(1))), 6)
+          .cast(DecimalType(18, 6)).as("nll"))
+    val d = scored.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(round(sum(col("nll")).cast("double") / count(lit(1)), 4)), 3)
+          .as("ppl"))
+    // tertile cutoffs off the (lang, ppl) value histogram — never a
+    // global per-row rank
+    val hist = d.groupBy(col("lang"), col("ppl")).agg(count(lit(1)).as("n"))
+    val cum = hist
+      .withColumn("cn", sum(col("n")).over(Window.partitionBy(col("lang"))
+        .orderBy(col("ppl")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("lang"))))
+    val cuts = cum.groupBy(col("lang")).agg(
+      min(when(col("cn") * 3 >= col("tot"), col("ppl"))).as("_cut1"),
+      min(when(col("cn") * 3 >= col("tot") * 2, col("ppl"))).as("_cut2"))
+    d.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("ppl"),
+        when(col("ppl") <= col("_cut1"), lit("head"))
+          .when(col("ppl") <= col("_cut2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Top-`k` corpus vocabulary by token frequency (ties broken on the
     * term so the cut is deterministic): `(term, n)`.
     */

@@ -280,4 +280,27 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect()
     assert(strict.forall(r => r._4 == 1L && !r._2.contains("c1")))
   }
+
+  test("substrDupSpans merges overlapping windows and reports coverage") {
+    val corpus = Seq(
+      // within-doc repeat: "A B C D E" at pos 5 and 15 → two disjoint spans
+      1L -> "p q r s t A B C D E u v w x y A B C D E",
+      // overlapping dup windows [0,4] and [1,5] fuse into one span [0,5]
+      2L -> "m m m m m m",
+      // shorter than the window: zero coverage, still one output row
+      3L -> "one two three four",
+      // cross-doc dup: "k l m n o" shared with doc 5 → span [0,4]
+      4L -> "k l m n o p",
+      5L -> "z k l m n o"
+    ).toDF("doc_id", "text")
+    val out = Dedup.substrDupSpans(corpus, "doc_id", "text", w = 5)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out.size === 5)
+    assert(out(1L) === ((20L, 2L, 10L, 0.5)))
+    assert(out(2L) === ((6L, 1L, 6L, 1.0)))
+    assert(out(3L) === ((4L, 0L, 0L, 0.0)))
+    assert(out(4L) === ((6L, 1L, 5L, 0.8333)))
+    assert(out(5L) === ((6L, 1L, 5L, 0.8333)))
+  }
 }

@@ -102,4 +102,29 @@ class LangModelSpec extends SparkSpec {
       .select("doc_id", "shard").as[(Long, Int)].collect().toMap
     assert(salted.values.forall(s => s >= 0 && s < 8))
   }
+
+  test("refPerplexityBuckets: add-one smoothing, per-lang tertile cuts") {
+    // reference slice: bigrams "a b"x2, "b a", "b c"; c1: a->2 b->2; V=3
+    val corpus = Seq(
+      (0L, "a b a b c", "en", "ref"),
+      (10L, "a b", "en", "web"),      // ln(5/3) -> ppl 1.667
+      (11L, "z z z z", "en", "web"),  // fully unseen -> uniform 1/V -> ppl 3.0
+      (12L, "a b c", "en", "web"),    // (ln(5/3)+ln(5/2))/2 -> ppl 2.041
+      (20L, "z z", "de", "web"),
+      (21L, "a b", "de", "web"),
+      (30L, "x", "en", "web")         // single token: no transitions, no row
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = LangModel.refPerplexityBuckets(corpus, "doc_id", "text",
+        "lang", col("source") === "ref")
+      .as[(Long, String, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(out.size === 6 && !out.contains(30L))
+    assert(out(10L) === ((1L, 1.667, "head")))
+    assert(out(11L) === ((3L, 3.0, "tail")))
+    assert(out(12L) === ((2L, 2.041, "head"))) // ties at the cut share a bucket
+    assert(out(0L) === ((4L, 2.041, "head")))  // the reference scores itself
+    // de cuts are independent of en's: 2 docs -> cut1 at the lower ppl
+    assert(out(21L) === ((1L, 1.667, "head")))
+    assert(out(20L) === ((1L, 3.0, "middle")))
+  }
 }
