@@ -147,4 +147,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!winLines.contains("user_id"),
       s"window runs over per-key rows:\n$winLines")
   }
+
+  test("q175: tertile cutoffs broadcast back and no window touches doc_id " +
+    "(cuts come from the value histogram, never a global per-doc rank)") {
+    val p = plan("q175_ref_perplexity")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val winLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!winLines.contains("doc_id"),
+      s"window runs over per-doc rows:\n$winLines")
+  }
+
+  test("q176: substring-span dedup joins on the gram key, never all-pairs") {
+    val p = plan("q176_substr_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"all-pairs join:\n${p.take(2000)}")
+  }
 }
