@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det
-import graft.llm.{CorpusPipeline, Dedup, LangModel, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, CorpusPipeline, Dedup, LangModel, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.ml.{Als, Eval, QualityModel, Serve}
 import graft.operators._
 import graft.sources.Tables
@@ -739,6 +739,13 @@ object SparkEntry {
     //     duplicated-token coverage ---
     "q176_substr_spans" -> ((s, dir) =>
       Dedup.substrDupSpans(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- BPE merge learning (Sennrich et al.): 8 merge rounds over
+    //     the corpus word-frequency table — one corpus pass, then
+    //     vocabulary-sized rounds; argmax ties break on the pair
+    //     string so the merge table is a pure function of the corpus ---
+    "q177_bpe_merges" -> ((s, dir) =>
+      Bpe.learnMerges(t(s, dir, "documents"), "doc_id", "text", nMerges = 8)),
 
     // --- deterministic pretraining order: content-hash shard + in-
     //     shard hash-ordered position — a reproducible, engine-
@@ -2996,6 +3003,10 @@ object SparkEntry {
         |       ROUND(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
         |             / len(string_split(d.text, ' ')), 4) AS dup_frac
         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // mechanically generated 8-round CTE chain in lockstep with the
+    // Scala training loop (see Bpe.oracleSql)
+    "q177_bpe_merges" -> Bpe.oracleSql(8),
 
     "q173_pretrain_order" ->
       """WITH s AS (

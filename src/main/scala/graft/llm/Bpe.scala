@@ -1,0 +1,142 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding merge learning — the tokenizer-training half of
+  * the LLM data pipeline (the BPE algorithm of Sennrich et al. 2016,
+  * the vocabulary builder behind GPT-2/RoBERTa-style tokenizers).
+  *
+  * Scale design — the part that matters at 100 TB: the corpus is
+  * scanned ONCE, for the word-frequency table; every merge round
+  * after that runs on that table, whose size is the corpus
+  * VOCABULARY (sublinear in corpus bytes — tens of millions of rows
+  * for a web-scale corpus, regardless of how many petabytes produced
+  * it). This is exactly how production tokenizer trainers work: pair
+  * statistics are weighted by word frequency, never re-scanned from
+  * raw text. Each round is (a) one vocabulary-sized aggregation to
+  * count adjacent symbol pairs, (b) a `LIMIT 1` argmax
+  * (TakeOrderedAndProject — no global sort), (c) a narrow codegen'd
+  * string-replace projection applying the winning merge. The driver
+  * holds only the `nMerges` winning rules — one 1-row collect per
+  * round, never a vocabulary.
+  *
+  * Symbol sequences ride as individually bracketed tokens
+  * (`"word"` → `"<w><o><r><d>"`), so applying a merge is one
+  * non-overlapping left-to-right `replace("<l><r>", "<lr>")`.
+  * The brackets make this EXACT: adjacent pattern matches share no
+  * characters (each token owns its own bracket pair), so the greedy
+  * scan merges a run `a a a a` into `aa aa` exactly like the
+  * standard skip-two pass, and a symbol that merely starts or ends
+  * with another symbol's text can never false-match. A shared-
+  * delimiter encoding (`|a|b|`) fails BOTH ways — the trailing `|`
+  * of one match is the leading `|` of the next, and `<l>` would
+  * prefix-match `<lr>` — which is why the brackets are per-token.
+  * An external SQL engine replays the whole training verbatim.
+  * Words containing `<` or `>` are guard-filtered (here and in the
+  * oracle). No end-of-word marker is appended: merges never cross
+  * the bracket boundary, which is the marker's only job in this
+  * representation.
+  *
+  * Determinism: arg-max ties break on the pair string ascending, so
+  * the learned merge table is a pure function of the corpus.
+  */
+object Bpe {
+
+  /** Learn the first `nMerges` BPE merges over the corpus's
+    * space-tokenized words. Output: `(rank, lhs, rhs, merged, n)` —
+    * 1-based rank, the merged symbol, and the frequency-weighted
+    * occurrence count of the pair at the time it won. Stops early if
+    * every word has collapsed to a single symbol.
+    */
+  def learnMerges(docs: DataFrame, idCol: String, textCol: String,
+                  nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    // one corpus pass → vocabulary-sized (word, freq), as "<w><o><r><d>"
+    val words0 = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "" &&
+        !col("word").contains("<") && !col("word").contains(">"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(concat(lit("<"),
+        concat_ws("><", expr("filter(split(word, ''), x -> x <> '')")),
+        lit(">")).as("s"), col("n"))
+      .localCheckpoint()
+
+    var words = words0
+    val rules = Seq.newBuilder[Row]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      // sequence(1, 0) DESCENDS in Spark — words reduced to a single
+      // symbol must short-circuit to an empty pair list
+      val top = words
+        .withColumn("_t", split(trim(col("s"), "<>"), "><"))
+        .select(col("n"), explode(when(size(col("_t")) >= 2, expr(
+          "transform(sequence(1, size(_t) - 1), " +
+            "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"))
+          .otherwise(array())).as("pr"))
+        .groupBy(col("pr")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pr")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pr = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val Array(l, rt) = pr.split(' ')
+        rules += Row(r, l, rt, l + rt, cnt)
+        words = words.withColumn("s",
+          replace(col("s"), lit(s"<$l><$rt>"), lit(s"<$l$rt>")))
+        r += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rules.result(), 1),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("n", LongType, nullable = false))))
+  }
+
+  /** The DuckDB replay of [[learnMerges]] — `nMerges` chained CTE
+    * rounds of pair-count → argmax → replace, built mechanically so
+    * the oracle stays in lockstep with the Scala loop. Assumes the
+    * corpus yields at least `nMerges` mergeable pairs (true for any
+    * real text corpus; the Scala side stops early instead).
+    */
+  def oracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT pr, SUM(n) AS cnt FROM (
+         |    SELECT n, unnest(list_transform(range(1, len(t)),
+         |             i -> t[i] || ' ' || t[i+1])) AS pr
+         |    FROM (SELECT string_split(trim(s, '<>'), '><') AS t, n
+         |          FROM w${r - 1}))
+         |  GROUP BY 1),
+         |r$r AS (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr LIMIT 1),
+         |w$r AS (SELECT replace(s,
+         |          '<' || split_part(pr, ' ', 1) || '><' || split_part(pr, ' ', 2) || '>',
+         |          '<' || split_part(pr, ' ', 1) || split_part(pr, ' ', 2) || '>') AS s, n
+         |        FROM w${r - 1}, r$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to nMerges)
+      .map(r => s"SELECT $r AS rk, pr, cnt FROM r$r").mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT '<' || array_to_string([c FOR c IN string_split(word, '')], '><')
+       |             || '>' AS s, n
+       |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |        WHERE word <> '' AND NOT contains(word, '<')
+       |          AND NOT contains(word, '>') GROUP BY 1)),
+       |$rounds
+       |SELECT CAST(rk AS INT) AS rank,
+       |       split_part(pr, ' ', 1) AS lhs,
+       |       split_part(pr, ' ', 2) AS rhs,
+       |       split_part(pr, ' ', 1) || split_part(pr, ' ', 2) AS merged,
+       |       CAST(cnt AS BIGINT) AS n
+       |FROM ($union)""".stripMargin
+  }
+}

@@ -1,0 +1,40 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learnMerges replays the classic low/lower/lowest example") {
+    // Sennrich's canonical corpus: low x3, lower, lowest
+    val docs = Seq(
+      (1L, "low low low"),
+      (2L, "lower lowest")
+    ).toDF("doc_id", "text")
+    val m = Bpe.learnMerges(docs, "doc_id", "text", nMerges = 4)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    // round 1: "l o" and "o w" tie at 5 -> pair-string tiebreak picks "l o"
+    assert(m(0) === ((1, "l", "o", "lo", 5L)))
+    assert(m(1) === ((2, "lo", "w", "low", 5L)))
+    assert(m(2) === ((3, "low", "e", "lowe", 2L)))
+    // round 4: all pairs tie at 1 -> "lowe r" < "lowe s" < "s t"
+    assert(m(3) === ((4, "lowe", "r", "lower", 1L)))
+  }
+
+  test("a run merges greedily left-to-right: aaaa -> aa aa, not aa a a") {
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val m = Bpe.learnMerges(docs, "doc_id", "text", nMerges = 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    // 3 overlapping (a,a) pairs counted, then the word is <aa><aa>
+    assert(m(0) === ((1, "a", "a", "aa", 3L)))
+    assert(m(1) === ((2, "aa", "aa", "aaaa", 1L)))
+  }
+
+  test("stops early when every word is a single symbol") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val m = Bpe.learnMerges(docs, "doc_id", "text", nMerges = 10)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    // only 2 merges exist: (a,b) n=2 then (c,d) n=1 — then exhaustion
+    assert(m.toSeq === Seq((1, "a", "b", "ab", 2L), (2, "c", "d", "cd", 1L)))
+  }
+}
