@@ -747,6 +747,24 @@ object SparkEntry {
     "q177_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(t(s, dir, "documents"), "doc_id", "text", nMerges = 8)),
 
+    // --- token-budget mixture plan (Dolma/Pile mixing calculator):
+    //     per-source availability vs target mixture under a 4-epoch
+    //     repetition cap; budget deliberately exceeds what src0's
+    //     weight can supply so the deficit path is exercised ---
+    "q178_mixture_plan" -> ((s, dir) =>
+      Sampling.mixturePlan(t(s, dir, "documents"), "source", "text",
+        weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15,
+          "src3" -> 0.1),
+        budget = 50000L, maxEpochs = 4)),
+
+    // --- BPE tokenization under the freshly-trained 8-merge vocab:
+    //     per-doc word/char/symbol counts + compression ratio; the
+    //     per-word symbol count is vocabulary-sized, the corpus word
+    //     stream equi-joins it ---
+    "q179_bpe_tokenize" -> ((s, dir) =>
+      Bpe.tokenCounts(t(s, dir, "documents"), "doc_id", "text",
+        nMerges = 8)),
+
     // --- deterministic pretraining order: content-hash shard + in-
     //     shard hash-ordered position — a reproducible, engine-
     //     replayable global permutation of the corpus ---
@@ -3007,6 +3025,32 @@ object SparkEntry {
     // mechanically generated 8-round CTE chain in lockstep with the
     // Scala training loop (see Bpe.oracleSql)
     "q177_bpe_merges" -> Bpe.oracleSql(8),
+
+    "q179_bpe_tokenize" -> Bpe.tokenizeOracleSql(8),
+
+    // integer token math via FLOOR; the epochs CEIL runs over the
+    // same 6-digit-rounded rate the Spark side computes
+    "q178_mixture_plan" ->
+      """WITH w(source, weight) AS (VALUES
+        |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+        |  ('src2', CAST(0.15 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |               AS avail_tokens
+        |      FROM documents GROUP BY 1),
+        |p AS (SELECT a.source, a.n_docs, a.avail_tokens,
+        |             COALESCE(w.weight, 0.0) AS weight,
+        |             CAST(FLOOR(COALESCE(w.weight, 0.0) * 50000 / 1.0)
+        |                  AS BIGINT) AS target_tokens
+        |      FROM a LEFT JOIN w USING (source)),
+        |q AS (SELECT *, ROUND(CAST(target_tokens AS DOUBLE) / avail_tokens, 6)
+        |               AS rate FROM p)
+        |SELECT source, n_docs, avail_tokens, weight, target_tokens, rate,
+        |       CAST(LEAST(CEIL(rate), 4) AS INT) AS epochs,
+        |       LEAST(target_tokens, avail_tokens * 4) AS planned_tokens,
+        |       CAST(target_tokens > LEAST(target_tokens, avail_tokens * 4)
+        |            AS INT) AS deficit
+        |FROM q""".stripMargin,
 
     "q173_pretrain_order" ->
       """WITH s AS (

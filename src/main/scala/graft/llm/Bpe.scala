@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Byte-pair-encoding merge learning — the tokenizer-training half of
-  * the LLM data pipeline (the BPE algorithm of Sennrich et al. 2016,
-  * the vocabulary builder behind GPT-2/RoBERTa-style tokenizers).
+/** Byte-pair-encoding merge learning and tokenization — the
+  * tokenizer-training half of the LLM data pipeline (the BPE
+  * algorithm of Sennrich et al. 2016, the vocabulary builder behind
+  * GPT-2/RoBERTa-style tokenizers).
   *
   * Scale design — the part that matters at 100 TB: the corpus is
   * scanned ONCE, for the word-frequency table; every merge round
@@ -20,7 +21,9 @@ import org.apache.spark.sql.types._
   * (TakeOrderedAndProject — no global sort), (c) a narrow codegen'd
   * string-replace projection applying the winning merge. The driver
   * holds only the `nMerges` winning rules — one 1-row collect per
-  * round, never a vocabulary.
+  * round, never a vocabulary. Tokenizing the corpus afterwards is
+  * the same economics: per-word symbol counts come off the trained
+  * word table, and the corpus word stream just equi-joins it.
   *
   * Symbol sequences ride as individually bracketed tokens
   * (`"word"` → `"<w><o><r><d>"`), so applying a merge is one
@@ -44,22 +47,22 @@ import org.apache.spark.sql.types._
   */
 object Bpe {
 
-  /** Learn the first `nMerges` BPE merges over the corpus's
-    * space-tokenized words. Output: `(rank, lhs, rhs, merged, n)` —
-    * 1-based rank, the merged symbol, and the frequency-weighted
-    * occurrence count of the pair at the time it won. Stops early if
-    * every word has collapsed to a single symbol.
+  /** The guard both sides apply to the raw word stream. */
+  private def wordOk = col("word") =!= "" &&
+    !col("word").contains("<") && !col("word").contains(">")
+
+  /** Run the training loop: one corpus pass to the word-frequency
+    * table, then `nMerges` rounds. Returns the winning rules and the
+    * final `(word, s, n)` table with every merge applied.
     */
-  def learnMerges(docs: DataFrame, idCol: String, textCol: String,
-                  nMerges: Int): DataFrame = {
-    val spark = docs.sparkSession
+  private def train(docs: DataFrame, textCol: String,
+                    nMerges: Int): (Seq[Row], DataFrame) = {
     // one corpus pass → vocabulary-sized (word, freq), as "<w><o><r><d>"
     val words0 = docs
       .select(explode(split(col(textCol), " ")).as("word"))
-      .filter(col("word") =!= "" &&
-        !col("word").contains("<") && !col("word").contains(">"))
+      .filter(wordOk)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .select(concat(lit("<"),
+      .select(col("word"), concat(lit("<"),
         concat_ws("><", expr("filter(split(word, ''), x -> x <> '')")),
         lit(">")).as("s"), col("n"))
       .localCheckpoint()
@@ -91,8 +94,21 @@ object Bpe {
         r += 1
       }
     }
+    (rules.result(), words)
+  }
+
+  /** Learn the first `nMerges` BPE merges over the corpus's
+    * space-tokenized words. Output: `(rank, lhs, rhs, merged, n)` —
+    * 1-based rank, the merged symbol, and the frequency-weighted
+    * occurrence count of the pair at the time it won. Stops early if
+    * every word has collapsed to a single symbol.
+    */
+  def learnMerges(docs: DataFrame, idCol: String, textCol: String,
+                  nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (rules, _) = train(docs, textCol, nMerges)
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rules.result(), 1),
+      spark.sparkContext.parallelize(rules, 1),
       StructType(Seq(
         StructField("rank", IntegerType, nullable = false),
         StructField("lhs", StringType, nullable = false),
@@ -101,13 +117,46 @@ object Bpe {
         StructField("n", LongType, nullable = false))))
   }
 
-  /** The DuckDB replay of [[learnMerges]] — `nMerges` chained CTE
-    * rounds of pair-count → argmax → replace, built mechanically so
-    * the oracle stays in lockstep with the Scala loop. Assumes the
-    * corpus yields at least `nMerges` mergeable pairs (true for any
-    * real text corpus; the Scala side stops early instead).
+  /** Tokenize the corpus under a freshly-trained `nMerges`-rule BPE
+    * vocabulary and report per-document token economics:
+    * `(doc_id, n_words, n_chars, n_bpe, compression)` where `n_bpe`
+    * is the document's symbol count after the merges and
+    * `compression = n_chars / n_bpe` (what a token-budget planner
+    * actually needs from a tokenizer). The per-word symbol count is
+    * computed ONCE on the vocabulary table; the corpus word stream
+    * equi-joins it — tokenization never re-runs per occurrence.
     */
-  def oracleSql(nMerges: Int): String = {
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  nMerges: Int): DataFrame = {
+    val (_, words) = train(docs, textCol, nMerges)
+    val vocab = words.select(col("word"),
+      size(split(trim(col("s"), "<>"), "><")).cast("long").as("_nsym"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(wordOk)
+      .join(vocab, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(col("_nsym")).as("n_bpe"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("n_bpe"), 4))
+  }
+
+  /** Shared CTE chain `w0 … w<nMerges>` (each `(word, s, n)`) with the
+    * per-round pair-count / argmax / replace, in lockstep with the
+    * Scala loop.
+    */
+  private def roundsCte(nMerges: Int): String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT word,
+        |         '<' || array_to_string([c FOR c IN string_split(word, '')], '><')
+        |             || '>' AS s, n
+        |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |        WHERE word <> '' AND NOT contains(word, '<')
+        |          AND NOT contains(word, '>') GROUP BY 1))""".stripMargin
     val rounds = (1 to nMerges).map { r =>
       s"""p$r AS (
          |  SELECT pr, SUM(n) AS cnt FROM (
@@ -117,26 +166,53 @@ object Bpe {
          |          FROM w${r - 1}))
          |  GROUP BY 1),
          |r$r AS (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr LIMIT 1),
-         |w$r AS (SELECT replace(s,
+         |w$r AS (SELECT word, replace(s,
          |          '<' || split_part(pr, ' ', 1) || '><' || split_part(pr, ' ', 2) || '>',
          |          '<' || split_part(pr, ' ', 1) || split_part(pr, ' ', 2) || '>') AS s, n
          |        FROM w${r - 1}, r$r)""".stripMargin
     }.mkString(",\n")
+    s"$w0,\n$rounds"
+  }
+
+  /** The DuckDB replay of [[learnMerges]]. Assumes the corpus yields
+    * at least `nMerges` mergeable pairs (true for any real text
+    * corpus; the Scala side stops early instead).
+    */
+  def oracleSql(nMerges: Int): String = {
     val union = (1 to nMerges)
       .map(r => s"SELECT $r AS rk, pr, cnt FROM r$r").mkString("\n  UNION ALL ")
-    s"""WITH w0 AS (
-       |  SELECT '<' || array_to_string([c FOR c IN string_split(word, '')], '><')
-       |             || '>' AS s, n
-       |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
-       |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |        WHERE word <> '' AND NOT contains(word, '<')
-       |          AND NOT contains(word, '>') GROUP BY 1)),
-       |$rounds
-       |SELECT CAST(rk AS INT) AS rank,
-       |       split_part(pr, ' ', 1) AS lhs,
-       |       split_part(pr, ' ', 2) AS rhs,
-       |       split_part(pr, ' ', 1) || split_part(pr, ' ', 2) AS merged,
-       |       CAST(cnt AS BIGINT) AS n
-       |FROM ($union)""".stripMargin
+    // NOTE: the CTE chain is already margin-stripped — a stripMargin
+    // over the assembled string would re-strip its `|| '>'`
+    // continuation lines (blanks + `|` prefix) and corrupt the SQL,
+    // so only the literal tail goes through stripMargin
+    val tail =
+      s"""SELECT CAST(rk AS INT) AS rank,
+         |       split_part(pr, ' ', 1) AS lhs,
+         |       split_part(pr, ' ', 2) AS rhs,
+         |       split_part(pr, ' ', 1) || split_part(pr, ' ', 2) AS merged,
+         |       CAST(cnt AS BIGINT) AS n
+         |FROM ($union)""".stripMargin
+    s"WITH ${roundsCte(nMerges)}\n$tail"
+  }
+
+  /** The DuckDB replay of [[tokenCounts]]. */
+  def tokenizeOracleSql(nMerges: Int): String = {
+    val tail =
+      s"""v AS (SELECT word,
+         |             CAST(len(string_split(trim(s, '<>'), '><')) AS BIGINT) AS nsym
+         |      FROM w$nMerges),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents),
+         |j AS (SELECT t.doc_id, t.word, v.nsym
+         |      FROM tok t JOIN v USING (word)
+         |      WHERE t.word <> '' AND NOT contains(t.word, '<')
+         |        AND NOT contains(t.word, '>'))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(strlen(word)) AS BIGINT) AS n_chars,
+         |       CAST(SUM(nsym) AS BIGINT) AS n_bpe,
+         |       ROUND(CAST(SUM(strlen(word)) AS DOUBLE) / SUM(nsym), 4)
+         |         AS compression
+         |FROM j GROUP BY 1""".stripMargin
+    s"WITH ${roundsCte(nMerges)},\n$tail"
   }
 }

@@ -241,4 +241,47 @@ object Sampling {
         countDistinct(col(clusterCol)).as("n_clusters"))
       .crossJoin(broadcast(leakFree))
   }
+
+  /** Token-budget MIXTURE PLAN (the Dolma/Pile mixing calculator):
+    * given target mixture `weights` per source and a total token
+    * `budget`, compute for each source how many tokens the corpus
+    * offers, how many the mixture wants, the resulting sampling rate
+    * (an epoch count when > 1), and whether the source can meet its
+    * target under the `maxEpochs` repetition cap — the planning table
+    * a pretraining run derives its per-source sample rates from
+    * (feed `rate` into [[mixStrata]] / [[upsample]] to realize it).
+    *
+    * All targets are integer token counts via `floor` and the rate is
+    * rounded, so the plan is a pure, engine-replayable function of
+    * the corpus and the knobs. One aggregation over the corpus; the
+    * weights ride a broadcast literal map. Output: `(source, n_docs,
+    * avail_tokens, weight, target_tokens, rate, epochs,
+    * planned_tokens, deficit)`.
+    */
+  def mixturePlan(docs: DataFrame, sourceCol: String, textCol: String,
+                  weights: Map[String, Double], budget: Long,
+                  maxEpochs: Int = 4): DataFrame = {
+    require(weights.values.forall(_ >= 0.0) && weights.values.sum > 0.0,
+      "weights must be non-negative with a positive sum")
+    require(budget > 0 && maxEpochs >= 1, "need a positive budget and cap")
+    val wsum = weights.values.sum
+    val wExpr = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
+      when(col("source") === k, lit(w)).otherwise(acc)
+    }
+    docs.select(col(sourceCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("avail_tokens"))
+      .withColumn("weight", wExpr)
+      .withColumn("target_tokens",
+        floor(col("weight") * lit(budget) / lit(wsum)).cast("long"))
+      .withColumn("rate",
+        round(col("target_tokens").cast("double") / col("avail_tokens"), 6))
+      .withColumn("epochs",
+        least(ceil(col("rate")), lit(maxEpochs.toLong)).cast("int"))
+      .withColumn("planned_tokens",
+        least(col("target_tokens"), col("avail_tokens") * maxEpochs))
+      .withColumn("deficit",
+        (col("target_tokens") > col("planned_tokens")).cast("int"))
+  }
 }

@@ -30,6 +30,20 @@ class BpeSpec extends SparkSpec {
     assert(m(1) === ((2, "aa", "aa", "aaaa", 1L)))
   }
 
+  test("tokenCounts: per-doc symbol economics under the learned vocab") {
+    val docs = Seq(
+      (1L, "low low low"),
+      (2L, "lower lowest")
+    ).toDF("doc_id", "text")
+    // after 4 merges (lo, low, lowe, lower): low=1 sym, lower=1 sym,
+    // lowest=<lowe><s><t>=3 syms
+    val out = Bpe.tokenCounts(docs, "doc_id", "text", nMerges = 4)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) === ((3L, 9L, 3L, 3.0)))
+    assert(out(2L) === ((2L, 11L, 4L, 2.75)))
+  }
+
   test("stops early when every word is a single symbol") {
     val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     val m = Bpe.learnMerges(docs, "doc_id", "text", nMerges = 10)
