@@ -114,8 +114,12 @@ object LangModel {
           .as("bigram"))
     val ref = bg.filter(col("_ref"))
     val c2 = ref.groupBy(col("bigram")).agg(count(lit(1)).as("n2"))
-    val c1 = ref.select(substring_index(col("bigram"), " ", 1).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    // c(w1·) = Σ_w2 c(w1 w2): derived from the vocabulary-sized c2
+    // instead of re-aggregating the reference bigram stream — one
+    // fewer reference-corpus pass, identical counts by construction
+    val c1 = c2.select(substring_index(col("bigram"), " ", 1).as("w1"),
+        col("n2"))
+      .groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
     val vsz = docs.filter(refFilter)
       .select(explode(split(col(textCol), " ")).as("term"))
       .agg(count_distinct(col("term")).as("vsz"))
