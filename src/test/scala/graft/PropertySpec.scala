@@ -84,4 +84,64 @@ object PropertySpec extends Properties("graft") {
       s1 == s2 && s1.keySet == keys.distinct.toSet &&
         s1.values.forall(Set("a", "b", "c").contains)
     }
+
+  // tiny-alphabet texts force heavy window collisions — the stress
+  // shape for span merging
+  private val tinyTexts: Gen[List[String]] =
+    Gen.listOfN(8, Gen.chooseNum(6, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+
+  property("substrDupSpans: one row per doc, coverage bounded, flags consistent") =
+    Prop.forAll(tinyTexts) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.llm.Dedup.substrDupSpans(docs, "doc_id", "text", w = 5)
+        .as[(Long, Long, Long, Long, Double)].collect()
+      val rep = graft.llm.Dedup
+        .substrDupSpans(docs.repartition(3), "doc_id", "text", w = 5)
+        .as[(Long, Long, Long, Long, Double)].collect()
+      out.length == texts.size &&
+        out.sortBy(_._1).sameElements(rep.sortBy(_._1)) &&
+        out.forall { case (_, nTok, nSpans, dupTok, frac) =>
+          dupTok <= nTok && (nSpans == 0) == (dupTok == 0) &&
+            (dupTok == 0 || dupTok >= 5) && frac >= 0.0 && frac <= 1.0
+        }
+    }
+
+  property("mixturePlan: planned within cap, deficit iff target unreachable") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.zip(Gen.oneOf("A", "B", "C"), Gen.chooseNum(2, 9))),
+      Gen.chooseNum(10L, 500L)) { (rows, budget) =>
+      val docs = rows.zipWithIndex.map { case ((s, n), i) =>
+        (i.toLong, (1 to n).map(j => s"t$j").mkString(" "), s)
+      }.toDF("doc_id", "text", "source")
+      val out = graft.llm.Sampling.mixturePlan(docs, "source", "text",
+          weights = Map("A" -> 0.6, "B" -> 0.4), budget = budget, maxEpochs = 3)
+        .as[(String, Long, Long, Double, Long, Double, Int, Long, Int)]
+        .collect()
+      out.forall { case (_, _, avail, _, target, rate, epochs, planned, deficit) =>
+        planned <= target && planned <= avail * 3 &&
+          (deficit == 1) == (target > planned) &&
+          epochs <= 3 && rate >= 0.0
+      } && out.map(_._5).sum <= budget
+    }
+
+  // multi-char words over a 2-letter alphabet: merges always exist
+  private val bpeTexts: Gen[List[String]] =
+    Gen.listOfN(6, Gen.chooseNum(4, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(2, 4).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf("a", "b")).map(_.mkString)))
+        .map(_.mkString(" "))))
+
+  property("BPE tokenization: every word costs between 1 symbol and its chars") =
+    Prop.forAll(bpeTexts) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.llm.Bpe.tokenCounts(docs, "doc_id", "text", nMerges = 3)
+        .as[(Long, Long, Long, Long, Double)].collect()
+      out.length == texts.size &&
+        out.forall { case (_, nWords, nChars, nBpe, comp) =>
+          nBpe >= nWords && nBpe <= nChars && comp >= 1.0
+        }
+    }
 }
