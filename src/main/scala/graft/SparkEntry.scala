@@ -698,6 +698,15 @@ object SparkEntry {
       Dedup.canonicalize(clusters, quality, "doc_id", "cluster", "quality")
     }),
 
+    // --- SOFT dedup: per-member weight 1/|cluster| + deterministic
+    //     keep draw — the downweighting alternative to q165's
+    //     keep-one canonicalization, over the same cluster set ---
+    "q180_soft_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.softDedup(Dedup.dupClusters(d, "doc_id", nearDupPairs(s, dir)),
+        "doc_id", "cluster")
+    }),
+
     // --- dedup-aware split: train/val/test keyed by the near-dup
     //     CLUSTER id so paraphrases of train docs can never land in
     //     eval; leak_free is verified, not assumed ---
@@ -2861,6 +2870,20 @@ object SparkEntry {
          |SELECT cluster, doc_id AS canonical_id,
          |       CAST(nm AS BIGINT) AS n_members, bq AS best_score
          |FROM r WHERE rn = 1""".stripMargin,
+
+    // soft dedup over the same clusters: weight + md5-draw keep flag
+    // replayed exactly (the q65 hash-draw construction)
+    "q180_soft_dedup" ->
+      s"""WITH RECURSIVE $dupClusterCte,
+         |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+         |       FROM cl GROUP BY 1)
+         |SELECT cl.doc_id, cl.cluster, sz.n_members,
+         |       ROUND(CAST(1.0 AS DOUBLE) / sz.n_members, 6) AS weight,
+         |       CAST((CAST(('0x' || substring(md5(CAST(cl.doc_id AS VARCHAR)), 1, 8))
+         |                  AS BIGINT) / 4294967296.0)
+         |            < ROUND(CAST(1.0 AS DOUBLE) / sz.n_members, 6)
+         |            AS INT) AS kept
+         |FROM cl JOIN sz USING (cluster)""".stripMargin,
 
     // dedup-aware split over the same clusters: split is a pure
     // function of the cluster id, leak_free recomputed not assumed

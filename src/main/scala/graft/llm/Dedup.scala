@@ -579,6 +579,33 @@ object Dedup {
       idCol, "text_clean")
   }
 
+  /** SOFT dedup — the downweighting alternative to
+    * [[canonicalize]]'s keep-one-per-cluster: every member of a
+    * near-dup cluster gets sample weight `1/|cluster|` and a
+    * deterministic keep flag drawn at that rate (md5 hash draw on the
+    * doc id), so each cluster contributes ~1 expected document while
+    * which copy survives stays unbiased — the soft-dedup shape data-
+    * mixing work uses when hard dedup would throw away quality signal
+    * (independently-drawn copies can all drop or all survive; use
+    * [[canonicalize]] when exactly-one is required).
+    *
+    * Scale: one count aggregation on the cluster id + one equi-join
+    * back; the draw is a narrow codegen'd projection. Repartition-
+    * invariant and engine-replayable (pure function of ids).
+    * Output: `(id, cluster, n_members, weight, kept)`.
+    */
+  def softDedup(clusters: DataFrame, idCol: String, clusterCol: String,
+                salt: String = ""): DataFrame = {
+    val sizes = clusters.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"))
+    clusters.join(sizes, Seq(clusterCol))
+      .withColumn("weight", round(lit(1.0) / col("n_members"), 6))
+      .withColumn("kept",
+        (Sampling.hashDraw(col(idCol), salt) < col("weight")).cast("int"))
+      .select(col(idCol), col(clusterCol), col("n_members"),
+        col("weight"), col("kept"))
+  }
+
   /** Exact-substring duplicate SPANS — the sliding-window face of
     * [[chunkDedup]] (which is non-overlapping): mark every `w`-token
     * window whose exact text occurs more than once anywhere in the

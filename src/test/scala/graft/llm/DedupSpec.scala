@@ -281,6 +281,28 @@ class DedupSpec extends SparkSpec {
     assert(strict.forall(r => r._4 == 1L && !r._2.contains("c1")))
   }
 
+  test("softDedup weights by cluster size; singletons always survive") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), // 4-member cluster
+      (10L, 10L),                             // singleton
+      (20L, 20L), (21L, 20L)                  // pair
+    ).toDF("doc_id", "cluster")
+    val out = Dedup.softDedup(clusters, "doc_id", "cluster")
+      .as[(Long, Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(out.size === 7)
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(out(id)._1 === 4L
+      && out(id)._2 === 0.25))
+    assert(out(10L) === ((1L, 1.0, 1))) // weight 1 -> kept by construction
+    assert(out(20L)._2 === 0.5 && out(21L)._2 === 0.5)
+    assert(out.values.forall(v => v._3 == 0 || v._3 == 1))
+    // deterministic under repartitioning
+    val re = Dedup.softDedup(clusters.repartition(4), "doc_id", "cluster")
+      .as[(Long, Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(re === out)
+  }
+
   test("substrDupSpans merges overlapping windows and reports coverage") {
     val corpus = Seq(
       // within-doc repeat: "A B C D E" at pos 5 and 15 → two disjoint spans
