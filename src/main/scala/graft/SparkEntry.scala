@@ -766,6 +766,16 @@ object SparkEntry {
           "src3" -> 0.1),
         budget = 50000L, maxEpochs = 4)),
 
+    // --- realize the mixture plan: floor(rate) copies + md5-Bernoulli
+    //     fractional copy per doc; achieved vs planned tokens per
+    //     source — budget 5000 keeps rates fractional so the
+    //     Bernoulli path is exercised (q178's 50000 saturates the cap) ---
+    "q181_realize_mixture" -> ((s, dir) =>
+      Sampling.realizeMixture(t(s, dir, "documents"), "doc_id", "source",
+        "text", weights = Map("src0" -> 0.5, "src1" -> 0.25,
+          "src2" -> 0.15, "src3" -> 0.1),
+        budget = 5000L, maxEpochs = 4)),
+
     // --- BPE tokenization under the freshly-trained 8-merge vocab:
     //     per-doc word/char/symbol counts + compression ratio; the
     //     per-word symbol count is vocabulary-sized, the corpus word
@@ -3074,6 +3084,43 @@ object SparkEntry {
         |       CAST(target_tokens > LEAST(target_tokens, avail_tokens * 4)
         |            AS INT) AS deficit
         |FROM q""".stripMargin,
+
+    // q178's plan CTE + per-doc copy materialization; the fractional
+    // copy replays the q65 hash-draw construction
+    "q181_realize_mixture" ->
+      """WITH w(source, weight) AS (VALUES
+        |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+        |  ('src2', CAST(0.15 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |               AS avail_tokens
+        |      FROM documents GROUP BY 1),
+        |p AS (SELECT a.source, a.avail_tokens,
+        |             CAST(FLOOR(COALESCE(w.weight, 0.0) * 5000 / 1.0)
+        |                  AS BIGINT) AS target_tokens
+        |      FROM a LEFT JOIN w USING (source)),
+        |q AS (SELECT *, ROUND(CAST(target_tokens AS DOUBLE) / avail_tokens, 6)
+        |               AS rate FROM p),
+        |pl AS (SELECT source, LEAST(rate, 4.0) AS r,
+        |              LEAST(target_tokens, avail_tokens * 4) AS planned_tokens
+        |       FROM q),
+        |d AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |      FROM documents),
+        |c AS (SELECT d.source, d.tok, pl.planned_tokens,
+        |             CAST(FLOOR(pl.r) AS BIGINT) +
+        |             CAST((CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |                        AS BIGINT) / 4294967296.0)
+        |                  < (pl.r - FLOOR(pl.r)) AS BIGINT) AS copies
+        |      FROM d JOIN pl USING (source))
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(copies) AS BIGINT) AS n_rows_out,
+        |       CAST(SUM(tok * copies) AS BIGINT) AS realized_tokens,
+        |       MAX(planned_tokens) AS planned_tokens,
+        |       ROUND(CAST(ABS(CAST(SUM(tok * copies) AS BIGINT)
+        |                      - MAX(planned_tokens)) AS DOUBLE)
+        |             / GREATEST(MAX(planned_tokens), 1), 4) AS rel_err
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q173_pretrain_order" ->
       """WITH s AS (

@@ -284,4 +284,42 @@ object Sampling {
       .withColumn("deficit",
         (col("target_tokens") > col("planned_tokens")).cast("int"))
   }
+
+  /** REALIZE a [[mixturePlan]]: emit each document
+    * `floor(rate) + Bernoulli(frac(rate))` times (the [[upsample]]
+    * construction, per source) and report the achieved composition
+    * against the plan — the end-to-end check that the calculator's
+    * rates actually materialize the intended token mixture. The plan
+    * is a per-source handful of rows and rides a broadcast join; the
+    * copy count is a narrow projection — one corpus pass, one
+    * aggregation. Deterministic: the extra-copy draw is the md5 hash
+    * of the doc id, so the realized corpus (and this report) replays
+    * bit-identically in any engine. Output: `(source, n_docs,
+    * n_rows_out, realized_tokens, planned_tokens, rel_err)`.
+    */
+  def realizeMixture(docs: DataFrame, idCol: String, sourceCol: String,
+                     textCol: String, weights: Map[String, Double],
+                     budget: Long, maxEpochs: Int = 4,
+                     salt: String = ""): DataFrame = {
+    val plan = mixturePlan(docs, sourceCol, textCol, weights, budget,
+        maxEpochs)
+      .select(col("source"),
+        least(col("rate"), lit(maxEpochs.toDouble)).as("_r"),
+        col("planned_tokens"))
+    docs.select(col(idCol).as("_id"), col(sourceCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("_tok"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("_whole", floor(col("_r")).cast("long"))
+      .withColumn("_extra",
+        (hashDraw(col("_id"), salt) < (col("_r") - col("_whole"))).cast("long"))
+      .withColumn("_copies", col("_whole") + col("_extra"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_copies")).as("n_rows_out"),
+        sum(col("_tok") * col("_copies")).as("realized_tokens"),
+        max(col("planned_tokens")).as("planned_tokens"))
+      .withColumn("rel_err",
+        round(abs(col("realized_tokens") - col("planned_tokens"))
+          .cast("double") / greatest(col("planned_tokens"), lit(1L)), 4))
+  }
 }

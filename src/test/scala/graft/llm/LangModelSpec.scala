@@ -145,4 +145,35 @@ class LangModelSpec extends SparkSpec {
     assert(out("B") === (("B", 1L, 4L, 0.25, 10L, 2.5, 2, 8L, 1)))
     assert(out("C") === (("C", 1L, 2L, 0.0, 0L, 0.0, 0, 0L, 0)))
   }
+
+  test("realizeMixture: capped rates materialize exactly; zero-weight emits nothing") {
+    val corpus = Seq(
+      (1L, "t1 t2 t3", "A"), (2L, "t4 t5 t6", "A"),
+      (3L, "u1 u2 u3 u4", "B"),
+      (4L, "v1 v2", "C")
+    ).toDF("doc_id", "text", "source")
+    // A: rate 5.0 capped to 2.0 -> exactly 2 copies/doc; B: 2.5 -> 2.0;
+    // C: weight 0 -> 0 copies. All integral, so realized == planned.
+    val out = Sampling.realizeMixture(corpus, "doc_id", "source", "text",
+        weights = Map("A" -> 0.75, "B" -> 0.25), budget = 40L, maxEpochs = 2)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") === (("A", 2L, 4L, 12L, 12L, 0.0)))
+    assert(out("B") === (("B", 1L, 2L, 8L, 8L, 0.0)))
+    assert(out("C") === (("C", 1L, 0L, 0L, 0L, 0.0)))
+    // fractional rates: copies per doc land in {floor, floor+1},
+    // deterministically (same draws under repartitioning)
+    val frac = Sampling.realizeMixture(corpus, "doc_id", "source", "text",
+        weights = Map("A" -> 0.5, "B" -> 0.5), budget = 20L, maxEpochs = 4)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // A: rate 10/6 = 1.666667 -> each doc 1 or 2 copies
+    assert(frac("A")._3 >= 2L && frac("A")._3 <= 4L)
+    val rep = Sampling.realizeMixture(corpus.repartition(3), "doc_id",
+        "source", "text", weights = Map("A" -> 0.5, "B" -> 0.5),
+        budget = 20L, maxEpochs = 4)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep === frac)
+  }
 }
