@@ -102,6 +102,12 @@ object LangModel {
     *
     * Output: `(doc_id, lang, n_bigrams, ppl, bucket)`; documents
     * with fewer than two tokens have no transitions and emit nothing.
+    *
+    * Contract: the reference slice must be non-empty — with an empty
+    * reference V = 0 and the smoothed probability is undefined
+    * (`ln(0/1)`), which surfaces as null scores rather than a throw;
+    * callers pick `refFilter` so this cannot happen (a perplexity
+    * filter without a reference corpus is not a meaningful ask).
     */
   def refPerplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                            langCol: String, refFilter: org.apache.spark.sql.Column): DataFrame = {
