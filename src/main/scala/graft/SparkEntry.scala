@@ -106,6 +106,26 @@ object SparkEntry {
         "text", threshold = 0.5).localCheckpoint()
     }
 
+  /** 8-merge BPE training over `documents`, memoized per (JVM, dir)
+    * like [[nearDupPairs]]: q177 emits the rule table, q179 consumes
+    * the trained vocabulary — training runs once, not twice. Both
+    * frames' checkpoints self-heal through [[memoUnit]]'s id check
+    * (the rules frame rides the words entry: built together, swept
+    * together).
+    */
+  private val bpeRules =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    memoUnit(s, dir, "bpe8") {
+      val (rules, words) = Bpe.trainShared(t(s, dir, "documents"), "text", 8)
+      bpeRules.put((System.identityHashCode(s.sparkContext), dir), rules)
+      words
+    }
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    bpeWords(s, dir) // ensure trained (and rebuilt if swept)
+    bpeRules((System.identityHashCode(s.sparkContext), dir))
+  }
+
   /** Corpus ∪ perturbed copy of every vector: copy i scales coordinate
     * j by 1 + 0.01·((j mod 5) − 2) — deterministic, float-quantized,
     * cos(source, copy) ≈ 0.9999. Returns the union (both halves
@@ -753,8 +773,7 @@ object SparkEntry {
     //     the corpus word-frequency table — one corpus pass, then
     //     vocabulary-sized rounds; argmax ties break on the pair
     //     string so the merge table is a pure function of the corpus ---
-    "q177_bpe_merges" -> ((s, dir) =>
-      Bpe.learnMerges(t(s, dir, "documents"), "doc_id", "text", nMerges = 8)),
+    "q177_bpe_merges" -> ((s, dir) => bpeMerges(s, dir)),
 
     // --- token-budget mixture plan (Dolma/Pile mixing calculator):
     //     per-source availability vs target mixture under a 4-epoch
@@ -781,8 +800,8 @@ object SparkEntry {
     //     per-word symbol count is vocabulary-sized, the corpus word
     //     stream equi-joins it ---
     "q179_bpe_tokenize" -> ((s, dir) =>
-      Bpe.tokenCounts(t(s, dir, "documents"), "doc_id", "text",
-        nMerges = 8)),
+      Bpe.tokenCountsWith(t(s, dir, "documents"), "doc_id", "text",
+        bpeWords(s, dir))),
 
     // --- deterministic pretraining order: content-hash shard + in-
     //     shard hash-ordered position — a reproducible, engine-
@@ -3061,8 +3080,10 @@ object SparkEntry {
 
     "q179_bpe_tokenize" -> Bpe.tokenizeOracleSql(8),
 
-    // integer token math via FLOOR; the epochs CEIL runs over the
-    // same 6-digit-rounded rate the Spark side computes
+    // integer token math via FLOOR; rate is the EXACT double division
+    // (IEEE-identical in both engines — a 6-digit round would zero
+    // tiny rates at corpus scale); full outer so a weighted source
+    // missing from the corpus still reports its deficit row
     "q178_mixture_plan" ->
       """WITH w(source, weight) AS (VALUES
         |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
@@ -3071,56 +3092,70 @@ object SparkEntry {
         |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
         |               AS avail_tokens
         |      FROM documents GROUP BY 1),
-        |p AS (SELECT a.source, a.n_docs, a.avail_tokens,
-        |             COALESCE(w.weight, 0.0) AS weight,
-        |             CAST(FLOOR(COALESCE(w.weight, 0.0) * 50000 / 1.0)
-        |                  AS BIGINT) AS target_tokens
-        |      FROM a LEFT JOIN w USING (source)),
-        |q AS (SELECT *, ROUND(CAST(target_tokens AS DOUBLE) / avail_tokens, 6)
-        |               AS rate FROM p)
+        |j AS (SELECT source,
+        |             COALESCE(a.n_docs, 0) AS n_docs,
+        |             COALESCE(a.avail_tokens, 0) AS avail_tokens,
+        |             COALESCE(w.weight, 0.0) AS weight
+        |      FROM a FULL JOIN w USING (source)),
+        |p AS (SELECT *, CAST(FLOOR(weight * 50000 / 1.0) AS BIGINT)
+        |               AS target_tokens
+        |      FROM j),
+        |q AS (SELECT *, CASE WHEN avail_tokens > 0
+        |                  THEN CAST(target_tokens AS DOUBLE) / avail_tokens
+        |                  ELSE 0.0 END AS rate FROM p)
         |SELECT source, n_docs, avail_tokens, weight, target_tokens, rate,
-        |       CAST(LEAST(CEIL(rate), 4) AS INT) AS epochs,
+        |       CAST(CASE WHEN avail_tokens > 0 THEN LEAST(CEIL(rate), 4)
+        |            ELSE 0 END AS INT) AS epochs,
         |       LEAST(target_tokens, avail_tokens * 4) AS planned_tokens,
         |       CAST(target_tokens > LEAST(target_tokens, avail_tokens * 4)
         |            AS INT) AS deficit
         |FROM q""".stripMargin,
 
-    // q178's plan CTE + per-doc copy materialization; the fractional
-    // copy replays the q65 hash-draw construction
+    // q178's plan CTE (budget 5000) + per-doc copy materialization;
+    // the fractional copy replays the q65 hash-draw construction;
+    // plan-driven output so empty weighted sources keep their row
     "q181_realize_mixture" ->
       """WITH w(source, weight) AS (VALUES
         |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
         |  ('src2', CAST(0.15 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
-        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |a AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
         |               AS avail_tokens
         |      FROM documents GROUP BY 1),
-        |p AS (SELECT a.source, a.avail_tokens,
-        |             CAST(FLOOR(COALESCE(w.weight, 0.0) * 5000 / 1.0)
-        |                  AS BIGINT) AS target_tokens
-        |      FROM a LEFT JOIN w USING (source)),
-        |q AS (SELECT *, ROUND(CAST(target_tokens AS DOUBLE) / avail_tokens, 6)
-        |               AS rate FROM p),
+        |j AS (SELECT source,
+        |             COALESCE(a.avail_tokens, 0) AS avail_tokens,
+        |             COALESCE(w.weight, 0.0) AS weight
+        |      FROM a FULL JOIN w USING (source)),
+        |p AS (SELECT *, CAST(FLOOR(weight * 5000 / 1.0) AS BIGINT)
+        |               AS target_tokens
+        |      FROM j),
+        |q AS (SELECT *, CASE WHEN avail_tokens > 0
+        |                  THEN CAST(target_tokens AS DOUBLE) / avail_tokens
+        |                  ELSE 0.0 END AS rate FROM p),
         |pl AS (SELECT source, LEAST(rate, 4.0) AS r,
         |              LEAST(target_tokens, avail_tokens * 4) AS planned_tokens
         |       FROM q),
         |d AS (SELECT doc_id, source,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
         |      FROM documents),
-        |c AS (SELECT d.source, d.tok, pl.planned_tokens,
+        |c AS (SELECT d.source, d.tok,
         |             CAST(FLOOR(pl.r) AS BIGINT) +
         |             CAST((CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
         |                        AS BIGINT) / 4294967296.0)
         |                  < (pl.r - FLOOR(pl.r)) AS BIGINT) AS copies
-        |      FROM d JOIN pl USING (source))
-        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |       CAST(SUM(copies) AS BIGINT) AS n_rows_out,
-        |       CAST(SUM(tok * copies) AS BIGINT) AS realized_tokens,
-        |       MAX(planned_tokens) AS planned_tokens,
-        |       ROUND(CAST(ABS(CAST(SUM(tok * copies) AS BIGINT)
-        |                      - MAX(planned_tokens)) AS DOUBLE)
-        |             / GREATEST(MAX(planned_tokens), 1), 4) AS rel_err
-        |FROM c GROUP BY 1""".stripMargin,
+        |      FROM d JOIN pl USING (source)),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(copies) AS BIGINT) AS n_rows_out,
+        |             CAST(SUM(tok * copies) AS BIGINT) AS realized_tokens
+        |      FROM c GROUP BY 1)
+        |SELECT source,
+        |       COALESCE(g.n_docs, 0) AS n_docs,
+        |       COALESCE(g.n_rows_out, 0) AS n_rows_out,
+        |       COALESCE(g.realized_tokens, 0) AS realized_tokens,
+        |       pl.planned_tokens,
+        |       ROUND(CAST(ABS(COALESCE(g.realized_tokens, 0)
+        |                      - pl.planned_tokens) AS DOUBLE)
+        |             / GREATEST(pl.planned_tokens, 1), 4) AS rel_err
+        |FROM pl LEFT JOIN g USING (source)""".stripMargin,
 
     "q173_pretrain_order" ->
       """WITH s AS (

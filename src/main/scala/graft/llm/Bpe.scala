@@ -57,6 +57,7 @@ object Bpe {
     */
   private def train(docs: DataFrame, textCol: String,
                     nMerges: Int): (Seq[Row], DataFrame) = {
+    require(nMerges >= 1, "nMerges must be positive")
     // one corpus pass → vocabulary-sized (word, freq), as "<w><o><r><d>"
     val words0 = docs
       .select(explode(split(col(textCol), " ")).as("word"))
@@ -91,10 +92,35 @@ object Bpe {
         rules += Row(r, l, rt, l + rt, cnt)
         words = words.withColumn("s",
           replace(col("s"), lit(s"<$l><$rt>"), lit(s"<$l$rt>")))
+        // re-materialize periodically: round r otherwise re-evaluates
+        // all r-1 stacked replaces from the base checkpoint (O(n²)
+        // vocab passes) and the nested-replace expression tree would
+        // grow unboundedly at production merge counts (~32k)
+        if (r % 16 == 0 && r < nMerges) words = words.localCheckpoint()
         r += 1
       }
     }
     (rules.result(), words)
+  }
+
+  /** Train once, share twice: the merge-rule table AND the fully-
+    * merged `(word, s, n)` vocabulary as DataFrames (the words frame
+    * localCheckpointed so both consumers — and a memoizing caller —
+    * reuse the materialized result instead of re-training).
+    */
+  def trainShared(docs: DataFrame, textCol: String,
+                  nMerges: Int): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val (rules, words) = train(docs, textCol, nMerges)
+    val rulesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rules, 1),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("n", LongType, nullable = false))))
+    (rulesDf, words.localCheckpoint())
   }
 
   /** Learn the first `nMerges` BPE merges over the corpus's
@@ -103,33 +129,38 @@ object Bpe {
     * occurrence count of the pair at the time it won. Stops early if
     * every word has collapsed to a single symbol.
     */
-  def learnMerges(docs: DataFrame, idCol: String, textCol: String,
-                  nMerges: Int): DataFrame = {
-    val spark = docs.sparkSession
-    val (rules, _) = train(docs, textCol, nMerges)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rules, 1),
-      StructType(Seq(
-        StructField("rank", IntegerType, nullable = false),
-        StructField("lhs", StringType, nullable = false),
-        StructField("rhs", StringType, nullable = false),
-        StructField("merged", StringType, nullable = false),
-        StructField("n", LongType, nullable = false))))
-  }
+  def learnMerges(docs: DataFrame, textCol: String,
+                  nMerges: Int): DataFrame =
+    trainShared(docs, textCol, nMerges)._1
 
   /** Tokenize the corpus under a freshly-trained `nMerges`-rule BPE
-    * vocabulary and report per-document token economics:
+    * vocabulary ([[tokenCountsWith]] over [[trainShared]]'s words —
+    * pass a memoized words frame there to avoid re-training when
+    * [[learnMerges]] already ran on the same corpus).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  nMerges: Int): DataFrame =
+    tokenCountsWith(docs, idCol, textCol,
+      trainShared(docs, textCol, nMerges)._2)
+
+  /** Per-document token economics under an already-trained vocabulary
+    * (`(word, s, n)` from [[trainShared]]):
     * `(doc_id, n_words, n_chars, n_bpe, compression)` where `n_bpe`
     * is the document's symbol count after the merges and
     * `compression = n_chars / n_bpe` (what a token-budget planner
     * actually needs from a tokenizer). The per-word symbol count is
     * computed ONCE on the vocabulary table; the corpus word stream
     * equi-joins it — tokenization never re-runs per occurrence.
+    *
+    * Contract: a document contributes a row only if it has at least
+    * one in-vocabulary word — empty texts and documents whose every
+    * word hits the `<`/`>` sentinel guard emit nothing (the same
+    * emit-nothing convention as `refPerplexityBuckets` for
+    * transition-free docs).
     */
-  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                  nMerges: Int): DataFrame = {
-    val (_, words) = train(docs, textCol, nMerges)
-    val vocab = words.select(col("word"),
+  def tokenCountsWith(docs: DataFrame, idCol: String, textCol: String,
+                      trainedWords: DataFrame): DataFrame = {
+    val vocab = trainedWords.select(col("word"),
       size(split(trim(col("s"), "<>"), "><")).cast("long").as("_nsym"))
     docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("word"))
@@ -208,9 +239,9 @@ object Bpe {
          |      WHERE t.word <> '' AND NOT contains(t.word, '<')
          |        AND NOT contains(t.word, '>'))
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-         |       CAST(SUM(strlen(word)) AS BIGINT) AS n_chars,
+         |       CAST(SUM(len(word)) AS BIGINT) AS n_chars,
          |       CAST(SUM(nsym) AS BIGINT) AS n_bpe,
-         |       ROUND(CAST(SUM(strlen(word)) AS DOUBLE) / SUM(nsym), 4)
+         |       ROUND(CAST(SUM(len(word)) AS DOUBLE) / SUM(nsym), 4)
          |         AS compression
          |FROM j GROUP BY 1""".stripMargin
     s"WITH ${roundsCte(nMerges)},\n$tail"

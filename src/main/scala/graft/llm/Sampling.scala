@@ -265,20 +265,31 @@ object Sampling {
       "weights must be non-negative with a positive sum")
     require(budget > 0 && maxEpochs >= 1, "need a positive budget and cap")
     val wsum = weights.values.sum
-    val wExpr = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
-      when(col("source") === k, lit(w)).otherwise(acc)
-    }
+    // full outer against the weight table: a weighted source with NO
+    // documents is the most extreme deficit there is and must appear
+    // as a (0 avail, deficit=1) row, not silently vanish
+    val w = docs.sparkSession
+      .createDataFrame(weights.toSeq.sortBy(_._1)).toDF("source", "weight")
     docs.select(col(sourceCol).as("source"),
         size(split(col(textCol), " ")).cast("long").as("_tok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("avail_tokens"))
-      .withColumn("weight", wExpr)
+      .join(w, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("avail_tokens"), lit(0L)).as("avail_tokens"),
+        coalesce(col("weight"), lit(0.0)).as("weight"))
       .withColumn("target_tokens",
         floor(col("weight") * lit(budget) / lit(wsum)).cast("long"))
-      .withColumn("rate",
-        round(col("target_tokens").cast("double") / col("avail_tokens"), 6))
-      .withColumn("epochs",
-        least(ceil(col("rate")), lit(maxEpochs.toLong)).cast("int"))
+      // exact double division, NOT rounded: at real corpus scale a
+      // big source's rate can be < 1e-6 and a 6-digit round would
+      // zero it (epochs 0, 100% under-realization, deficit unset)
+      .withColumn("rate", when(col("avail_tokens") > 0,
+        col("target_tokens").cast("double") / col("avail_tokens"))
+        .otherwise(lit(0.0)))
+      .withColumn("epochs", when(col("avail_tokens") > 0,
+        least(ceil(col("rate")), lit(maxEpochs.toLong)))
+        .otherwise(lit(0L)).cast("int"))
       .withColumn("planned_tokens",
         least(col("target_tokens"), col("avail_tokens") * maxEpochs))
       .withColumn("deficit",
@@ -306,9 +317,10 @@ object Sampling {
       .select(col("source"),
         least(col("rate"), lit(maxEpochs.toDouble)).as("_r"),
         col("planned_tokens"))
-    docs.select(col(idCol).as("_id"), col(sourceCol).as("source"),
+    val realized = docs
+      .select(col(idCol).as("_id"), col(sourceCol).as("source"),
         size(split(col(textCol), " ")).cast("long").as("_tok"))
-      .join(broadcast(plan), Seq("source"))
+      .join(broadcast(plan.drop("planned_tokens")), Seq("source"))
       .withColumn("_whole", floor(col("_r")).cast("long"))
       .withColumn("_extra",
         (hashDraw(col("_id"), salt) < (col("_r") - col("_whole"))).cast("long"))
@@ -316,8 +328,15 @@ object Sampling {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_copies")).as("n_rows_out"),
-        sum(col("_tok") * col("_copies")).as("realized_tokens"),
-        max(col("planned_tokens")).as("planned_tokens"))
+        sum(col("_tok") * col("_copies")).as("realized_tokens"))
+    // plan-driven, not corpus-driven: a weighted source with no
+    // documents still reports its (0 realized, planned) deficit row
+    plan.join(realized, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_rows_out"), lit(0L)).as("n_rows_out"),
+        coalesce(col("realized_tokens"), lit(0L)).as("realized_tokens"),
+        col("planned_tokens"))
       .withColumn("rel_err",
         round(abs(col("realized_tokens") - col("planned_tokens"))
           .cast("double") / greatest(col("planned_tokens"), lit(1L)), 4))

@@ -11,7 +11,7 @@ class BpeSpec extends SparkSpec {
       (1L, "low low low"),
       (2L, "lower lowest")
     ).toDF("doc_id", "text")
-    val m = Bpe.learnMerges(docs, "doc_id", "text", nMerges = 4)
+    val m = Bpe.learnMerges(docs, "text", nMerges = 4)
       .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
     // round 1: "l o" and "o w" tie at 5 -> pair-string tiebreak picks "l o"
     assert(m(0) === ((1, "l", "o", "lo", 5L)))
@@ -23,7 +23,7 @@ class BpeSpec extends SparkSpec {
 
   test("a run merges greedily left-to-right: aaaa -> aa aa, not aa a a") {
     val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
-    val m = Bpe.learnMerges(docs, "doc_id", "text", nMerges = 2)
+    val m = Bpe.learnMerges(docs, "text", nMerges = 2)
       .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
     // 3 overlapping (a,a) pairs counted, then the word is <aa><aa>
     assert(m(0) === ((1, "a", "a", "aa", 3L)))
@@ -46,7 +46,7 @@ class BpeSpec extends SparkSpec {
 
   test("stops early when every word is a single symbol") {
     val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
-    val m = Bpe.learnMerges(docs, "doc_id", "text", nMerges = 10)
+    val m = Bpe.learnMerges(docs, "text", nMerges = 10)
       .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
     // only 2 merges exist: (a,b) n=2 then (c,d) n=1 — then exhaustion
     assert(m.toSeq === Seq((1, "a", "b", "ab", 2L), (2, "c", "d", "cd", 1L)))

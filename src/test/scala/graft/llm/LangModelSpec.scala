@@ -128,52 +128,4 @@ class LangModelSpec extends SparkSpec {
     assert(out(20L) === ((1L, 3.0, "middle")))
   }
 
-  test("mixturePlan: targets, epoch cap, and deficit flags by hand") {
-    val corpus = Seq(
-      (1L, "t1 t2 t3", "A"), (2L, "t4 t5 t6", "A"),
-      (3L, "u1 u2 u3 u4", "B"),
-      (4L, "v1 v2", "C") // no weight -> target 0, never sampled
-    ).toDF("doc_id", "text", "source")
-    val out = Sampling.mixturePlan(corpus, "source", "text",
-        weights = Map("A" -> 0.75, "B" -> 0.25), budget = 40L, maxEpochs = 2)
-      .as[(String, Long, Long, Double, Long, Double, Int, Long, Int)]
-      .collect().map(r => r._1 -> r).toMap
-    // A: 6 avail, target floor(.75*40)=30, rate 5.0, epochs capped 2,
-    //    planned min(30, 12)=12, deficit
-    assert(out("A") === (("A", 2L, 6L, 0.75, 30L, 5.0, 2, 12L, 1)))
-    // B: 4 avail, target 10, rate 2.5, epochs ceil->3 capped 2, planned 8
-    assert(out("B") === (("B", 1L, 4L, 0.25, 10L, 2.5, 2, 8L, 1)))
-    assert(out("C") === (("C", 1L, 2L, 0.0, 0L, 0.0, 0, 0L, 0)))
-  }
-
-  test("realizeMixture: capped rates materialize exactly; zero-weight emits nothing") {
-    val corpus = Seq(
-      (1L, "t1 t2 t3", "A"), (2L, "t4 t5 t6", "A"),
-      (3L, "u1 u2 u3 u4", "B"),
-      (4L, "v1 v2", "C")
-    ).toDF("doc_id", "text", "source")
-    // A: rate 5.0 capped to 2.0 -> exactly 2 copies/doc; B: 2.5 -> 2.0;
-    // C: weight 0 -> 0 copies. All integral, so realized == planned.
-    val out = Sampling.realizeMixture(corpus, "doc_id", "source", "text",
-        weights = Map("A" -> 0.75, "B" -> 0.25), budget = 40L, maxEpochs = 2)
-      .as[(String, Long, Long, Long, Long, Double)].collect()
-      .map(r => r._1 -> r).toMap
-    assert(out("A") === (("A", 2L, 4L, 12L, 12L, 0.0)))
-    assert(out("B") === (("B", 1L, 2L, 8L, 8L, 0.0)))
-    assert(out("C") === (("C", 1L, 0L, 0L, 0L, 0.0)))
-    // fractional rates: copies per doc land in {floor, floor+1},
-    // deterministically (same draws under repartitioning)
-    val frac = Sampling.realizeMixture(corpus, "doc_id", "source", "text",
-        weights = Map("A" -> 0.5, "B" -> 0.5), budget = 20L, maxEpochs = 4)
-      .as[(String, Long, Long, Long, Long, Double)].collect()
-      .map(r => r._1 -> r).toMap
-    // A: rate 10/6 = 1.666667 -> each doc 1 or 2 copies
-    assert(frac("A")._3 >= 2L && frac("A")._3 <= 4L)
-    val rep = Sampling.realizeMixture(corpus.repartition(3), "doc_id",
-        "source", "text", weights = Map("A" -> 0.5, "B" -> 0.5),
-        budget = 20L, maxEpochs = 4)
-      .as[(String, Long, Long, Long, Long, Double)].collect()
-      .map(r => r._1 -> r).toMap
-    assert(rep === frac)
-  }
 }

@@ -187,4 +187,66 @@ class SamplingSpec extends SparkSpec {
     assert(out(1L)._4 == "write to <EMAIL> or call <PHONE> now")
     assert(out(2L)._2 == 0 && out(2L)._3 == 0 && out(2L)._4 == "no pii here at all")
   }
+
+  test("mixturePlan: targets, epoch cap, deficit flags, and empty-source rows") {
+    val corpus = Seq(
+      (1L, "t1 t2 t3", "A"), (2L, "t4 t5 t6", "A"),
+      (3L, "u1 u2 u3 u4", "B"),
+      (4L, "v1 v2", "C") // no weight -> target 0, never sampled
+    ).toDF("doc_id", "text", "source")
+    val out = Sampling.mixturePlan(corpus, "source", "text",
+        weights = Map("A" -> 0.6, "B" -> 0.2, "D" -> 0.2),
+        budget = 40L, maxEpochs = 2)
+      .as[(String, Long, Long, Double, Long, Double, Int, Long, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.size === 4)
+    // A: 6 avail, target floor(.6*40)=24, rate 4.0, epochs capped 2,
+    //    planned min(24, 12)=12, deficit
+    assert(out("A") === (("A", 2L, 6L, 0.6, 24L, 4.0, 2, 12L, 1)))
+    // B: 4 avail, target 8, rate 2.0, epochs 2, planned 8, no deficit
+    assert(out("B") === (("B", 1L, 4L, 0.2, 8L, 2.0, 2, 8L, 0)))
+    assert(out("C") === (("C", 1L, 2L, 0.0, 0L, 0.0, 0, 0L, 0)))
+    // D: weighted but ABSENT from the corpus — must still report the
+    // (0 avail, deficit) row instead of silently vanishing
+    assert(out("D") === (("D", 0L, 0L, 0.2, 8L, 0.0, 0, 0L, 1)))
+  }
+
+  test("realizeMixture: capped rates materialize exactly; empty source keeps its row") {
+    val corpus = Seq(
+      (1L, "t1 t2 t3", "A"), (2L, "t4 t5 t6", "A"),
+      (3L, "u1 u2 u3 u4", "B"),
+      (4L, "v1 v2", "C")
+    ).toDF("doc_id", "text", "source")
+    // A: rate 5.0 capped to 2.0 -> exactly 2 copies/doc; B: 2.5 -> 2.0;
+    // C: weight 0 -> 0 copies. All integral, so realized == planned.
+    val out = Sampling.realizeMixture(corpus, "doc_id", "source", "text",
+        weights = Map("A" -> 0.75, "B" -> 0.25), budget = 40L, maxEpochs = 2)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") === (("A", 2L, 4L, 12L, 12L, 0.0)))
+    assert(out("B") === (("B", 1L, 2L, 8L, 8L, 0.0)))
+    assert(out("C") === (("C", 1L, 0L, 0L, 0L, 0.0)))
+    // a weighted source with no docs: planned > 0, realized 0, rel_err 1
+    val missing = Sampling.realizeMixture(corpus, "doc_id", "source",
+        "text", weights = Map("A" -> 0.5, "D" -> 0.5), budget = 8L,
+        maxEpochs = 2)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // planned = min(target 4, avail 0 * cap) = 0; the row itself is the point
+    assert(missing("D") === (("D", 0L, 0L, 0L, 0L, 0.0)))
+    // fractional rates: copies per doc land in {floor, floor+1},
+    // deterministically (same draws under repartitioning)
+    val frac = Sampling.realizeMixture(corpus, "doc_id", "source", "text",
+        weights = Map("A" -> 0.5, "B" -> 0.5), budget = 20L, maxEpochs = 4)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // A: rate 10/6 = 1.666... -> each doc 1 or 2 copies
+    assert(frac("A")._3 >= 2L && frac("A")._3 <= 4L)
+    val rep = Sampling.realizeMixture(corpus.repartition(3), "doc_id",
+        "source", "text", weights = Map("A" -> 0.5, "B" -> 0.5),
+        budget = 20L, maxEpochs = 4)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep === frac)
+  }
 }
