@@ -43,13 +43,36 @@ object Bench {
       }
     }
 
+    // Shared memoized inputs are materialized COLD, once, before the
+    // measured reps, each billed as its own `_shared:*` line: under
+    // stat=min their first cost was otherwise attributed to no query
+    // (rep 1 of the first consumer pays it, rep 2 hits the memo and
+    // wins the min) and flagged the consumers as "noisy". Single-shot
+    // by construction — a second rep would time the memo lookup.
+    // full unprotected sweep first: when sfDir == the warm-up dir
+    // (the sf0.001 snapshot) the warm-up pass already built the memos,
+    // and a warm `_shared` line would time a lookup, not the build
+    Sessions.sweep(spark)
+    val sharedResults = SparkEntry.sharedInputs.toSeq.sortBy(_._1)
+      .map { case (name, fn) =>
+        Sessions.sweep(spark, SparkEntry.protectedRddIds)
+        System.gc()
+        val t0 = System.nanoTime()
+        val err: Option[String] =
+          try { force(fn(spark, sfDir)); None }
+          catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        (name, sec, sec, err)
+      }
+
     // Per-query time = MIN over `reps` measured runs. Single-shot
     // local[32] timings vary several-fold run-to-run (GC phase, JIT
     // state, OS scheduling — measured 14 s vs 63 s for an identical
     // query); the minimum is the standard steady-state estimator and
     // is reported as such ("reps"/"stat" fields).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = queries.map { case (name, fn) =>
+    val queryResults = queries.map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         // fresh-session semantics per measurement: operators that cache
         // intermediates (similarity signatures, CV folds) must not leave
@@ -71,6 +94,7 @@ object Bench {
       if (ok.nonEmpty) (name, ok.map(_._1).min, ok.map(_._1).max, None)
       else (name, runs.head._1, runs.head._1, runs.head._2)
     }
+    val results = sharedResults ++ queryResults
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
@@ -91,8 +115,12 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e)) => s""""$k":"${esc(e)}"""" }
       .mkString("{", ",", "}")
     val total = f3(ok.map(_._2).sum)
+    // queries whose number is MARGINAL (their shared input's first
+    // cost is billed on the matching _shared:* line, not on them)
+    val marginal = SparkEntry.sharedConsumers.values.flatten.toSeq
+      .distinct.sorted.map(q => s""""$q"""").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_fail":${results.size - ok.size},"reps":$reps,"stat":"min","spread":$spread,"noisy":$noisy,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_fail":${results.size - ok.size},"reps":$reps,"stat":"min","spread":$spread,"noisy":$noisy,"marginal":$marginal,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       Files.writeString(Paths.get(p), line + "\n")
     }

@@ -126,6 +126,52 @@ object SparkEntry {
     bpeRules((System.identityHashCode(s.sparkContext), dir))
   }
 
+  /** Shared memoized inputs, exposed so Bench bills each one's FIRST
+    * cost as its own `_shared:*` line: with stat=min over reps a
+    * memoized input's training/prep cost is otherwise attributed to NO
+    * query (the first consumer's rep 1 pays it, every later rep hits
+    * the memo and wins the min), so the memoized families' per-query
+    * numbers under-report — q177 reported 0.016 s while its 8-merge
+    * training ran unbilled in rep 1. Bench materializes these once,
+    * cold, before the measured reps; consumer queries' numbers are
+    * then honestly MARGINAL (memo-hit) costs, flagged in the
+    * `marginal` JSON field via [[sharedConsumers]].
+    */
+  private[graft] val sharedInputs: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "_shared:unit-embeddings" -> ((s, dir) => unitEmb(s, dir)),
+      "_shared:unit-perturbed" -> ((s, dir) => unitPerturbed(s, dir)),
+      "_shared:neardup-pairs" -> ((s, dir) => nearDupPairs(s, dir)),
+      "_shared:bpe8" -> ((s, dir) => bpeWords(s, dir)))
+
+  /** Queries whose bench time is marginal given [[sharedInputs]]. */
+  private[graft] val sharedConsumers: Map[String, Seq[String]] = Map(
+    "_shared:unit-embeddings" -> Seq("q47_embed_lsh", "q57_embed_ivf",
+      "q124_lsh_recall", "q125_ivf_recall", "q167_ann_search",
+      "q168_ann_index", "q171_semdedup_recall"),
+    "_shared:unit-perturbed" -> Seq("q124_lsh_recall", "q125_ivf_recall",
+      "q167_ann_search", "q168_ann_index", "q171_semdedup_recall"),
+    "_shared:neardup-pairs" -> Seq("q80_dup_clusters", "q165_dup_canonical",
+      "q166_dedup_split", "q180_soft_dedup"),
+    "_shared:bpe8" -> Seq("q177_bpe_merges", "q179_bpe_tokenize"))
+
+  /** The q178/q181 mixture weights, and their oracle VALUES clause:
+    * the SQL side receives the PRE-NORMALIZED weights (each divided by
+    * the key-sorted sum, exactly as [[Sampling.mixturePlan]] computes
+    * them) rendered via `Double.toString` — the shortest decimal that
+    * round-trips to the identical IEEE double in any correctly-rounded
+    * parser — so no engine ever re-derives the floating-point weight
+    * sum and `floor()` boundaries cannot diverge.
+    */
+  private val mixWeights = Map("src0" -> 0.5, "src1" -> 0.25,
+    "src2" -> 0.15, "src3" -> 0.1)
+  private def mixWeightsSql: String = {
+    val sorted = mixWeights.toSeq.sortBy(_._1)
+    val wsum = sorted.map(_._2).sum
+    sorted.map { case (k, v) =>
+      s"('$k', CAST('${v / wsum}' AS DOUBLE))" }.mkString(", ")
+  }
+
   /** Corpus ∪ perturbed copy of every vector: copy i scales coordinate
     * j by 1 + 0.01·((j mod 5) − 2) — deterministic, float-quantized,
     * cos(source, copy) ≈ 0.9999. Returns the union (both halves
@@ -781,9 +827,7 @@ object SparkEntry {
     //     weight can supply so the deficit path is exercised ---
     "q178_mixture_plan" -> ((s, dir) =>
       Sampling.mixturePlan(t(s, dir, "documents"), "source", "text",
-        weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15,
-          "src3" -> 0.1),
-        budget = 50000L, maxEpochs = 4)),
+        weights = mixWeights, budget = 50000L, maxEpochs = 4)),
 
     // --- realize the mixture plan: floor(rate) copies + md5-Bernoulli
     //     fractional copy per doc; achieved vs planned tokens per
@@ -791,9 +835,7 @@ object SparkEntry {
     //     Bernoulli path is exercised (q178's 50000 saturates the cap) ---
     "q181_realize_mixture" -> ((s, dir) =>
       Sampling.realizeMixture(t(s, dir, "documents"), "doc_id", "source",
-        "text", weights = Map("src0" -> 0.5, "src1" -> 0.25,
-          "src2" -> 0.15, "src3" -> 0.1),
-        budget = 5000L, maxEpochs = 4)),
+        "text", weights = mixWeights, budget = 5000L, maxEpochs = 4)),
 
     // --- BPE tokenization under the freshly-trained 8-merge vocab:
     //     per-doc word/char/symbol counts + compression ratio; the
@@ -2908,8 +2950,9 @@ object SparkEntry {
          |       FROM cl GROUP BY 1)
          |SELECT cl.doc_id, cl.cluster, sz.n_members,
          |       ROUND(CAST(1.0 AS DOUBLE) / sz.n_members, 6) AS weight,
-         |       CAST((CAST(('0x' || substring(md5(CAST(cl.doc_id AS VARCHAR)), 1, 8))
-         |                  AS BIGINT) / 4294967296.0)
+         |       CAST((CAST(('0x' || substring(
+         |                     md5(CAST(cl.doc_id AS VARCHAR) || 'softDedup'),
+         |                     1, 8)) AS BIGINT) / 4294967296.0)
          |            < ROUND(CAST(1.0 AS DOUBLE) / sz.n_members, 6)
          |            AS INT) AS kept
          |FROM cl JOIN sz USING (cluster)""".stripMargin,
@@ -2958,7 +3001,10 @@ object SparkEntry {
         |       CAST(t.n_chunks - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
         |FROM tot t LEFT JOIN rea r USING (doc_id)""".stripMargin,
 
-    // same chunk replay; membership set = the benchmark slice's chunks
+    // same chunk replay; membership set = the benchmark slice's
+    // 6-token SLIDING windows (every offset) ∪ its aligned chunk
+    // stream (sub-6-token tails / short docs) — alignment-free, so a
+    // bench passage at any offset in a training doc still matches
     "q172_decontaminate" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -2967,7 +3013,12 @@ object SparkEntry {
         |         array_to_string(ts[(i.idx*6+1):(i.idx*6+6)], ' ') AS chunk
         |  FROM tok, LATERAL unnest(range(0, (len(ts)-1)//6 + 1)) AS i(idx)),
         |bench AS (
-        |  SELECT DISTINCT chunk FROM chunks WHERE doc_id < 20),
+        |  SELECT DISTINCT chunk FROM (
+        |    SELECT chunk FROM chunks WHERE doc_id < 20
+        |    UNION ALL
+        |    SELECT array_to_string(ts[i.idx:(i.idx+5)], ' ') AS chunk
+        |    FROM tok, LATERAL unnest(range(1, len(ts) - 4)) AS i(idx)
+        |    WHERE doc_id < 20 AND len(ts) >= 6)),
         |train AS (SELECT * FROM chunks WHERE doc_id >= 20),
         |rea AS (
         |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text_clean,
@@ -3080,14 +3131,14 @@ object SparkEntry {
 
     "q179_bpe_tokenize" -> Bpe.tokenizeOracleSql(8),
 
-    // integer token math via FLOOR; rate is the EXACT double division
-    // (IEEE-identical in both engines — a 6-digit round would zero
-    // tiny rates at corpus scale); full outer so a weighted source
-    // missing from the corpus still reports its deficit row
+    // integer token math via FLOOR over PRE-NORMALIZED weights (see
+    // mixWeightsSql — no in-SQL weight-sum division to diverge at a
+    // floor boundary); rate is the EXACT double division capped at the
+    // epoch limit (a 6-digit round would zero tiny rates at corpus
+    // scale); full outer so a weighted source missing from the corpus
+    // still reports its deficit row
     "q178_mixture_plan" ->
-      """WITH w(source, weight) AS (VALUES
-        |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
-        |  ('src2', CAST(0.15 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+      s"""WITH w(source, weight) AS (VALUES $mixWeightsSql),
         |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
         |               AS avail_tokens
@@ -3097,11 +3148,12 @@ object SparkEntry {
         |             COALESCE(a.avail_tokens, 0) AS avail_tokens,
         |             COALESCE(w.weight, 0.0) AS weight
         |      FROM a FULL JOIN w USING (source)),
-        |p AS (SELECT *, CAST(FLOOR(weight * 50000 / 1.0) AS BIGINT)
+        |p AS (SELECT *, CAST(FLOOR(weight * 50000) AS BIGINT)
         |               AS target_tokens
         |      FROM j),
         |q AS (SELECT *, CASE WHEN avail_tokens > 0
-        |                  THEN CAST(target_tokens AS DOUBLE) / avail_tokens
+        |                  THEN LEAST(CAST(target_tokens AS DOUBLE)
+        |                             / avail_tokens, 4.0)
         |                  ELSE 0.0 END AS rate FROM p)
         |SELECT source, n_docs, avail_tokens, weight, target_tokens, rate,
         |       CAST(CASE WHEN avail_tokens > 0 THEN LEAST(CEIL(rate), 4)
@@ -3115,9 +3167,7 @@ object SparkEntry {
     // the fractional copy replays the q65 hash-draw construction;
     // plan-driven output so empty weighted sources keep their row
     "q181_realize_mixture" ->
-      """WITH w(source, weight) AS (VALUES
-        |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
-        |  ('src2', CAST(0.15 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+      s"""WITH w(source, weight) AS (VALUES $mixWeightsSql),
         |a AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
         |               AS avail_tokens
         |      FROM documents GROUP BY 1),
@@ -3125,13 +3175,14 @@ object SparkEntry {
         |             COALESCE(a.avail_tokens, 0) AS avail_tokens,
         |             COALESCE(w.weight, 0.0) AS weight
         |      FROM a FULL JOIN w USING (source)),
-        |p AS (SELECT *, CAST(FLOOR(weight * 5000 / 1.0) AS BIGINT)
+        |p AS (SELECT *, CAST(FLOOR(weight * 5000) AS BIGINT)
         |               AS target_tokens
         |      FROM j),
         |q AS (SELECT *, CASE WHEN avail_tokens > 0
-        |                  THEN CAST(target_tokens AS DOUBLE) / avail_tokens
+        |                  THEN LEAST(CAST(target_tokens AS DOUBLE)
+        |                             / avail_tokens, 4.0)
         |                  ELSE 0.0 END AS rate FROM p),
-        |pl AS (SELECT source, LEAST(rate, 4.0) AS r,
+        |pl AS (SELECT source, rate AS r,
         |              LEAST(target_tokens, avail_tokens * 4) AS planned_tokens
         |       FROM q),
         |d AS (SELECT doc_id, source,

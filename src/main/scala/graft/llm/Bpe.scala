@@ -51,6 +51,13 @@ object Bpe {
   private def wordOk = col("word") =!= "" &&
     !col("word").contains("<") && !col("word").contains(">")
 
+  private val rulesSchema = StructType(Seq(
+    StructField("rank", IntegerType, nullable = false),
+    StructField("lhs", StringType, nullable = false),
+    StructField("rhs", StringType, nullable = false),
+    StructField("merged", StringType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+
   /** Run the training loop: one corpus pass to the word-frequency
     * table, then `nMerges` rounds. Returns the winning rules and the
     * final `(word, s, n)` table with every merge applied.
@@ -113,13 +120,7 @@ object Bpe {
     val spark = docs.sparkSession
     val (rules, words) = train(docs, textCol, nMerges)
     val rulesDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(rules, 1),
-      StructType(Seq(
-        StructField("rank", IntegerType, nullable = false),
-        StructField("lhs", StringType, nullable = false),
-        StructField("rhs", StringType, nullable = false),
-        StructField("merged", StringType, nullable = false),
-        StructField("n", LongType, nullable = false))))
+      spark.sparkContext.parallelize(rules, 1), rulesSchema)
     (rulesDf, words.localCheckpoint())
   }
 
@@ -145,18 +146,23 @@ object Bpe {
 
   /** Per-document token economics under an already-trained vocabulary
     * (`(word, s, n)` from [[trainShared]]):
-    * `(doc_id, n_words, n_chars, n_bpe, compression)` where `n_bpe`
-    * is the document's symbol count after the merges and
+    * `(doc_id, n_words, n_chars, n_bpe, n_oov, compression)` where
+    * `n_bpe` is the document's symbol count after the merges and
     * `compression = n_chars / n_bpe` (what a token-budget planner
     * actually needs from a tokenizer). The per-word symbol count is
     * computed ONCE on the vocabulary table; the corpus word stream
-    * equi-joins it — tokenization never re-runs per occurrence.
+    * LEFT-joins it — tokenization never re-runs per occurrence, and a
+    * word absent from the training vocabulary (scoring a DIFFERENT
+    * corpus than the one trained on) does not silently vanish: it
+    * falls back to its per-character symbol count (the zero-merge
+    * upper bound a byte/char-level tokenizer would pay) and is tallied
+    * in `n_oov`, so token economics stay conservative and the OOV rate
+    * is visible instead of an invisible undercount.
     *
     * Contract: a document contributes a row only if it has at least
-    * one in-vocabulary word — empty texts and documents whose every
-    * word hits the `<`/`>` sentinel guard emit nothing (the same
-    * emit-nothing convention as `refPerplexityBuckets` for
-    * transition-free docs).
+    * one word passing the `<`/`>` sentinel guard — empty texts and
+    * all-sentinel documents emit nothing (the same emit-nothing
+    * convention as `refPerplexityBuckets` for transition-free docs).
     */
   def tokenCountsWith(docs: DataFrame, idCol: String, textCol: String,
                       trainedWords: DataFrame): DataFrame = {
@@ -165,11 +171,13 @@ object Bpe {
     docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("word"))
       .filter(wordOk)
-      .join(vocab, Seq("word"))
+      .join(vocab, Seq("word"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word"))).as("n_chars"),
-        sum(col("_nsym")).as("n_bpe"))
+        sum(coalesce(col("_nsym"), length(col("word")).cast("long")))
+          .as("n_bpe"),
+        sum(col("_nsym").isNull.cast("long")).as("n_oov"))
       .withColumn("compression",
         round(col("n_chars").cast("double") / col("n_bpe"), 4))
   }
@@ -234,13 +242,16 @@ object Bpe {
          |      FROM w$nMerges),
          |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
          |        FROM documents),
-         |j AS (SELECT t.doc_id, t.word, v.nsym
-         |      FROM tok t JOIN v USING (word)
+         |j AS (SELECT t.doc_id, t.word,
+         |             COALESCE(v.nsym, len(t.word)) AS nsym,
+         |             CASE WHEN v.nsym IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM tok t LEFT JOIN v USING (word)
          |      WHERE t.word <> '' AND NOT contains(t.word, '<')
          |        AND NOT contains(t.word, '>'))
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
          |       CAST(SUM(len(word)) AS BIGINT) AS n_chars,
          |       CAST(SUM(nsym) AS BIGINT) AS n_bpe,
+         |       CAST(SUM(oov) AS BIGINT) AS n_oov,
          |       ROUND(CAST(SUM(len(word)) AS DOUBLE) / SUM(nsym), 4)
          |         AS compression
          |FROM j GROUP BY 1""".stripMargin

@@ -556,15 +556,27 @@ object Dedup {
 
   /** Benchmark DECONTAMINATION — the removal face of [[contamination]]
     * (which only measures): strip from every document each
-    * `chunkTokens`-token chunk that appears verbatim anywhere in the
-    * benchmark/eval corpus, reassembling the survivors in order —
-    * eval answers cannot leak into training text they no longer
-    * appear in. Output: (id, text_clean, n_chunks, n_removed).
+    * `chunkTokens`-token chunk whose exact text appears at ANY token
+    * offset in the benchmark/eval corpus, reassembling the survivors
+    * in order. Output: (id, text_clean, n_chunks, n_removed).
     *
-    * Scale: the benchmark chunk set derives from the EVAL corpus —
-    * orders of magnitude smaller than training data by nature — so it
-    * is explicitly broadcast (same contract [[contamination]] pins for
-    * its shingle set) and the anti-join is map-side: the corpus-sized
+    * Membership is alignment-free on the BENCH side: the set holds
+    * every `chunkTokens`-token sliding window of the benchmark (the
+    * [[substrDupSpans]] gram construction) plus the benchmark's own
+    * non-overlapping chunk stream (which adds sub-`chunkTokens` tails
+    * and short docs). A benchmark passage of ≥ 2·chunkTokens−1 tokens
+    * occurring at any offset in a training doc therefore always covers
+    * at least one aligned training chunk, and that chunk matches a
+    * bench window — so no verbatim leak of that length survives
+    * regardless of where it lands in the training text. (Training
+    * chunks themselves stay non-overlapping: granularity below
+    * chunkTokens is [[contamination]]'s measuring job, not removal's.)
+    *
+    * Scale: the benchmark set derives from the EVAL corpus — orders of
+    * magnitude smaller than training data by nature — so the
+    * ~chunkTokens× sliding-window blow-up is free and the set is
+    * explicitly broadcast (same contract [[contamination]] pins for
+    * its shingle set); the anti-join is map-side: the corpus-sized
     * chunk stream never shuffles for the membership test, only for
     * the per-doc reassembly.
     */
@@ -572,9 +584,16 @@ object Dedup {
                     bench: DataFrame, benchIdCol: String,
                     benchTextCol: String, chunkTokens: Int = 6): DataFrame = {
     val chunks = chunkStream(docs, idCol, textCol, chunkTokens)
+    val benchGrams = bench
+      .withColumn("_toks", split(col(benchTextCol), " "))
+      .filter(size(col("_toks")) >= chunkTokens)
+      .select(explode(expr(
+        s"transform(sequence(1, size(_toks) - ${chunkTokens - 1}), " +
+          s"i -> concat_ws(' ', slice(_toks, i, $chunkTokens)))")).as("_chunk"))
     val benchChunks = broadcast(
       chunkStream(bench, benchIdCol, benchTextCol, chunkTokens)
-        .select(col("_chunk")).distinct())
+        .select(col("_chunk"))
+        .unionByName(benchGrams).distinct())
     reassembled(chunks, chunks.join(benchChunks, Seq("_chunk"), "left_anti"),
       idCol, "text_clean")
   }
@@ -593,9 +612,16 @@ object Dedup {
     * back; the draw is a narrow codegen'd projection. Repartition-
     * invariant and engine-replayable (pure function of ids).
     * Output: `(id, cluster, n_members, weight, kept)`.
+    *
+    * The default salt is function-specific ("softDedup"), NOT the
+    * empty string: `hashDraw(id, "")` is the identical draw
+    * [[Sampling.hashSample]]/[[Sampling.splitAssign]] make on the same
+    * key with THEIR defaults, so an empty default would perfectly
+    * correlate keep decisions with any other default-salted sampler in
+    * the same pipeline — the exact coupling salting exists to prevent.
     */
   def softDedup(clusters: DataFrame, idCol: String, clusterCol: String,
-                salt: String = ""): DataFrame = {
+                salt: String = "softDedup"): DataFrame = {
     val sizes = clusters.groupBy(col(clusterCol))
       .agg(count(lit(1)).as("n_members"))
     clusters.join(sizes, Seq(clusterCol))

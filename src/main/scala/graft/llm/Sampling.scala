@@ -245,18 +245,23 @@ object Sampling {
   /** Token-budget MIXTURE PLAN (the Dolma/Pile mixing calculator):
     * given target mixture `weights` per source and a total token
     * `budget`, compute for each source how many tokens the corpus
-    * offers, how many the mixture wants, the resulting sampling rate
-    * (an epoch count when > 1), and whether the source can meet its
-    * target under the `maxEpochs` repetition cap — the planning table
-    * a pretraining run derives its per-source sample rates from
-    * (feed `rate` into [[mixStrata]] / [[upsample]] to realize it).
+    * offers, how many the mixture wants, the realizable sampling rate
+    * (an epoch count when > 1, CAPPED at `maxEpochs` — feed it
+    * directly into [[mixStrata]] / [[upsample]] / [[realizeMixture]]'s
+    * construction, no further clamping needed), and whether the source
+    * can meet its target under the repetition cap.
     *
-    * All targets are integer token counts via `floor` and the rate is
-    * rounded, so the plan is a pure, engine-replayable function of
-    * the corpus and the knobs. One aggregation over the corpus; the
-    * weights ride a broadcast literal map. Output: `(source, n_docs,
-    * avail_tokens, weight, target_tokens, rate, epochs,
-    * planned_tokens, deficit)`.
+    * Weights are normalized ONCE here, in Scala, by their key-sorted
+    * sum (`weight` in the output is the normalized mixture share), so
+    * an external replay never re-derives the floating-point weight sum
+    * — summation order and a near-1.0 total would otherwise make
+    * `floor()` boundaries engine-dependent. All targets are integer
+    * token counts via `floor` and the rate is the exact double
+    * division, NOT rounded: at real corpus scale a big source's rate
+    * can be < 1e-6 and a 6-digit round would zero it. One aggregation
+    * over the corpus; the weights ride a broadcast literal map.
+    * Output: `(source, n_docs, avail_tokens, weight, target_tokens,
+    * rate, epochs, planned_tokens, deficit)`.
     */
   def mixturePlan(docs: DataFrame, sourceCol: String, textCol: String,
                   weights: Map[String, Double], budget: Long,
@@ -264,12 +269,16 @@ object Sampling {
     require(weights.values.forall(_ >= 0.0) && weights.values.sum > 0.0,
       "weights must be non-negative with a positive sum")
     require(budget > 0 && maxEpochs >= 1, "need a positive budget and cap")
-    val wsum = weights.values.sum
+    // key-sorted sum: Map iteration order is insertion-dependent past
+    // 4 entries and double addition is not associative
+    val sorted = weights.toSeq.sortBy(_._1)
+    val wsum = sorted.map(_._2).sum
     // full outer against the weight table: a weighted source with NO
     // documents is the most extreme deficit there is and must appear
     // as a (0 avail, deficit=1) row, not silently vanish
     val w = docs.sparkSession
-      .createDataFrame(weights.toSeq.sortBy(_._1)).toDF("source", "weight")
+      .createDataFrame(sorted.map { case (k, v) => (k, v / wsum) })
+      .toDF("source", "weight")
     docs.select(col(sourceCol).as("source"),
         size(split(col(textCol), " ")).cast("long").as("_tok"))
       .groupBy(col("source"))
@@ -280,12 +289,10 @@ object Sampling {
         coalesce(col("avail_tokens"), lit(0L)).as("avail_tokens"),
         coalesce(col("weight"), lit(0.0)).as("weight"))
       .withColumn("target_tokens",
-        floor(col("weight") * lit(budget) / lit(wsum)).cast("long"))
-      // exact double division, NOT rounded: at real corpus scale a
-      // big source's rate can be < 1e-6 and a 6-digit round would
-      // zero it (epochs 0, 100% under-realization, deficit unset)
+        floor(col("weight") * lit(budget)).cast("long"))
       .withColumn("rate", when(col("avail_tokens") > 0,
-        col("target_tokens").cast("double") / col("avail_tokens"))
+        least(col("target_tokens").cast("double") / col("avail_tokens"),
+          lit(maxEpochs.toDouble)))
         .otherwise(lit(0.0)))
       .withColumn("epochs", when(col("avail_tokens") > 0,
         least(ceil(col("rate")), lit(maxEpochs.toLong)))
@@ -314,9 +321,7 @@ object Sampling {
                      salt: String = ""): DataFrame = {
     val plan = mixturePlan(docs, sourceCol, textCol, weights, budget,
         maxEpochs)
-      .select(col("source"),
-        least(col("rate"), lit(maxEpochs.toDouble)).as("_r"),
-        col("planned_tokens"))
+      .select(col("source"), col("rate").as("_r"), col("planned_tokens"))
     val realized = docs
       .select(col(idCol).as("_id"), col(sourceCol).as("source"),
         size(split(col(textCol), " ")).cast("long").as("_tok"))

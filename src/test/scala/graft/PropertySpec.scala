@@ -122,7 +122,7 @@ object PropertySpec extends Properties("graft") {
       out.forall { case (_, _, avail, _, target, rate, epochs, planned, deficit) =>
         planned <= target && planned <= avail * 3 &&
           (deficit == 1) == (target > planned) &&
-          epochs <= 3 && rate >= 0.0
+          epochs <= 3 && rate >= 0.0 && rate <= 3.0
       } && out.map(_._5).sum <= budget
     }
 
@@ -138,10 +138,11 @@ object PropertySpec extends Properties("graft") {
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
       val out = graft.llm.Bpe.tokenCounts(docs, "doc_id", "text", nMerges = 3)
-        .as[(Long, Long, Long, Long, Double)].collect()
+        .as[(Long, Long, Long, Long, Long, Double)].collect()
       out.length == texts.size &&
-        out.forall { case (_, nWords, nChars, nBpe, comp) =>
-          nBpe >= nWords && nBpe <= nChars && comp >= 1.0
+        out.forall { case (_, nWords, nChars, nBpe, nOov, comp) =>
+          // scoring the training corpus itself: every word in-vocab
+          nBpe >= nWords && nBpe <= nChars && nOov == 0 && comp >= 1.0
         }
     }
 }

@@ -38,10 +38,22 @@ class BpeSpec extends SparkSpec {
     // after 4 merges (lo, low, lowe, lower): low=1 sym, lower=1 sym,
     // lowest=<lowe><s><t>=3 syms
     val out = Bpe.tokenCounts(docs, "doc_id", "text", nMerges = 4)
-      .as[(Long, Long, Long, Long, Double)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
-    assert(out(1L) === ((3L, 9L, 3L, 3.0)))
-    assert(out(2L) === ((2L, 11L, 4L, 2.75)))
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) === ((3L, 9L, 3L, 0L, 3.0)))
+    assert(out(2L) === ((2L, 11L, 4L, 0L, 2.75)))
+  }
+
+  test("tokenCountsWith on a DIFFERENT corpus: OOV words fall back to char count") {
+    val trainDocs = Seq((1L, "low low low"), (2L, "lower lowest"))
+      .toDF("doc_id", "text")
+    val (_, words) = Bpe.trainShared(trainDocs, "text", nMerges = 4)
+    // "zzz" is out-of-vocabulary: counts 3 symbols (its chars) and is
+    // tallied in n_oov instead of silently vanishing from the sums
+    val score = Seq((10L, "low zzz")).toDF("doc_id", "text")
+    val out = Bpe.tokenCountsWith(score, "doc_id", "text", words)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((10L, 2L, 6L, 4L, 1L, 1.5)))
   }
 
   test("stops early when every word is a single symbol") {

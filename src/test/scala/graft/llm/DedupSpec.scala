@@ -248,14 +248,22 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
-  test("decontaminate strips exactly the benchmark's chunks from training docs") {
+  test("decontaminate strips benchmark passages at ANY training offset") {
     val leak = "q1 q2 q3 q4 q5 q6"
-    val bench = Seq(100L -> s"$leak ans1 ans2").toDF("doc_id", "text")
+    // 11-token bench text (2·6−1): long enough that a verbatim copy
+    // at any training offset fully covers one aligned training chunk
+    val bench = Seq(100L -> s"$leak ans1 ans2 ans3 ans4 ans5")
+      .toDF("doc_id", "text")
     val train = Seq(
       // contains the leaked chunk, chunk-aligned → stripped
       1L -> s"$leak t1 t2 t3 t4 t5 t6",
       // clean doc → untouched
-      2L -> "u1 u2 u3 u4 u5 u6 u7"
+      2L -> "u1 u2 u3 u4 u5 u6 u7",
+      // the full bench text at a NON-chunk-aligned offset (3 tokens
+      // in): its covering aligned chunk is "q4 q5 q6 ans1 ans2 ans3"
+      // — a sliding bench window but NOT an aligned bench chunk, so
+      // the pre-fix chunk-vs-chunk membership removed nothing here
+      3L -> s"x1 x2 x3 $leak ans1 ans2 ans3 ans4 ans5 y1 y2 y3 y4"
     ).toDF("doc_id", "text")
     val out = Dedup.decontaminate(train, "doc_id", "text",
         bench, "doc_id", "text")
@@ -263,8 +271,32 @@ class DedupSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(out(1L) == (("t1 t2 t3 t4 t5 t6", 2L, 1L)))
     assert(out(2L) == (("u1 u2 u3 u4 u5 u6 u7", 2L, 0L)))
-    // bench docs themselves are not in the output
-    assert(out.size == 2)
+    assert(out(3L)._3 >= 1L)
+    assert(!out(3L)._1.contains("q4 q5 q6 ans1 ans2 ans3"))
+    assert(out.size == 3)
+  }
+
+  test("decontaminate covering guarantee: ≥(2k−1)-token leak always loses a chunk") {
+    // bench passage of 11 tokens (2·6−1): wherever it lands in a
+    // training doc, one aligned 6-token training chunk falls entirely
+    // inside it and must match a sliding bench window
+    val passage = (1 to 11).map(i => s"p$i").mkString(" ")
+    val bench = Seq(100L -> passage).toDF("doc_id", "text")
+    val train = (0 to 7).map { off =>
+      val pre = (1 to off).map(i => s"a$i").mkString(" ")
+      val post = (1 to 9).map(i => s"z$i").mkString(" ")
+      (off.toLong, s"$pre $passage $post".trim)
+    }.toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, "doc_id", "text",
+        bench, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 8)
+    // every offset 0..7 loses at least one chunk, and the surviving
+    // text never contains the full passage
+    out.foreach { case (off, clean, _, removed) =>
+      assert(removed >= 1L, s"offset $off removed nothing")
+      assert(!clean.contains(passage), s"offset $off leaked the passage")
+    }
   }
 
   test("chunkDedup maxDocs raises the removal threshold") {

@@ -200,9 +200,10 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Long, Double, Int, Long, Int)]
       .collect().map(r => r._1 -> r).toMap
     assert(out.size === 4)
-    // A: 6 avail, target floor(.6*40)=24, rate 4.0, epochs capped 2,
+    // A: 6 avail, target floor(.6*40)=24, raw rate 4.0 CAPPED to the
+    //    epoch limit 2.0 (the emitted rate is directly realizable),
     //    planned min(24, 12)=12, deficit
-    assert(out("A") === (("A", 2L, 6L, 0.6, 24L, 4.0, 2, 12L, 1)))
+    assert(out("A") === (("A", 2L, 6L, 0.6, 24L, 2.0, 2, 12L, 1)))
     // B: 4 avail, target 8, rate 2.0, epochs 2, planned 8, no deficit
     assert(out("B") === (("B", 1L, 4L, 0.2, 8L, 2.0, 2, 8L, 0)))
     assert(out("C") === (("C", 1L, 2L, 0.0, 0L, 0.0, 0, 0L, 0)))
