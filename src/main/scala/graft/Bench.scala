@@ -119,8 +119,14 @@ object Bench {
     // cost is billed on the matching _shared:* line, not on them)
     val marginal = SparkEntry.sharedConsumers.values.flatten.toSeq
       .distinct.sorted.map(q => s""""$q"""").mkString("[", ",", "]")
+    // n_shared documents the "_shared:" key convention in-line: the
+    // queries object holds n_ok entries of which n_shared are synthetic
+    // shared-input attribution rows (keys prefixed "_shared:"), so a
+    // schema-aware consumer diffing per-query timings across rounds can
+    // exclude them instead of silently misreading n_ok as real queries
+    val nShared = ok.count(_._1.startsWith("_shared:"))
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_fail":${results.size - ok.size},"reps":$reps,"stat":"min","spread":$spread,"noisy":$noisy,"marginal":$marginal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${ok.size},"n_shared":$nShared,"n_fail":${results.size - ok.size},"reps":$reps,"stat":"min","spread":$spread,"noisy":$noisy,"marginal":$marginal,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       Files.writeString(Paths.get(p), line + "\n")
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the dense-vector dot product.
   *
@@ -389,6 +389,68 @@ object SignBandsMatrix {
   }
 }
 
+/** Codegen'd signature-agreement count: the number of positions where
+  * two `array<bigint>` MinHash signatures hold the same value — the
+  * estimator core of `est_jaccard = agree / numHashes`. The built-in
+  * route, `aggregate(zip_with(a, b, (x,y) -> if(x=y,1,0)), 0, _+_)`,
+  * is two CodegenFallback higher-order functions (one boxed lambda
+  * call per signature position, whole-stage span broken) — the exact
+  * interpreted-fold pattern [[ArrayDotProduct]] was built to replace
+  * for dot products, here for the dedup verify path
+  * ([[graft.llm.Dedup.minHashNearDup]] / `incrementalNearDup`).
+  *
+  * Null semantics match the HOF form for non-null elements; a null
+  * at either position contributes 0 (`x === y` is null → otherwise 0
+  * there, skipped here). Lengths may differ — the loop runs over the
+  * common prefix; the dedup callers always pass equal-width
+  * signatures.
+  */
+case class ArrayAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "array_agree"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)
+         |      && $a.getLong($i) == $b.getLong($i)) {
+         |    $c++;
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayAgreeCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** `Σ a[i]·b[i]` as a codegen'd column; inputs are cast to
     * array<double> (float vectors widen losslessly).
@@ -397,6 +459,14 @@ object VectorExprs {
     Bridge.column(ArrayDotProduct(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
+
+  /** Equal-position count of two bigint signature arrays
+    * ([[ArrayAgreeCount]]) as a codegen'd int column.
+    */
+  def agreeCount(a: Column, b: Column): Column =
+    Bridge.column(ArrayAgreeCount(
+      Bridge.expression(a.cast("array<bigint>")),
+      Bridge.expression(b.cast("array<bigint>"))))
 
   /** L2 norm via [[dot]]. */
   def l2Norm(a: Column): Column =

@@ -189,10 +189,9 @@ object Dedup {
     val sig0 = minHashSignatures(docs, idCol, textCol, n, numHashes)
     val sig = if (cacheSignatures) sig0.cache() else sig0
     val cands = lshCandidates(sig, idCol, bands, r, maxBucket)
-    val estEq = aggregate(
-      zip_with(col("_sa"), col("_sb"),
-        (x: Column, y: Column) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc: Column, v: Column) => acc + v)
+    // codegen'd agreement count — the HOF fold (aggregate ∘ zip_with)
+    // is CodegenFallback and was the verify stage's whole cost
+    val estEq = graft.functions.VectorExprs.agreeCount(col("_sa"), col("_sb"))
     cands
       .join(sig.toDF("id_a", "_sa"), Seq("id_a"))
       .join(sig.toDF("id_b", "_sb"), Seq("id_b"))
@@ -269,10 +268,8 @@ object Dedup {
       .toDF("id_stored", "band", "bucket")
     val cands = newBands.join(storedBands, Seq("band", "bucket"))
       .select(col("id_new"), col("id_stored")).distinct()
-    val estEq = aggregate(
-      zip_with(col("_sa"), col("_sb"),
-        (x: Column, y: Column) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc: Column, v: Column) => acc + v)
+    // codegen'd agreement count (ArrayAgreeCount) — see minHashNearDup
+    val estEq = graft.functions.VectorExprs.agreeCount(col("_sa"), col("_sb"))
     cands
       .join(newSigs.toDF("id_new", "_sa"), Seq("id_new"))
       .join(storedSigs.toDF("id_stored", "_sb"), Seq("id_stored"))
@@ -555,10 +552,17 @@ object Dedup {
   }
 
   /** Benchmark DECONTAMINATION — the removal face of [[contamination]]
-    * (which only measures): strip from every document each
+    * (which only measures): strip from every document each aligned
     * `chunkTokens`-token chunk whose exact text appears at ANY token
     * offset in the benchmark/eval corpus, reassembling the survivors
-    * in order. Output: (id, text_clean, n_chunks, n_removed).
+    * in order. The removal GUARANTEE is for verbatim benchmark
+    * passages of ≥ 2·chunkTokens−1 tokens: those cannot survive at
+    * any training-side offset (proof below). A shorter passage
+    * (chunkTokens..2·chunkTokens−2 tokens) landing misaligned across
+    * a training chunk boundary may survive, because no aligned
+    * training chunk falls fully inside it — that residual granularity
+    * is [[contamination]]'s measuring job, not removal's.
+    * Output: (id, text_clean, n_chunks, n_removed).
     *
     * Membership is alignment-free on the BENCH side: the set holds
     * every `chunkTokens`-token sliding window of the benchmark (the
@@ -569,8 +573,7 @@ object Dedup {
     * at least one aligned training chunk, and that chunk matches a
     * bench window — so no verbatim leak of that length survives
     * regardless of where it lands in the training text. (Training
-    * chunks themselves stay non-overlapping: granularity below
-    * chunkTokens is [[contamination]]'s measuring job, not removal's.)
+    * chunks themselves stay non-overlapping.)
     *
     * Scale: the benchmark set derives from the EVAL corpus — orders of
     * magnitude smaller than training data by nature — so the

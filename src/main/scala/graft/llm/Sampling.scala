@@ -262,6 +262,13 @@ object Sampling {
     * over the corpus; the weights ride a broadcast literal map.
     * Output: `(source, n_docs, avail_tokens, weight, target_tokens,
     * rate, epochs, planned_tokens, deficit)`.
+    *
+    * NOTE on column semantics (changed round 8): `weight` reports the
+    * NORMALIZED mixture share `v / Σw` — not the caller's raw weight
+    * (the API accepts weights that don't sum to 1) — and `rate` is
+    * emitted already CLAMPED to `maxEpochs`. `target_tokens` is
+    * `floor(normalized_weight · budget)`, which can differ by 1 token
+    * from a `floor(raw·budget/Σw)` replay at exact floor boundaries.
     */
   def mixturePlan(docs: DataFrame, sourceCol: String, textCol: String,
                   weights: Map[String, Double], budget: Long,

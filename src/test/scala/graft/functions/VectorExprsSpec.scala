@@ -138,6 +138,42 @@ class VectorExprsSpec extends SparkSpec {
     assert(all == Seq(1, 2, 0, 3))
   }
 
+  test("agreeCount matches the HOF agreement fold and handles prefix/null") {
+    val df = Seq(
+      (1L, Some(Array(1L, 2L, 3L, 4L)), Some(Array(1L, 9L, 3L, 4L))),   // 3 agree
+      (2L, Some(Array(5L, 5L)), Some(Array(5L, 5L))),                   // 2 agree
+      (3L, Some(Array(1L, 2L, 3L)), Some(Array(1L, 2L))),               // prefix: 2
+      (4L, None: Option[Array[Long]], Some(Array(1L))))                 // null → null
+      .toDF("id", "a", "b")
+    val hof = aggregate(
+      zip_with($"a", $"b",
+        (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+          when(x === y, 1).otherwise(0)),
+      lit(0), (acc: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) => acc + v)
+    val got = df.select($"id", VectorExprs.agreeCount($"a", $"b").as("c"), hof.as("h"))
+      .as[(Long, Option[Int], Option[Int])].collect()
+      .map { case (id, c, h) => id -> ((c, h)) }.toMap
+    assert(got(1L)._1.contains(3) && got(2L)._1.contains(2))
+    // equal-length rows: native == HOF
+    assert(got(1L)._1 == got(1L)._2 && got(2L)._1 == got(2L)._2)
+    assert(got(3L)._1.contains(2))
+    assert(got(4L)._1.isEmpty)
+  }
+
+  test("incrementalNearDup estimate stage stays whole-stage-codegen (no CodegenFallback)") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h"),
+      (3L, "x y z w q r s")).toDF("id", "text")
+    val batch = Seq((10L, "a b c d e f g"), (11L, "p q r s t u v"))
+      .toDF("id", "text")
+    val stored = graft.llm.Dedup.minHashSignatures(docs, "id", "text")
+    val q = graft.llm.Dedup.incrementalNearDup(batch, "id", "text", stored)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+    assert(plan.contains("array_agree"), plan)
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .contains((10L, 1L)))
+  }
+
   test("signBands packs one sign bit per plane per table; scale-invariant signs") {
     val planes = Array(
       Array(Array(1.0, 0.0), Array(0.0, 1.0)),    // table 0: 2 bits
