@@ -16,14 +16,33 @@ import org.apache.spark.sql.types._
   * for a web-scale corpus, regardless of how many petabytes produced
   * it). This is exactly how production tokenizer trainers work: pair
   * statistics are weighted by word frequency, never re-scanned from
-  * raw text. Each round is (a) one vocabulary-sized aggregation to
-  * count adjacent symbol pairs, (b) a `LIMIT 1` argmax
-  * (TakeOrderedAndProject — no global sort), (c) a narrow codegen'd
-  * string-replace projection applying the winning merge. The driver
-  * holds only the `nMerges` winning rules — one 1-row collect per
-  * round, never a vocabulary. Tokenizing the corpus afterwards is
-  * the same economics: per-word symbol counts come off the trained
-  * word table, and the corpus word stream just equi-joins it.
+  * raw text.
+  *
+  * The merge loop itself is HYBRID. When the vocabulary fits the
+  * driver (`maxDriverWords`, default 2M rows — a web-scale corpus's
+  * word table after frequency thresholding), the word table is
+  * collected ONCE and the `nMerges` rounds run as the classic
+  * in-memory trainer: exact pair counts in a hash map, incremental
+  * updates touching only the words that contain the winning pair,
+  * and a lazy-invalidation max-heap for the argmax — ~32k merges in
+  * tens of seconds instead of 32k Spark jobs (the per-round
+  * distributed loop pays one vocabulary-sized aggregation + LIMIT-1
+  * collect per merge, which is correct but unusable at production
+  * vocabulary sizes). The in-memory loop reproduces the distributed
+  * loop EXACTLY — same overlapping-adjacency pair counts, same
+  * frequency weighting, same (count desc, pair-string asc in UTF-8
+  * byte order) tie-break — so the DuckDB lockstep oracle replays
+  * either path verbatim (pinned by the BpeSpec parity gate).
+  *
+  * When the vocabulary exceeds `maxDriverWords`, training falls back
+  * to the distributed loop: each round is (a) one vocabulary-sized
+  * aggregation to count adjacent symbol pairs, (b) a `LIMIT 1`
+  * argmax (TakeOrderedAndProject — no global sort), (c) a narrow
+  * codegen'd string-replace projection applying the winning merge.
+  * The driver holds only the `nMerges` winning rules. Tokenizing the
+  * corpus afterwards is the same economics on either path: per-word
+  * symbol counts come off the trained word table, and the corpus
+  * word stream just equi-joins it.
   *
   * Symbol sequences ride as individually bracketed tokens
   * (`"word"` → `"<w><o><r><d>"`), so applying a merge is one
@@ -58,12 +77,21 @@ object Bpe {
     StructField("merged", StringType, nullable = false),
     StructField("n", LongType, nullable = false)))
 
-  /** Run the training loop: one corpus pass to the word-frequency
-    * table, then `nMerges` rounds. Returns the winning rules and the
-    * final `(word, s, n)` table with every merge applied.
+  /** Default driver-side vocabulary cap for the in-memory merge loop
+    * (~2M words ≈ a few hundred MB of symbol arrays — comfortably
+    * inside any production driver; above it the distributed loop
+    * takes over).
     */
-  private def train(docs: DataFrame, textCol: String,
-                    nMerges: Int): (Seq[Row], DataFrame) = {
+  val DefaultMaxDriverWords: Int = 2000000
+
+  /** Run the training loop: one corpus pass to the word-frequency
+    * table, then `nMerges` rounds — in-memory when the vocabulary
+    * fits `maxDriverWords`, distributed otherwise. Returns the
+    * winning rules and the final `(word, s, n)` table with every
+    * merge applied.
+    */
+  private def train(docs: DataFrame, textCol: String, nMerges: Int,
+                    maxDriverWords: Int): (Seq[Row], DataFrame) = {
     require(nMerges >= 1, "nMerges must be positive")
     // one corpus pass → vocabulary-sized (word, freq), as "<w><o><r><d>"
     val words0 = docs
@@ -75,6 +103,17 @@ object Bpe {
         lit(">")).as("s"), col("n"))
       .localCheckpoint()
 
+    if (words0.count() <= maxDriverWords) trainInMemory(words0, nMerges)
+    else trainDistributed(words0, nMerges)
+  }
+
+  /** Distributed merge loop: one pair-count aggregation + LIMIT-1
+    * argmax + codegen'd replace per round. The fallback for word
+    * tables beyond driver memory — correct at any vocabulary size,
+    * but pays one Spark job per merge.
+    */
+  private def trainDistributed(words0: DataFrame,
+                               nMerges: Int): (Seq[Row], DataFrame) = {
     var words = words0
     val rules = Seq.newBuilder[Row]
     var r = 1
@@ -110,15 +149,210 @@ object Bpe {
     (rules.result(), words)
   }
 
+  /** UTF-8 byte-order comparison — Spark orders strings by the binary
+    * UTF-8 encoding (UTF8String.compareTo), which differs from Java's
+    * UTF-16 `String.compareTo` for supplementary characters; the
+    * in-memory argmax tie-break must match the distributed
+    * `orderBy(pr)` exactly.
+    */
+  private def compareUtf8(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Heap entry: pair count at push time + the pair string's UTF-8
+    * bytes for the tie-break. Entries are never updated — a stale
+    * entry (count changed since push) is detected and discarded at
+    * pop time by comparing against the live count (lazy
+    * invalidation).
+    */
+  private final class PairEntry(val cnt: Long, val key: Array[Byte],
+                                val pair: Long)
+
+  /** Classic in-memory BPE merge loop over a collected word table —
+    * the production trainer path. Symbols are interned to ints; each
+    * round pops the live (count desc, pair asc) max off a lazy-
+    * invalidation heap, then updates ONLY the words containing the
+    * winning pair: their old adjacencies are decremented, the greedy
+    * left-to-right merge applied, new adjacencies incremented, and
+    * every changed pair re-pushed at its new count. The occurrence
+    * index (pair → word ids) may hold stale entries — each is
+    * verified against the word's current symbols before processing —
+    * and only ever GAINS entries for pairs involving the freshly
+    * merged symbol, which is sound because a merge can only create
+    * adjacencies involving that symbol.
+    *
+    * Semantics are pinned to [[trainDistributed]]: overlapping
+    * adjacency counts (a word `aaa` holds two `(a,a)` pairs),
+    * frequency weighting, greedy non-overlapping replace, ties on
+    * the UTF-8 byte order of `"lhs rhs"`.
+    */
+  private def trainInMemory(words0: DataFrame,
+                            nMerges: Int): (Seq[Row], DataFrame) = {
+    import scala.collection.mutable
+    val spark = words0.sparkSession
+    val collected = words0.select(col("word"), col("s"), col("n")).collect()
+    val nW = collected.length
+
+    val symIds = mutable.HashMap.empty[String, Int]
+    val syms = mutable.ArrayBuffer.empty[String]
+    def intern(t: String): Int =
+      symIds.getOrElseUpdate(t, { syms += t; syms.length - 1 })
+
+    // parse Spark's own bracketed form rather than re-splitting the
+    // word in the driver: character segmentation stays defined by ONE
+    // engine (split(word, '') on the executor), so both paths and the
+    // oracle agree on what a "character" is
+    val wordSyms = new Array[Array[Int]](nW)
+    val freqs = new Array[Long](nW)
+    var w = 0
+    while (w < nW) {
+      val s = collected(w).getString(1)
+      wordSyms(w) =
+        if (s.length <= 2) Array.emptyIntArray
+        else s.substring(1, s.length - 1).split("><", -1).map(intern)
+      freqs(w) = collected(w).getLong(2)
+      w += 1
+    }
+
+    def pk(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
+    def keyOf(p: Long): Array[Byte] = {
+      val l = syms((p >>> 32).toInt)
+      val r = syms((p & 0xffffffffL).toInt)
+      (l + " " + r).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val counts = mutable.HashMap.empty[Long, Long]
+    val occs = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Int]]
+    def addOcc(p: Long, w: Int): Unit =
+      occs.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int]) += w
+
+    w = 0
+    while (w < nW) {
+      val a = wordSyms(w); val f = freqs(w)
+      val seen = mutable.HashSet.empty[Long]
+      var i = 0
+      while (i < a.length - 1) {
+        val p = pk(a(i), a(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + f
+        if (seen.add(p)) addOcc(p, w)
+        i += 1
+      }
+      w += 1
+    }
+
+    val cmp = new java.util.Comparator[PairEntry] {
+      override def compare(x: PairEntry, y: PairEntry): Int = {
+        if (x.cnt != y.cnt) java.lang.Long.compare(y.cnt, x.cnt)
+        else compareUtf8(x.key, y.key)
+      }
+    }
+    val heap = new java.util.PriorityQueue[PairEntry](
+      math.max(16, counts.size), cmp)
+    counts.foreach { case (p, c) => heap.add(new PairEntry(c, keyOf(p), p)) }
+
+    val rules = Seq.newBuilder[Row]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      var winner: PairEntry = null
+      while (winner == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (e.cnt > 0 && counts.getOrElse(e.pair, 0L) == e.cnt) winner = e
+      }
+      if (winner == null) done = true
+      else {
+        val p = winner.pair
+        val li = (p >>> 32).toInt; val ri = (p & 0xffffffffL).toInt
+        val ls = syms(li); val rs = syms(ri)
+        val mi = intern(ls + rs)
+        rules += Row(rank, ls, rs, ls + rs, winner.cnt)
+        val changed = mutable.HashSet.empty[Long]
+        val list = occs.remove(p).getOrElse(mutable.ArrayBuffer.empty[Int])
+        val processed = mutable.HashSet.empty[Int]
+        list.foreach { w =>
+          if (processed.add(w)) {
+            val a = wordSyms(w)
+            var hit = false
+            var i = 0
+            while (!hit && i < a.length - 1) {
+              if (a(i) == li && a(i + 1) == ri) hit = true
+              i += 1
+            }
+            if (hit) {
+              val f = freqs(w)
+              i = 0
+              while (i < a.length - 1) {
+                val q = pk(a(i), a(i + 1))
+                val nc = counts(q) - f
+                if (nc == 0L) counts.remove(q) else counts(q) = nc
+                changed += q
+                i += 1
+              }
+              // greedy left-to-right non-overlapping merge (the
+              // replace("<l><r>", "<lr>") semantics)
+              val b = mutable.ArrayBuilder.make[Int]
+              i = 0
+              while (i < a.length) {
+                if (i < a.length - 1 && a(i) == li && a(i + 1) == ri) {
+                  b += mi; i += 2
+                } else { b += a(i); i += 1 }
+              }
+              val na = b.result()
+              wordSyms(w) = na
+              val seen = mutable.HashSet.empty[Long]
+              i = 0
+              while (i < na.length - 1) {
+                val q = pk(na(i), na(i + 1))
+                counts(q) = counts.getOrElse(q, 0L) + f
+                changed += q
+                if ((na(i) == mi || na(i + 1) == mi) && seen.add(q))
+                  addOcc(q, w)
+                i += 1
+              }
+            }
+          }
+        }
+        changed -= p
+        changed.foreach { q =>
+          val c = counts.getOrElse(q, 0L)
+          if (c > 0) heap.add(new PairEntry(c, keyOf(q), q))
+        }
+        rank += 1
+      }
+    }
+
+    val outRows: Seq[Row] = (0 until nW).map { w =>
+      val sb = new java.lang.StringBuilder
+      wordSyms(w).foreach(id => sb.append('<').append(syms(id)).append('>'))
+      Row(collected(w).getString(0), sb.toString, freqs(w))
+    }
+    val wordsSchema = StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("s", StringType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, nW / 20000 + 1))
+    val wordsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows, slices), wordsSchema)
+    (rules.result(), wordsDf)
+  }
+
   /** Train once, share twice: the merge-rule table AND the fully-
     * merged `(word, s, n)` vocabulary as DataFrames (the words frame
     * localCheckpointed so both consumers — and a memoizing caller —
     * reuse the materialized result instead of re-training).
     */
-  def trainShared(docs: DataFrame, textCol: String,
-                  nMerges: Int): (DataFrame, DataFrame) = {
+  def trainShared(docs: DataFrame, textCol: String, nMerges: Int,
+                  maxDriverWords: Int = DefaultMaxDriverWords)
+      : (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    val (rules, words) = train(docs, textCol, nMerges)
+    val (rules, words) = train(docs, textCol, nMerges, maxDriverWords)
     val rulesDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rules, 1), rulesSchema)
     (rulesDf, words.localCheckpoint())
@@ -130,9 +364,9 @@ object Bpe {
     * occurrence count of the pair at the time it won. Stops early if
     * every word has collapsed to a single symbol.
     */
-  def learnMerges(docs: DataFrame, textCol: String,
-                  nMerges: Int): DataFrame =
-    trainShared(docs, textCol, nMerges)._1
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                  maxDriverWords: Int = DefaultMaxDriverWords): DataFrame =
+    trainShared(docs, textCol, nMerges, maxDriverWords)._1
 
   /** Tokenize the corpus under a freshly-trained `nMerges`-rule BPE
     * vocabulary ([[tokenCountsWith]] over [[trainShared]]'s words —

@@ -1,0 +1,70 @@
+package graft.tools
+
+import graft.Sessions
+import graft.llm.Bpe
+import org.apache.spark.sql.functions._
+
+/** Production-vocabulary BPE training benchmark: synthesizes a
+  * deterministic large-vocabulary corpus (the `documents` test table
+  * holds only 31 distinct words — useless for trainer throughput) and
+  * times the hybrid trainer at a real tokenizer-training
+  * configuration (32k merges), plus the distributed fallback loop at
+  * a small merge count for the per-merge cost comparison that
+  * motivates the hybrid design.
+  *
+  * Corpus shape: `nWords` distinct words (seeded Random, lengths
+  * 4–14 over a–z so the trainer sees realistic prefix/suffix
+  * sharing), Zipf-ish frequencies `min(cap, nWords/(rank+1))`. Word
+  * frequency is realized by `array_repeat` on the EXECUTORS, so the
+  * driver only holds the word list and the corpus pass is a genuine
+  * distributed scan.
+  *
+  * Usage: runMain graft.tools.BpeTrainBench [nWords] [nMerges]
+  */
+object BpeTrainBench {
+  def main(args: Array[String]): Unit = {
+    val nWords = args.headOption.map(_.toInt).getOrElse(200000)
+    val nMerges = args.drop(1).headOption.map(_.toInt).getOrElse(32768)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val spark = Sessions.tune(Sessions.builder(cpus, "graft-bpe-bench").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val rng = new scala.util.Random(42)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    while (seen.size < nWords) {
+      val len = 4 + rng.nextInt(11)
+      seen += Array.fill(len)(('a' + rng.nextInt(26)).toChar).mkString
+    }
+    val words = seen.toSeq.sorted.zipWithIndex.map { case (w, i) =>
+      (w, math.max(1L, math.min(10000L, nWords.toLong / (i + 1))))
+    }
+    val docs = words.toDF("word", "freq")
+      .repartition(cpus * 2)
+      .select(array_join(array_repeat(col("word"),
+        col("freq").cast("int")), " ").as("text"))
+      .localCheckpoint()
+    println(s"corpus: ${docs.count()} docs, $nWords distinct words")
+
+    // hybrid (in-memory) path at the production merge count
+    val t0 = System.nanoTime()
+    val (rules, wordsOut) = Bpe.trainShared(docs, "text", nMerges)
+    val nRules = rules.count()
+    val nVocabRows = wordsOut.count()
+    val hybridSec = (System.nanoTime() - t0) / 1e9
+    println(f"hybrid: $nRules rules in $hybridSec%.1f s " +
+      f"(${nRules / hybridSec}%.0f merges/s), $nVocabRows vocab rows")
+
+    // distributed fallback at a small count → per-merge job cost
+    val distMerges = 64
+    val t1 = System.nanoTime()
+    val nDist = Bpe.learnMerges(docs, "text", distMerges,
+      maxDriverWords = 0).count()
+    val distSec = (System.nanoTime() - t1) / 1e9
+    val perMerge = distSec / math.max(1L, nDist)
+    println(f"distributed: $nDist rules in $distSec%.1f s " +
+      f"($perMerge%.2f s/merge -> ${perMerge * nMerges / 60}%.0f min " +
+      f"extrapolated for $nMerges merges)")
+    spark.stop()
+  }
+}

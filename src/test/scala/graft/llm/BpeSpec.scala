@@ -63,4 +63,37 @@ class BpeSpec extends SparkSpec {
     // only 2 merges exist: (a,b) n=2 then (c,d) n=1 — then exhaustion
     assert(m.toSeq === Seq((1, "a", "b", "ab", 2L), (2, "c", "d", "cd", 1L)))
   }
+
+  test("hybrid parity: in-memory trainer reproduces the distributed loop exactly") {
+    // sf0.001 documents: real corpus with ties, runs, and shared
+    // prefixes — the parity gate for the production in-memory path
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // maxDriverWords = 0 forces the distributed fallback
+    val dist = Bpe.trainShared(docs, "text", nMerges = 12, maxDriverWords = 0)
+    val mem = Bpe.trainShared(docs, "text", nMerges = 12)
+    val dr = dist._1.as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    val mr = mem._1.as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(mr.toSeq === dr.toSeq)
+    // the fully-merged word tables agree row-for-row
+    val dw = dist._2.as[(String, String, Long)].collect().sortBy(_._1)
+    val mw = mem._2.as[(String, String, Long)].collect().sortBy(_._1)
+    assert(mw.toSeq === dw.toSeq)
+    // winner counts are non-increasing: a merge's new pairs are bounded
+    // by the winning count, so a violation means the heap served stale
+    assert(mr.map(_._5).toSeq == mr.map(_._5).toSeq.sorted.reverse)
+  }
+
+  test("in-memory trainer handles merge-path symbol collisions (a+bc vs ab+c)") {
+    // freq structure forces "a bc" and "ab c" to both form "abc":
+    // intern() must reuse the same symbol id and adjacency bookkeeping
+    // must stay exact — parity with the distributed string replace
+    val docs = Seq(
+      (1L, "bc bc bc bc abc abc ab ab ab xabcy xabcy"),
+      (2L, "abc ab bc xabcy")).toDF("doc_id", "text")
+    val dist = Bpe.learnMerges(docs, "text", nMerges = 8, maxDriverWords = 0)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    val mem = Bpe.learnMerges(docs, "text", nMerges = 8)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(mem.toSeq === dist.toSeq)
+  }
 }
