@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DecimalType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the dense-vector dot product.
   *
@@ -389,6 +389,62 @@ object SignBandsMatrix {
   }
 }
 
+/** Codegen'd mixed-precision dot product `Σ a[i]·q[i]` of a double
+  * vector against an int8-quantized vector (`array<tinyint>`), the
+  * serve-time rescoring core of a quantized IVF index: the stored
+  * corpus vector stays int8 (4× smaller lists, 4× less scan
+  * bandwidth) and the score is reconstructed in double as
+  * `dot · scale / 127` WITHOUT materializing a dequantized array per
+  * pair — the `transform(q, x -> x*scale/127)` route would be an
+  * interpreted HOF allocating a fresh array per candidate.
+  *
+  * Null semantics match [[ArrayDotProduct]]: null array → null, null
+  * elements contribute 0, common-prefix length.
+  */
+case class ArrayInt8DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ByteType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "array_int8_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getByte(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += $a.getDouble($i) * $b.getByte($i);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayInt8DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd signature-agreement count: the number of positions where
   * two `array<bigint>` MinHash signatures hold the same value — the
   * estimator core of `est_jaccard = agree / numHashes`. The built-in
@@ -459,6 +515,15 @@ object VectorExprs {
     Bridge.column(ArrayDotProduct(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
+
+  /** `Σ a[i]·q[i]` of a double vector against an int8 vector
+    * ([[ArrayInt8DotProduct]]); the caller applies the `scale/127`
+    * reconstruction factor.
+    */
+  def dotInt8(a: Column, q: Column): Column =
+    Bridge.column(ArrayInt8DotProduct(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(q)))
 
   /** Equal-position count of two bigint signature arrays
     * ([[ArrayAgreeCount]]) as a codegen'd int column.

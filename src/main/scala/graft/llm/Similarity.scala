@@ -682,12 +682,20 @@ object Similarity {
     * distinct cells.
     */
   private def rankIvfPairs(probes: DataFrame, lists: DataFrame, k: Int,
-                           excludeSelf: Boolean): DataFrame = {
+                           excludeSelf: Boolean,
+                           quantized: Boolean = false): DataFrame = {
     val par = probes.sparkSession.sparkContext.defaultParallelism
     val paired = probes.join(lists, Seq("_c1", "_c2"))
+    // quantized lists: rescore in double from the stored int8 vector —
+    // one codegen'd mixed-precision dot per pair, scale applied once
+    val score =
+      if (quantized)
+        round(graft.functions.VectorExprs.dotInt8(col("_ua"), col("_qb")) *
+          col("_sb") / 127.0, 4)
+      else round(doubleDot(col("_ua"), col("_ub")), 4)
     val cos = (if (excludeSelf) paired.filter(col("id_a") =!= col("id_b"))
                else paired)
-      .withColumn("cos", round(doubleDot(col("_ua"), col("_ub")), 4))
+      .withColumn("cos", score)
       .select(col("id_a"), col("id_b"), col("cos"))
     // explicit spread before the rank window: the pair frame is
     // small-bytes/CPU-dense, so AQE's byte-based coalescing funnels
@@ -723,12 +731,22 @@ object Similarity {
     * query batches hit [[searchIvfIndex]] without ever re-scanning or
     * re-clustering the corpus. The lists are corpus-sized by nature
     * (they ARE the corpus, cell-keyed) — at 100 TB they live where the
-    * corpus lives; int8 quantization ([[quantizeInt8]]) is the
-    * storage-compression extension point.
+    * corpus lives, and `quantized = true` (the default) stores them
+    * INT8 (per-vector symmetric scale, the [[quantizeInt8]] codec): a
+    * 4× cut in index bytes and serve-scan bandwidth on exactly the
+    * corpus-sized half of the index. Serve-time scoring reconstructs
+    * the dot in double (`dot(query, q8) · scale / 127`, one codegen'd
+    * mixed-precision expression per candidate — no dequantized array
+    * is ever materialized), bounding per-pair cosine error by
+    * `Σ|q_i|·(scale/254) ≤ √dims/254` of unit-vector mass, far inside
+    * ANN ranking noise (SimilaritySpec pins the bound and the recall
+    * gates pin EQUAL). The layout is recorded in meta.json —
+    * [[searchIvfIndex]] detects it, so old float indexes keep
+    * serving.
     */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, nCentroids: Int = -1, maxIter: Int = 1,
-                    seed: Long = 42L): Unit = {
+                    seed: Long = 42L, quantized: Boolean = true): Unit = {
     val unit = normalizedVecs(corpus, idCol, idCol, vecCol)
     val idx = trainIvfIndex(unit, idCol, nCentroids, maxIter, seed)
     val sess = corpus.sparkSession
@@ -737,6 +755,21 @@ object Similarity {
       .map { case (v, i) => (i, v.toSeq) }.toDF("_c1", "_c1v")
       .write.mode("overwrite").parquet(s"$path/l1")
     idx.l2.foreach(_.write.mode("overwrite").parquet(s"$path/l2"))
+    // int8 storage codec (build-once cost, interpreted HOF acceptable
+    // here — this is the write path, not serve): per-vector symmetric
+    // scale, zero vectors keep scale 0 and quantize to zeros
+    val listsOut =
+      if (!quantized) idx.lists
+      else {
+        val scale = array_max(transform(col("_ub"), x => abs(x)))
+        idx.lists.select(col("id_b"), col("_c1"), col("_c2"),
+          scale.as("_sb"),
+          when(scale === 0.0,
+            transform(col("_ub"), _ => lit(0).cast("tinyint")))
+            .otherwise(transform(col("_ub"),
+              x => round(x * lit(127.0) / scale).cast("tinyint")))
+            .as("_qb"))
+      }
     // lists are RANGE-LAID-OUT by cell: each file covers a contiguous
     // (_c1, _c2) range, so a serve-time `_c1 IN (probed cells)` filter
     // prunes files and row groups via parquet min/max stats instead of
@@ -746,12 +779,13 @@ object Similarity {
     // single-task scan at the 10× smoke) and millions of directories
     // at corpus scale; range+sort gives the same pruning with
     // bounded-count, well-sized files.
-    idx.lists
+    listsOut
       .repartitionByRange(corpus.sparkSession.sparkContext.defaultParallelism,
         col("_c1"), col("_c2"))
       .sortWithinPartitions("_c1", "_c2")
       .write.mode("overwrite").parquet(s"$path/lists")
-    val meta = s"""{"l1n":${idx.l1n},"l2n":${idx.l2n},"seed":${idx.seed}}"""
+    val meta = s"""{"l1n":${idx.l1n},"l2n":${idx.l2n},"seed":${idx.seed},""" +
+      s""""quantized":$quantized}"""
     // meta goes through the Hadoop FileSystem resolved from the path —
     // java.nio would silently write local (or throw) for hdfs://s3a://
     // paths, the natural home of a corpus-sized index
@@ -781,6 +815,8 @@ object Similarity {
       s""""$key":(-?\\d+)""".r.findFirstMatchIn(meta).get.group(1).toLong
     val l1n = longOf("l1n").toInt; val l2n = longOf("l2n").toInt
     val seed = longOf("seed")
+    // layout flag absent → a pre-quantization float index; keep serving
+    val quantized = """"quantized":true""".r.findFirstIn(meta).isDefined
     val l2 = if (l2n > 1) Some(spark.read.parquet(s"$path/l2")) else None
     // the level-1 matrix is driver/broadcast-bounded by design — read
     // it back into the same in-expression shape training used
@@ -810,7 +846,7 @@ object Similarity {
       .collect().map(_.getInt(0)).sorted
     rankIvfPairs(probes,
       idx.lists.filter(col("_c1").isin(probedCells.map(Integer.valueOf): _*)),
-      k, excludeSelf = false)
+      k, excludeSelf = false, quantized = quantized)
   }
 
   /** Per-row double dot product — the native codegen'd

@@ -125,8 +125,11 @@ class SimilaritySpec extends SparkSpec {
       (10000L + i, c.map(v => v + 0.1f * rng.nextGaussian().toFloat))
     }.toDF("qid", "embedding").cache()
     val path = s"/tmp/graft_ivf_idx_${ProcessHandle.current().pid()}"
+    // float layout: the persisted path must be BIT-identical to the
+    // in-session search (quantized=false isolates the parquet
+    // round-trip from the int8 codec, covered by the next test)
     Similarity.buildIvfIndex(corpus, "vec_id", "embedding", path,
-      nCentroids = 8)
+      nCentroids = 8, quantized = false)
     val loaded = Similarity.searchIvfIndex(spark, path, queries,
         "qid", "embedding", k = 3, nProbe = 3)
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
@@ -137,6 +140,61 @@ class SimilaritySpec extends SparkSpec {
       s"${(loaded -- direct).take(3)} vs ${(direct -- loaded).take(3)}")
     assert(loaded.nonEmpty)
   }
+
+  test("quantized index (default): same neighbors, cos within the int8 bound") {
+    val rng = new scala.util.Random(47)
+    val centers = Array.fill(8, 16)(rng.nextGaussian().toFloat)
+    val corpusRows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + 0.1f * rng.nextGaussian().toFloat))
+    }
+    val corpus = corpusRows.toDF("vec_id", "embedding").cache()
+    // planted queries: near-copies of corpus vectors (cos ≈ 0.9999
+    // vs ≲ 0.99 for any other within-cluster vector) — a margin far
+    // wider than the int8 bound, so quantized recall must be EQUAL,
+    // while generic within-cluster rank-3 boundaries are near-ties
+    // that int8 noise may legitimately reorder
+    val queries = (0 until 40).map { i =>
+      val src = corpusRows(i * 5)
+      (10000L + src._1, src._2.map(v => v + 0.005f * rng.nextGaussian().toFloat))
+    }.toDF("qid", "embedding").cache()
+    val pid = ProcessHandle.current().pid()
+    val pathQ = s"/tmp/graft_ivf_idx_q_$pid"
+    val pathF = s"/tmp/graft_ivf_idx_f_$pid"
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", pathQ)  // default: int8
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", pathF,
+      quantized = false)
+    val q = Similarity.searchIvfIndex(spark, pathQ, queries,
+        "qid", "embedding", k = 3, nProbe = 3)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    val f = Similarity.searchIvfIndex(spark, pathF, queries,
+        "qid", "embedding", k = 3, nProbe = 3)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    // per-pair rescoring error bound: |Δcos| ≤ Σ|u_i|·(scale/254)
+    // ≤ √dims·scale/254; with unit vectors and dims=16 that is well
+    // under 0.02 — assert it pair-by-pair on the common neighbor set
+    val qm = q.map { case (a, b, c) => (a, b) -> c }.toMap
+    val fm = f.map { case (a, b, c) => (a, b) -> c }.toMap
+    val common = qm.keySet.intersect(fm.keySet)
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(math.abs(qm(k) - fm(k)) <= 0.02,
+        s"pair $k cos drifted ${qm(k)} vs ${fm(k)}")
+    }
+    // recall EQUAL on the planted pairs: every query must rank its
+    // source vector top-3 from the int8 lists, same as the float index
+    val qSet = q.map { case (a, b, _) => (a, b) }.toSet
+    (0 until 40).foreach { i =>
+      val src = corpusRows(i * 5)._1
+      assert(qSet.contains((10000L + src, src)),
+        s"quantized index lost planted neighbor $src")
+      assert(fSet_contains(f, 10000L + src, src))
+    }
+  }
+
+  private def fSet_contains(f: Array[(Long, Long, Double)],
+                            a: Long, b: Long): Boolean =
+    f.exists(t => t._1 == a && t._2 == b)
 
   test("embedNearDupPairs finds planted near-duplicates and respects the block bound") {
     val base = Array.fill(16)(1.0f)
