@@ -837,6 +837,31 @@ object SparkEntry {
       Sampling.realizeMixture(t(s, dir, "documents"), "doc_id", "source",
         "text", weights = mixWeights, budget = 5000L, maxEpochs = 4)),
 
+    // --- streaming curation face, batch twin: seed the persisted
+    //     store with one wave (doc_id % 4 != 0 — lang/quality filters,
+    //     internal exact + near-dup), then curate the second wave
+    //     (doc_id % 4 == 0) AGAINST the store: exact dedup probes the
+    //     stored content-hash set, near-dup probes the stored MinHash
+    //     signature index (the q141 O(batch) contract), survivors
+    //     append. Output = the second micro-batch's funnel. The oracle
+    //     replays both waves with exhaustive exact-Jaccard cross/inner
+    //     pair sets — the greedy-online store semantics, pinned ---
+    "q182_stream_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = scratch("curation", dir)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(store))
+      graft.streaming.CurationStream.processBatch(
+        docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text",
+        langProfiles, store)
+      graft.streaming.CurationStream.processBatch(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+        langProfiles, store)
+    }),
+
     // --- BPE tokenization under the freshly-trained 8-merge vocab:
     //     per-doc word/char/symbol counts + compression ratio; the
     //     per-word symbol count is vocabulary-sized, the corpus word
@@ -3691,6 +3716,119 @@ object SparkEntry {
         |           JOIN sizes sb ON id_stored = sb.doc_id
         |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6)
         |      >= 0.5""".stripMargin,
+
+    // streaming curation batch twin: wave 1 (doc_id % 4 <> 0) builds
+    // the store with the full funnel, wave 2 (doc_id % 4 = 0) curates
+    // against it — store-vs-batch exact/near-dup drops replayed with
+    // exhaustive exact-Jaccard pair sets (same recall argument as
+    // q141/q78: banding is complete on this corpus), internal
+    // near-dup computed AFTER store collisions are removed (the
+    // pinned processBatch order)
+    "q182_stream_curate" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+        |w1 AS (SELECT * FROM tk WHERE doc_id % 4 <> 0),
+        |l1 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           LEN(list_filter(s, t -> t IN ('the','table','row'))) AS s_en,
+        |           GREATEST(
+        |             LEN(list_filter(s, t -> t IN ('the','table','row'))),
+        |             LEN(list_filter(s, t -> t IN ('query','value','vector'))),
+        |             LEN(list_filter(s, t -> t IN ('customer','join','column'))),
+        |             LEN(list_filter(s, t -> t IN ('scan','data','batch'))),
+        |             LEN(list_filter(s, t -> t IN ('small','sort','stream')))) AS best
+        |    FROM w1) t
+        |  WHERE s_en = best),
+        |a2 AS (SELECT w1.* FROM w1 JOIN l1 USING (doc_id)),
+        |qual1 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           ROUND((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
+        |                  + LEAST(ROUND(CAST(LEN(list_filter(s,
+        |                      t -> t IN ('the','a','and','of','in','to','is')))
+        |                      AS DOUBLE) / LEN(s), 6) * 5.0, 1.0)
+        |                  + CAST(LEN(list_distinct(s)) AS DOUBLE) / LEN(s)) / 3.0,
+        |                 6) AS quality
+        |    FROM a2) t
+        |  WHERE quality >= 0.5),
+        |a3 AS (SELECT a2.* FROM a2 JOIN qual1 USING (doc_id)),
+        |keep1 AS (SELECT MIN(doc_id) AS doc_id FROM a3 GROUP BY md5(text)),
+        |a4 AS (SELECT a3.* FROM a3 JOIN keep1 USING (doc_id)),
+        |sh1 AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                 for i in range(1, len(s) - 1)]) AS shingle FROM a4)),
+        |sz1 AS (SELECT doc_id, COUNT(*) AS n FROM sh1 GROUP BY doc_id),
+        |pr1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |        FROM sh1 a JOIN sh1 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |nd1 AS (SELECT DISTINCT id_b AS doc_id
+        |        FROM pr1 JOIN sz1 sa ON id_a = sa.doc_id
+        |                 JOIN sz1 sb ON id_b = sb.doc_id
+        |        WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5),
+        |store AS (SELECT a4.* FROM a4 ANTI JOIN nd1 USING (doc_id)),
+        |w2 AS (SELECT * FROM tk WHERE doc_id % 4 = 0),
+        |l2 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           LEN(list_filter(s, t -> t IN ('the','table','row'))) AS s_en,
+        |           GREATEST(
+        |             LEN(list_filter(s, t -> t IN ('the','table','row'))),
+        |             LEN(list_filter(s, t -> t IN ('query','value','vector'))),
+        |             LEN(list_filter(s, t -> t IN ('customer','join','column'))),
+        |             LEN(list_filter(s, t -> t IN ('scan','data','batch'))),
+        |             LEN(list_filter(s, t -> t IN ('small','sort','stream')))) AS best
+        |    FROM w2) t
+        |  WHERE s_en = best),
+        |b2 AS (SELECT w2.* FROM w2 JOIN l2 USING (doc_id)),
+        |qual2 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           ROUND((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
+        |                  + LEAST(ROUND(CAST(LEN(list_filter(s,
+        |                      t -> t IN ('the','a','and','of','in','to','is')))
+        |                      AS DOUBLE) / LEN(s), 6) * 5.0, 1.0)
+        |                  + CAST(LEN(list_distinct(s)) AS DOUBLE) / LEN(s)) / 3.0,
+        |                 6) AS quality
+        |    FROM b2) t
+        |  WHERE quality >= 0.5),
+        |b3 AS (SELECT b2.* FROM b2 JOIN qual2 USING (doc_id)),
+        |keep2 AS (SELECT MIN(doc_id) AS doc_id FROM b3 GROUP BY md5(text)),
+        |b4i AS (SELECT b3.* FROM b3 JOIN keep2 USING (doc_id)),
+        |b4 AS (SELECT * FROM b4i
+        |       WHERE md5(text) NOT IN (SELECT md5(text) FROM store)),
+        |shS AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                 for i in range(1, len(s) - 1)]) AS shingle FROM store)),
+        |szS AS (SELECT doc_id, COUNT(*) AS n FROM shS GROUP BY doc_id),
+        |shB AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                 for i in range(1, len(s) - 1)]) AS shingle FROM b4)),
+        |szB AS (SELECT doc_id, COUNT(*) AS n FROM shB GROUP BY doc_id),
+        |prX AS (SELECT a.doc_id AS id_new, b.doc_id AS id_stored, COUNT(*) AS common
+        |        FROM shB a JOIN shS b ON a.shingle = b.shingle
+        |        GROUP BY 1, 2),
+        |ndX AS (SELECT DISTINCT id_new AS doc_id
+        |        FROM prX JOIN szB sa ON id_new = sa.doc_id
+        |                 JOIN szS sb ON id_stored = sb.doc_id
+        |        WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5),
+        |b5x AS (SELECT b4.* FROM b4 ANTI JOIN ndX USING (doc_id)),
+        |shB2 AS (SELECT sh.* FROM shB sh SEMI JOIN b5x USING (doc_id)),
+        |szB2 AS (SELECT doc_id, COUNT(*) AS n FROM shB2 GROUP BY doc_id),
+        |prI AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        |        FROM shB2 a JOIN shB2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |ndI AS (SELECT DISTINCT id_b AS doc_id
+        |        FROM prI JOIN szB2 sa ON id_a = sa.doc_id
+        |                 JOIN szB2 sb ON id_b = sb.doc_id
+        |        WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5),
+        |b5 AS (SELECT b5x.* FROM b5x ANTI JOIN ndI USING (doc_id))
+        |SELECT 'arrived' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM w2
+        |UNION ALL SELECT 'lang', CAST(COUNT(*) AS BIGINT) FROM b2
+        |UNION ALL SELECT 'quality', CAST(COUNT(*) AS BIGINT) FROM b3
+        |UNION ALL SELECT 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM b4
+        |UNION ALL SELECT 'near_dup', CAST(COUNT(*) AS BIGINT) FROM b5
+        |UNION ALL SELECT 'store_total',
+        |  CAST((SELECT COUNT(*) FROM store) + COUNT(*) AS BIGINT) FROM b5""".stripMargin,
 
     // pagerank: 3 power rounds unrolled as CTEs. Parity discipline:
     // every float step is a fixed scalar IEEE op sequence (literals

@@ -272,7 +272,24 @@ object Sampling {
     */
   def mixturePlan(docs: DataFrame, sourceCol: String, textCol: String,
                   weights: Map[String, Double], budget: Long,
-                  maxEpochs: Int = 4): DataFrame = {
+                  maxEpochs: Int = 4): DataFrame =
+    mixturePlanFromStats(
+      docs.select(col(sourceCol).as("source"),
+          size(split(col(textCol), " ")).cast("long").as("_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("avail_tokens")),
+      weights, budget, maxEpochs)
+
+  /** [[mixturePlan]] from a PRE-AGGREGATED availability table
+    * `(source, n_docs, avail_tokens)` — the incremental face: a
+    * continuously-ingesting pipeline maintains per-source running
+    * stats (O(sources) rows, updated per batch) and re-plans from
+    * them without ever re-scanning the corpus
+    * ([[graft.streaming.CurationStream]]).
+    */
+  def mixturePlanFromStats(stats: DataFrame,
+                           weights: Map[String, Double], budget: Long,
+                           maxEpochs: Int = 4): DataFrame = {
     require(weights.values.forall(_ >= 0.0) && weights.values.sum > 0.0,
       "weights must be non-negative with a positive sum")
     require(budget > 0 && maxEpochs >= 1, "need a positive budget and cap")
@@ -283,13 +300,10 @@ object Sampling {
     // full outer against the weight table: a weighted source with NO
     // documents is the most extreme deficit there is and must appear
     // as a (0 avail, deficit=1) row, not silently vanish
-    val w = docs.sparkSession
+    val w = stats.sparkSession
       .createDataFrame(sorted.map { case (k, v) => (k, v / wsum) })
       .toDF("source", "weight")
-    docs.select(col(sourceCol).as("source"),
-        size(split(col(textCol), " ")).cast("long").as("_tok"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("avail_tokens"))
+    stats
       .join(w, Seq("source"), "full_outer")
       .select(col("source"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
