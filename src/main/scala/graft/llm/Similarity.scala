@@ -684,7 +684,6 @@ object Similarity {
   private def rankIvfPairs(probes: DataFrame, lists: DataFrame, k: Int,
                            excludeSelf: Boolean,
                            quantized: Boolean = false): DataFrame = {
-    val par = probes.sparkSession.sparkContext.defaultParallelism
     val paired = probes.join(lists, Seq("_c1", "_c2"))
     // quantized lists: rescore in double from the stored int8 vector —
     // one codegen'd mixed-precision dot per pair, scale applied once
@@ -697,16 +696,16 @@ object Similarity {
                else paired)
       .withColumn("cos", score)
       .select(col("id_a"), col("id_b"), col("cos"))
-    // explicit spread before the rank window: the pair frame is
-    // small-bytes/CPU-dense, so AQE's byte-based coalescing funnels
-    // the verify+rank into ONE task (1.3 s single-task stage on the
-    // round-7 profile). User-specified hash partitioning on the window
-    // key is coalescing-exempt and the window reuses it — no second
-    // exchange.
-    cos.repartition(par, col("id_a"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
-      .filter(col("rank") <= k)
+    // bounded per-query top-k ([[graft.operators.TopKAgg]], same
+    // (cos desc, id_b asc) contract as a row_number window): partial
+    // map-side aggregation collapses the candidate volume —
+    // n·nProbe·occupancy pair rows, ∝ n^1.5 for self-search under the
+    // 4√n cell sizing — to ≤ k rows per (mapper, query) BEFORE any
+    // exchange, pipelined straight off the candidate join. The window
+    // version shuffled and sorted EVERY candidate pair — at the sf10
+    // smoke (400k vectors, ~250M candidates) that full shuffle + sort
+    // dominated q125's 246 s.
+    graft.operators.TopKAgg.perGroup(cos, "id_a", "cos", "id_b", k)
       .select(col("id_a"), col("id_b"), col("cos"), col("rank"))
   }
 

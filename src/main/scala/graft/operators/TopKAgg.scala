@@ -48,13 +48,24 @@ object TopKAgg {
   /** Top-k rows per group by (`scoreCol` desc, `idCol` asc), emitted as
     * (group, rank, id, score) — same shape/contract as
     * [[TopK.perGroup]] modulo the double-cast score.
+    *
+    * Routed through the native
+    * [[graft.functions.TopKPairsAgg]] rather than the typed
+    * Aggregator above: same plan shape (ObjectHashAggregate, map-side
+    * partial), but the native form evaluates its inputs straight into
+    * primitives — the Aggregator's per-row encoder round-trip
+    * dominated on candidate-verify streams (see TopKPairsAgg's
+    * scaladoc for the sf10 measurement that forced this).
     */
   def perGroup(df: DataFrame, groupCol: String, scoreCol: String,
                idCol: String, k: Int): DataFrame = {
-    val topk = udaf(new TopK(k), Encoders.product[ScoredId])
-    df.groupBy(col(groupCol))
-      .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("_top"))
-      .select(col(groupCol), posexplode(col("_top.items")))
+    import org.apache.spark.sql.graft.Bridge
+    val topk = Bridge.column(graft.functions.TopKPairsAgg(
+        Bridge.expression(col(scoreCol).cast("double")),
+        Bridge.expression(col(idCol).cast("long")), k)
+      .toAggregateExpression())
+    df.groupBy(col(groupCol)).agg(topk.as("_top"))
+      .select(col(groupCol), posexplode(col("_top")))
       .select(col(groupCol),
         (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as(idCol),

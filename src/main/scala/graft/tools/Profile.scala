@@ -34,9 +34,10 @@ object Profile {
             f"tasks=${i.numTasks}%3d gc=${i.taskMetrics.jvmGCTime}%6dms " +
             f"cpu=${i.taskMetrics.executorCpuTime / 1000000}%7dms " +
             f"run=${i.taskMetrics.executorRunTime}%7dms ${i.name.takeWhile(_ != '\n').take(60)}")
-          // heavy single-task stages get their graft-frame callsites —
-          // the generic lambda in `name` never identifies the operator
-          if (i.numTasks == 1 && i.taskMetrics.executorRunTime > 1500)
+          // heavy stages get their graft-frame callsites — the generic
+          // lambda in `name` never identifies the operator
+          if ((i.numTasks == 1 && i.taskMetrics.executorRunTime > 1500) ||
+              i.taskMetrics.executorRunTime > 30000)
             stages.add(i.details.split("\n").filter(_.contains("graft"))
               .take(4).mkString("        ", "\n        ", ""))
         }

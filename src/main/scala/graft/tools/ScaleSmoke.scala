@@ -36,9 +36,12 @@ object ScaleSmoke {
 
   private val Sf01 = "/root/testdata/sf0.1"
   private val Sf1 = "/tmp/graft_sf1"
+  private val Sf10 = "/tmp/graft_sf10"
   private val Copies = 10
   private val DefaultQueries =
     "q47_embed_lsh,q80_dup_clusters,q57_embed_ivf,q30_cosine_topk,q78_corpus_funnel,q89_edit_distance"
+  private val AnnQueries =
+    "q57_embed_ivf,q125_ivf_recall,q167_ann_search,q168_ann_index,q171_semdedup_recall"
 
   private def gen(spark: SparkSession): Unit = {
     new java.io.File(Sf1).mkdirs()
@@ -99,14 +102,58 @@ object ScaleSmoke {
     }
   }
 
+  /** Third scale decade for the ANN family: sf10 = 100× sf0.1
+    * embeddings (the only table the q57/q125/q167/q168/q171 chain
+    * reads). Salting extends the sf1 contract to 100 copies: copy i
+    * circularly rotates coordinates by (i·7) mod 64 — which preserves
+    * every within-copy dot product exactly — and, because rotations
+    * repeat after 64 copies (copy 64 would otherwise be an EXACT
+    * duplicate of copy 0, making true pair density quadratic in the
+    * collision count), copies ≥ 64 additionally negate odd
+    * coordinates. The parity mask also preserves within-copy dots
+    * (x⊙m · y⊙m = x·y for any ±1 mask) while the cross-copy dot of a
+    * rotation-sharing pair becomes Σ xₘ² (−1)^m — bulk level for the
+    * near-uniform testdata. Net: per-copy workload identical, cross-
+    * copy neighbor structure absent, pair density linear in copies.
+    */
+  private def genSf10(spark: SparkSession): Unit = {
+    if (new java.io.File(s"$Sf10/embeddings.parquet/_SUCCESS").exists()) return
+    new java.io.File(Sf10).mkdirs()
+    val src = Tables.load(spark, Sf01, "embeddings")
+    val dims = src.select(size(col("embedding"))).head().getInt(0)
+    require(dims == 64, s"sf10 salting assumes 64-dim embeddings, got $dims")
+    (0 until Copies * Copies).map { i =>
+      val r = (i * 7) % dims
+      val flip =
+        if (i >= dims) " * IF(j % 2 = 1, CAST(-1.0 AS FLOAT), CAST(1.0 AS FLOAT))"
+        else ""
+      src.select(
+        (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else expr("transform(embedding, (x, j) -> element_at(embedding, " +
+           s"CAST((j + $r) % size(embedding) AS INT) + 1)$flip)")).as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Sf10/embeddings.parquet")
+  }
+
   final case class StageStat(tasks: Int, runMs: Long, name: String)
 
   def main(args: Array[String]): Unit = {
-    val queries = args.headOption.getOrElse(DefaultQueries).split(",").toSeq
+    // default mode measures sf0.1 → sf1 (10×); "sf10" as the first arg
+    // measures the ANN decade sf1 → sf10 (100× sf0.1, embeddings only)
+    val sf10Mode = args.headOption.contains("sf10")
+    val queries =
+      (if (sf10Mode) args.lift(1).getOrElse(AnnQueries)
+       else args.headOption.getOrElse(DefaultQueries)).split(",").toSeq
+    val (fromDir, toDir, fromLabel, toLabel) =
+      if (sf10Mode) (Sf1, Sf10, "sf1", "sf10") else (Sf01, Sf1, "sf0.1", "sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = Sessions.tune(Sessions.builder(cpus, "graft-scale").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     gen(spark)
+    if (sf10Mode) genSf10(spark)
 
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageStat]()
     spark.sparkContext.addSparkListener(
@@ -148,8 +195,8 @@ object ScaleSmoke {
     val rows = queries.map { q =>
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.mode("overwrite").format("noop").save() // JIT warm-up
-      val (s01, st01, tk01, h01) = measure(q, Sf01)
-      val (s1, st1, tk1, h1) = measure(q, Sf1)
+      val (s01, st01, tk01, h01) = measure(q, fromDir)
+      val (s1, st1, tk1, h1) = measure(q, toDir)
       val row = f"| $q | ${s01}%.1f | ${s1}%.1f | ${s1 / s01}%.1f× | $st01/$st1 | $tk01/$tk1 | $h01/$h1 |"
       println(s"SCALE $row")
       row
@@ -158,12 +205,12 @@ object ScaleSmoke {
     // no stripMargin: the table rows begin with '|', which stripMargin
     // would eat as its margin marker
     val md =
-      s"# SCALE — 10× smoke (sf0.1 → synthetic sf1, local[$cpus])\n\n" +
-        "sf1 = 10× sf0.1 via replicate+salt (see `tools/ScaleSmoke.scala`\n" +
+      s"# SCALE — 10× smoke ($fromLabel → synthetic $toLabel, local[$cpus])\n\n" +
+        s"$toLabel = 10× $fromLabel via replicate+salt (see `tools/ScaleSmoke.scala`\n" +
         "for the salting contract that keeps pair density linear).\n" +
         "min-of-2 measured runs per scale after a warm-up pass; same\n" +
         "harness hygiene as Bench (cache sweep + GC between runs).\n\n" +
-        "| query | sf0.1 s | sf1 s | growth | stages | tasks | heavy 1-task stages |\n" +
+        s"| query | $fromLabel s | $toLabel s | growth | stages | tasks | heavy 1-task stages |\n" +
         "|---|---|---|---|---|---|---|\n" +
         rows.mkString("\n") + "\n\n" +
         "Pass criteria: no OOM/failure, zero heavy single-task stages at\n" +
