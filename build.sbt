@@ -35,4 +35,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // shuffles (ALS + 14M-row aggs); 32g leaves ample headroom for the
   // OS page cache
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+  // ~180 queries × whole-stage-codegen classes overflow the JDK's
+  // default 240 MB code cache mid-suite; when it fills, the JIT shuts
+  // off ("CodeCache is full. Compiler has been disabled") and every
+  // LATER query runs interpreted — the round-9 bench's in-suite-only
+  // 3-6× inflation of q142/q16/q143 (isolated runs were normal).
+  // 512 MB keeps the full suite compiled.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("GRAFT_CODE_CACHE", "512m")}",
+) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(" ").toSeq)

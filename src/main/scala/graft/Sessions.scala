@@ -31,16 +31,13 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // typed Aggregators (TopKAgg) plan as ObjectHashAggregate, which
-      // abandons hash aggregation for a per-partition SORT once the
-      // map passes this many groups (default 128!) — for the bounded
-      // top-k aggregate that re-introduces exactly the candidate-wide
-      // sort it exists to avoid (the sf10 ANN smoke measured the
-      // difference at ~6×). Buffers here are ≤ k tiny structs per
-      // group, so millions of in-map groups are a few 100 MB worst
-      // case — cheap next to any sort of the pre-agg stream.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (4 * 1024 * 1024).toString)
+      // NOTE: the objectHashAggregate sort-fallback threshold is NOT
+      // raised here anymore. Round 9 set it session-globally to 4 Mi
+      // for the bounded top-k aggregate, which also disabled the
+      // sort-based fallback memory valve for UNBOUNDED object-hash
+      // aggregates (collect_list, percentile) in every query. The
+      // override now lives on a derived session scoped to queries that
+      // contain the bounded top-k — see graft.operators.TopKAgg.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -66,8 +63,6 @@ object Sessions {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      (4 * 1024 * 1024).toString)
     spark
   }
 

@@ -10,22 +10,47 @@ import org.apache.spark.sql.types._
   * kept sorted by (score desc, id asc), length ≤ k. Insertion is a
   * short shift (k is small — ranks, probes, recommendations); no
   * per-row allocation, no boxing.
+  *
+  * Arrays are allocated LAZILY (min(k, 8) slots, doubling up to k):
+  * a hash-aggregation map holding millions of group buffers would
+  * otherwise pay the full 2·k·8 bytes per group regardless of fill —
+  * at k=100 that is ~7 GB per 4M-group task eagerly vs ~hundreds of
+  * MB for sparsely-filled groups.
+  *
+  * Score ordering matches Spark's double ordering exactly
+  * (`SQLOrderingUtil.compareDoubles`: `if (x == y) 0 else
+  * Double.compare(x, y)`) — NaN sorts LARGEST and -0.0 == 0.0 — so
+  * ranks agree with the `row_number` window contract even on NaN
+  * scores (zero-norm embeddings can yield NaN cosines at the operator
+  * boundary).
   */
 final class TopKPairsBuffer(val k: Int) {
   var n: Int = 0
-  val scores = new Array[Double](k)
-  val ids = new Array[Long](k)
+  var scores = new Array[Double](math.min(k, 8))
+  var ids = new Array[Long](math.min(k, 8))
+
+  // Spark's SQLOrderingUtil.compareDoubles: -0.0 == 0.0, NaN largest
+  private def cmp(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  private def ensure(cap: Int): Unit =
+    if (scores.length < cap) {
+      val c = math.min(k, math.max(cap, scores.length * 2))
+      scores = java.util.Arrays.copyOf(scores, c)
+      ids = java.util.Arrays.copyOf(ids, c)
+    }
 
   def insert(s: Double, id: Long): Unit = {
     if (n == k) {
-      val ls = scores(k - 1)
+      val c = cmp(s, scores(k - 1))
       // ranks at-or-after the current last element → not in the top-k
-      if (s < ls || (s == ls && id >= ids(k - 1))) return
+      if (c < 0 || (c == 0 && id >= ids(k - 1))) return
       n -= 1
-    }
+    } else ensure(n + 1)
     var i = n
-    while (i > 0 &&
-      (scores(i - 1) < s || (scores(i - 1) == s && ids(i - 1) > id))) {
+    while (i > 0 && {
+      val c = cmp(scores(i - 1), s); c < 0 || (c == 0 && ids(i - 1) > id)
+    }) {
       scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
     }
     scores(i) = s; ids(i) = id; n += 1
@@ -54,8 +79,10 @@ final class TopKPairsBuffer(val k: Int) {
   * per (mapper, group).
   *
   * Null inputs (either child) are skipped, matching aggregate
-  * convention; scores are never NaN in engine use (cosines, counts,
-  * hashes).
+  * convention (a group whose scores are all null therefore vanishes —
+  * see [[graft.operators.TopKAgg.perGroup]]'s contract note). NaN
+  * scores rank largest, matching Spark's double ordering — see
+  * [[TopKPairsBuffer]].
   */
 case class TopKPairsAgg(score: Expression, id: Expression, k: Int,
                         mutableAggBufferOffset: Int = 0,
@@ -107,8 +134,9 @@ case class TopKPairsAgg(score: Expression, id: Expression, k: Int,
     val b = new TopKPairsBuffer(k)
     val n = bb.getInt
     var i = 0
-    while (i < n) { b.scores(i) = bb.getDouble; b.ids(i) = bb.getLong; i += 1 }
-    b.n = n
+    // serialized order is already (score desc, id asc), so each insert
+    // appends in O(1) and the lazy arrays grow as needed
+    while (i < n) { b.insert(bb.getDouble, bb.getLong); i += 1 }
     b
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,55 @@ object TopKAgg {
     override def outputEncoder: Encoder[TopList] = Encoders.product[TopList]
   }
 
+  /** Derived child session per parent session, carrying ONE conf
+    * override: `objectHashAggregate.sortBased.fallbackThreshold` raised
+    * from Spark's default 128 to 4 Mi. TypedImperativeAggregates plan
+    * as ObjectHashAggregate, which abandons hash aggregation for a
+    * per-partition SORT once the in-map group count passes the
+    * threshold — for the BOUNDED top-k buffers that re-introduces
+    * exactly the candidate-wide sort the aggregate exists to avoid
+    * (the sf10 ANN smoke measured the difference at ~6×; map-side
+    * group count there is the corpus size, 400k at sf10, ~4M at
+    * sf100). Buffers are ≤ k (score, id) pairs each and allocated
+    * lazily ([[graft.functions.TopKPairsBuffer]]), so even millions of
+    * in-map groups are ~100 MB–1 GB per task — safe where it is used.
+    *
+    * Why a derived session and not a session-global conf (the round-9
+    * shape): the threshold is read at ACTION time from the executing
+    * DataFrame's session, and a global 4 Mi also disables the
+    * sort-fallback memory valve for UNBOUNDED object aggregates
+    * (collect_list, percentile) in every other query — an OOM hazard
+    * the bounded-buffer reasoning doesn't cover. Rebinding the top-k
+    * output plan to the child session scopes the override to queries
+    * that actually contain a bounded top-k (downstream composition
+    * inherits the left operand's session); everything else keeps the
+    * default valve.
+    */
+  private val tunedSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def topkSession(spark: SparkSession): SparkSession =
+    tunedSessions.synchronized {
+      var s = tunedSessions.get(spark)
+      if (s == null) {
+        s = spark.newSession()
+        // newSession inherits context-level conf but not runtime
+        // conf.set()s made on the parent after creation — carry those
+        // over so the child differs in EXACTLY one key (static/
+        // non-settable entries are skipped)
+        val child = s
+        spark.conf.getAll.foreach { case (k, v) =>
+          try child.conf.set(k, v)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        s.conf.set(
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          (4 * 1024 * 1024).toString)
+        tunedSessions.put(spark, s)
+      }
+      s
+    }
+
   /** Top-k rows per group by (`scoreCol` desc, `idCol` asc), emitted as
     * (group, rank, id, score) — same shape/contract as
     * [[TopK.perGroup]] modulo the double-cast score.
@@ -56,6 +105,15 @@ object TopKAgg {
     * primitives — the Aggregator's per-row encoder round-trip
     * dominated on candidate-verify streams (see TopKPairsAgg's
     * scaladoc for the sf10 measurement that forced this).
+    *
+    * Null semantics (differs from the `row_number` window): rows with
+    * a null score or id are skipped (aggregate-input convention), so a
+    * group whose scores are ALL null disappears from the output,
+    * whereas the window ranked it (nulls last). Engine call sites
+    * score with non-null expressions (cosines, counts, hashes);
+    * callers that need every group preserved must coalesce the score
+    * first. NaN scores order LARGEST (ties on id), matching Spark's
+    * double ordering.
     */
   def perGroup(df: DataFrame, groupCol: String, scoreCol: String,
                idCol: String, k: Int): DataFrame = {
@@ -64,7 +122,9 @@ object TopKAgg {
         Bridge.expression(col(scoreCol).cast("double")),
         Bridge.expression(col(idCol).cast("long")), k)
       .toAggregateExpression())
-    df.groupBy(col(groupCol)).agg(topk.as("_top"))
+    Bridge.ofRows(topkSession(df.sparkSession),
+        df.groupBy(col(groupCol)).agg(topk.as("_top"))
+          .queryExecution.logical)
       .select(col(groupCol), posexplode(col("_top")))
       .select(col(groupCol),
         (col("pos") + 1).cast("int").as("rank"),

@@ -1,8 +1,12 @@
 package graft.streaming
 
 import graft.llm.{Dedup, Sampling, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** STREAMING corpus curation — the continuous-ingestion face of
   * [[graft.llm.CorpusPipeline]]: each micro-batch of documents runs
@@ -12,7 +16,12 @@ import org.apache.spark.sql.functions._
   *
   *  - exact dedup probes the store's content-hash set (anti-join on
   *    md5 — the hash table is one 32-char column, a fraction of
-  *    corpus bytes);
+  *    corpus bytes). Both the replay id probe and the hash probe are
+  *    BLOOM-BOUNDED: a persisted ~MB bloom sidecar (superset of the
+  *    store by construction) screens the batch first, so the
+  *    steady-state no-collision batch reads ZERO store rows and a
+  *    colliding batch reads the store only for its bloom-positive
+  *    residue (true dups + ≤1% false positives);
   *  - near-dup probes the store's MinHash signature index via
   *    [[Dedup.incrementalNearDupVerified]] (the q141 contract: the
   *    corpus is re-read as signatures, 32–64 longs/doc; TEXT is point-
@@ -52,13 +61,157 @@ object CurationStream {
                           n: Int = 3, numHashes: Int = 64, bands: Int = 32,
                           sourceCol: String = "source",
                           weights: Map[String, Double] = Map.empty,
-                          budget: Long = 0L, maxEpochs: Int = 4)
+                          budget: Long = 0L, maxEpochs: Int = 4,
+                          bloomCapacity: Long = 1L << 16,
+                          bloomFpp: Double = 0.01)
 
   private def readOpt(spark: SparkSession, path: String): Option[DataFrame] =
     try {
       val df = spark.read.parquet(path)
       Some(df)
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  // ---------------------------------------------------------------- //
+  // Bloom sidecar: bounds the per-batch store probes.                //
+  // ---------------------------------------------------------------- //
+
+  /** Driver-held summary of one store key set (ids or content hashes).
+    * INVARIANT: the persisted bloom is always a SUPERSET of the store
+    * keys — it is written (pre-merged with the batch's survivors)
+    * BEFORE the store append, so a crash between the two leaves a
+    * bloom that over-approximates (extra exact probes, no correctness
+    * effect), never one that under-approximates (which would let a
+    * replayed or colliding doc skip its exact check and duplicate the
+    * store). `nItems`/`capacity` track saturation: past capacity the
+    * filter is rebuilt from the store at 4× size — O(log n) rebuild
+    * scans over the store's lifetime, amortized O(1) per batch. The
+    * default capacity starts SMALL (64k ≈ 75 KB of bits) precisely
+    * because growth is cheap: every probe embeds the bloom bytes as a
+    * plan literal and every commit builds a batch bloom at the
+    * sidecar's capacity, so an oversized bloom taxes each batch (a
+    * 4M-item bloom is ~4.8 MB of task binary per probe) while an
+    * undersized one costs only its next rebuild. Multi-billion-row
+    * stores outgrow a single driver bloom (~1.2 GB at 10^9 items) —
+    * the seam there is a sidecar SHARDED by key range with a
+    * per-shard bloom column joined on shard id, which this layout's
+    * (kind, bytes) schema extends to.
+    */
+  private[streaming] final case class StoreBloom(bf: BloomFilter, nItems: Long,
+                                                 capacity: Long, fpp: Double)
+
+  private def bloomBytes(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Read the sidecar (`kind` → bloom) eagerly: the bytes are collected
+    * to the driver at read time so the later same-path overwrite can
+    * never race the read. Any unreadable/partial sidecar degrades to
+    * "absent" — the probe falls back to the exact full anti-join and
+    * the next commit rebuilds the sidecar from the store.
+    */
+  private[streaming] def readBlooms(spark: SparkSession, storePath: String)
+      : Map[String, StoreBloom] =
+    try {
+      spark.read.parquet(s"$storePath/probe_bloom")
+        .collect()
+        .map { r =>
+          val bf = BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bytes")))
+          r.getAs[String]("kind") ->
+            StoreBloom(bf, r.getAs[Long]("n_items"),
+              r.getAs[Long]("capacity"), r.getAs[Double]("fpp"))
+        }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private def writeBlooms(spark: SparkSession, storePath: String,
+                          blooms: Map[String, StoreBloom]): Unit = {
+    import spark.implicits._
+    blooms.toSeq
+      .map { case (k, b) => (k, bloomBytes(b.bf), b.nItems, b.capacity, b.fpp) }
+      .toDF("kind", "bytes", "n_items", "capacity", "fpp")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$storePath/probe_bloom")
+  }
+
+  /** `might_contain(bloom, xxhash64(key))` — Spark's native codegen'd
+    * bloom probe over a foldable literal (same build/probe hashing
+    * contract as [[graft.operators.BloomJoin]]: both sides go through
+    * xxhash64). Null keys test null → `coalesce(false)` at call sites.
+    */
+  private def mightContain(bf: BloomFilter, key: Column): Column =
+    Bridge.column(BloomFilterMightContain(
+      Literal(bloomBytes(bf), BinaryType),
+      Bridge.expression(xxhash64(key))))
+
+  /** Anti-join `batch` against a store key set, bloom-bounded: rows
+    * whose key fails the bloom are DEFINITELY not in the store and
+    * pass through with zero store reads; only the bloom-positive
+    * residue (true collisions + ≤ fpp false positives) runs the exact
+    * anti-join, and when that residue is empty — the steady-state
+    * no-collision batch — the store is not read at all (the function
+    * returns `batch` itself, reference-equal, which the spec pins).
+    * Without a sidecar (first batch / legacy store) this is the plain
+    * full anti-join.
+    */
+  private[streaming] def boundedAntiJoin(batch: DataFrame, key: Column,
+                                         storeKeys: Option[DataFrame],
+                                         storeKey: Column,
+                                         bloom: Option[StoreBloom]): DataFrame =
+    (storeKeys, bloom) match {
+      case (None, _) => batch
+      case (Some(st), None) =>
+        batch.join(st, key === storeKey, "left_anti")
+      case (Some(st), Some(b)) =>
+        val hit = coalesce(mightContain(b.bf, key), lit(false))
+        val pos = batch.filter(hit).localCheckpoint()
+        if (pos.isEmpty) batch
+        else batch.filter(!hit)
+          .unionByName(pos.join(st, key === storeKey, "left_anti"))
+    }
+
+  /** Fold the batch's surviving keys into the sidecar blooms — called
+    * BEFORE the store append (see [[StoreBloom]]'s superset
+    * invariant). Missing or saturated blooms are rebuilt from the
+    * store tables (narrow single-column scans, amortized by the 4×
+    * growth); merge compatibility is guaranteed by building every
+    * batch bloom with the sidecar's own (capacity, fpp).
+    */
+  private def mergedBloom(existing: Option[StoreBloom], batchKeys: DataFrame,
+                          key: Column, nBatch: Long,
+                          rebuildKeys: => Option[DataFrame], rebuildKey: Column,
+                          cfg: Config): StoreBloom = {
+    def build(src: DataFrame, k: Column, n: Long, cap: Long): StoreBloom =
+      StoreBloom(src.stat.bloomFilter(xxhash64(k), cap, cfg.bloomFpp),
+        n, cap, cfg.bloomFpp)
+    existing match {
+      case Some(b) if b.nItems + nBatch <= b.capacity =>
+        if (nBatch > 0)
+          b.bf.mergeInPlace(
+            batchKeys.stat.bloomFilter(xxhash64(key), b.capacity, b.fpp))
+        b.copy(nItems = b.nItems + nBatch)
+      case _ =>
+        // absent → first build; saturated → rebuild at ≥4× — from the
+        // PRE-append store (exact count, since a missing sidecar on a
+        // populated legacy store has no tracked nItems), then fold the
+        // pending batch in
+        rebuildKeys match {
+          case Some(st) =>
+            val storeN = st.count()
+            val cap = math.max(cfg.bloomCapacity,
+              java.lang.Long.highestOneBit(math.max(1L, storeN + nBatch)) * 4)
+            val fresh = build(st, rebuildKey, storeN + nBatch, cap)
+            if (nBatch > 0)
+              fresh.bf.mergeInPlace(
+                batchKeys.stat.bloomFilter(xxhash64(key), cap, cfg.bloomFpp))
+            fresh
+          case None =>
+            build(batchKeys, key, nBatch, math.max(cfg.bloomCapacity,
+              java.lang.Long.highestOneBit(math.max(1L, nBatch)) * 4))
+        }
+    }
+  }
 
   /** Curate ONE micro-batch against the store and commit the
     * survivors — the foreachBatch body, directly callable for the
@@ -71,13 +224,15 @@ object CurationStream {
                    storePath: String, cfg: Config = Config()): DataFrame = {
     val spark = batch.sparkSession
     val storedDocs = readOpt(spark, s"$storePath/corpus")
+    val blooms = readBlooms(spark, storePath)
 
     // replay idempotence: ids already ingested drop out up front, so a
-    // redelivered micro-batch appends nothing
+    // redelivered micro-batch appends nothing. Bloom-bounded: the
+    // steady-state batch (no redelivery) never reads the store here.
     val arrived0 = batch.dropDuplicates(idCol)
-    val a = storedDocs
-      .map(st => arrived0.join(st.select(col(idCol)), Seq(idCol), "left_anti"))
-      .getOrElse(arrived0)
+    val a = boundedAntiJoin(arrived0, col(idCol),
+        storedDocs.map(_.select(col(idCol).as("_sid"))), col("_sid"),
+        blooms.get("ids"))
       .localCheckpoint()
 
     val langKeep = TextAnalysis.languageId(a, idCol, textCol, profiles)
@@ -92,10 +247,11 @@ object CurationStream {
     val keepIds = Dedup.exactDedup(s3, idCol, textCol)
       .select(col("keep_id").as(idCol))
     val s4a = s3.join(keepIds, Seq(idCol), "left_semi")
-    val s4 = readOpt(spark, s"$storePath/hashes")
-      .map(h => s4a.withColumn("_h", md5(col(textCol)))
-        .join(h, Seq("_h"), "left_anti").drop("_h"))
-      .getOrElse(s4a)
+      .withColumn("_h", md5(col(textCol)))
+    val s4 = boundedAntiJoin(s4a, col("_h"),
+        readOpt(spark, s"$storePath/hashes").map(_.select(col("_h").as("_sh"))),
+        col("_sh"), blooms.get("hashes"))
+      .drop("_h")
       .localCheckpoint()
 
     // near-dup: store collisions first (signature-index probe, text
@@ -115,9 +271,21 @@ object CurationStream {
       .select(col("id_b").as(idCol)).distinct()
     val s5 = s5a.join(internalDrop, Seq(idCol), "left_anti").localCheckpoint()
 
+    // sidecar first, appends second (the bloom-superset invariant —
+    // see [[StoreBloom]]): fold the survivors' ids and hashes into the
+    // persisted blooms before any corpus-sized table grows
+    val nAppended = s5.count()
+    val batchHashes = s5.select(md5(col(textCol)).as("_h")).localCheckpoint()
+    writeBlooms(spark, storePath, Map(
+      "ids" -> mergedBloom(blooms.get("ids"), s5, col(idCol), nAppended,
+        storedDocs.map(_.select(col(idCol))), col(idCol), cfg),
+      "hashes" -> mergedBloom(blooms.get("hashes"), batchHashes, col("_h"),
+        nAppended,
+        readOpt(spark, s"$storePath/hashes"), col("_h"), cfg)))
+
     // commit: append-only on the corpus-sized tables
     s5.write.mode("append").parquet(s"$storePath/corpus")
-    s5.select(md5(col(textCol)).as("_h"))
+    batchHashes
       .write.mode("append").parquet(s"$storePath/hashes")
     Dedup.minHashSignatures(s5, idCol, textCol, cfg.n, cfg.numHashes)
       .write.mode("append").parquet(s"$storePath/sigs")

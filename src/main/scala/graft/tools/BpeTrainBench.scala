@@ -55,6 +55,31 @@ object BpeTrainBench {
     println(f"hybrid: $nRules rules in $hybridSec%.1f s " +
       f"(${nRules / hybridSec}%.0f merges/s), $nVocabRows vocab rows")
 
+    // end-to-end production flow (round-10 gate): train the 32k vocab
+    // on synthetic ∪ sf0.1 documents (so the table's words are
+    // in-vocabulary, as they would be when training on the corpus
+    // being tokenized), then tokenize the sf0.1 table under it and
+    // report token economics — the SCALE.md "32k end-to-end" row
+    val sfDir = "/root/testdata/sf0.1"
+    if (new java.io.File(s"$sfDir/documents.parquet").exists()) {
+      val sfDocs = graft.sources.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t2 = System.nanoTime()
+      val (_, vocab) = Bpe.trainShared(
+        docs.unionByName(sfDocs.select(col("text"))), "text", nMerges)
+      val trainSec = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val a = Bpe.tokenCountsWith(sfDocs, "doc_id", "text", vocab)
+        .agg(count(lit(1)).as("docs"), sum("n_words").as("w"),
+          sum("n_chars").as("c"), sum("n_bpe").as("b"), sum("n_oov").as("o"))
+        .head()
+      val tokSec = (System.nanoTime() - t3) / 1e9
+      println(f"tokenize sf0.1 @$nMerges merges: ${a.getLong(0)} docs, " +
+        f"${a.getLong(1)} words, ${a.getLong(2)} chars -> ${a.getLong(3)} " +
+        f"tokens (compression ${a.getLong(2).toDouble / a.getLong(3)}%.3f, " +
+        f"oov ${a.getLong(4)}) train=$trainSec%.1f s tokenize=$tokSec%.1f s")
+    }
+
     // distributed fallback at a small count → per-merge job cost
     val distMerges = 64
     val t1 = System.nanoTime()

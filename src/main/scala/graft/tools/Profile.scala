@@ -33,7 +33,10 @@ object Profile {
           stages.add(f"  stage ${i.stageId}%4d ${d.getOrElse(-1L)}%7dms " +
             f"tasks=${i.numTasks}%3d gc=${i.taskMetrics.jvmGCTime}%6dms " +
             f"cpu=${i.taskMetrics.executorCpuTime / 1000000}%7dms " +
-            f"run=${i.taskMetrics.executorRunTime}%7dms ${i.name.takeWhile(_ != '\n').take(60)}")
+            f"run=${i.taskMetrics.executorRunTime}%7dms " +
+            f"in=${i.taskMetrics.inputMetrics.recordsRead}%10d " +
+            f"sh=${i.taskMetrics.shuffleReadMetrics.recordsRead}%10d " +
+            f"${i.name.takeWhile(_ != '\n').take(60)}")
           // heavy stages get their graft-frame callsites — the generic
           // lambda in `name` never identifies the operator
           if ((i.numTasks == 1 && i.taskMetrics.executorRunTime > 1500) ||
@@ -50,14 +53,43 @@ object Profile {
       graft.Sessions.sweep(spark, graft.SparkEntry.protectedRddIds)
       System.gc()
     }
+    // per-operator output-row SQL metrics of the FINAL frame's executed
+    // plan (SPARK_GRAFT_ROWMETRICS=1): the row volumes that never cross
+    // a stage boundary — e.g. the ANN candidate join feeding its
+    // same-stage partial top-k — are invisible to task metrics but
+    // recorded on the join node's numOutputRows
+    def rowMetrics(df: DataFrame): Unit = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(p: SparkPlan, depth: Int): Unit = {
+        val r = p.metrics.get("numOutputRows").map(_.value)
+        println(f"    ${"  " * depth}${p.nodeName}%-44s" +
+          r.map(v => f" rows=$v%12d").getOrElse(""))
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
+          case q: QueryStageExec => walk(q.plan, depth + 1)
+          case _ => p.children.foreach(walk(_, depth + 1))
+        }
+      }
+      walk(df.queryExecution.executedPlan, 0)
+    }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       if (explain) fn(spark, sfDir).explain("formatted")
       val warm = force(fn(spark, "/root/testdata/sf0.001"))
       sweep()
       stages.clear()
-      val t = force(fn(spark, sfDir))
-      println(s"PROFILE $n warm=${warm}ms sf=${t}ms")
+      if (sys.env.contains("SPARK_GRAFT_ROWMETRICS")) {
+        val df = fn(spark, sfDir)
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        val t = (System.nanoTime() - t0) / 1000000
+        println(s"PROFILE $n warm=${warm}ms sf=${t}ms")
+        rowMetrics(df)
+      } else {
+        val t = force(fn(spark, sfDir))
+        println(s"PROFILE $n warm=${warm}ms sf=${t}ms")
+      }
       if (sys.env.contains("SPARK_GRAFT_STAGES")) {
         Thread.sleep(500)
         stages.forEach(s => println(s))

@@ -56,6 +56,39 @@ class BpeSpec extends SparkSpec {
     assert(out.toSeq === Seq((10L, 2L, 6L, 4L, 1L, 1.5)))
   }
 
+  test("compression ratio: bounded, monotone in merges, exact at full collapse") {
+    // real corpus slice: the sf0.001 documents table
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select($"doc_id", $"text")
+    val (_, w0) = Bpe.trainShared(docs, "text", nMerges = 1)
+    val (_, w8) = Bpe.trainShared(docs, "text", nMerges = 8)
+    val (_, wAll) = Bpe.trainShared(docs, "text", nMerges = 4096)
+    def econ(w: org.apache.spark.sql.DataFrame) =
+      Bpe.tokenCountsWith(docs, "doc_id", "text", w)
+        .select($"doc_id", $"n_words", $"n_chars", $"n_bpe", $"n_oov",
+          $"compression")
+        .as[(Long, Long, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> r).toMap
+    val (e0, e8, eAll) = (econ(w0), econ(w8), econ(wAll))
+    assert(e0.nonEmpty && e0.keySet == e8.keySet && e0.keySet == eAll.keySet)
+    e0.keys.foreach { id =>
+      // self-corpus scoring: nothing is OOV at any merge count
+      assert(e0(id)._5 == 0L && e8(id)._5 == 0L && eAll(id)._5 == 0L)
+      // hard bounds at any merge count: one symbol per word at best,
+      // one per char at worst → 1 ≤ compression ≤ avg word length
+      Seq(e0(id), e8(id), eAll(id)).foreach { e =>
+        assert(e._2 <= e._4 && e._4 <= e._3)
+      }
+      // more merges never tokenize worse (per doc, not just aggregate)
+      assert(e8(id)._4 <= e0(id)._4 && eAll(id)._4 <= e8(id)._4)
+      // 4096 merges on a 31-word vocab: total collapse — one symbol
+      // per word, compression == avg word length, the upper bound
+      assert(eAll(id)._4 == eAll(id)._2)
+      assert(eAll(id)._6 ==
+        math.round(eAll(id)._3.toDouble / eAll(id)._2 * 10000) / 10000.0)
+    }
+  }
+
   test("stops early when every word is a single symbol") {
     val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     val m = Bpe.learnMerges(docs, "text", nMerges = 10)

@@ -50,6 +50,42 @@ class TopKSpec extends SparkSpec {
     assert(win.exceptAll(agg).isEmpty && agg.exceptAll(win).isEmpty)
   }
 
+  test("TopKAgg.perGroup matches the window on NaN scores (NaN ranks largest, never evicts silently)") {
+    // group 1: NaN + real scores — Spark's double ordering puts NaN
+    // FIRST under desc; group 2: all-NaN (ties broken by id asc);
+    // k=2 forces eviction decisions involving NaN
+    val df = Seq(
+      (1L, 10L, 1.0), (1L, 11L, Double.NaN), (1L, 12L, 5.0), (1L, 13L, 3.0),
+      (2L, 20L, Double.NaN), (2L, 21L, Double.NaN), (2L, 22L, Double.NaN))
+      .toDF("g", "id", "score")
+    val win = TopK.perGroup(df, "g", Seq($"score".desc, $"id"), k = 2)
+      .select($"g", $"rank", $"id", $"score")
+    val agg = TopKAgg.perGroup(df, "g", "score", "id", k = 2)
+      .select($"g", $"rank", $"id", $"score")
+    assert(win.exceptAll(agg).isEmpty && agg.exceptAll(win).isEmpty)
+    // explicit pin, independent of the window: NaN first, then 5.0
+    assert(agg.filter($"g" === 1).orderBy("rank").select("id")
+      .as[Long].collect().toSeq == Seq(11L, 12L))
+    assert(agg.filter($"g" === 2).orderBy("rank").select("id")
+      .as[Long].collect().toSeq == Seq(20L, 21L))
+  }
+
+  test("TopKPairsBuffer grows lazily and stays correct across serialize/merge") {
+    val b = new graft.functions.TopKPairsBuffer(100)
+    assert(b.scores.length == 8) // lazy initial allocation, not k
+    val rng = new scala.util.Random(7)
+    val items = (1 to 60).map(i => (rng.nextDouble(), i.toLong))
+    items.foreach { case (s, id) => b.insert(s, id) }
+    assert(b.n == 60 && b.scores.length >= 60 && b.scores.length <= 100)
+    val expected = items.sortBy { case (s, id) => (-s, id) }
+    assert((0 until 60).forall(i =>
+      b.scores(i) == expected(i)._1 && b.ids(i) == expected(i)._2))
+    // -0.0 ties 0.0 (id breaks the tie), matching Spark's ordering
+    val z = new graft.functions.TopKPairsBuffer(2)
+    z.insert(0.0, 5L); z.insert(-0.0, 3L); z.insert(-1.0, 1L)
+    assert(z.ids.take(2).toSeq == Seq(3L, 5L))
+  }
+
   test("dedupFirstSeen keeps the first row per (group, dup) by order") {
     val df = Seq((1, "a", 3), (1, "a", 1), (1, "b", 2), (2, "a", 5))
       .toDF("grp", "dup", "ord")

@@ -131,6 +131,68 @@ class CurationStreamSpec extends SparkSpec {
     assert(planGot == planFull)
   }
 
+  test("bounded store probe: a collision-free batch never touches the store (reference-equal pass-through)") {
+    val store = freshStore("bloomskip")
+    CurationStream.processBatch(b1.toDF(), "doc_id", "text", profiles, store)
+    val blooms = CurationStream.readBlooms(spark, store)
+    assert(blooms.keySet == Set("ids", "hashes"))
+    // disjoint batch: every id fails the store bloom → boundedAntiJoin
+    // must return the INPUT ITSELF (reference equality = zero store
+    // reads, not even a deferred scan in the plan)
+    val fresh = Seq(DocRow(100L, T5, "web")).toDF()
+    val out = CurationStream.boundedAntiJoin(fresh, col("doc_id"),
+      Some(spark.read.parquet(s"$store/corpus").select(col("doc_id").as("_sid"))),
+      col("_sid"), blooms.get("ids"))
+    assert(out eq fresh)
+    // overlapping batch: equals the plain anti-join exactly
+    val mixed = Seq(DocRow(1L, T1, "web"), DocRow(100L, T5, "web")).toDF()
+    val bounded = CurationStream.boundedAntiJoin(mixed, col("doc_id"),
+      Some(spark.read.parquet(s"$store/corpus").select(col("doc_id").as("_sid"))),
+      col("_sid"), blooms.get("ids"))
+    assert(bounded.select("doc_id").as[Long].collect().toSet == Set(100L))
+  }
+
+  test("superset bloom (crash between sidecar write and append) only costs exact probes") {
+    // a bloom that over-approximates the store: contains key 7 that the
+    // store does NOT have — batch rows hitting it must SURVIVE via the
+    // exact anti-join (false positives removed, nothing lost)
+    val storeKeys = Seq(1L, 2L).toDF("_sid")
+    val bf = Seq(1L, 2L, 7L).toDF("k")
+      .stat.bloomFilter(xxhash64(col("k")), 1000L, 0.01)
+    val bloom = CurationStream.StoreBloom(bf, 3L, 1000L, 0.01)
+    val batch = Seq((1L, "a"), (7L, "b"), (9L, "c")).toDF("doc_id", "text")
+    val out = CurationStream.boundedAntiJoin(batch, col("doc_id"),
+      Some(storeKeys), col("_sid"), Some(bloom))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(7L, 9L))
+  }
+
+  test("bloom saturation triggers a rebuild; probes stay exact after it") {
+    val store = freshStore("bloomgrow")
+    // threshold ~1.0 so one-word variants are NOT near-dups of each
+    // other; capacity 1 so the second batch overflows the sidecar
+    val cfg = CurationStream.Config(jaccardThreshold = 0.995,
+      bloomCapacity = 1L)
+    def doc(i: Long) = DocRow(i, T5.replace("red", s"wag$i"), "web")
+    CurationStream.processBatch((1L to 3L).map(doc).toDF(), "doc_id", "text",
+      profiles, store, cfg)
+    val cap1 = CurationStream.readBlooms(spark, store)("ids").capacity
+    CurationStream.processBatch((4L to 9L).map(doc).toDF(), "doc_id", "text",
+      profiles, store, cfg)
+    val ids2 = CurationStream.readBlooms(spark, store)("ids")
+    assert(storeIds(store) == (1L to 9L).toSet)
+    assert(ids2.nItems == 9L && ids2.capacity > cap1)
+    // replay through the rebuilt bloom: all ids bloom-positive, exact
+    // probe drops every one — the store converges unchanged
+    val f = CurationStream.processBatch((1L to 9L).map(doc).toDF(), "doc_id",
+        "text", profiles, store, cfg)
+      .as[(String, Long)].collect().toMap
+    assert(f("arrived") == 0L && f("store_total") == 9L)
+    // and a genuinely new doc still lands through the bloom-negative path
+    CurationStream.processBatch(Seq(DocRow(10L, T1, "web")).toDF(), "doc_id",
+      "text", profiles, store, cfg)
+    assert(storeIds(store) == (1L to 10L).toSet)
+  }
+
   test("streaming soak: file-less MemoryStream micro-batches, funnel log, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val store = freshStore("stream")
