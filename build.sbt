@@ -35,11 +35,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // shuffles (ALS + 14M-row aggs); 32g leaves ample headroom for the
   // OS page cache
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  // ~180 queries × whole-stage-codegen classes overflow the JDK's
-  // default 240 MB code cache mid-suite; when it fills, the JIT shuts
-  // off ("CodeCache is full. Compiler has been disabled") and every
-  // LATER query runs interpreted — the round-9 bench's in-suite-only
-  // 3-6× inflation of q142/q16/q143 (isolated runs were normal).
-  // 512 MB keeps the full suite compiled.
+  // Headroom for ~180 queries × whole-stage-codegen classes: if the
+  // code cache ever fills, the JIT disables and later queries run
+  // interpreted. Measured NOT to be the round-9 bench contamination
+  // (a full-suite run at the 240 MB default showed zero
+  // "CodeCache is full" warnings and healthy timings once the
+  // session-global objectHashAggregate threshold was scoped away —
+  // see BisectBench's scaladoc); kept as cheap insurance against
+  // suite growth.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("GRAFT_CODE_CACHE", "512m")}",
 ) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(" ").toSeq)

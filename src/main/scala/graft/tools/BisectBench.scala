@@ -19,6 +19,21 @@ import graft.{Sessions, SparkEntry}
   *   GRAFT_OHA_THRESHOLD=4194304 sbt "runMain graft.tools.BisectBench"
   *   sbt "runMain graft.tools.BisectBench"
   *
+  * ROUND-10 FINDINGS (the bisect that motivated this tool):
+  *  - the 6-query sequence did NOT reproduce the inflation at either
+  *    threshold (q142 ≈ 11 s min-of-2 both ways) — the contamination
+  *    needs the full 182-query suite to accumulate;
+  *  - a JIT code-cache overflow hypothesis was ruled out: a FULL
+  *    suite run forced back to the 240 MB default printed zero
+  *    "CodeCache is full" warnings;
+  *  - that same full-suite run, with the round-10 scoping of the
+  *    threshold to top-k queries (TopKAgg's derived session) as the
+  *    only other change, came back healthy: total 216.5 s → 154.7 s,
+  *    q142 51.4 s → 9.95 s, q16 1.51 s → 0.61 s, q143 3.45 s →
+  *    1.37 s — implicating cross-query heap residue from EVERY
+  *    ObjectHashAggregate in the suite holding up to 4M group
+  *    buffers under the round-9 session-global threshold.
+  *
   * Usage: runMain graft.tools.BisectBench [queries-csv]
   */
 object BisectBench {
