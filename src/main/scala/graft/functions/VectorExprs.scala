@@ -507,6 +507,223 @@ case class ArrayAgreeCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-row level-2 assignment against DRIVER-HELD per-cell child
+  * matrices: `cells(c1)` is the (child × dims) centroid matrix of
+  * level-1 cell `c1`, and the result is the argmax child by dot with
+  * the input vector (ties → smaller child id, identical to the join
+  * path's `max_by(struct(_dot, -_c2))`). −1 for a cell with no
+  * children (cannot arise for a vector's OWN cell — it seeded one).
+  *
+  * Design contract (the hierarchy's [[ArgmaxMatrixDot]]): the round-7
+  * rewrite made level-1 assignment a narrow expression but left
+  * level-2 as a salted equi-join + shuffle aggregation, so every
+  * training round and probe materialized |vectors|·l2n scored rows —
+  * the sf10 profile measured that beam at 80M checkpointed rows and
+  * ~500 s of aggregation CPU for q125. When the FULL level-2 table
+  * fits the same driver/broadcast budget as a centroid matrix
+  * (cells·dims doubles — `graft.ivf.maxDriverCellVecs`, default 8M ≈
+  * 64 MB), shipping it inside the expression makes assignment
+  * one narrow codegen'd map again. Beyond the budget the join path
+  * remains (see [[graft.llm.Similarity]]) — identical results.
+  */
+case class GroupedArgmaxDot(vec: Expression, group: Expression,
+                            cells: Array[Array[Array[Double]]])
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def left: Expression = vec
+  override def right: Expression = group
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "grouped_argmax_dot"
+
+  override def nullSafeEval(a: Any, g: Any): Any =
+    GroupedArgmaxDot.argmax(a.asInstanceOf[ArrayData],
+      g.asInstanceOf[Int], cells)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("cells", cells, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, g) =>
+      s"${ev.value} = graft.functions.GroupedArgmaxDot.argmax($v, $g, $cs);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GroupedArgmaxDot =
+    copy(vec = newLeft, group = newRight)
+}
+
+object GroupedArgmaxDot {
+  def argmax(v: ArrayData, c1: Int,
+             cells: Array[Array[Array[Double]]]): Int = {
+    if (c1 < 0 || c1 >= cells.length) return -1
+    val m = cells(c1)
+    var best = -1
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < m.length) {
+      val row = m(c)
+      val n = math.min(row.length, v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) s += row(i) * v.getDouble(i)
+        i += 1
+      }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** The COMPLETE hierarchical IVF probe for one query vector as a
+  * single narrow expression: level-1 beam (top-`pL1` cells by center
+  * dot), level-2 scoring against the driver-held child matrices,
+  * global top-`nProbe` (c1, c2) cells by (dot desc, (c1, c2) asc) —
+  * bit-identical to the join path's `TopKAgg.perGroup` over
+  * `cid = c1·l2n + c2` — UNIONED with the argmax child within each
+  * beamed level-1 cell (the probe-your-own-home-cell guarantee; ties →
+  * smaller c2, identical to `max_by(struct(_dot, -_c2))`), deduped,
+  * emitted sorted by (c1, c2). Output:
+  * `array<struct<_c1:int,_c2:int>>`, ≤ pL1 + nProbe entries.
+  *
+  * Replaces, per query: the |q|·pL1-row probe shuffle, the
+  * |q|·pL1·l2n-row scored-beam checkpoint, both beam aggregations and
+  * the union-distinct — the sf10 profile's ~115 s / 500 CPU-s of
+  * probe cost for q125 — with one codegen'd map over the query frame.
+  * Same driver budget and fallback contract as [[GroupedArgmaxDot]].
+  */
+case class HierProbeCells(child: Expression, l1m: Array[Array[Double]],
+                          cells: Array[Array[Array[Double]]],
+                          pL1: Int, nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(
+    new org.apache.spark.sql.types.StructType()
+      .add("_c1", IntegerType, nullable = false)
+      .add("_c2", IntegerType, nullable = false),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hier_probe_cells"
+
+  override def nullSafeEval(a: Any): Any =
+    HierProbeCells.probe(a.asInstanceOf[ArrayData], l1m, cells, pL1, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m1 = ctx.addReferenceObj("l1m", l1m, "double[][]")
+    val cs = ctx.addReferenceObj("cells", cells, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = graft.functions.HierProbeCells.probe(
+         |  $v, $m1, $cs, $pL1, $nProbe);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HierProbeCells =
+    copy(child = newChild)
+}
+
+object HierProbeCells {
+  def probe(v: ArrayData, l1m: Array[Array[Double]],
+            cells: Array[Array[Array[Double]]],
+            pL1: Int, nProbe: Int): ArrayData = {
+    val beam = TopKMatrixDot.topK(v, l1m, pL1)
+    // per beamed c1: local top-min(nProbe, children) by (dot desc, c2
+    // asc). Any global top-nProbe member is inside its own cell's local
+    // top-nProbe, so the locals are a sufficient global candidate set.
+    val maxLoc = beam.length * nProbe
+    val candC1 = new Array[Int](maxLoc)
+    val candC2 = new Array[Int](maxLoc)
+    val candDot = new Array[Double](maxLoc)
+    var nCand = 0
+    // the argmax child of each beamed c1 (= its local top-1)
+    val hierC1 = new Array[Int](beam.length)
+    val hierC2 = new Array[Int](beam.length)
+    var nHier = 0
+    var b = 0
+    while (b < beam.length) {
+      val c1 = beam(b)
+      val m = cells(c1)
+      if (m.length > 0) {
+        val dots = new Array[Double](m.length)
+        var c = 0
+        while (c < m.length) {
+          val row = m(c)
+          val n = math.min(row.length, v.numElements())
+          var s = 0.0
+          var i = 0
+          while (i < n) {
+            if (!v.isNullAt(i)) s += row(i) * v.getDouble(i)
+            i += 1
+          }
+          dots(c) = s
+          c += 1
+        }
+        val kk = math.min(nProbe, m.length)
+        val used = new Array[Boolean](m.length)
+        var j = 0
+        while (j < kk) {
+          var best = -1
+          var bestDot = Double.NegativeInfinity
+          var c2 = 0
+          while (c2 < m.length) {
+            if (!used(c2) && dots(c2) > bestDot) { bestDot = dots(c2); best = c2 }
+            c2 += 1
+          }
+          used(best) = true
+          if (j == 0) { hierC1(nHier) = c1; hierC2(nHier) = best; nHier += 1 }
+          candC1(nCand) = c1; candC2(nCand) = best; candDot(nCand) = dots(best)
+          nCand += 1
+          j += 1
+        }
+      }
+      b += 1
+    }
+    // global top-nProbe by (dot desc, (c1, c2) asc) — (c1, c2)
+    // lexicographic IS cid = c1·l2n + c2 order, the join-path contract
+    val out = new Array[Long](nProbe + nHier) // packed (c1 << 32 | c2)
+    var nOut = 0
+    val taken = new Array[Boolean](nCand)
+    var j = 0
+    while (j < math.min(nProbe, nCand)) {
+      var best = -1
+      var i = 0
+      while (i < nCand) {
+        if (!taken(i) && (best < 0 || candDot(i) > candDot(best) ||
+            (candDot(i) == candDot(best) &&
+              (candC1(i) < candC1(best) ||
+                (candC1(i) == candC1(best) && candC2(i) < candC2(best)))))) {
+          best = i
+        }
+        i += 1
+      }
+      taken(best) = true
+      out(nOut) = (candC1(best).toLong << 32) | (candC2(best).toLong & 0xffffffffL)
+      nOut += 1
+      j += 1
+    }
+    var h = 0
+    while (h < nHier) {
+      val packed = (hierC1(h).toLong << 32) | (hierC2(h).toLong & 0xffffffffL)
+      var dup = false
+      var i = 0
+      while (i < nOut) { if (out(i) == packed) dup = true; i += 1 }
+      if (!dup) { out(nOut) = packed; nOut += 1 }
+      h += 1
+    }
+    java.util.Arrays.sort(out, 0, nOut)
+    val rows = new Array[Any](nOut)
+    var i = 0
+    while (i < nOut) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+        (out(i) >>> 32).toInt, out(i).toInt)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
 object VectorExprs {
   /** `Σ a[i]·b[i]` as a codegen'd column; inputs are cast to
     * array<double> (float vectors widen losslessly).
@@ -562,4 +779,22 @@ object VectorExprs {
   def signBands(v: Column, planes: Array[Array[Array[Double]]]): Column =
     Bridge.column(SignBandsMatrix(
       Bridge.expression(v.cast("array<double>")), planes))
+
+  /** argmax child within the row's own level-1 cell over driver-held
+    * per-cell child matrices ([[GroupedArgmaxDot]]).
+    */
+  def groupedArgmaxDot(v: Column, group: Column,
+                       cells: Array[Array[Array[Double]]]): Column =
+    Bridge.column(GroupedArgmaxDot(
+      Bridge.expression(v.cast("array<double>")),
+      Bridge.expression(group.cast("int")), cells))
+
+  /** full hierarchical IVF probe set for one query
+    * ([[HierProbeCells]]): array<struct<_c1,_c2>>.
+    */
+  def hierProbeCells(v: Column, l1m: Array[Array[Double]],
+                     cells: Array[Array[Array[Double]]],
+                     pL1: Int, nProbe: Int): Column =
+    Bridge.column(HierProbeCells(
+      Bridge.expression(v.cast("array<double>")), l1m, cells, pL1, nProbe))
 }

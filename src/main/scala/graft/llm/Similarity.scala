@@ -281,23 +281,36 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: the second scale path next to
     * [[embedLshTopK]]. A TWO-LEVEL coarse quantizer partitions the
-    * corpus into ≈ `nCentroids` cells (default 4√n, the standard IVF
-    * sizing — NO upper cap): √cells level-1 centroids trained by a
-    * few Lloyd rounds, then √cells level-2 centroids trained WITHIN
-    * each level-1 cell. Each query probes its best level-1 cells,
-    * ranks their level-2 children, and verifies exact cosine only
-    * against vectors assigned to its `nProbe` best (c1, c2) cells —
-    * candidate volume ≈ corpus × nProbe / cells per query, an
-    * equality join on the cell pair (no all-pairs).
+    * corpus into ≈ `nCentroids` cells (default: occupancy-bounded —
+    * max(4√n, n/32) capped at 128k cells, see `trainIvfIndex`):
+    * √cells level-1 centroids trained by a few Lloyd rounds, then
+    * √cells level-2 centroids trained WITHIN each level-1 cell. Each
+    * query probes its best level-1 cells, ranks their level-2
+    * children, and verifies exact cosine only against vectors
+    * assigned to its `nProbe` best (c1, c2) cells — candidate volume
+    * ≈ corpus × nProbe × occupancy per probed cell, an equality join
+    * on the cell pair (no all-pairs). Bounding occupancy (n/32 cells)
+    * keeps that verify stage ~linear in the corpus; the classic 4√n
+    * sizing let it grow as n^1.5, and the round-10 sf10 profile
+    * measured it at 70% of q125's runtime (353M candidate pairs for a
+    * 400k-vector corpus).
     *
-    * Why two levels: flat IVF needs n·cells assignment dots (n^1.5
-    * at the 4√n sizing — quadratic-ish past ~10⁶ vectors) and a
+    * Why two levels: flat IVF needs n·cells assignment dots and a
     * cells×dims centroid table that must reach the driver. Here
-    * assignment costs n·2√cells dots, level-1 centroids are the only
-    * broadcast (√cells × dims), and level-2 centroids live in a
-    * DataFrame equi-joined on the level-1 cell — nothing is ever
-    * collect()ed, so the cell count scales with the corpus instead of
-    * being capped by driver memory (the round-4/5 watch item).
+    * assignment costs n·(1+nProbe)·√cells dots, level-1 centroids are
+    * the only REQUIRED broadcast (√cells × dims), and level-2
+    * centroids live in a DataFrame equi-joined on the level-1 cell.
+    * When the full level-2 table also fits a driver/broadcast budget
+    * (`graft.ivf.maxDriverCellElems`, default 64 MB — up to 128k
+    * cells at 64 dims, i.e. corpora to ~10⁹ vectors), assignment and
+    * probing instead run as narrow codegen'd expressions over the
+    * per-cell child matrices ([[graft.functions.HierProbeCells]] /
+    * [[graft.functions.GroupedArgmaxDot]]): no |q|·pL1·l2n scored-beam
+    * materialization, no probe aggregation shuffles — the round-10
+    * profile measured that beam at 80M checkpointed rows and ~500
+    * CPU-s for a 400k self-search. Past the budget the salted-join
+    * path takes over with bit-identical results, so the cell count is
+    * never capped by driver memory (the round-4/5 watch item).
     *
     * Cosine-correctness: on unit vectors, nearest-centroid by
     * Euclidean = nearest by cosine (d² = 2 − 2cos), so normalizing
@@ -348,10 +361,11 @@ object Similarity {
     * [[graft.llm.Dedup.dupClusters]] + `canonicalize` for the
     * keep-one-per-semantic-cluster step.
     *
-    * Scale: inherits the quantizer's contract — cells ≈ 4√n so
-    * per-cell occupancy grows as √n; the candidate join is an
-    * equality join on (c1, c2); nothing all-pairs, nothing
-    * driver-sized beyond the level-1 matrix.
+    * Scale: inherits the quantizer's contract — occupancy-bounded
+    * cells (see `trainIvfIndex`), so per-cell candidate volume stays
+    * ~constant; the candidate join is an equality join on (c1, c2);
+    * nothing all-pairs, nothing driver-sized beyond the centroid
+    * budget (join fallback above it).
     */
   def semDedupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                     minCos: Double, nCentroids: Int = -1, nProbe: Int = 2,
@@ -386,7 +400,44 @@ object Similarity {
   private final case class IvfIndex(l1m: Array[Array[Double]],
                                     l2: Option[DataFrame],
                                     lists: DataFrame, l1n: Int, l2n: Int,
-                                    seed: Long)
+                                    seed: Long,
+                                    cellMats: Option[Array[Array[Array[Double]]]] = None)
+
+  /** Driver budget for the level-2 expression path: total elements
+    * (cells · dims) of the per-cell child matrices that may be
+    * collected and shipped inside [[graft.functions.HierProbeCells]] /
+    * [[graft.functions.GroupedArgmaxDot]]. Default 8M doubles ≈ 64 MB —
+    * the same order as what a broadcast join of the level-2 table
+    * would ship per executor. Above it, training and probing keep the
+    * salted-join path (identical results, never driver-sized).
+    */
+  private def maxDriverCellElems(spark: SparkSession): Long =
+    spark.conf.getOption("graft.ivf.maxDriverCellElems")
+      .map(_.toLong).getOrElse(8L * 1024 * 1024)
+
+  /** Collect the level-2 table into per-cell child matrices indexed
+    * `cells(c1)(c2)` — callable only under [[maxDriverCellElems]].
+    * c2 ids are contiguous ranks by construction (TopKAgg seeds,
+    * preserved by the mean updates and the parquet round-trip).
+    */
+  private def collectCells(l2: DataFrame, l1n: Int): Array[Array[Array[Double]]] = {
+    val rows = l2
+      .select(col("_c1").cast("int"), col("_c2").cast("int"), col("_c2v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val byC1 = rows.groupBy(_._1)
+    Array.tabulate(l1n) { c1 =>
+      byC1.get(c1) match {
+        case Some(rs) =>
+          val sorted = rs.sortBy(_._2)
+          sorted.zipWithIndex.foreach { case ((_, c2, _), i) =>
+            require(c2 == i, s"non-contiguous level-2 ids in cell $c1: $c2 at rank $i")
+          }
+          sorted.map(_._3)
+        case None => Array.empty[Array[Double]]
+      }
+    }
+  }
 
   /** (id as `idCol`, original vec, L2-normalized `_unit`), spread and
     * checkpointed — the shared input shape for training and probing.
@@ -454,15 +505,24 @@ object Similarity {
     // Auto cell count (default): candidate volume per query is
     // corpus·nProbe/nCentroids, so FIXED cells make the total verify
     // cost quadratic in the corpus — the 10× scale smoke measured 24×
-    // growth at 16 cells before this. nCentroids ≈ 4√n (the standard
-    // IVF sizing) keeps per-cell occupancy ~√n/4 — and with the
-    // two-level quantizer there is no upper cap: nothing about the
-    // cell count touches the driver.
+    // growth at 16 cells before this. The classic 4√n sizing keeps
+    // occupancy at √n/4, which still makes the exact-verify stage grow
+    // as n^1.5 — the round-10 sf10 profile measured it at 70% of
+    // q125's runtime (335M candidate pairs for a 400k corpus). Once
+    // probing is a narrow expression over driver-held centroids (cheap
+    // multiplies, see the expression path below), the balance moves to
+    // BOUNDED OCCUPANCY: n/32 cells pin ~32 candidates per probed cell
+    // and the verify stage back to ~linear. The 131072-cell cap is the
+    // expression path's driver budget (~64 MB of level-2 centroids at
+    // 64 dims); past it 4√n resumes (n ≳ 1e9) and with it the join
+    // path whose costs that sizing balances — nothing about the cell
+    // count ever exceeds the driver contract.
     val nCells =
       if (nCentroids > 0) nCentroids
       else {
         val n = unit.count().toDouble
-        math.max(16, math.ceil(4.0 * math.sqrt(n)).toInt)
+        math.max(16, math.max(math.ceil(4.0 * math.sqrt(n)).toInt,
+          math.min(math.ceil(n / 32.0).toInt, 131072)))
       }
     // Below FlatMax cells (corpus ≲ 16k vectors) a single level is
     // both safe (the broadcast is bounded by FlatMax×dims) and ~3×
@@ -577,13 +637,26 @@ object Similarity {
           .groupBy(col(idCol), col("_c1"))
           .agg(max_by(col("_c2"),
             struct(col("_dot"), (-col("_c2")).as("_t"))).as("_c2"))
+      // level-2 assignment: a narrow expression over the driver-held
+      // per-cell child matrices when they fit the budget (argmax ties
+      // → smaller c2, identical to the join's max_by struct), the
+      // salted join beyond it — same results either way
+      val exprPath =
+        nCells.toLong * l1m.headOption.map(_.length).getOrElse(0) <=
+          maxDriverCellElems(unit.sparkSession)
+      def assigned(cs: DataFrame): DataFrame =
+        if (exprPath)
+          corpus.withColumn("_c2",
+            graft.functions.VectorExprs.groupedArgmaxDot(
+              col("_unit"), col("_c1"), collectCells(cs, l1n)))
+        else corpus.join(l2Assign(cs), Seq(idCol, "_c1"))
       for (_ <- 1 to maxIter) {
         // spread by CELL, not round-robin: co-locating each (c1, c2)
         // makes the per-task partial aggregation complete for its own
         // cells, so the final exchange carries only cells×dims rows —
         // round-robin left mappers×cells×dims partial states whose
         // single-task merge was the 10× smoke's last ~3 s hotspot.
-        val means = corpus.join(l2Assign(l2), Seq(idCol, "_c1"))
+        val means = assigned(l2)
           .repartition(par, col("_c1"), col("_c2"))
           .select(col("_c1"), col("_c2"),
             posexplode(col("_unit")).as(Seq("_pos", "_x")))
@@ -597,10 +670,15 @@ object Similarity {
             coalesce(col("_nv"), col("_c2v")).as("_c2v"))
           .localCheckpoint()
       }
-      val lists = corpus.join(l2Assign(l2), Seq(idCol, "_c1"))
-        .select(col(idCol).as("id_b"), col("_unit").as("_ub"),
+      val finalCells = if (exprPath) Some(collectCells(l2, l1n)) else None
+      val lists = (finalCells match {
+        case Some(cm) => corpus.withColumn("_c2",
+          graft.functions.VectorExprs.groupedArgmaxDot(
+            col("_unit"), col("_c1"), cm))
+        case None => corpus.join(l2Assign(l2), Seq(idCol, "_c1"))
+      }).select(col(idCol).as("id_b"), col("_unit").as("_ub"),
           col("_c1"), col("_c2").cast("int").as("_c2"))
-      IvfIndex(l1m, Some(l2), lists, l1n, l2n, seed)
+      IvfIndex(l1m, Some(l2), lists, l1n, l2n, seed, finalCells)
     }
   }
 
@@ -632,6 +710,28 @@ object Similarity {
           .withColumn("_c2", lit(0))
       case Some(l2) =>
         val pL1 = math.min(idx.l1n, math.max(2, nProbe))
+        val dims = idx.l1m.headOption.map(_.length).getOrElse(0)
+        val cellsOpt = idx.cellMats.orElse {
+          if (idx.l1n.toLong * idx.l2n * dims <=
+              maxDriverCellElems(qunit.sparkSession))
+            Some(collectCells(l2, idx.l1n))
+          else None
+        }
+        if (cellsOpt.isDefined) {
+          // expression path: the WHOLE hierarchical probe (level-1
+          // beam, level-2 scoring, global top-nProbe ∪ per-cell
+          // argmax, dedup) as one narrow codegen'd map per query —
+          // no beam materialization, no aggregation, no distinct.
+          // Bit-identical to the join path below (see HierProbeCells).
+          return qunit.select(col(idCol).as("id_a"),
+              col("_unit").as("_ua"),
+              explode(graft.functions.VectorExprs.hierProbeCells(
+                col("_unit"), idx.l1m, cellsOpt.get, pL1, nProbe))
+                .as("_cell"))
+            .select(col("id_a"), col("_ua"),
+              col("_cell._c1").as("_c1"), col("_cell._c2").as("_c2"))
+        }
+        // join path (level-2 beyond the driver budget)
         // level-1 beam per query via the same narrow top-k expression;
         // `_unit` rides along for the level-2 center dots
         val probe1 = qunit.select(col(idCol), col("_unit"),
@@ -699,12 +799,13 @@ object Similarity {
     // bounded per-query top-k ([[graft.operators.TopKAgg]], same
     // (cos desc, id_b asc) contract as a row_number window): partial
     // map-side aggregation collapses the candidate volume —
-    // n·nProbe·occupancy pair rows, ∝ n^1.5 for self-search under the
-    // 4√n cell sizing — to ≤ k rows per (mapper, query) BEFORE any
+    // n·probedCells·occupancy pair rows, ~linear under the
+    // occupancy-bounded cell sizing (∝ n^1.5 under the old 4√n
+    // sizing: 353M pairs at the 400k-vector sf10 profile, 70% of
+    // q125's runtime) — to ≤ k rows per (mapper, query) BEFORE any
     // exchange, pipelined straight off the candidate join. The window
     // version shuffled and sorted EVERY candidate pair — at the sf10
-    // smoke (400k vectors, ~250M candidates) that full shuffle + sort
-    // dominated q125's 246 s.
+    // smoke that full shuffle + sort dominated q125's 246 s.
     graft.operators.TopKAgg.perGroup(cos, "id_a", "cos", "id_b", k)
       .select(col("id_a"), col("id_b"), col("cos"), col("rank"))
   }

@@ -57,8 +57,22 @@ object Profile {
     // plan (SPARK_GRAFT_ROWMETRICS=1): the row volumes that never cross
     // a stage boundary — e.g. the ANN candidate join feeding its
     // same-stage partial top-k — are invisible to task metrics but
-    // recorded on the join node's numOutputRows
-    def rowMetrics(df: DataFrame): Unit = {
+    // recorded on the join node's numOutputRows. The plan must come
+    // from the EXECUTED QueryExecution: `df.write` plans a fresh copy,
+    // so walking `df.queryExecution` reads never-run nodes (all
+    // zeros) — a QueryExecutionListener hands us the real one.
+    val lastExec = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.execution.QueryExecution]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = lastExec.set(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    def rowMetrics(): Unit = {
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       def walk(p: SparkPlan, depth: Int): Unit = {
@@ -71,7 +85,10 @@ object Profile {
           case _ => p.children.foreach(walk(_, depth + 1))
         }
       }
-      walk(df.queryExecution.executedPlan, 0)
+      // listener events are posted async — wait for the write's own
+      // onSuccess to land before reading the reference
+      Thread.sleep(1000)
+      Option(lastExec.get()).foreach(qe => walk(qe.executedPlan, 0))
     }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
@@ -85,7 +102,7 @@ object Profile {
         df.write.mode("overwrite").format("noop").save()
         val t = (System.nanoTime() - t0) / 1000000
         println(s"PROFILE $n warm=${warm}ms sf=${t}ms")
-        rowMetrics(df)
+        rowMetrics()
       } else {
         val t = force(fn(spark, sfDir))
         println(s"PROFILE $n warm=${warm}ms sf=${t}ms")

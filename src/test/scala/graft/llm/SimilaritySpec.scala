@@ -196,6 +196,43 @@ class SimilaritySpec extends SparkSpec {
                             a: Long, b: Long): Boolean =
     f.exists(t => t._1 == a && t._2 == b)
 
+  test("hierarchical IVF: expression and join probe paths agree exactly; " +
+    "planted recall EQUAL") {
+    // > FlatMax cells forces the two-level quantizer — the path the
+    // sf1+/sf10 scale gates exercise but (before this spec) no unit
+    // test did. 1500 base vectors + a perturbed copy of each
+    // (cos ≈ 0.9999, the SparkEntry planting), 600 cells.
+    val rng = new scala.util.Random(47)
+    val base = (0 until 1500).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    val copies = base.map { case (id, v) =>
+      (id + 100000L,
+        v.zipWithIndex.map { case (x, j) => x * (1.0f + 0.01f * ((j % 5) - 2)) })
+    }
+    val emb = (base ++ copies).toDF("vec_id", "embedding").cache()
+    def run(): Set[(Long, Long, Double, Int)] =
+      Similarity.embedIvfTopK(emb, "vec_id", "embedding", k = 3,
+          nCentroids = 600, nProbe = 4)
+        .select("id_a", "id_b", "cos", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val viaExpr = run()
+    // force the salted-join fallback by zeroing the driver budget
+    spark.conf.set("graft.ivf.maxDriverCellElems", "0")
+    val viaJoin =
+      try run()
+      finally spark.conf.unset("graft.ivf.maxDriverCellElems")
+    assert(viaExpr == viaJoin,
+      s"expression/join probe paths diverged: " +
+        s"${(viaExpr diff viaJoin).take(5)} vs ${(viaJoin diff viaExpr).take(5)}")
+    // planted recall EQUAL through the hierarchical quantizer: every
+    // copy must rank its source among its top-3
+    val found = viaExpr.count { case (a, b, _, _) =>
+      a >= 100000L && b == a - 100000L
+    }
+    assert(found == 1500, s"hierarchical planted recall $found/1500")
+  }
+
   test("embedNearDupPairs finds planted near-duplicates and respects the block bound") {
     val base = Array.fill(16)(1.0f)
     val rows = Seq(
