@@ -724,6 +724,119 @@ object HierProbeCells {
   }
 }
 
+/** Fused IVF inverted-list scan: the exact-verify of ONE probed cell
+  * for one query as a single codegen'd call — the Spark expression of
+  * the classic block-scan over an inverted list. `members` is the
+  * cell's collect_list'd corpus block (`struct<id, vec>` float layout
+  * or `struct<id, qvec, scale>` int8 layout); the result is the
+  * query's top-`k` members by `(round(dot, 4) desc, id asc)` — the
+  * SAME rounded score and tie order as the pair-join path
+  * ([[graft.llm.Similarity]] `rankIvfPairs`), so the downstream
+  * per-query [[TopKPairsAgg]] merge is bit-identical.
+  *
+  * Why: the pair-join shape materializes one row PER CANDIDATE
+  * (probe × occupancy) through the join, the scoring projection and
+  * the aggregation update — the round-10 sf10 profile measured that
+  * machinery at ~18 µs/candidate × 72.8M candidates = 1333 CPU-s, 85%
+  * of q125. Scanning the cell block inside one expression touches the
+  * join/agg row machinery once per (probe, cell) instead — ~33× fewer
+  * rows at the occupancy-bounded cell sizing — while the dots run in
+  * the same tight loops. Rounding parity: Spark's `Round` on doubles
+  * is `BigDecimal.valueOf(x).setScale(4, HALF_UP)` with NaN/∞ passed
+  * through; [[CellTopKScan.scan]] replicates exactly that (and NaN
+  * ordering follows [[TopKPairsBuffer]] = Spark's double ordering).
+  * Rounding before ranking (not after) is load-bearing: round is
+  * monotone, but ties created by rounding break by id ASC — ranking
+  * raw dots would pick a different member at a rounded-tie boundary.
+  *
+  * Null semantics: null query vector / members / id ⇒ row skipped
+  * upstream (nullIntolerant); null vector ELEMENTS contribute 0,
+  * matching [[ArrayDotProduct]]/[[ArrayInt8DotProduct]].
+  */
+case class CellTopKScan(q: Expression, members: Expression,
+                        selfId: Expression, k: Int, excludeSelf: Boolean,
+                        quantized: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = q
+  override def second: Expression = members
+  override def third: Expression = selfId
+  override def dataType: DataType = ArrayType(
+    new org.apache.spark.sql.types.StructType()
+      .add("score", DoubleType, nullable = false)
+      .add("id", LongType, nullable = false),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_topk_scan"
+
+  override def nullSafeEval(a: Any, m: Any, s: Any): Any =
+    CellTopKScan.scan(a.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData],
+      s.asInstanceOf[Long], k, excludeSelf, quantized)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, m, s) =>
+      s"""${ev.value} = graft.functions.CellTopKScan.scan(
+         |  $a, $m, $s, $k, $excludeSelf, $quantized);""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): CellTopKScan =
+    copy(q = newFirst, members = newSecond, selfId = newThird)
+}
+
+object CellTopKScan {
+  /** Spark `Round(_, 4)` parity on doubles: shortest-decimal
+    * (`BigDecimal.valueOf`) HALF_UP, NaN/±∞ passed through.
+    */
+  private def round4(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def scan(q: ArrayData, members: ArrayData, selfId: Long, k: Int,
+           excludeSelf: Boolean, quantized: Boolean): ArrayData = {
+    val m = members.numElements()
+    val nFields = if (quantized) 3 else 2
+    val buf = new TopKPairsBuffer(k)
+    val nq = q.numElements()
+    var i = 0
+    while (i < m) {
+      val row = members.getStruct(i, nFields)
+      val id = row.getLong(0)
+      if (!(excludeSelf && id == selfId)) {
+        val vb = row.getArray(1)
+        val n = math.min(nq, vb.numElements())
+        var s = 0.0
+        var j = 0
+        if (quantized) {
+          while (j < n) {
+            if (!q.isNullAt(j) && !vb.isNullAt(j))
+              s += q.getDouble(j) * vb.getByte(j)
+            j += 1
+          }
+          s = s * row.getDouble(2) / 127.0
+        } else {
+          while (j < n) {
+            if (!q.isNullAt(j) && !vb.isNullAt(j))
+              s += q.getDouble(j) * vb.getDouble(j)
+            j += 1
+          }
+        }
+        buf.insert(round4(s), id)
+      }
+      i += 1
+    }
+    val out = new Array[Any](buf.n)
+    var r = 0
+    while (r < buf.n) {
+      out(r) = org.apache.spark.sql.catalyst.InternalRow(
+        buf.scores(r), buf.ids(r))
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExprs {
   /** `Σ a[i]·b[i]` as a codegen'd column; inputs are cast to
     * array<double> (float vectors widen losslessly).
@@ -788,6 +901,16 @@ object VectorExprs {
     Bridge.column(GroupedArgmaxDot(
       Bridge.expression(v.cast("array<double>")),
       Bridge.expression(group.cast("int")), cells))
+
+  /** fused per-cell exact-verify top-k ([[CellTopKScan]]):
+    * array<struct<score,id>>, (round(dot,4) desc, id asc).
+    */
+  def cellTopKScan(q: Column, members: Column, selfId: Column, k: Int,
+                   excludeSelf: Boolean, quantized: Boolean): Column =
+    Bridge.column(CellTopKScan(
+      Bridge.expression(q.cast("array<double>")),
+      Bridge.expression(members),
+      Bridge.expression(selfId.cast("long")), k, excludeSelf, quantized))
 
   /** full hierarchical IVF probe set for one query
     * ([[HierProbeCells]]): array<struct<_c1,_c2>>.

@@ -772,7 +772,7 @@ object Similarity {
     }
   }
 
-  /** Candidate join + exact-cosine verify + per-query top-k ranking.
+  /** Exact-cosine verify + per-query top-k over the probed cells.
     * Verify runs on the ALREADY-normalized double vectors: cosine is
     * one codegen'd dot per pair — no norms and no per-pair
     * float→double cast allocations. The self-pair filter only applies
@@ -780,32 +780,72 @@ object Similarity {
     * are different namespaces. No pair-dedup is needed: each corpus
     * vector lives in exactly one (c1, c2) cell and a query probes
     * distinct cells.
+    *
+    * Default shape (FUSED): group each cell's members into one
+    * block row (`collect_list`, bounded by cell occupancy — ~32
+    * members at the occupancy-bounded auto sizing, a few tens of KB),
+    * equi-join probes to blocks, and scan the block inside ONE
+    * codegen'd expression per (probe, cell)
+    * ([[graft.functions.CellTopKScan]]) that emits only the local
+    * top-k. The per-query [[graft.operators.TopKAgg]] merge then sees
+    * ≤ k·probedCells rows per query instead of every candidate. Why:
+    * the pair-join shape materialized one row PER CANDIDATE through
+    * the join + scoring projection + aggregation update — the
+    * round-10 sf10 profile measured that machinery at ~18 µs/candidate
+    * × 72.8M candidates = 1333 CPU-s, 85% of q125's runtime — while
+    * the dots themselves are seconds. At 100 TB both shapes are
+    * equality joins on the cell key with map-side-bounded aggs; the
+    * fused one moves ~occupancy× fewer rows. The pair-join path is
+    * kept under `graft.ivf.fusedVerify = false` (parity-gated in
+    * SimilaritySpec) for pathological corpora whose skewed cells
+    * would make a block row large (Lloyd cells on real embeddings are
+    * balanced to O(1)× the mean; a corpus degenerate enough to
+    * collapse cells breaks IVF recall before it breaks block size).
     */
   private def rankIvfPairs(probes: DataFrame, lists: DataFrame, k: Int,
                            excludeSelf: Boolean,
                            quantized: Boolean = false): DataFrame = {
-    val paired = probes.join(lists, Seq("_c1", "_c2"))
-    // quantized lists: rescore in double from the stored int8 vector —
-    // one codegen'd mixed-precision dot per pair, scale applied once
-    val score =
-      if (quantized)
-        round(graft.functions.VectorExprs.dotInt8(col("_ua"), col("_qb")) *
-          col("_sb") / 127.0, 4)
-      else round(doubleDot(col("_ua"), col("_ub")), 4)
-    val cos = (if (excludeSelf) paired.filter(col("id_a") =!= col("id_b"))
-               else paired)
-      .withColumn("cos", score)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    val fused = probes.sparkSession.conf
+      .getOption("graft.ivf.fusedVerify").forall(_.toBoolean)
+    val cos =
+      if (fused) {
+        val mem =
+          if (quantized)
+            struct(col("id_b").cast("long").as("id"), col("_qb"),
+              col("_sb").cast("double").as("_sb"))
+          else struct(col("id_b").cast("long").as("id"), col("_ub"))
+        val blocks = lists.groupBy(col("_c1"), col("_c2"))
+          .agg(collect_list(mem).as("_mem"))
+        probes.join(blocks, Seq("_c1", "_c2"))
+          .select(col("id_a"),
+            explode(graft.functions.VectorExprs.cellTopKScan(
+              col("_ua"), col("_mem"),
+              if (excludeSelf) col("id_a") else lit(0L),
+              k, excludeSelf, quantized)).as("_p"))
+          .select(col("id_a"), col("_p.id").as("id_b"),
+            col("_p.score").as("cos"))
+      } else {
+        val paired = probes.join(lists, Seq("_c1", "_c2"))
+        // quantized lists: rescore in double from the stored int8
+        // vector — one codegen'd mixed-precision dot per pair, scale
+        // applied once
+        val score =
+          if (quantized)
+            round(graft.functions.VectorExprs.dotInt8(col("_ua"), col("_qb")) *
+              col("_sb") / 127.0, 4)
+          else round(doubleDot(col("_ua"), col("_ub")), 4)
+        (if (excludeSelf) paired.filter(col("id_a") =!= col("id_b"))
+         else paired)
+          .withColumn("cos", score)
+          .select(col("id_a"), col("id_b"), col("cos"))
+      }
     // bounded per-query top-k ([[graft.operators.TopKAgg]], same
     // (cos desc, id_b asc) contract as a row_number window): partial
-    // map-side aggregation collapses the candidate volume —
-    // n·probedCells·occupancy pair rows, ~linear under the
-    // occupancy-bounded cell sizing (∝ n^1.5 under the old 4√n
-    // sizing: 353M pairs at the 400k-vector sf10 profile, 70% of
-    // q125's runtime) — to ≤ k rows per (mapper, query) BEFORE any
-    // exchange, pipelined straight off the candidate join. The window
-    // version shuffled and sorted EVERY candidate pair — at the sf10
-    // smoke that full shuffle + sort dominated q125's 246 s.
+    // map-side aggregation collapses the remaining volume to ≤ k rows
+    // per (mapper, query) BEFORE any exchange, pipelined straight off
+    // the join. The window version shuffled and sorted EVERY candidate
+    // pair — at the sf10 smoke that full shuffle + sort dominated
+    // q125's 246 s.
     graft.operators.TopKAgg.perGroup(cos, "id_a", "cos", "id_b", k)
       .select(col("id_a"), col("id_b"), col("cos"), col("rank"))
   }

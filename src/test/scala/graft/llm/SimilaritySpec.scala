@@ -233,6 +233,58 @@ class SimilaritySpec extends SparkSpec {
     assert(found == 1500, s"hierarchical planted recall $found/1500")
   }
 
+  test("fused cell-scan verify is bit-identical to the pair-join verify " +
+    "(float and int8 layouts)") {
+    // the fused path ([[graft.functions.CellTopKScan]]) must reproduce
+    // the pair-join verify EXACTLY — same rounded cos, same tie order —
+    // on both list layouts. Clustered corpus with planted near-ties
+    // (perturbed copies) so rounding-boundary ties are actually hit.
+    val rng = new scala.util.Random(61)
+    val centers = Array.fill(8, 16)(rng.nextGaussian().toFloat)
+    val base = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + 0.1f * rng.nextGaussian().toFloat))
+    }
+    val copies = base.map { case (id, v) =>
+      (id + 1000L,
+        v.zipWithIndex.map { case (x, j) => x * (1.0f + 0.01f * ((j % 5) - 2)) })
+    }
+    val corpus = (base ++ copies).toDF("vec_id", "embedding").cache()
+    val queries = (0 until 50).map { i =>
+      val c = centers(i % 8)
+      (10000L + i, c.map(v => v + 0.1f * rng.nextGaussian().toFloat))
+    }.toDF("qid", "embedding").cache()
+
+    def withFused[T](on: Boolean)(body: => T): T = {
+      spark.conf.set("graft.ivf.fusedVerify", on.toString)
+      try body finally spark.conf.unset("graft.ivf.fusedVerify")
+    }
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+
+    // float layout, self-join shape (excludeSelf = true)
+    def topk() = collect(Similarity.embedIvfTopK(corpus, "vec_id",
+      "embedding", k = 3, nCentroids = 8, nProbe = 3))
+    val fTopk = withFused(true)(topk())
+    val jTopk = withFused(false)(topk())
+    assert(fTopk == jTopk, s"fused/join diverged (float, self): " +
+      s"${(fTopk diff jTopk).take(5)} vs ${(jTopk diff fTopk).take(5)}")
+    assert(fTopk.nonEmpty)
+
+    // int8 layout through the persisted index (quantized = default)
+    val path = s"/tmp/graft_ivf_fused_${ProcessHandle.current().pid()}"
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", path,
+      nCentroids = 8)
+    def search() = collect(Similarity.searchIvfIndex(spark, path, queries,
+      "qid", "embedding", k = 3, nProbe = 3))
+    val fQ = withFused(true)(search())
+    val jQ = withFused(false)(search())
+    assert(fQ == jQ, s"fused/join diverged (int8): " +
+      s"${(fQ diff jQ).take(5)} vs ${(jQ diff fQ).take(5)}")
+    assert(fQ.nonEmpty)
+  }
+
   test("embedNearDupPairs finds planted near-duplicates and respects the block bound") {
     val base = Array.fill(16)(1.0f)
     val rows = Seq(
