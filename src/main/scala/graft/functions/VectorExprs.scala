@@ -837,6 +837,236 @@ object CellTopKScan {
   }
 }
 
+/** L2-normalize a vector in ONE codegen'd pass: `v / sqrt(Σ v[i]²)`.
+  *
+  * Why an expression and not `sqrt(dot)` + `transform(v, _ / nrm)`:
+  * the hoisted-norm projection is UNSTABLE under Catalyst —
+  * `CollapseProject` inlines a once-referenced `_nrm` column straight
+  * back into the transform lambda, where the interpreted higher-order
+  * eval re-computes the dims-element dot PER ELEMENT with boxed
+  * arithmetic (dims² interpreted ops + dims² boxes per row; the
+  * round-10 sf10 profile caught the corpus prep at 0.7–13 ms/row with
+  * GC thrash, for what is one fused multiply-loop). The round-7
+  * hoist fix treated the symptom; this removes the HOF from the path
+  * entirely and keeps prep inside whole-stage codegen.
+  *
+  * Parity with the old shape: null elements contribute 0 to the norm
+  * and stay null in the output; a zero-norm vector divides by 0.0 —
+  * ±0.0 → NaN, nonzero → ±Infinity — exactly like the lambda did
+  * (downstream recall gates treat NaN cosines per Spark double
+  * ordering). Null array → null (nullIntolerant).
+  */
+case class UnitNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unit_normalize"
+
+  override def nullSafeEval(a: Any): Any =
+    UnitNormalize.normalize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.UnitNormalize.normalize($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnitNormalize = copy(child = newChild)
+}
+
+object UnitNormalize {
+  def normalize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) { val x = v.getDouble(i); s += x * x }
+      i += 1
+    }
+    val nrm = math.sqrt(s)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (v.isNullAt(i)) null else java.lang.Double.valueOf(v.getDouble(i) / nrm)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Symmetric per-vector int8 quantization in ONE codegen'd pass:
+  * `scale = max|v[i]|`, `q[i] = round_half_up(v[i]·127/scale)` as
+  * tinyint, emitted as `struct<scale: double, qvec: array<tinyint>>`.
+  *
+  * Why an expression: the column form — `array_max(transform(abs))`
+  * as the scale, referenced inside the quantize `transform` lambda —
+  * re-evaluates the dims-element max PER ELEMENT once CollapseProject
+  * inlines it (dims² interpreted boxed ops per row, the same
+  * optimizer trap as [[UnitNormalize]]); on the corpus-sized
+  * persisted-index write that was q168's measured single-task
+  * hotspot. One pass here: max, then round-scale each element, no
+  * boxing, whole-stage codegen intact.
+  *
+  * Parity with the column form (oracled by q73): rounding is Spark's
+  * `Round(_, 0)` (shortest-decimal HALF_UP — away from zero on .5);
+  * null elements don't count toward the scale and quantize to null;
+  * scale == 0.0 (zero vector) → ALL elements 0 (the lambda ignored
+  * the element, nulls included); empty/all-null vector → null scale
+  * and all-null elements (`x · 127 / null` is null per element).
+  */
+case class Int8Quantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = new org.apache.spark.sql.types.StructType()
+    .add("scale", DoubleType, nullable = true)
+    .add("qvec", ArrayType(ByteType, containsNull = true), nullable = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int8_quantize"
+
+  override def nullSafeEval(a: Any): Any =
+    Int8Quantize.quantize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Int8Quantize.quantize($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Int8Quantize = copy(child = newChild)
+}
+
+object Int8Quantize {
+  def quantize(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var scale = java.lang.Double.NEGATIVE_INFINITY
+    var seen = false
+    var hasNaN = false
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val a = math.abs(v.getDouble(i))
+        if (java.lang.Double.isNaN(a)) hasNaN = true
+        else if (a > scale) scale = a
+        seen = true
+      }
+      i += 1
+    }
+    // array_max parity: NaN orders largest in Spark
+    if (hasNaN) scale = java.lang.Double.NaN
+    val out = new Array[Any](n)
+    if (!seen) {
+      // no non-null elements: null scale, all-null qvec
+      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], null)
+      return org.apache.spark.sql.catalyst.InternalRow(
+        null, new org.apache.spark.sql.catalyst.util.GenericArrayData(out))
+    }
+    if (scale == 0.0) {
+      i = 0
+      while (i < n) { out(i) = java.lang.Byte.valueOf(0.toByte); i += 1 }
+    } else {
+      i = 0
+      while (i < n) {
+        out(i) =
+          if (v.isNullAt(i)) null
+          else {
+            val x = v.getDouble(i) * 127.0 / scale
+            // Spark Round(_, 0) parity: shortest-decimal HALF_UP;
+            // Round passes NaN/∞ through and the non-ANSI tinyint
+            // cast then takes (byte)(long) with NaN → 0
+            java.lang.Byte.valueOf(
+              if (java.lang.Double.isNaN(x)) 0.toByte
+              else if (java.lang.Double.isInfinite(x)) x.toLong.toByte
+              else java.math.BigDecimal.valueOf(x)
+                .setScale(0, java.math.RoundingMode.HALF_UP).byteValue())
+          }
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out))
+  }
+}
+
+/** Fused threshold scan over one IVF cell block: every member whose
+  * rounded cosine with the query is ≥ `minScore`, self excluded — the
+  * block-scan form of the SemDeDup verify ([[graft.llm.Similarity]]
+  * `semDedupPairs`). Same float block layout, dot loop and
+  * `Round(_, 4)` parity as [[CellTopKScan]]; unlike top-k there is no
+  * rank, so output order is block order (the caller orients and
+  * `distinct()`s). Dedup-grade thresholds pass only a few members per
+  * cell, so the join/agg machinery above this expression sees
+  * ~selectivity·occupancy× fewer rows than the pair-join shape.
+  * Output size is bounded by cell occupancy (occupancy-bounded by the
+  * quantizer's sizing contract).
+  */
+case class CellRangeScan(q: Expression, members: Expression,
+                         selfId: Expression, minScore: Double)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = q
+  override def second: Expression = members
+  override def third: Expression = selfId
+  override def dataType: DataType = ArrayType(
+    new org.apache.spark.sql.types.StructType()
+      .add("score", DoubleType, nullable = false)
+      .add("id", LongType, nullable = false),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_range_scan"
+
+  override def nullSafeEval(a: Any, m: Any, s: Any): Any =
+    CellRangeScan.scan(a.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData],
+      s.asInstanceOf[Long], minScore)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, m, s) =>
+      s"""${ev.value} = graft.functions.CellRangeScan.scan(
+         |  $a, $m, $s, $minScore);""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): CellRangeScan =
+    copy(q = newFirst, members = newSecond, selfId = newThird)
+}
+
+object CellRangeScan {
+  private def round4(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def scan(q: ArrayData, members: ArrayData, selfId: Long,
+           minScore: Double): ArrayData = {
+    val m = members.numElements()
+    val nq = q.numElements()
+    val out = new java.util.ArrayList[Any](8)
+    var i = 0
+    while (i < m) {
+      val row = members.getStruct(i, 2)
+      val id = row.getLong(0)
+      if (id != selfId) {
+        val vb = row.getArray(1)
+        val n = math.min(nq, vb.numElements())
+        var s = 0.0
+        var j = 0
+        while (j < n) {
+          if (!q.isNullAt(j) && !vb.isNullAt(j))
+            s += q.getDouble(j) * vb.getDouble(j)
+          j += 1
+        }
+        val r = round4(s)
+        if (r >= minScore)
+          out.add(org.apache.spark.sql.catalyst.InternalRow(r, id))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object VectorExprs {
   /** `Σ a[i]·b[i]` as a codegen'd column; inputs are cast to
     * array<double> (float vectors widen losslessly).
@@ -901,6 +1131,39 @@ object VectorExprs {
     Bridge.column(GroupedArgmaxDot(
       Bridge.expression(v.cast("array<double>")),
       Bridge.expression(group.cast("int")), cells))
+
+  /** one-pass symmetric int8 quantization ([[Int8Quantize]]):
+    * struct<scale: double, qvec: array<tinyint>>, codegen'd.
+    */
+  def int8Quantize(v: Column): Column =
+    Bridge.column(Int8Quantize(
+      Bridge.expression(v.cast("array<double>"))))
+
+  /** one-pass L2 normalize ([[UnitNormalize]]): `v / sqrt(Σ v[i]²)`,
+    * codegen'd — no higher-order function, no re-evaluated norm.
+    */
+  def unitNormalize(v: Column): Column =
+    Bridge.column(UnitNormalize(
+      Bridge.expression(v.cast("array<double>"))))
+
+  /** per-group element-wise mean of an array<double> column as one
+    * bounded-buffer aggregate ([[ArrayAvgAgg]]) — the Lloyd-round
+    * centroid mean without the `posexplode` row blow-up.
+    */
+  def arrayAvg(v: Column): Column =
+    Bridge.column(ArrayAvgAgg(
+      Bridge.expression(v.cast("array<double>"))).toAggregateExpression())
+
+  /** fused per-cell threshold verify ([[CellRangeScan]]):
+    * array<struct<score,id>> of members with round(dot,4) ≥ minScore,
+    * self excluded.
+    */
+  def cellRangeScan(q: Column, members: Column, selfId: Column,
+                    minScore: Double): Column =
+    Bridge.column(CellRangeScan(
+      Bridge.expression(q.cast("array<double>")),
+      Bridge.expression(members),
+      Bridge.expression(selfId.cast("long")), minScore))
 
   /** fused per-cell exact-verify top-k ([[CellTopKScan]]):
     * array<struct<score,id>>, (round(dot,4) desc, id asc).

@@ -373,16 +373,43 @@ object Similarity {
     val unit = normalizedVecs(embeddings, idCol, idCol, vecCol)
     val idx = trainIvfIndex(unit, idCol, nCentroids, maxIter, seed)
     val par = embeddings.sparkSession.sparkContext.defaultParallelism
-    probeIvfIndex(idx, unit, idCol, nProbe)
-      .join(idx.lists, Seq("_c1", "_c2"))
-      .filter(col("id_a") =!= col("id_b"))
-      .withColumn("cos", round(doubleDot(col("_ua"), col("_ub")), 4))
-      .filter(col("cos") >= minCos)
-      // orient then dedup: the SAME pair surfaces once per direction
-      // that probed it (dot is dim-order-identical both ways, so the
-      // rounded cos agrees and distinct() collapses them). Spread by
-      // pair before the distinct — the verified frame is slim and AQE
-      // would coalesce it to a task or two.
+    val probes = probeIvfIndex(idx, unit, idCol, nProbe)
+    // verify: fused block scan by default (same shape and rationale
+    // as `rankIvfPairs` — one expression call per (probe, cell)
+    // instead of one row per candidate; a dedup-grade threshold passes
+    // only a few members per cell, so the machinery above the scan
+    // sees ~selectivity·occupancy× fewer rows). Pair-join kept under
+    // the same `graft.ivf.fusedVerify = false` flag, parity-gated in
+    // SimilaritySpec.
+    val fused = embeddings.sparkSession.conf
+      .getOption("graft.ivf.fusedVerify").forall(_.toBoolean)
+    val verified =
+      if (fused) {
+        // shuffle-hash for the same reason as rankIvfPairs: hash the
+        // cells-sized block side, never sort the fat probe side
+        val blocks = idx.lists.groupBy(col("_c1"), col("_c2"))
+          .agg(collect_list(struct(col("id_b").cast("long").as("id"),
+            col("_ub"))).as("_mem")).hint("shuffle_hash")
+        probes.join(blocks, Seq("_c1", "_c2"))
+          .select(col("id_a"),
+            explode(graft.functions.VectorExprs.cellRangeScan(
+              col("_ua"), col("_mem"), col("id_a"), minCos)).as("_p"))
+          .select(col("id_a"), col("_p.id").as("id_b"),
+            col("_p.score").as("cos"))
+      } else {
+        probes
+          .join(idx.lists, Seq("_c1", "_c2"))
+          .filter(col("id_a") =!= col("id_b"))
+          .withColumn("cos", round(doubleDot(col("_ua"), col("_ub")), 4))
+          .filter(col("cos") >= minCos)
+          .select(col("id_a"), col("id_b"), col("cos"))
+      }
+    // orient then dedup: the SAME pair surfaces once per direction
+    // that probed it (dot is dim-order-identical both ways, so the
+    // rounded cos agrees and distinct() collapses them). Spread by
+    // pair before the distinct — the verified frame is slim and AQE
+    // would coalesce it to a task or two.
+    verified
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
       .repartition(par, col("id_a"), col("id_b"))
@@ -452,16 +479,14 @@ object Similarity {
       df.select(col(id).as(idCol), col(vecCol), col("_unit"))
     else {
       val par = df.sparkSession.sparkContext.defaultParallelism
-      // norm as its own column FIRST: referencing the dot inside the
-      // transform lambda re-evaluated it per ELEMENT (higher-order
-      // lambdas are interpreted and nothing hoists the invariant) —
-      // dims² interpreted ops per row, measured ~32 s CPU at the 10×
-      // smoke for what is one dot per row
+      // ONE codegen'd pass ([[graft.functions.UnitNormalize]]): the
+      // previous hoisted-norm + transform-lambda shape was unstable —
+      // CollapseProject inlined the once-referenced norm back into the
+      // interpreted lambda, re-computing the dot per ELEMENT (dims²
+      // boxed ops per row; the sf10 profile measured prep at up to
+      // 13 ms/row with GC thrash where this pass is ~1 µs/row)
       df.select(col(id).as(idCol), col(vecCol),
-          sqrt(doubleDot(col(vecCol), col(vecCol))).as("_nrm"))
-        .select(col(idCol), col(vecCol),
-          transform(col(vecCol).cast("array<double>"),
-            (x: Column) => x / col("_nrm")).as("_unit"))
+          graft.functions.VectorExprs.unitNormalize(col(vecCol)).as("_unit"))
         .repartition(par)
         .localCheckpoint()
     }
@@ -540,10 +565,6 @@ object Similarity {
       val nrm = sqrt(doubleDot(v, v))
       transform(v, (x: Column) => when(nrm > 0, x / nrm).otherwise(x))
     }
-    // rebuild an array column from exploded (pos, mean) pairs — struct
-    // sort is lexicographic, so _pos ordering reassembles positions
-    def assemble(pm: Column): Column =
-      unitize(transform(array_sort(pm), (s: Column) => s.getField("_m")))
     // driver-side twin of `unitize` for the collected level-1 matrix
     def unitizeArr(v: Array[Double]): Array[Double] = {
       var s = 0.0; var i = 0
@@ -579,18 +600,36 @@ object Similarity {
     // cell id, identical to the old max_by(struct(_dot, -_c1)))
     def l1AssignCol: Column =
       graft.functions.VectorExprs.argmaxDot(col("_unit"), l1m)
-    for (_ <- 1 to maxIter) {
-      val meanRows = unit
-        .select(l1AssignCol.as("_c1"),
-          posexplode(col("_unit")).as(Seq("_pos", "_x")))
-        .groupBy(col("_c1"), col("_pos")).agg(avg(col("_x")).as("_m"))
+    // Lloyd mean as ONE bounded-buffer aggregate per cell
+    // ([[graft.functions.ArrayAvgAgg]]): the previous posexplode +
+    // avg-per-(cell, pos) shape pushed n·dims rows through a hash
+    // aggregation with cells·dims groups — the sf10 profile measured
+    // that round at 389 CPU-s of which the assignment dots were ~19 s.
+    // The aggregate keeps one dims-double buffer per cell (≤ cells per
+    // mapper, bounded by the 131072-cell cap) and shuffles cells rows.
+    // Rebound to the raised-fallback session: l1n/cells exceed Spark's
+    // 128-group ObjectHashAggregate valve, and a sort fallback would
+    // re-sort the whole corpus per mapper.
+    def cellMeans(df: DataFrame, keys: Seq[String]): Array[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.graft.Bridge.ofRows(
+        graft.operators.TopKAgg.boundedAggSession(df.sparkSession),
+        df.groupBy(keys.map(col): _*)
+          .agg(graft.functions.VectorExprs.arrayAvg(col("_unit")).as("_m"))
+          .queryExecution.logical)
         .collect()
+    for (_ <- 1 to maxIter) {
+      val meanRows = cellMeans(
+        unit.select(l1AssignCol.as("_c1"), col("_unit")), Seq("_c1"))
       // cells that captured no vectors keep their previous center
       val updated = l1m.clone()
-      meanRows.groupBy(_.getInt(0)).foreach { case (c, rows) =>
-        val v = new Array[Double](l1m(c).length)
-        rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
-        updated(c) = unitizeArr(v)
+      meanRows.foreach { r =>
+        val c = r.getInt(0)
+        val v = r.getSeq[Double](1).toArray
+        // ragged guard: pad to the centroid's dims (a position no
+        // vector populated averages to 0.0, same as the explode shape)
+        updated(c) = unitizeArr(
+          if (v.length == l1m(c).length) v
+          else java.util.Arrays.copyOf(v, l1m(c).length))
       }
       l1m = updated
     }
@@ -651,23 +690,30 @@ object Similarity {
               col("_unit"), col("_c1"), collectCells(cs, l1n)))
         else corpus.join(l2Assign(cs), Seq(idCol, "_c1"))
       for (_ <- 1 to maxIter) {
-        // spread by CELL, not round-robin: co-locating each (c1, c2)
-        // makes the per-task partial aggregation complete for its own
-        // cells, so the final exchange carries only cells×dims rows —
-        // round-robin left mappers×cells×dims partial states whose
-        // single-task merge was the 10× smoke's last ~3 s hotspot.
+        // same bounded-buffer mean as level 1 (one dims-double buffer
+        // per (c1, c2) cell, map-side partial, cells rows shuffled) —
+        // this replaced a posexplode + per-(cell, pos) avg +
+        // collect_list/array_sort reassembly whose row volume was
+        // n·dims and whose group count cells·dims (the sf10 profile's
+        // dominant training stages). No pre-repartition needed: the
+        // partial state per mapper is ≤ cells buffers by construction.
         val means = assigned(l2)
-          .repartition(par, col("_c1"), col("_c2"))
-          .select(col("_c1"), col("_c2"),
-            posexplode(col("_unit")).as(Seq("_pos", "_x")))
-          .groupBy(col("_c1"), col("_c2"), col("_pos"))
-          .agg(avg(col("_x")).as("_m"))
           .groupBy(col("_c1"), col("_c2"))
-          .agg(collect_list(struct(col("_pos"), col("_m"))).as("_pm"))
-          .select(col("_c1"), col("_c2"), assemble(col("_pm")).as("_nv"))
-        l2 = l2.join(means, Seq("_c1", "_c2"), "left")
-          .select(col("_c1"), col("_c2"),
-            coalesce(col("_nv"), col("_c2v")).as("_c2v"))
+          .agg(graft.functions.VectorExprs.arrayAvg(col("_unit")).as("_avg"))
+          .select(col("_c1"), col("_c2"), unitize(col("_avg")).as("_nv"))
+        // rebind the JOINED frame, not the means operand: session
+        // follows the LEFT operand through composition, so a rebound
+        // right side would execute this checkpoint's whole job —
+        // including the mean aggregation — back under the parent's
+        // 128-group valve, whose sort fallback re-sorts the corpus per
+        // mapper (the first round-10 re-profile measured exactly that:
+        // ~550 CPU-s across the two agg stages).
+        l2 = org.apache.spark.sql.graft.Bridge.ofRows(
+            graft.operators.TopKAgg.boundedAggSession(unit.sparkSession),
+            l2.join(means, Seq("_c1", "_c2"), "left")
+              .select(col("_c1"), col("_c2"),
+                coalesce(col("_nv"), col("_c2v")).as("_c2v"))
+              .queryExecution.logical)
           .localCheckpoint()
       }
       val finalCells = if (exprPath) Some(collectCells(l2, l1n)) else None
@@ -814,8 +860,17 @@ object Similarity {
             struct(col("id_b").cast("long").as("id"), col("_qb"),
               col("_sb").cast("double").as("_sb"))
           else struct(col("id_b").cast("long").as("id"), col("_ub"))
+        // SHUFFLE_HASH, not sort-merge: the probe side is |queries|·
+        // nProbe rows each carrying the dims-double query vector —
+        // sorting it is the expensive half of an SMJ (the sf10 profile
+        // measured the join stage at 720 s run / 304 s CPU, the gap
+        // being sort+spill of 2.2M fat probe rows) — while the block
+        // side is only |cells| rows per partition, a trivially
+        // hashable build side at any scale (blocks are corpus-sized in
+        // BYTES but cells-sized in ROWS; per shuffle partition the
+        // build map holds cells/partitions entries).
         val blocks = lists.groupBy(col("_c1"), col("_c2"))
-          .agg(collect_list(mem).as("_mem"))
+          .agg(collect_list(mem).as("_mem")).hint("shuffle_hash")
         probes.join(blocks, Seq("_c1", "_c2"))
           .select(col("id_a"),
             explode(graft.functions.VectorExprs.cellTopKScan(
@@ -895,21 +950,6 @@ object Similarity {
       .map { case (v, i) => (i, v.toSeq) }.toDF("_c1", "_c1v")
       .write.mode("overwrite").parquet(s"$path/l1")
     idx.l2.foreach(_.write.mode("overwrite").parquet(s"$path/l2"))
-    // int8 storage codec (build-once cost, interpreted HOF acceptable
-    // here — this is the write path, not serve): per-vector symmetric
-    // scale, zero vectors keep scale 0 and quantize to zeros
-    val listsOut =
-      if (!quantized) idx.lists
-      else {
-        val scale = array_max(transform(col("_ub"), x => abs(x)))
-        idx.lists.select(col("id_b"), col("_c1"), col("_c2"),
-          scale.as("_sb"),
-          when(scale === 0.0,
-            transform(col("_ub"), _ => lit(0).cast("tinyint")))
-            .otherwise(transform(col("_ub"),
-              x => round(x * lit(127.0) / scale).cast("tinyint")))
-            .as("_qb"))
-      }
     // lists are RANGE-LAID-OUT by cell: each file covers a contiguous
     // (_c1, _c2) range, so a serve-time `_c1 IN (probed cells)` filter
     // prunes files and row groups via parquet min/max stats instead of
@@ -919,11 +959,29 @@ object Similarity {
     // single-task scan at the 10× smoke) and millions of directories
     // at corpus scale; range+sort gives the same pruning with
     // bounded-count, well-sized files.
-    listsOut
+    val listsRanged = idx.lists
       .repartitionByRange(corpus.sparkSession.sparkContext.defaultParallelism,
         col("_c1"), col("_c2"))
       .sortWithinPartitions("_c1", "_c2")
-      .write.mode("overwrite").parquet(s"$path/lists")
+    // int8 storage codec (build-once): one codegen'd pass per vector
+    // ([[graft.functions.Int8Quantize]]); per-vector symmetric scale,
+    // zero vectors keep scale 0 and quantize to zeros. The projection
+    // sits AFTER the range exchange, so (a) the range partitioner's
+    // sampling pass reads the float lists without executing the codec
+    // (before round 10 it ran the codec twice: once to sample bounds,
+    // once to write), and (b) the codec work is spread across all
+    // ranged write tasks. A projection does not reorder rows, so the
+    // sorted-within-partitions layout — and the parquet min/max
+    // pruning it buys — is unchanged.
+    val listsOut =
+      if (!quantized) listsRanged
+      else {
+        val q = graft.functions.VectorExprs.int8Quantize(col("_ub"))
+        listsRanged.select(col("id_b"), col("_c1"), col("_c2"),
+          q.getField("scale").as("_sb"),
+          q.getField("qvec").as("_qb"))
+      }
+    listsOut.write.mode("overwrite").parquet(s"$path/lists")
     val meta = s"""{"l1n":${idx.l1n},"l2n":${idx.l2n},"seed":${idx.seed},""" +
       s""""quantized":$quantized}"""
     // meta goes through the Hadoop FileSystem resolved from the path —
@@ -1007,16 +1065,15 @@ object Similarity {
     * Narrow projection — no shuffle, fused into the scan.
     */
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val scale = array_max(transform(col(vecCol),
-      x => abs(x.cast("double"))))
+    // one codegen'd pass ([[graft.functions.Int8Quantize]]) — the
+    // column form (array_max(transform) referenced inside the quantize
+    // lambda) re-evaluated the scale per element once CollapseProject
+    // inlined it: dims² interpreted ops per row
+    val q = graft.functions.VectorExprs.int8Quantize(col(vecCol))
     emb.select(
       col(idCol),
-      scale.as("scale"),
-      when(scale === 0.0,
-        transform(col(vecCol), _ => lit(0).cast("tinyint")))
-        .otherwise(transform(col(vecCol),
-          x => round(x.cast("double") * 127.0 / scale).cast("tinyint")))
-        .as("qvec"))
+      q.getField("scale").as("scale"),
+      q.getField("qvec").as("qvec"))
   }
 
   /** Per-group embedding centroids, one row per (group, dimension):

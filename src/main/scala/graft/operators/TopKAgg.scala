@@ -72,6 +72,15 @@ object TopKAgg {
   private val tunedSessions =
     new java.util.WeakHashMap[SparkSession, SparkSession]()
 
+  /** Shared with other BOUNDED TypedImperativeAggregates whose
+    * map-side group count legitimately exceeds Spark's 128-group
+    * fallback (e.g. [[graft.functions.ArrayAvgAgg]] over the
+    * quantizer's ≤ 131072 cells): rebind the aggregating plan to this
+    * session so the raised threshold stays scoped to those queries.
+    */
+  private[graft] def boundedAggSession(spark: SparkSession): SparkSession =
+    topkSession(spark)
+
   private def topkSession(spark: SparkSession): SparkSession =
     tunedSessions.synchronized {
       var s = tunedSessions.get(spark)

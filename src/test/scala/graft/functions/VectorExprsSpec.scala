@@ -174,6 +174,73 @@ class VectorExprsSpec extends SparkSpec {
       .contains((10L, 1L)))
   }
 
+  test("unitNormalize matches the hoisted-norm column form, incl. zero and null elements") {
+    val df = Seq(
+      (1L, Some(Array[Option[Float]](Some(3.0f), Some(4.0f)))),            // norm 5
+      (2L, Some(Array[Option[Float]](Some(0.0f), Some(0.0f)))),            // zero → NaN
+      (3L, Some(Array[Option[Float]](Some(2.0f), None))),                  // null element
+      (4L, None: Option[Array[Option[Float]]]))             // null array
+      .toDF("id", "v")
+    val got = df.select($"id", VectorExprs.unitNormalize($"v").as("u"))
+      .as[(Long, Option[Seq[Option[Double]]])]
+      .collect().map(r => r._1 -> r._2).toMap
+    assert(got(1L).contains(Seq(Some(0.6), Some(0.8))))
+    // zero vector → NaN elements (the interpreted lambda's non-ANSI
+    // 0/0; under ANSI the old column form THREW here — the expression
+    // keeps the total, NaN-propagating contract)
+    assert(got(2L).get.forall(_.get.isNaN))
+    assert(got(3L).contains(Seq(Some(1.0), None)))
+    assert(got(4L).isEmpty)
+    // parity with the hoisted-norm column form on nonzero rows
+    val nrm = sqrt(VectorExprs.dot($"v", $"v"))
+    val h = df.filter($"id" =!= 2L)
+      .select($"id", transform($"v".cast("array<double>"), x => x / nrm).as("h"))
+      .as[(Long, Option[Seq[Option[Double]]])]
+      .collect().map(r => r._1 -> r._2).toMap
+    h.foreach { case (id, hs) => assert(got(id) == hs, s"row $id") }
+  }
+
+  test("int8Quantize matches quantizeInt8's contract on edge vectors") {
+    val df = Seq(
+      (1L, Some(Array[Option[Float]](Some(0.5f), Some(-1.0f), Some(0.25f)))),
+      (2L, Some(Array[Option[Float]](Some(0.0f), Some(0.0f)))),            // zero → zeros
+      (3L, Some(Array[Option[Float]](Some(1.0f), None))),                  // null element
+      (4L, Some(Array.empty[Option[Float]])))                // empty → null scale
+      .toDF("id", "v")
+    val q = VectorExprs.int8Quantize($"v")
+    val got = df.select($"id", q.getField("scale").as("s"),
+        q.getField("qvec").as("q"))
+      .as[(Long, Option[Double], Seq[Option[Byte]])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some(1.0), Seq(Some(64: Byte), Some(-127: Byte), Some(32: Byte)))))
+    assert(got(2L) == ((Some(0.0), Seq(Some(0: Byte), Some(0: Byte)))))
+    assert(got(3L) == ((Some(1.0), Seq(Some(127: Byte), None))))
+    assert(got(4L) == ((None, Seq())))
+  }
+
+  test("arrayAvg equals posexplode+avg per position, incl. ragged and empty groups") {
+    val df = Seq(
+      ("a", Some(Array[Option[Double]](Some(1.0), Some(4.0)))),
+      ("a", Some(Array[Option[Double]](Some(3.0), None, Some(9.0)))),        // ragged + null elem
+      ("b", Some(Array[Option[Double]](Some(10.0)))),
+      ("c", None: Option[Array[Option[Double]]]))            // null array only
+      .toDF("g", "v")
+    val got = df.groupBy($"g").agg(VectorExprs.arrayAvg($"v").as("m"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got("a") == Seq(2.0, 4.0, 9.0)) // pos1: only row1 counts
+    assert(got("b") == Seq(10.0))
+    assert(got("c") == Seq())              // no non-null arrays → empty buffer
+    // oracle: the exploded form this aggregate replaces
+    val oracle = df.select($"g", posexplode($"v".cast("array<double>")))
+      .groupBy($"g", $"pos").agg(avg($"col").as("m"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    got.foreach { case (g, m) =>
+      m.zipWithIndex.foreach { case (x, i) =>
+        oracle.get((g, i)).foreach(o => assert(o == x, s"($g,$i): $o vs $x"))
+      }
+    }
+  }
+
   test("signBands packs one sign bit per plane per table; scale-invariant signs") {
     val planes = Array(
       Array(Array(1.0, 0.0), Array(0.0, 1.0)),    // table 0: 2 bits

@@ -283,6 +283,17 @@ class SimilaritySpec extends SparkSpec {
     assert(fQ == jQ, s"fused/join diverged (int8): " +
       s"${(fQ diff jQ).take(5)} vs ${(jQ diff fQ).take(5)}")
     assert(fQ.nonEmpty)
+
+    // threshold verify (semDedupPairs → CellRangeScan): same toggle,
+    // the planted near-identical pairs make the ≥ minCos set non-empty
+    def sem() = Similarity.semDedupPairs(corpus, "vec_id", "embedding",
+        minCos = 0.999, nCentroids = 8, nProbe = 2)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val fS = withFused(true)(sem())
+    val jS = withFused(false)(sem())
+    assert(fS == jS, s"fused/join diverged (threshold): " +
+      s"${(fS diff jS).take(5)} vs ${(jS diff fS).take(5)}")
+    assert(fS.nonEmpty)
   }
 
   test("embedNearDupPairs finds planted near-duplicates and respects the block bound") {
