@@ -1953,8 +1953,11 @@ object SparkEntry {
             (500 + (id % 100) * 7).toShort, (64 + id % 64).toInt))
         })
         .toDF("doc_id", "wav")
+      // materialize the resample once: `res` feeds BOTH join sides
+      // (stats + the round-trip re-decode) — without this the whole
+      // synthesize→resample chain executes twice
       val res = Multimodal.resampleAudio(payloads, "doc_id", "wav", 16000)(s)
-        .toDF()
+        .toDF().localCheckpoint()
       val roundTrip = Multimodal.audioFeatures(
           res.select(col("id").as("doc_id"), col("wav")), "doc_id", "wav")(s)
         .toDF()

@@ -118,6 +118,82 @@ object Multimodal {
                                   nOut: Long, rmsOut: Double,
                                   wav: Array[Byte])
 
+  /** Parsed canonical-WAV PCM16 geometry: `off` points at the first
+    * byte of the data chunk (interleaved little-endian s16).
+    */
+  private[llm] final case class WavPcm16(rate: Int, channels: Int,
+                                         off: Int, nFrames: Int)
+
+  /** Hand-walked RIFF/WAVE header parse — the lock-free fast path
+    * shared by [[audioFeatures]] and [[resampleAudio]]. Returns None
+    * for anything that is not a plain PCM16 WAV (AIFF/AU, extensible/
+    * float/compressed WAV, truncated headers), which then takes the
+    * JDK `AudioSystem` route as before.
+    *
+    * Why it exists (SCALE.md round 10): `AudioSystem
+    * .getAudioInputStream` funnels EVERY call through
+    * `JDK13Services.getProviders`, a `static synchronized` registry
+    * lookup, so per-clip decode on a many-thread executor serializes
+    * on one class lock — q169's sf1 profile showed stage run time
+    * 5.9× its CPU time at 16 threads (2.4× at 4), zero GC, wall
+    * IMPROVING when threads were removed. A header walk holds no lock.
+    */
+  private[llm] def parseWavPcm16(bytes: Array[Byte]): Option[WavPcm16] = {
+    def tag4(o: Int) =
+      if (o + 4 <= bytes.length)
+        new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    def u16(o: Int) = ((bytes(o + 1) & 0xFF) << 8) | (bytes(o) & 0xFF)
+    def i32(o: Int) =
+      ((bytes(o + 3) & 0xFF) << 24) | ((bytes(o + 2) & 0xFF) << 16) |
+        ((bytes(o + 1) & 0xFF) << 8) | (bytes(o) & 0xFF)
+    if (bytes.length < 44 || tag4(0) != "RIFF" || tag4(8) != "WAVE") None
+    else {
+      var off = 12
+      var fmt: Option[(Int, Int)] = None // (rate, channels)
+      var data: Option[(Int, Int)] = None // (off, len)
+      while ((fmt.isEmpty || data.isEmpty) && off + 8 <= bytes.length) {
+        val id = tag4(off)
+        val len = i32(off + 4)
+        if (len < 0) return None
+        val body = off + 8
+        if (id == "fmt ") {
+          if (len < 16 || body + 16 > bytes.length) return None
+          val audioFormat = u16(body)
+          val ch = u16(body + 2)
+          val bits = u16(body + 14)
+          if (audioFormat != 1 || bits != 16 || ch < 1) return None
+          fmt = Some((i32(body + 4), ch))
+        } else if (id == "data") {
+          data = Some((body, math.min(len.toLong, (bytes.length - body).toLong).toInt))
+        }
+        off = body + len + (len & 1) // chunks are word-aligned
+      }
+      for ((rate, ch) <- fmt; (dOff, dLen) <- data)
+        yield WavPcm16(rate, ch, dOff, dLen / (2 * ch))
+    }
+  }
+
+  /** Deinterleave PCM16 sample bytes into per-channel double arrays. */
+  private def deinterleave(bytes: Array[Byte], off: Int, nIn: Int, ch: Int,
+                           bigEndian: Boolean): Array[Array[Double]] = {
+    val src = Array.ofDim[Double](ch, nIn)
+    var f = 0
+    while (f < nIn) {
+      var c = 0
+      while (c < ch) {
+        val o = off + (f * ch + c) * 2
+        val s =
+          if (bigEndian) ((bytes(o) << 8) | (bytes(o + 1) & 0xFF)).toShort
+          else ((bytes(o + 1) << 8) | (bytes(o) & 0xFF)).toShort
+        src(c)(f) = s.toDouble
+        c += 1
+      }
+      f += 1
+    }
+    src
+  }
+
   /** REAL batched audio resample (SURVEY §8 L17 — the last stub seam,
     * retired): decode 16-bit PCM via the JDK (`javax.sound.sampled`,
     * WAV/AIFF/AU), resample each channel to `targetRate` by linear
@@ -144,95 +220,12 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           try {
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.BufferedInputStream(
-                new java.io.ByteArrayInputStream(bytes)))
-            val fmt = in.getFormat
-            val pcm16 = fmt.getSampleSizeInBits == 16 &&
-              fmt.getEncoding ==
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            if (!pcm16) {
-              in.close()
-              ResampledAudio(id, decoded = false, fmt.getSampleRate.toInt,
-                targetRate, fmt.getChannels, in.getFrameLength, 0L, -1.0,
-                Array.emptyByteArray)
-            } else {
-              val ch = fmt.getChannels
-              val srcRate = fmt.getSampleRate.toInt
-              val raw = in.readAllBytes(); in.close()
-              val nIn = raw.length / (2 * ch)
-              // deinterleave to per-channel double arrays
-              val src = Array.ofDim[Double](ch, nIn)
-              var f = 0
-              while (f < nIn) {
-                var c = 0
-                while (c < ch) {
-                  val o = (f * ch + c) * 2
-                  val s =
-                    if (fmt.isBigEndian)
-                      ((raw(o) << 8) | (raw(o + 1) & 0xFF)).toShort
-                    else ((raw(o + 1) << 8) | (raw(o) & 0xFF)).toShort
-                  src(c)(f) = s.toDouble
-                  c += 1
-                }
-                f += 1
-              }
-              val nOut =
-                if (nIn == 0) 0
-                else ((nIn - 1).toLong * targetRate / srcRate).toInt + 1
-              val out = Array.ofDim[Double](ch, nOut)
-              var j = 0
-              while (j < nOut) {
-                // exact rational position: p = j·src/dst
-                val num = j.toLong * srcRate
-                val i0 = (num / targetRate).toInt
-                val frac = (num % targetRate).toDouble / targetRate
-                val i1 = math.min(i0 + 1, nIn - 1)
-                var c = 0
-                while (c < ch) {
-                  val s = src(c)
-                  out(c)(j) = s(i0) * (1.0 - frac) + s(i1) * frac
-                  c += 1
-                }
-                j += 1
-              }
-              var sumSq = 0.0
-              var c2 = 0
-              while (c2 < ch) {
-                var k = 0
-                while (k < nOut) {
-                  val v = out(c2)(k); sumSq += v * v; k += 1
-                }
-                c2 += 1
-              }
-              val rms =
-                if (nOut > 0) math.sqrt(sumSq / (nOut.toLong * ch)) else 0.0
-              // re-encode: canonical 44-byte PCM WAV, interleaved LE,
-              // round-half-up with clamp to the 16-bit range
-              val dataLen = nOut * ch * 2
-              val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
-                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-              buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-                .put("WAVE".getBytes("US-ASCII"))
-                .put("fmt ".getBytes("US-ASCII")).putInt(16)
-                .putShort(1).putShort(ch.toShort)
-                .putInt(targetRate).putInt(targetRate * ch * 2)
-                .putShort((ch * 2).toShort).putShort(16)
-                .put("data".getBytes("US-ASCII")).putInt(dataLen)
-              var k2 = 0
-              while (k2 < nOut) {
-                var c3 = 0
-                while (c3 < ch) {
-                  val q = math.max(Short.MinValue.toDouble,
-                    math.min(Short.MaxValue.toDouble,
-                      math.rint(out(c3)(k2))))
-                  buf.putShort(q.toShort)
-                  c3 += 1
-                }
-                k2 += 1
-              }
-              ResampledAudio(id, decoded = true, srcRate, targetRate, ch,
-                nIn.toLong, nOut.toLong, rms, buf.array())
+            parseWavPcm16(bytes) match {
+              case Some(w) =>
+                resampleCore(id, w.rate, targetRate, w.channels,
+                  deinterleave(bytes, w.off, w.nFrames, w.channels,
+                    bigEndian = false))
+              case None => resampleViaAudioSystem(id, bytes, targetRate)
             }
           } catch {
             case _: Exception =>
@@ -241,6 +234,100 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** `AudioSystem` fallback for payloads the hand parser declines
+    * (AIFF/AU, non-PCM16 WAV) — correctness path, takes the JDK
+    * registry lock per clip.
+    */
+  private def resampleViaAudioSystem(id: Long, bytes: Array[Byte],
+                                     targetRate: Int): ResampledAudio = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.BufferedInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+    val fmt = in.getFormat
+    val pcm16 = fmt.getSampleSizeInBits == 16 &&
+      fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+    if (!pcm16) {
+      in.close()
+      ResampledAudio(id, decoded = false, fmt.getSampleRate.toInt,
+        targetRate, fmt.getChannels, in.getFrameLength, 0L, -1.0,
+        Array.emptyByteArray)
+    } else {
+      val ch = fmt.getChannels
+      val srcRate = fmt.getSampleRate.toInt
+      val raw = in.readAllBytes(); in.close()
+      val nIn = raw.length / (2 * ch)
+      resampleCore(id, srcRate, targetRate, ch,
+        deinterleave(raw, 0, nIn, ch, fmt.isBigEndian))
+    }
+  }
+
+  /** Shared resample math: exact-rational linear interpolation over
+    * per-channel arrays, RMS, canonical-WAV write-back. Identical for
+    * both decode routes, so route choice can never change a result.
+    */
+  private def resampleCore(id: Long, srcRate: Int, targetRate: Int,
+                           ch: Int,
+                           src: Array[Array[Double]]): ResampledAudio = {
+    val nIn = if (ch > 0) src(0).length else 0
+    val nOut =
+      if (nIn == 0) 0
+      else ((nIn - 1).toLong * targetRate / srcRate).toInt + 1
+    val out = Array.ofDim[Double](ch, nOut)
+    var j = 0
+    while (j < nOut) {
+      // exact rational position: p = j·src/dst
+      val num = j.toLong * srcRate
+      val i0 = (num / targetRate).toInt
+      val frac = (num % targetRate).toDouble / targetRate
+      val i1 = math.min(i0 + 1, nIn - 1)
+      var c = 0
+      while (c < ch) {
+        val s = src(c)
+        out(c)(j) = s(i0) * (1.0 - frac) + s(i1) * frac
+        c += 1
+      }
+      j += 1
+    }
+    var sumSq = 0.0
+    var c2 = 0
+    while (c2 < ch) {
+      var k = 0
+      while (k < nOut) {
+        val v = out(c2)(k); sumSq += v * v; k += 1
+      }
+      c2 += 1
+    }
+    val rms =
+      if (nOut > 0) math.sqrt(sumSq / (nOut.toLong * ch)) else 0.0
+    // re-encode: canonical 44-byte PCM WAV, interleaved LE,
+    // round-half-up with clamp to the 16-bit range
+    val dataLen = nOut * ch * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort)
+      .putInt(targetRate).putInt(targetRate * ch * 2)
+      .putShort((ch * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var k2 = 0
+    while (k2 < nOut) {
+      var c3 = 0
+      while (c3 < ch) {
+        val q = math.max(Short.MinValue.toDouble,
+          math.min(Short.MaxValue.toDouble,
+            math.rint(out(c3)(k2))))
+        buf.putShort(q.toShort)
+        c3 += 1
+      }
+      k2 += 1
+    }
+    ResampledAudio(id, decoded = true, srcRate, targetRate, ch,
+      nIn.toLong, nOut.toLong, rms, buf.array())
   }
 
   /** Encode a solid-gray image as PNG via the JDK codec — the
@@ -533,40 +620,63 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           try {
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.BufferedInputStream(
-                new java.io.ByteArrayInputStream(bytes)))
-            val fmt = in.getFormat
-            val frameLen = in.getFrameLength
-            val pcm16 = fmt.getSampleSizeInBits == 16 &&
-              fmt.getEncoding ==
-                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            var sumSq = 0.0; var n = 0L
-            if (pcm16) {
-              val buf = new Array[Byte](8192)
-              var read = in.read(buf)
-              while (read > 0) {
-                var i = 0
-                while (i + 1 < read) {
-                  val s =
-                    if (fmt.isBigEndian)
-                      ((buf(i) << 8) | (buf(i + 1) & 0xFF)).toShort
-                    else ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
+            parseWavPcm16(bytes) match {
+              case Some(w) =>
+                // lock-free canonical-WAV path (see parseWavPcm16);
+                // identical math to the streaming loop below
+                var sumSq = 0.0
+                var i = w.off
+                val end = w.off + w.nFrames * 2 * w.channels
+                while (i + 1 < end) {
+                  val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xFF)).toShort
                   sumSq += s.toDouble * s.toDouble
-                  n += 1
                   i += 2
                 }
-                read = in.read(buf)
-              }
+                val n = w.nFrames.toLong * w.channels
+                AudioMeta(id, decoded = true, w.rate, w.channels,
+                  w.nFrames.toLong,
+                  if (n > 0) math.sqrt(sumSq / n) else -1.0)
+              case None => audioFeaturesViaAudioSystem(id, bytes)
             }
-            in.close()
-            AudioMeta(id, decoded = true, fmt.getSampleRate.toInt,
-              fmt.getChannels, frameLen,
-              if (pcm16 && n > 0) math.sqrt(sumSq / n) else -1.0)
           } catch {
             case _: Exception => AudioMeta(id, decoded = false, -1, -1, -1L, -1.0)
           }
         }
       }
+  }
+
+  /** `AudioSystem` fallback for payloads the hand parser declines. */
+  private def audioFeaturesViaAudioSystem(id: Long,
+                                  bytes: Array[Byte]): AudioMeta = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.BufferedInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+    val fmt = in.getFormat
+    val frameLen = in.getFrameLength
+    val pcm16 = fmt.getSampleSizeInBits == 16 &&
+      fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+    var sumSq = 0.0; var n = 0L
+    if (pcm16) {
+      val buf = new Array[Byte](8192)
+      var read = in.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i + 1 < read) {
+          val s =
+            if (fmt.isBigEndian)
+              ((buf(i) << 8) | (buf(i + 1) & 0xFF)).toShort
+            else ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort
+          sumSq += s.toDouble * s.toDouble
+          n += 1
+          i += 2
+        }
+        read = in.read(buf)
+      }
+    }
+    in.close()
+    AudioMeta(id, decoded = true, fmt.getSampleRate.toInt,
+      fmt.getChannels, frameLen,
+      if (pcm16 && n > 0) math.sqrt(sumSq / n) else -1.0)
   }
 }

@@ -206,6 +206,69 @@ class TextMultimodalSpec extends SparkSpec {
       math.abs(down(2L).rmsOut - math.sqrt((800.0 * 800 + 600.0 * 600) / 2)) < 1e-9)
   }
 
+  test("parseWavPcm16: chunk walk handles extra/odd-length chunks; declines non-canonical payloads") {
+    val base = Multimodal.pcm16Wav(8000, 500, 64)
+    assert(Multimodal.parseWavPcm16(base).contains(
+      Multimodal.WavPcm16(8000, 1, 44, 64)))
+    // splice an odd-length vendor chunk between fmt and data — the
+    // walk must skip it (word-aligned) and still find the data chunk
+    val extra = {
+      val tag = "junk".getBytes("US-ASCII")
+      val body = Array[Byte](1, 2, 3) // odd length → 1 pad byte
+      val buf = java.nio.ByteBuffer
+        .allocate(base.length + 8 + body.length + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(base, 0, 36)             // RIFF..fmt chunk
+        .put(tag).putInt(body.length).put(body).put(0.toByte)
+        .put(base, 36, base.length - 36) // data chunk
+      buf.array()
+    }
+    val parsed = Multimodal.parseWavPcm16(extra)
+    assert(parsed.exists(w => w.rate == 8000 && w.channels == 1 &&
+      w.nFrames == 64 && w.off == 44 + 12))
+    // IEEE-float WAV (format tag 3) and truncated payloads decline
+    val floatWav = base.clone(); floatWav(20) = 3
+    assert(Multimodal.parseWavPcm16(floatWav).isEmpty)
+    assert(Multimodal.parseWavPcm16(base.take(40)).isEmpty)
+    assert(Multimodal.parseWavPcm16(Array.tabulate(100)(_.toByte)).isEmpty)
+  }
+
+  test("audio fast path vs AudioSystem fallback: identical samples as WAV and AIFF decode identically") {
+    implicit val s = spark
+    val samples = Array.tabulate(300)(i =>
+      (4000 * math.sin(2 * math.Pi * 220 * i / 8000.0)).toShort)
+    val wav = Multimodal.pcm16WavSamples(8000, samples)
+    val aiff = {
+      // same PCM as big-endian AIFF — parseWavPcm16 declines ("FORM"
+      // container), forcing the AudioSystem route
+      val be = java.nio.ByteBuffer.allocate(samples.length * 2)
+      samples.foreach(be.putShort)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(be.array()), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+      out.toByteArray
+    }
+    assert(Multimodal.parseWavPcm16(wav).isDefined)
+    assert(Multimodal.parseWavPcm16(aiff).isEmpty)
+    val feats = Multimodal.audioFeatures(
+        Seq((1L, wav), (2L, aiff)).toDF("doc_id", "b"), "doc_id", "b")
+      .collect().map(m => m.id -> m).toMap
+    assert(feats(1L).decoded && feats(2L).decoded)
+    assert(feats(1L).sampleRate == feats(2L).sampleRate &&
+      feats(1L).nFrames == feats(2L).nFrames &&
+      math.abs(feats(1L).rms - feats(2L).rms) < 1e-9)
+    val res = Multimodal.resampleAudio(
+        Seq((1L, wav), (2L, aiff)).toDF("doc_id", "b"), "doc_id", "b", 16000)
+      .collect().map(r => r.id -> r).toMap
+    assert(res(1L).decoded && res(2L).decoded)
+    assert(res(1L).nOut == res(2L).nOut &&
+      math.abs(res(1L).rmsOut - res(2L).rmsOut) < 1e-9 &&
+      java.util.Arrays.equals(res(1L).wav, res(2L).wav))
+  }
+
   test("resampleStub strides the payload deterministically") {
     implicit val s = spark
     val bin = Seq((1L, Array.tabulate(10)(_.toByte))).toDF("doc_id", "b")
