@@ -89,6 +89,43 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("production-shaped train+tokenize: compression-ratio sanity bounds") {
+    import org.apache.spark.sql.functions.{array_join, array_repeat, col, sum}
+    // the BpeTrainBench / SCALE.md round-10 end-to-end flow at test
+    // scale: seeded large-vocabulary Zipf corpus ∪ the real documents
+    // table, a production-shaped merge budget, then tokenize the
+    // documents under the trained vocab and bound the economics
+    val rng = new scala.util.Random(7)
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (seen.size < 5000) {
+      val len = 4 + rng.nextInt(11)
+      seen += Array.fill(len)(('a' + rng.nextInt(26)).toChar).mkString
+    }
+    val synth = seen.toSeq.zipWithIndex.map { case (w, i) =>
+      (w, math.max(1L, 5000L / (i + 1)))
+    }.toDF("word", "freq")
+      .select(array_join(array_repeat(col("word"),
+        col("freq").cast("int")), " ").as("text"))
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents").select($"doc_id", $"text")
+    val (_, vocab) = Bpe.trainShared(
+      synth.unionByName(docs.select($"text")), "text", nMerges = 2048)
+    val a = Bpe.tokenCountsWith(docs, "doc_id", "text", vocab)
+      .agg(sum($"n_words").as("w"), sum($"n_chars").as("c"),
+        sum($"n_bpe").as("b"), sum($"n_oov").as("o")).head()
+    val (w, c, b, o) = (a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3))
+    // trained on the corpus being tokenized → nothing falls out
+    assert(o == 0L)
+    // hard bounds: one symbol per word at best, one per char at worst
+    assert(w <= b && b <= c)
+    // sanity floor: a 2048-merge vocab trained on this corpus must
+    // compress it well past character level (the SCALE.md 32k row's
+    // test-scale twin — a regression here means the trained rules
+    // stopped applying to the corpus they were learned from)
+    val compression = c.toDouble / b
+    assert(compression >= 2.0, s"compression $compression < 2.0")
+  }
+
   test("stops early when every word is a single symbol") {
     val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     val m = Bpe.learnMerges(docs, "text", nMerges = 10)
