@@ -53,6 +53,22 @@ object Multimodal {
           s"array())")))
       .toDF(idCol, "frame_idx", "frame_bytes")
 
+  /** One-time JVM-wide ImageIO config, forced on first touch: the
+    * default ImageInputStream/OutputStream is FILE-cache backed, so
+    * `ImageIO.read` over an in-memory payload writes every image to a
+    * temp file before decoding (create + write + delete per ROW, per
+    * FRAME for video) and `ImageIO.write` does the same on encode.
+    * Memory-backed streams remove the disk round trip. Same family as
+    * the q169 `AudioSystem` registry-lock finding (SCALE.md round 10):
+    * per-row cost hiding inside a JDK convenience entry point.
+    * Referenced from inside the decode/encode closures so the init
+    * runs in executor JVMs on a real cluster, not just the driver.
+    */
+  private object ImageIoConfig {
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+  @inline private def imageIoNoDiskCache(): Unit = { val _ = ImageIoConfig }
+
   /** Typed decoded-frame record. `meanByte` is computed from the real
     * bytes; `width`/`height` come from the stubbed codec.
     */
@@ -336,6 +352,7 @@ object Multimodal {
     * luma). Runs on executors; pure function of its arguments.
     */
   def solidPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    imageIoNoDiskCache()
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val rgb = (gray << 16) | (gray << 8) | gray
@@ -388,6 +405,7 @@ object Multimodal {
     * so decoded mean luma stays closed-form within a small tolerance.
     */
   def solidJpeg(width: Int, height: Int, gray: Int): Array[Byte] = {
+    imageIoNoDiskCache()
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val rgb = (gray << 16) | (gray << 8) | gray
@@ -518,6 +536,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.flatMap { case (id, bytes) =>
           val ok = bytes != null && bytes.length >= 12 &&
             tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "AVI "
@@ -588,6 +607,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.map { case (id, bytes) =>
           val img =
             try Option(javax.imageio.ImageIO.read(
