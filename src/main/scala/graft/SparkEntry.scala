@@ -897,6 +897,28 @@ object SparkEntry {
           .select((col("auc") >= 0.9).cast("int").as("auc_ok")))
     }),
 
+    // --- DSIR importance weights (Xie et al. 2023): hashed-bigram
+    //     bag models on the target slice (lang='en') vs the raw
+    //     corpus; per-doc log importance weight — bucket-sized count
+    //     tables, broadcast log-ratio join, one doc-keyed sum ---
+    "q183_dsir_weights" -> ((s, dir) =>
+      graft.llm.Selection.dsirLogWeights(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en")),
+
+    // --- DSIR Gumbel-top-k resample: 100 docs drawn without
+    //     replacement ∝ importance weight, via deterministic
+    //     content-keyed Gumbel noise + TakeOrderedAndProject ---
+    "q184_dsir_resample" -> ((s, dir) =>
+      graft.llm.Selection.dsirResample(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en", k = 100)),
+
+    // --- diversity-preserving downsample: SimHash-bucket quotas
+    //     (≤10 docs per 6-bit bucket, content-hash draw order) via
+    //     the bounded native top-k aggregation ---
+    "q185_diversity_sample" -> ((s, dir) =>
+      graft.llm.Selection.diversitySample(t(s, dir, "documents"),
+        "doc_id", "text", bits = 6, perBucket = 10)),
+
     // --- item-item cosine (M9, sparse self-join rewrite with the
     //     DIMSUM-style per-user cap that bounds pair fan-out) ---
     "q30_cosine_topk" -> ((s, dir) =>
@@ -3068,6 +3090,114 @@ object SparkEntry {
     "q174_quality_model" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(1 AS INT) AS auc_ok FROM documents""".stripMargin,
+
+    // DSIR hashed-bigram importance weights: md5-top32 bucket hash,
+    // add-one smoothing over 1024 buckets, log-ratio rounded 6,
+    // exact decimal per-doc sum rounded 4 — formula replayed verbatim
+    "q183_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS ref, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, ref,
+        |         unnest(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM toks),
+        |bk AS (
+        |  SELECT doc_id, ref,
+        |         CAST(concat('0x', substring(md5(bigram), 1, 8)) AS BIGINT)
+        |           % 1024 AS b
+        |  FROM bg),
+        |cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bk GROUP BY 1),
+        |ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bk WHERE ref GROUP BY 1),
+        |cnt AS (SELECT cr.b, cr.cr, COALESCE(ct.ct, 0) AS ct
+        |        FROM cr LEFT JOIN ct USING (b)),
+        |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM cnt),
+        |lr AS (
+        |  SELECT b,
+        |         ROUND(LN((CAST(ct + 1 AS DOUBLE) * CAST(nr + 1024 AS DOUBLE)) /
+        |                  (CAST(cr + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE))),
+        |               6) AS lr
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |       ROUND(CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE), 4) AS log_w
+        |FROM bk JOIN lr USING (b)
+        |GROUP BY 1""".stripMargin,
+
+    // Gumbel-top-k over the q183 weights: deterministic md5-keyed
+    // Gumbel noise (u = (top32 + 0.5)/2^32), skey = log_w + g, top 100
+    "q184_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (lang = 'en') AS ref, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, ref,
+        |         unnest(list_transform(range(1, len(t)),
+        |           i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM toks),
+        |bk AS (
+        |  SELECT doc_id, ref,
+        |         CAST(concat('0x', substring(md5(bigram), 1, 8)) AS BIGINT)
+        |           % 1024 AS b
+        |  FROM bg),
+        |cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bk GROUP BY 1),
+        |ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bk WHERE ref GROUP BY 1),
+        |cnt AS (SELECT cr.b, cr.cr, COALESCE(ct.ct, 0) AS ct
+        |        FROM cr LEFT JOIN ct USING (b)),
+        |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM cnt),
+        |lr AS (
+        |  SELECT b,
+        |         ROUND(LN((CAST(ct + 1 AS DOUBLE) * CAST(nr + 1024 AS DOUBLE)) /
+        |                  (CAST(cr + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE))),
+        |               6) AS lr
+        |  FROM cnt CROSS JOIN tot),
+        |w AS (
+        |  SELECT bk.doc_id,
+        |         ROUND(CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE), 4) AS log_w
+        |  FROM bk JOIN lr USING (b)
+        |  GROUP BY 1)
+        |SELECT doc_id, log_w,
+        |       ROUND(log_w + ROUND(-LN(-LN(
+        |         (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 'dsir'),
+        |                                      1, 8)) AS BIGINT) + 0.5)
+        |           / 4294967296.0)), 6), 6) AS skey
+        |FROM w
+        |ORDER BY skey DESC, doc_id
+        |LIMIT 100""".stripMargin,
+
+    // SimHash-bucket diversity quota: q46's fingerprint CTE, low-6-bit
+    // bucket, md5 draw order, row_number cap at 10
+    "q185_diversity_sample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substring(md5(t), 1, 15)) AS BIGINT) AS h
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, r.j,
+        |         SUM(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS j) r
+        |  GROUP BY doc_id, r.j),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN v > 0
+        |                       THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |                       ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, simhash & 63 AS bucket,
+        |         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || 'div'),
+        |                                     1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS draw
+        |  FROM sh),
+        |r AS (
+        |  SELECT bucket, doc_id, draw,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+        |                                 ORDER BY draw, doc_id) AS INT) AS rank
+        |  FROM b)
+        |SELECT bucket, rank, doc_id, draw FROM r WHERE rank <= 10""".stripMargin,
 
     // add-one-smoothed bigram LM on the src0 slice; cutoffs replayed
     // off the same (lang, ppl) value histogram the Spark plan uses
