@@ -919,6 +919,27 @@ object SparkEntry {
       graft.llm.Selection.diversitySample(t(s, dir, "documents"),
         "doc_id", "text", bits = 6, perBucket = 10)),
 
+    // --- hard-negative mining: top-3 most-similar CROSS-label corpus
+    //     vectors per query (exclusion before the top-k), exact
+    //     decimal cosine + bounded native top-k ---
+    "q186_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 100),
+        "vec_id", "embedding", "label", k = 3)
+    }),
+
+    // --- token-budget curriculum selection: best-quality docs until
+    //     15k tokens, value-histogram cutoff + draw-histogram boundary
+    //     refinement (never a global per-row rank) ---
+    "q187_budget_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = TextAnalysis.qualityScore(d, "doc_id", "text")
+        .join(d.select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens")), "doc_id")
+      graft.llm.Selection.budgetSelect(scored, "doc_id", "quality",
+        "n_tokens", budget = 15000L)
+    }),
+
     // --- item-item cosine (M9, sparse self-join rewrite with the
     //     DIMSUM-style per-user cap that bounds pair fan-out) ---
     "q30_cosine_topk" -> ((s, dir) =>
@@ -3090,6 +3111,74 @@ object SparkEntry {
     "q174_quality_model" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(1 AS INT) AS auc_ok FROM documents""".stripMargin,
+
+    // q37's exact-cosine oracle with the cross-label join condition:
+    // negatives ranked among label-differing pairs only
+    "q186_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DECIMAL(18,9)) AS vd,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, SQRT(CAST(SUM(vd*vd) AS DOUBLE)) AS nrm
+        |          FROM e GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         CAST(SUM(a.vd*b.vd) AS DOUBLE) AS dot
+        |  FROM e a JOIN e b ON a.pos = b.pos AND a.label <> b.label
+        |  WHERE a.vec_id < 100
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos
+        |  FROM dots JOIN norms na ON id_a = na.vec_id
+        |            JOIN norms nb ON id_b = nb.vec_id)
+        |SELECT id_a, id_b, cos, rank FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+        |            ORDER BY cos DESC, id_b) AS INT) AS rank
+        |  FROM cos) t
+        |WHERE rank <= 3""".stripMargin,
+
+    // greedy-by-quality selection to a 15k-token budget: score value
+    // histogram -> cumulative -> overflow value s*; boundary bucket
+    // refined by a rounded-md5-draw histogram, whole buckets kept
+    "q187_budget_select" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+        |st AS (SELECT doc_id,
+        |              LENGTH(text) AS n_chars, LEN(s) AS n_tokens,
+        |              LEN(list_distinct(s)) AS n_unique,
+        |              ROUND(CAST(LEN(list_filter(s, t -> t IN ('the','a','and','of','in','to','is'))) AS DOUBLE) / LEN(s), 6) AS stop_ratio
+        |       FROM tk),
+        |q AS (SELECT doc_id,
+        |             ROUND((LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+        |                    + LEAST(stop_ratio * 5.0, 1.0)
+        |                    + CAST(n_unique AS DOUBLE) / n_tokens) / 3.0, 6) AS score,
+        |             CAST(n_tokens AS BIGINT) AS cost
+        |      FROM st),
+        |hist AS (SELECT score, SUM(cost) AS c FROM q GROUP BY 1),
+        |cum AS (SELECT score, c,
+        |               SUM(c) OVER (ORDER BY score DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |        FROM hist),
+        |bounds AS (SELECT MAX(CASE WHEN cm > 15000 THEN score END) AS sstar,
+        |                  15000 - COALESCE(MAX(CASE WHEN cm <= 15000 THEN cm END), 0) AS rem
+        |           FROM cum),
+        |fullkeep AS (
+        |  SELECT q.doc_id, q.score, q.cost FROM q CROSS JOIN bounds
+        |  WHERE bounds.sstar IS NULL OR q.score > bounds.sstar),
+        |boundary AS (
+        |  SELECT q.doc_id, q.score, q.cost,
+        |         ROUND(CAST(concat('0x', substring(md5(CAST(q.doc_id AS VARCHAR) || 'budget'),
+        |                                           1, 8)) AS BIGINT)
+        |               / 4294967296.0, 6) AS d6
+        |  FROM q CROSS JOIN bounds WHERE q.score = bounds.sstar),
+        |bh AS (SELECT d6, SUM(cost) AS bc FROM boundary GROUP BY 1),
+        |bcum AS (SELECT d6,
+        |                SUM(bc) OVER (ORDER BY d6
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bcm
+        |         FROM bh),
+        |kept AS (SELECT d6 FROM bcum CROSS JOIN bounds WHERE bcm <= bounds.rem)
+        |SELECT doc_id, score, cost FROM fullkeep
+        |UNION ALL
+        |SELECT b.doc_id, b.score, b.cost FROM boundary b JOIN kept USING (d6)""".stripMargin,
 
     // DSIR hashed-bigram importance weights: md5-top32 bucket hash,
     // add-one smoothing over 1024 buckets, log-ratio rounded 6,

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -140,6 +141,64 @@ object Selection {
         round(col("log_w") + round(-log(-log(u)), 6), 6).as("skey"))
       .orderBy(col("skey").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Token-budget curriculum selection: keep the highest-`scoreCol`
+    * rows until their cumulative `costCol` reaches `budget` — the
+    * "best docs first, stop at N tokens" step that turns a scored
+    * corpus into a sized training set.
+    *
+    * Greedy-by-score at VALUE granularity, never a global per-row
+    * rank (the 100 TB discipline of [[LangModel.refPerplexityBuckets]]):
+    *
+    *  1. a (score value → Σcost) histogram + one cumulative window
+    *     over it (histogram-sized — thousands-to-millions of rows
+    *     whatever the corpus) finds the overflow value `s*` and the
+    *     budget remaining before it;
+    *  2. every row with score > `s*` is kept outright;
+    *  3. the BOUNDARY bucket (score == `s*`) is refined the same way
+    *     one level down: a histogram over the md5 content draw rounded
+    *     to 6 digits, cumulative, keep whole draw-buckets while they
+    *     fit — so the boundary fill is deterministic and partitioning-
+    *     independent, and the undershoot is bounded by one draw-bucket
+    *     (~1e-6 of the boundary mass), not by the score granularity.
+    *
+    * Output: the kept rows as `(idCol, score, cost)`. Total kept cost
+    * ≤ budget always; if the budget covers everything, everything is
+    * kept.
+    */
+  def budgetSelect(scored: DataFrame, idCol: String, scoreCol: String,
+                   costCol: String, budget: Long,
+                   salt: String = "budget"): DataFrame = {
+    val s = scored.select(col(idCol), col(scoreCol).as("score"),
+      col(costCol).cast("long").as("cost"))
+    val hist = s.groupBy(col("score")).agg(sum(col("cost")).as("_c"))
+    val cum = hist.withColumn("_cum",
+      sum(col("_c")).over(Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    // s* = first score value whose cumulative cost overflows (null if
+    // the budget covers the whole input); _rem = budget left for it
+    val bounds = cum.agg(
+      max(when(col("_cum") > budget, col("score"))).as("_sstar"),
+      (lit(budget) -
+        coalesce(max(when(col("_cum") <= budget, col("_cum"))), lit(0L)))
+        .as("_rem"))
+    val withBounds = s.crossJoin(broadcast(bounds))
+    val fullKeep = withBounds
+      .filter(col("_sstar").isNull || col("score") > col("_sstar"))
+      .select(col(idCol), col("score"), col("cost"))
+    val boundary = withBounds.filter(col("score") === col("_sstar"))
+      .withColumn("_d6", round(Sampling.hashDraw(col(idCol), salt), 6))
+    val bhist = boundary.groupBy(col("_d6"))
+      .agg(sum(col("cost")).as("_bc"))
+      .withColumn("_bcum", sum(col("_bc")).over(Window.orderBy(col("_d6"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val keptBuckets = bhist.crossJoin(broadcast(bounds))
+      .filter(col("_bcum") <= col("_rem"))
+      .select(col("_d6"))
+    val boundaryKeep = boundary.join(broadcast(keptBuckets), Seq("_d6"))
+      .select(col(idCol), col("score"), col("cost"))
+    fullKeep.unionByName(boundaryKeep)
   }
 
   /** Diversity-preserving downsample: bucket every document by the low

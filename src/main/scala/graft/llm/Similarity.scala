@@ -114,6 +114,41 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive embedding training (the
+    * DPR/Contriever data-prep shape): for each query vector, the k
+    * most similar corpus vectors with a DIFFERENT label — the
+    * near-miss candidates that make the best training negatives.
+    * Exclusion happens BEFORE the top-k (filtering positives after a
+    * truncated ANN result under-fills and biases the negative set).
+    *
+    * Same exact-decimal arithmetic as [[embedCosineTopK]] (SQL-oracle-
+    * able), but the per-query selection is the native bounded top-k
+    * aggregation rather than a window sort: ≤ k pairs per mapper·query
+    * before any exchange. Cost is O(|queries|·|corpus|·dims) — bound
+    * the query batch; the unbounded-corpus path is
+    * [[searchIvfIndex]] candidates + the same label anti-filter +
+    * exact re-rank.
+    */
+  def hardNegatives(embeddings: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String) = df
+      .select(col(idCol).as(id), col(labelCol).as(s"_l$id"),
+        decVec(col(vecCol)).as(s"_v$id"))
+      .withColumn(s"_n$id",
+        sqrt(decDot(col(s"_v$id"), col(s"_v$id")).cast("double")))
+    val corpus = prep(embeddings, "id_b")
+    val qs = prep(queries, "id_a")
+    val cos = corpus
+      .join(broadcast(qs), col("_lid_a") =!= col("_lid_b"))
+      .withColumn("cos", round(
+        decDot(col("_vid_a"), col("_vid_b")).cast("double") /
+          (col("_nid_a") * col("_nid_b")), 4))
+      .select(col("id_a"), col("id_b"), col("cos"))
+    graft.operators.TopKAgg.perGroup(cos, "id_a", "cos", "id_b", k)
+      .select(col("id_a"), col("id_b"), col("cos"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the dedup-family variant
     * of similarity search): all pairs with cosine ≥ `minCos`, exact
     * decimal arithmetic → SQL-oracle-able. Candidate generation is an

@@ -79,6 +79,37 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("budgetSelect keeps best scores first and never exceeds the budget") {
+    // 10 quality tiers x 20 docs x cost 10 => 200 per tier, 2000 total
+    val d = (0L until 200L).map(i => (i, (i % 10) / 10.0, 10L))
+      .toDF("doc_id", "score", "cost")
+    val kept = Selection.budgetSelect(d, "doc_id", "score", "cost", budget = 500L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(kept.map(_._3).sum <= 500L)
+    // tiers 0.9 and 0.8 fit entirely (400); boundary tier 0.7 fills ~100
+    val byTier = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byTier(0.9) == 20 && byTier(0.8) == 20)
+    assert(byTier.getOrElse(0.7, 0) <= 10)
+    assert(byTier.keySet.subsetOf(Set(0.9, 0.8, 0.7)))
+    // boundary refinement fills most of the remainder
+    assert(kept.map(_._3).sum >= 480L, s"sum ${kept.map(_._3).sum}")
+  }
+
+  test("budgetSelect keeps everything when the budget covers the input") {
+    val d = (0L until 50L).map(i => (i, i / 7.0, 3L)).toDF("doc_id", "score", "cost")
+    assert(Selection.budgetSelect(d, "doc_id", "score", "cost", 1000L).count() == 50L)
+  }
+
+  test("budgetSelect is repartition-invariant (boundary fill included)") {
+    val d = (0L until 300L).map(i => (i, (i % 3) / 3.0, 5L + i % 4))
+      .toDF("doc_id", "score", "cost")
+    val a = Selection.budgetSelect(d, "doc_id", "score", "cost", 700L)
+      .collect().map(r => r.getLong(0)).toSet
+    val b = Selection.budgetSelect(d.repartition(11), "doc_id", "score", "cost", 700L)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("diversitySample is repartition-invariant") {
     val d = (0L until 300L).map(i => (i, s"w${i % 40} x${i % 11} y${i % 7} z${i % 3}"))
       .toDF("doc_id", "text")

@@ -33,6 +33,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0)._3 == 1.0 && out(1)._3 == 0.7071 && out(2)._3 == 0.0)
   }
 
+  test("hardNegatives excludes same-label vectors BEFORE the top-k") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(2f, 0f, 0f), 0),   // cos 1.0 with 0 but SAME label -> excluded
+      (2L, Array(1f, 0.1f, 0f), 1), // nearest cross-label
+      (3L, Array(1f, 1f, 0f), 1),   // cos 0.7071
+      (4L, Array(0f, 1f, 0f), 2))   // orthogonal
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", "label", k = 2)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(out.map(_._2).toSeq == Seq(2L, 3L), out.mkString(","))
+    assert(out.forall(_._2 != 1L)) // same-label near-twin never surfaces
+    assert(out(0)._3 > out(1)._3)
+  }
+
   test("quantizeInt8 maps max|x| to ±127, zeros to zeros, and round-trips within scale/254") {
     val emb = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f)), // scale 1.0 → (64, -127, 32)
