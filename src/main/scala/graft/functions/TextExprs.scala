@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count of array elements that belong to a fixed marker set — the
+  * codegen'd form of `size(filter(toks, t -> t IN ('the','a',…)))`.
+  *
+  * Why an expression: higher-order lambdas are CodegenFallback, so the
+  * filter+IN form runs interpreted — one boxed lambda call and a
+  * linear IN scan per TOKEN. That sits inside [[graft.llm.TextAnalysis
+  * .textStats]] (the per-document stats every curation funnel computes,
+  * q17/q43/q52/q78/q174/q187 and the streaming quality gate) and runs
+  * once per profile in [[graft.llm.TextAnalysis.languageId]] (5× per
+  * document in q50) — the engine's most-executed per-token loop. Here
+  * it is one generated loop with a single hash probe per token.
+  *
+  * Semantics parity with the HOF form: null elements are skipped (IN
+  * over a non-null list is null for a null probe, so `filter` drops
+  * it), a null array is null (`size(null) = NULL` ≡ null-intolerant
+  * propagation). Membership is exact binary equality — same as `=` on
+  * strings in both engines.
+  */
+case class TokenSetCount(child: Expression, markers: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_set_count"
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(markers.size * 2, 8))
+    markers.foreach(m => s.add(UTF8String.fromString(m)))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("markerSet", set,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) {
+         |    $c++;
+         |  }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetCount =
+    copy(child = newChild)
+}
+
+object TextExprs {
+  /** Codegen'd marker-set occurrence count over a string array. */
+  def tokenSetCount(tokens: Column, markers: Seq[String]): Column =
+    Bridge.column(TokenSetCount(Bridge.expression(tokens), markers))
+}

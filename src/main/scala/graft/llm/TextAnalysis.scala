@@ -17,11 +17,13 @@ object TextAnalysis {
 
   private def toks(textCol: String) = split(col(textCol), " ")
 
-  /** Count of tokens belonging to a fixed marker set. */
-  private def markerCount(toksCol: String, set: Seq[String]): Column = {
-    val list = set.map(s => s"'$s'").mkString(", ")
-    expr(s"size(filter($toksCol, t -> t IN ($list)))")
-  }
+  /** Count of tokens belonging to a fixed marker set — the codegen'd
+    * [[graft.functions.TokenSetCount]] (the `size(filter(t -> t IN …))`
+    * HOF form it replaces ran interpreted per token; see the
+    * expression's scaladoc for the parity contract).
+    */
+  private def markerCount(toksCol: String, set: Seq[String]): Column =
+    graft.functions.TextExprs.tokenSetCount(col(toksCol), set)
 
   /** Per-document statistics: char/token/unique-token counts, average
     * token length, stopword ratio, punctuation and digit ratios.
@@ -35,7 +37,12 @@ object TextAnalysis {
         length(col(textCol)).as("n_chars"),
         size(col("_toks")).as("n_tokens"),
         size(array_distinct(col("_toks"))).as("n_unique"),
-        round(expr("aggregate(transform(_toks, t -> length(t)), 0, (a, x) -> a + x)")
+        // Σ token lengths == non-space char count (split-on-' ' tokens
+        // partition exactly the non-space chars; empty tokens from
+        // doubled/edge spaces contribute 0) — `translate` is codegen'd
+        // where the previous aggregate-over-transform HOF ran an
+        // interpreted per-token fold; values are bit-identical
+        round(length(translate(col(textCol), " ", ""))
           .cast("double") / size(col("_toks")), 6).as("avg_token_len"),
         round(markerCount("_toks", stopwords).cast("double") / size(col("_toks")), 6)
           .as("stop_ratio"),

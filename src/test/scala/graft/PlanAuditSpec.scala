@@ -89,6 +89,38 @@ class PlanAuditSpec extends SparkSpec {
       s"expected partial+final ObjectHashAggregate:\n${p.take(3000)}")
   }
 
+  test("q183: DSIR log-ratio table joins back onto the feature stream " +
+    "as a broadcast; the bucket counts partial-combine map-side") {
+    val p = plan("q183_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final bucket aggregation:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q184: DSIR resample plans the selection as TakeOrderedAndProject") {
+    assert(plan("q184_dsir_resample").contains("TakeOrderedAndProject"))
+  }
+
+  test("q185/q186: bucket quota and hard negatives use the bounded " +
+    "ObjectHashAggregate top-k, never a per-row window sort") {
+    Seq("q185_diversity_sample", "q186_hard_negatives").foreach { q =>
+      val p = plan(q)
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"$q expected partial+final ObjectHashAggregate:\n${p.take(2000)}")
+      assert(!p.contains("Window"), s"$q has a window sort:\n${p.take(2000)}")
+    }
+  }
+
+  test("q187: budget cutoff windows run over value histograms, " +
+    "never over the corpus rows (no window touches doc_id)") {
+    val p = plan("q187_budget_select")
+    assert(p.contains("Window"), p.take(2000)) // the histogram cumsums
+    val winLines = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(!winLines.contains("doc_id"),
+      s"window runs over per-doc rows:\n$winLines")
+  }
+
   test("q86: corpus bigram top-k plans TakeOrderedAndProject over a partial agg") {
     val p = plan("q86_bigram_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val markers = Seq("the", "a", "and", "of", "in", "to", "is")
+
+  test("tokenSetCount matches the size(filter(IN)) HOF form, incl. edge shapes") {
+    val texts = Seq(
+      "the cat and the dog",       // repeats counted per occurrence
+      "THE CAT",                   // case-sensitive: 0
+      "a  b",                      // doubled space -> empty token, skipped
+      " a",                        // leading space -> empty first token
+      "",                          // single empty token
+      "of of of of")
+      .toDF("text").withColumn("toks", split(col("text"), " "))
+    val list = markers.map(s => s"'$s'").mkString(", ")
+    val out = texts.select(
+      TextExprs.tokenSetCount(col("toks"), markers).as("fast"),
+      expr(s"size(filter(toks, t -> t IN ($list)))").as("hof"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(out.forall { case (f, h) => f == h }, out.mkString(","))
+    assert(out.map(_._1).toSeq == Seq(3, 0, 1, 1, 0, 4))
+  }
+
+  test("tokenSetCount skips null elements and propagates a null array") {
+    val df = Seq(
+      (1, Seq[String]("the", null, "a")),
+      (2, null.asInstanceOf[Seq[String]]))
+      .toDF("id", "toks")
+    val out = df.select(col("id"),
+      TextExprs.tokenSetCount(col("toks"), markers).as("c"))
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .toMap
+    assert(out == Map(1 -> 2, 2 -> -1))
+  }
+
+  test("textStats avg_token_len is unchanged by the translate rewrite on edge spacing") {
+    val docs = Seq((1L, "ab  cd "), (2L, "xyz"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val stats = graft.llm.TextAnalysis.textStats(docs, "doc_id", "text")
+      .select("doc_id", "avg_token_len").as[(Long, Double)].collect().toMap
+    // "ab  cd ": tokens [ab,,cd,] -> 4 tokens, 4 non-space chars -> 1.0
+    assert(stats(1L) == 1.0)
+    assert(stats(2L) == 3.0)
+    assert(stats(3L) == 1.0)
+  }
+}
