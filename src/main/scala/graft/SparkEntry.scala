@@ -940,6 +940,13 @@ object SparkEntry {
         "n_tokens", budget = 15000L)
     }),
 
+    // --- no-straddle length-class packing: docs land whole in one
+    //     128-token window, per-(lang, length, salt-block) ordinals,
+    //     over-long docs flagged -1 for the chunking route ---
+    "q188_bucket_pack" -> ((s, dir) =>
+      Packing.bucketPack(t(s, dir, "documents"), "doc_id", "text",
+        "lang", contextLen = 128, saltBlocks = 4)),
+
     // --- item-item cosine (M9, sparse self-join rewrite with the
     //     DIMSUM-style per-user cap that bounds pair fan-out) ---
     "q30_cosine_topk" -> ((s, dir) =>
@@ -3111,6 +3118,25 @@ object SparkEntry {
     "q174_quality_model" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(1 AS INT) AS auc_ok FROM documents""".stripMargin,
+
+    // no-straddle packing replay: same md5 block, same per-class
+    // ordinal, same div/mod arithmetic
+    "q188_bucket_pack" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, CAST(LEN(string_split(text, ' ')) AS INT) AS n_tok,
+        |         CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |                   AS BIGINT) % 4 AS INT) AS block
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, n_tok, block
+        |                               ORDER BY doc_id) AS rn,
+        |         CAST(FLOOR(128.0 / n_tok) AS BIGINT) AS cap
+        |  FROM base)
+        |SELECT doc_id, lang, n_tok, block,
+        |       CAST(CASE WHEN n_tok > 128 THEN -1
+        |                 ELSE CAST(FLOOR((rn - 1) / cap) AS BIGINT) END AS BIGINT) AS pack_seq,
+        |       CAST(CASE WHEN n_tok > 128 THEN -1 ELSE (rn - 1) % cap END AS INT) AS slot
+        |FROM r""".stripMargin,
 
     // q37's exact-cosine oracle with the cross-label join condition:
     // negatives ranked among label-differing pairs only

@@ -42,4 +42,50 @@ object Packing {
         floor(col("_start") / contextLen).as("pack_id"),
         (col("_start") % contextLen).cast("int").as("tok_offset"))
   }
+
+  /** NO-STRADDLE packing by length class: every document lands whole
+    * inside one context window (no cross-boundary splits, no cross-
+    * document attention contamination — the packing shape SFT and
+    * long-context pipelines need, vs [[contiguousPack]]'s token-stream
+    * cut). Documents of the same token length `L` pack
+    * `cap = ⌊contextLen/L⌋` per window, so the assignment is pure
+    * arithmetic on a per-class ordinal: window `(rn−1) div cap`, slot
+    * `(rn−1) mod cap`.
+    *
+    * Scale design: a class ordinal needs a per-(stratum, length) sort
+    * — and common lengths are populous enough at corpus scale that a
+    * single class must never become one sort partition. The ordinal is
+    * therefore computed per `(stratum, length, salt-block)` with the
+    * block drawn from the id's md5 (`saltBlocks` spreads any class
+    * over that many independent partitions); every window of a class
+    * has identical capacity, so blocks pack independently with NO
+    * cross-block coordination — the only cost is ≤ 1 partial window
+    * per block·class instead of per class. Pack identity is the tuple
+    * `(groupCol, n_tok, block, pack_seq)`.
+    *
+    * Documents longer than `contextLen` cannot be packed whole:
+    * they surface with `pack_seq = -1, slot = -1` for the caller to
+    * route through chunking ([[Dedup.chunkDedup]]'s splitter shape).
+    *
+    * Output: `(idCol, groupCol, n_tok, block, pack_seq, slot)` —
+    * deterministic on any partitioning and replayable in SQL.
+    */
+  def bucketPack(docs: DataFrame, idCol: String, textCol: String,
+                 groupCol: String, contextLen: Int,
+                 saltBlocks: Int = 16): DataFrame = {
+    val base = docs.select(col(idCol), col(groupCol),
+        size(split(col(textCol), " ")).as("n_tok"))
+      .withColumn("block",
+        (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") % saltBlocks).cast("int"))
+    val w = Window.partitionBy(col(groupCol), col("n_tok"), col("block"))
+      .orderBy(col(idCol))
+    val cap = floor(lit(contextLen).cast("double") / col("n_tok"))
+    base.withColumn("_rn", row_number().over(w))
+      .select(col(idCol), col(groupCol), col("n_tok"), col("block"),
+        when(col("n_tok") > contextLen, lit(-1L))
+          .otherwise(floor((col("_rn") - 1) / cap)).as("pack_seq"),
+        when(col("n_tok") > contextLen, lit(-1))
+          .otherwise(((col("_rn") - 1) % cap).cast("int")).as("slot"))
+  }
 }

@@ -337,4 +337,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(3L) == ((3L, 10, 1L, 2500 - 2048)))
     assert(out(4L) == ((4L, 5, 0L, 0)))
   }
+
+  test("bucketPack never straddles, fills windows to capacity, flags over-long docs") {
+    // 20 docs of 30 toks (cap 4 at ctx 128), 6 of 50 (cap 2), 1 of 200 (overflow)
+    val d = ((0L until 20L).map(i => (i, "en", ("w " * 30).trim)) ++
+      (100L until 106L).map(i => (i, "en", ("w " * 50).trim)) ++
+      Seq((200L, "en", ("w " * 200).trim))).toDF("doc_id", "lang", "text")
+    val out = Packing.bucketPack(d, "doc_id", "text", "lang",
+      contextLen = 128, saltBlocks = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getLong(4), r.getInt(5)))
+    // over-long doc flagged
+    assert(out.filter(_._1 == 200L).map(r => (r._5, r._6)).toSeq == Seq((-1L, -1)))
+    val packed = out.filter(_._5 >= 0L)
+    // no straddle: every window's token total fits the context
+    packed.groupBy(r => (r._2, r._3, r._4, r._5)).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sum <= 128, rs.mkString(","))
+      // slots are 0..n-1 within the window
+      assert(rs.map(_._6).sorted.toSeq == (0 until rs.length))
+    }
+    // full windows dominate: 30-tok class packs 4/window per block
+    val full30 = packed.filter(r => r._3 == 30)
+      .groupBy(r => (r._4, r._5)).values.count(_.length == 4)
+    assert(full30 >= 3, s"expected mostly full windows, got $full30")
+    // deterministic under repartition
+    val again = Packing.bucketPack(d.repartition(7), "doc_id", "text", "lang",
+      contextLen = 128, saltBlocks = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getLong(4), r.getInt(5)))
+    assert(out.toSet == again.toSet)
+  }
 }
