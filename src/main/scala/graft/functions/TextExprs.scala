@@ -76,8 +76,66 @@ case class TokenSetCount(child: Expression, markers: Seq[String])
     copy(child = newChild)
 }
 
+/** Space-joined word n-grams of a token array — the native form of
+  * `transform(sequence(1, size(t) - n + 1), i -> concat_ws(' ',
+  * element_at(t, i), …))`.
+  *
+  * Why an expression: n-gram generation is the engine's most common
+  * corpus-scan primitive (bigram LMs, shingles, DSIR features, top-
+  * bigram boilerplate detection, repetition ratios), and the HOF form
+  * pays an interpreted lambda + boxed sequence + per-element
+  * `element_at` PER N-GRAM — the q143 sf1 profile measured it at
+  * ~13 µs per bigram, 35 CPU-s for one 2.7M-bigram scan. This is one
+  * generated call into a tight JVM loop (~0.2 µs per n-gram).
+  *
+  * Parity with the HOF form: fewer than `n` tokens → empty array;
+  * null elements are skipped by the join exactly as `concat_ws` skips
+  * them; a null token array is null.
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(a: Any): Any =
+    WordNgrams.compute(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordNgrams$$.MODULE$$.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val out = new Array[Any](math.max(len - n + 1, 0))
+    val win = new Array[UTF8String](n)
+    var i = 0
+    while (i < out.length) {
+      var j = 0
+      while (j < n) { win(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, win: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object TextExprs {
   /** Codegen'd marker-set occurrence count over a string array. */
   def tokenSetCount(tokens: Column, markers: Seq[String]): Column =
     Bridge.column(TokenSetCount(Bridge.expression(tokens), markers))
+
+  /** Codegen'd space-joined word n-grams over a string array. */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    Bridge.column(WordNgrams(Bridge.expression(tokens), n))
 }

@@ -32,12 +32,10 @@ object Dedup {
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 3): DataFrame = {
-    val parts = (0 until n).map(j => s"element_at(_toks, i + $j)").mkString(", ")
     docs
       .withColumn("_toks", split(col(textCol), " "))
-      .withColumn("shingle", explode(when(size(col("_toks")) >= n,
-        expr(s"transform(sequence(1, size(_toks) - ${n - 1}), i -> concat_ws(' ', $parts))"))
-        .otherwise(array())))
+      .withColumn("shingle",
+        explode(graft.functions.TextExprs.wordNgrams(col("_toks"), n)))
       .select(col(idCol), col("shingle"))
       .distinct()
   }
@@ -589,10 +587,9 @@ object Dedup {
     val chunks = chunkStream(docs, idCol, textCol, chunkTokens)
     val benchGrams = bench
       .withColumn("_toks", split(col(benchTextCol), " "))
-      .filter(size(col("_toks")) >= chunkTokens)
-      .select(explode(expr(
-        s"transform(sequence(1, size(_toks) - ${chunkTokens - 1}), " +
-          s"i -> concat_ws(' ', slice(_toks, i, $chunkTokens)))")).as("_chunk"))
+      .select(explode(
+        graft.functions.TextExprs.wordNgrams(col("_toks"), chunkTokens))
+        .as("_chunk"))
     val benchChunks = broadcast(
       chunkStream(bench, benchIdCol, benchTextCol, chunkTokens)
         .select(col("_chunk"))
@@ -660,11 +657,8 @@ object Dedup {
   def substrDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      w: Int = 5): DataFrame = {
     val grams = docs.withColumn("_toks", split(col(textCol), " "))
-      .filter(size(col("_toks")) >= w)
       .select(col(idCol).as("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(1, size(_toks) - ${w - 1}), " +
-            s"i -> concat_ws(' ', slice(_toks, i, $w)))"))
+        posexplode(graft.functions.TextExprs.wordNgrams(col("_toks"), w))
           .as(Seq("pos", "gram")))
     val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > 1).select(col("gram"))

@@ -35,16 +35,18 @@ object LangModel {
   /** Per-document bigram stream `(doc_id, bigram)` where bigram is
     * the space-joined token pair. Documents with fewer than two
     * tokens emit nothing (they have no transitions to score).
+    *
+    * Generated as a narrow per-row array transform fused into the
+    * scan — the original posexplode + per-doc `lead` window paid a
+    * corpus-sized shuffle AND a per-document sort just to pair
+    * adjacent tokens, which the array form gets for free (the sf1
+    * profile of q143 charged ~9 s of its CPU to that window stage).
     */
-  def bigramStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "w1")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    toks.withColumn("w2", lead(col("w1"), 1).over(w))
-      .filter(col("w2").isNotNull)
+  def bigramStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_toks"))
       .select(col("doc_id"),
-        concat_ws(" ", col("w1"), col("w2")).as("bigram"))
-  }
+        explode(graft.functions.TextExprs.wordNgrams(col("_toks"), 2))
+          .as("bigram"))
 
   /** Per-document average bigram negative log-likelihood under the
     * corpus's own (unsmoothed) bigram model:
@@ -57,17 +59,30 @@ object LangModel {
   def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bg = bigramStream(docs, idCol, textCol)
     val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n2"))
-    // c(w1·) = transitions starting at w1 — derived from the same
-    // stream so the two counts are consistent by construction
-    val c1 = bg
-      .select(substring_index(col("bigram"), " ", 1).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("n1"))
-    bg.join(c2, "bigram")
+    // c(w1·) = Σ_w2 c(w1 w2): derived from the VOCABULARY-sized c2
+    // (identical counts to re-aggregating the stream), and the whole
+    // per-bigram score assembled vocabulary-side so the corpus stream
+    // shuffles ONCE for the score join instead of twice — the sf1
+    // profile charged ~90 CPU-s to the second corpus-stream join
+    val c1 = c2.select(substring_index(col("bigram"), " ", 1).as("w1"),
+        col("n2"))
+      .groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    val nllTab = c2
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .join(c1, "w1")
-      .select(col("doc_id"),
+      .select(col("bigram"),
         round(log(col("n1").cast("double") / col("n2")), 6)
           .cast(DecimalType(18, 6)).as("nll"))
+    // SHUFFLE_HASH with the vocabulary table as build side: left to
+    // itself Spark BROADCASTS THE CORPUS STREAM here — size estimation
+    // ignores Generate fan-out, so the exploded bigram side of the join
+    // looks like its (small) parquet parent and becomes the build side
+    // (the sf1 plan had BroadcastExchange over the 2.7M-row stream,
+    // a 5.3 s single-task build; at scale it would OOM the driver).
+    // The bigram vocabulary is corpus-sublinear but not driver-bounded,
+    // so a broadcast hint on the vocab side would be the same trap one
+    // decade later — the shuffle-hash join is the shape that survives.
+    bg.join(nllTab.hint("shuffle_hash"), "bigram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("nll")).cast("double") / count(lit(1)), 4).as("avg_nll"))
@@ -113,10 +128,8 @@ object LangModel {
                            langCol: String, refFilter: org.apache.spark.sql.Column): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
       refFilter.as("_ref"), split(col(textCol), " ").as("_toks"))
-    val bg = toks.filter(size(col("_toks")) >= 2)
-      .select(col("doc_id"), col("lang"), col("_ref"),
-        explode(expr("transform(sequence(1, size(_toks) - 1), " +
-          "i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1)))"))
+    val bg = toks.select(col("doc_id"), col("lang"), col("_ref"),
+        explode(graft.functions.TextExprs.wordNgrams(col("_toks"), 2))
           .as("bigram"))
     val ref = bg.filter(col("_ref"))
     val c2 = ref.groupBy(col("bigram")).agg(count(lit(1)).as("n2"))
@@ -178,13 +191,18 @@ object LangModel {
     */
   def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, minCount: Int = 5): DataFrame = {
-    val bg = bigramStream(docs, idCol, textCol)
-    val tot = bg.agg(count(lit(1)).as("n_tr"))
-    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
-    val c1l = bg.select(substring_index(col("bigram"), " ", 1).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("nl"))
-    val c1r = bg.select(substring_index(col("bigram"), " ", -1).as("w2"))
-      .groupBy(col("w2")).agg(count(lit(1)).as("nr"))
+    // one corpus-stream aggregation; totals and both margins derive
+    // from the vocabulary-sized bigram-count table (identical values,
+    // three fewer corpus passes)
+    val c2 = bigramStream(docs, idCol, textCol)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val tot = c2.agg(sum(col("n")).as("n_tr"))
+    val c1l = c2.select(substring_index(col("bigram"), " ", 1).as("w1"),
+        col("n"))
+      .groupBy(col("w1")).agg(sum(col("n")).as("nl"))
+    val c1r = c2.select(substring_index(col("bigram"), " ", -1).as("w2"),
+        col("n"))
+      .groupBy(col("w2")).agg(sum(col("n")).as("nr"))
     c2.filter(col("n") >= minCount)
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .withColumn("w2", substring_index(col("bigram"), " ", -1))

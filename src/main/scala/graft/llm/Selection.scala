@@ -56,10 +56,8 @@ object Selection {
     val toks = docs.select(
       (col(idCol).as("doc_id") +: extra :+
         split(col(textCol), " ").as("_toks")): _*)
-    toks.filter(size(col("_toks")) >= 2)
-      .withColumn("bigram",
-        explode(expr("transform(sequence(1, size(_toks) - 1), " +
-          "i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1)))")))
+    toks.withColumn("bigram",
+        explode(graft.functions.TextExprs.wordNgrams(col("_toks"), 2)))
       .withColumn("b",
         conv(substring(md5(col("bigram")), 1, 8), 16, 10).cast("long")
           % buckets)

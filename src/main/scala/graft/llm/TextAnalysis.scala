@@ -159,13 +159,10 @@ object TextAnalysis {
     */
   def repetitionRatio(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3): DataFrame = {
-    val parts = (0 until n).map(j => s"element_at(_toks, i + $j)").mkString(", ")
     docs
       .withColumn("_toks", toks(textCol))
-      .withColumn("_grams", when(size(col("_toks")) >= n,
-        expr(s"transform(sequence(1, size(_toks) - ${n - 1}), " +
-          s"i -> concat_ws(' ', $parts))"))
-        .otherwise(array().cast("array<string>")))
+      .withColumn("_grams",
+        graft.functions.TextExprs.wordNgrams(col("_toks"), n))
       .select(col(idCol),
         size(col("_grams")).as("n_grams"),
         round(when(size(col("_grams")) > 0,
@@ -207,12 +204,8 @@ object TextAnalysis {
   def topBigrams(docs: DataFrame, textCol: String, k: Int = 50): DataFrame =
     docs
       .withColumn("_toks", toks(textCol))
-      // size<2 → sequence(1, 0) would DESCEND (negative default step),
-      // inventing bogus pairs; guard to an empty list instead
-      .select(explode(when(size(col("_toks")) >= 2,
-        expr("transform(sequence(1, size(_toks) - 1), " +
-          "i -> concat_ws(' ', _toks[i-1], _toks[i]))"))
-        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .select(explode(graft.functions.TextExprs.wordNgrams(col("_toks"), 2))
+        .as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))

@@ -38,6 +38,26 @@ class TextExprsSpec extends SparkSpec {
     assert(out == Map(1 -> 2, 2 -> -1))
   }
 
+  test("wordNgrams matches the transform+concat_ws HOF form on every shape") {
+    val texts = Seq("a b c d", "one", "", "x  y", "p q").toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+    for (n <- Seq(2, 3)) {
+      val out = texts.select(
+        TextExprs.wordNgrams(col("toks"), n).as("fast"),
+        when(size(col("toks")) >= n,
+          expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(toks, i, $n)))"))
+          .otherwise(array().cast("array<string>")).as("hof"))
+        .collect().map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+      out.foreach { case (f, h) => assert(f == h, s"n=$n: $f vs $h") }
+    }
+    // spot value: doubled space yields an empty middle token
+    val g = texts.filter(col("text") === "x  y")
+      .select(TextExprs.wordNgrams(col("toks"), 2))
+      .collect()(0).getSeq[String](0)
+    assert(g == Seq("x ", " y"))
+  }
+
   test("textStats avg_token_len is unchanged by the translate rewrite on edge spacing") {
     val docs = Seq((1L, "ab  cd "), (2L, "xyz"), (3L, "a b c"))
       .toDF("doc_id", "text")
