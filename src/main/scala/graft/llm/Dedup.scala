@@ -153,7 +153,11 @@ object Dedup {
       idCol, Seq("band", "bucket"), maxBucket)
     val left = banded.toDF("id_a", "band", "bucket")
     val right = banded.toDF("id_b", "band", "bucket")
-    left.join(right, Seq("band", "bucket"))
+    // SHUFFLE_HASH: both sides are the corpus-sized banded stream, and
+    // size estimation ignores Generate fan-out, so Spark otherwise
+    // BROADCASTS one side of the self-join (docs×bands rows through a
+    // single-task build — the q143 trap; PlanAuditSpec pins it out)
+    left.join(right.hint("shuffle_hash"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }

@@ -121,6 +121,48 @@ class PlanAuditSpec extends SparkSpec {
       s"window runs over per-doc rows:\n$winLines")
   }
 
+  test("no broadcast build side contains an exploded corpus scan " +
+    "(Generate fan-out is invisible to size estimation)") {
+    // the q143 lesson: a post-explode stream inherits its parquet
+    // parent's size estimate, so Spark happily broadcasts the CORPUS
+    // side of a join. Offense = a broadcast BUILD side from which a
+    // Generate is reachable WITHOUT passing an aggregation (an
+    // aggregated/vocab-sized build legitimately has explodes upstream).
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    def rawGenerate(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => false
+      case _: GenerateExec => true
+      case other => other.children.exists(rawGenerate)
+    }
+    val corpusQueries = Seq(
+      "q143_bigram_lm", "q147_pmi", "q36_ngram_jaccard",
+      "q45_minhash_neardup", "q68_contamination", "q86_bigram_topk",
+      "q75_tfidf", "q123_inverted_index", "q137_bm25", "q144_vocab_coverage",
+      "q148_chi2_terms", "q176_substr_spans", "q183_dsir_weights",
+      "q170_chunk_dedup", "q172_decontaminate", "q175_ref_perplexity")
+    corpusQueries.foreach { q =>
+      val p: SparkPlan =
+        SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      val offenders = p.collect {
+        case b: BroadcastHashJoinExec
+            if rawGenerate(b.buildSide match {
+              case BuildLeft => b.left
+              case BuildRight => b.right
+            }) => b
+        case b: BroadcastNestedLoopJoinExec
+            if rawGenerate(b.buildSide match {
+              case BuildLeft => b.left
+              case BuildRight => b.right
+            }) => b
+      }
+      assert(offenders.isEmpty,
+        s"$q broadcasts a raw exploded stream:\n${offenders.headOption}")
+    }
+  }
+
   test("q86: corpus bigram top-k plans TakeOrderedAndProject over a partial agg") {
     val p = plan("q86_bigram_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
