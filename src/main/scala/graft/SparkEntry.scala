@@ -940,6 +940,13 @@ object SparkEntry {
         "n_tokens", budget = 15000L)
     }),
 
+    // --- one-pass quality signal panel: stats + quality + lang-ID +
+    //     repetition in ONE projection over ONE corpus scan (vs 4
+    //     scans + 3 joins composing the standalone operators) ---
+    "q189_signal_panel" -> ((s, dir) =>
+      TextAnalysis.signalPanel(t(s, dir, "documents"), "doc_id", "text",
+        langProfiles)),
+
     // --- no-straddle length-class packing: docs land whole in one
     //     128-token window, per-(lang, length, salt-block) ordinals,
     //     over-long docs flagged -1 for the chunking route ---
@@ -3118,6 +3125,46 @@ object SparkEntry {
     "q174_quality_model" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(1 AS INT) AS auc_ok FROM documents""".stripMargin,
+
+    // the q32/q52/q50/q103 formulas fused into one CTE pipeline —
+    // value-identical to the standalone oracles by construction
+    "q189_signal_panel" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+        |st AS (SELECT doc_id, text, s,
+        |       CAST(LENGTH(text) AS INT) AS n_chars,
+        |       CAST(LEN(s) AS INT) AS n_tokens,
+        |       CAST(LEN(list_distinct(s)) AS INT) AS n_unique,
+        |       ROUND(CAST(list_sum(list_transform(s, t -> LENGTH(t))) AS DOUBLE) / LEN(s), 6) AS avg_token_len,
+        |       ROUND(CAST(LEN(list_filter(s, t -> t IN ('the','a','and','of','in','to','is'))) AS DOUBLE) / LEN(s), 6) AS stop_ratio,
+        |       ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:''"]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS punct_ratio,
+        |       ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / LENGTH(text), 6) AS digit_ratio,
+        |       LEN(list_filter(s, t -> t IN ('the','table','row'))) AS s_en,
+        |       LEN(list_filter(s, t -> t IN ('query','value','vector'))) AS s_es,
+        |       LEN(list_filter(s, t -> t IN ('customer','join','column'))) AS s_de,
+        |       LEN(list_filter(s, t -> t IN ('scan','data','batch'))) AS s_fr,
+        |       LEN(list_filter(s, t -> t IN ('small','sort','stream'))) AS s_zh,
+        |       list_transform(range(1, len(s) - 1),
+        |         i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]) AS grams
+        |       FROM tk),
+        |mx AS (SELECT *, GREATEST(s_en, s_es, s_de, s_fr, s_zh) AS best FROM st)
+        |SELECT doc_id, n_chars, n_tokens, n_unique, avg_token_len,
+        |       stop_ratio, punct_ratio, digit_ratio,
+        |       ROUND((LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+        |              + LEAST(stop_ratio * 5.0, 1.0)
+        |              + CAST(n_unique AS DOUBLE) / n_tokens) / 3.0, 6) AS quality,
+        |       CASE WHEN s_en = best THEN 'en'
+        |            WHEN s_es = best THEN 'es'
+        |            WHEN s_de = best THEN 'de'
+        |            WHEN s_fr = best THEN 'fr'
+        |            WHEN s_zh = best THEN 'zh'
+        |            ELSE 'und' END AS predicted_lang,
+        |       CAST(best AS INT) AS lang_score,
+        |       CAST(len(grams) AS INT) AS n_grams,
+        |       ROUND(CASE WHEN len(grams) > 0
+        |                  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |                             / len(grams)
+        |                  ELSE 0.0 END, 6) AS rep_ratio
+        |FROM mx""".stripMargin,
 
     // no-straddle packing replay: same md5 block, same per-class
     // ordinal, same div/mod arithmetic

@@ -192,6 +192,69 @@ object TextAnalysis {
         round(log(col("_n")) - col("_s").cast("double") / col("_n"), 6)
           .as("entropy"))
 
+  /** ONE-PASS quality signal panel: every per-row curation signal —
+    * [[textStats]], [[qualityScore]], [[languageId]], and
+    * [[repetitionRatio]] — in a single narrow projection over a single
+    * corpus scan. Composing the four operators costs four corpus scans
+    * plus three doc-keyed joins (three corpus shuffles); a real
+    * curation pipeline scores everything at ingest, where the panel
+    * shape is zero shuffles and zero joins. Values are bit-identical
+    * to the standalone operators (same expressions, same rounding),
+    * so any downstream filter behaves identically.
+    *
+    * Per-(doc, token)-aggregation signals ([[tokenEntropy]]) stay
+    * standalone — they need a shuffle by construction.
+    *
+    * Output: `(idCol, n_chars, n_tokens, n_unique, avg_token_len,
+    * stop_ratio, punct_ratio, digit_ratio, quality, predicted_lang,
+    * lang_score, n_grams, rep_ratio)`.
+    */
+  def signalPanel(docs: DataFrame, idCol: String, textCol: String,
+                  profiles: Seq[(String, Seq[String])],
+                  stopwords: Seq[String] = defaultStopwords,
+                  repN: Int = 3): DataFrame = {
+    val base = docs.withColumn("_toks", toks(textCol))
+    val scored = profiles.foldLeft(base) { case (df, (lang, markers)) =>
+      df.withColumn(s"_s_$lang", markerCount("_toks", markers))
+    }
+    val stats = scored.select(
+      Seq(col(idCol),
+        length(col(textCol)).as("n_chars"),
+        size(col("_toks")).as("n_tokens"),
+        size(array_distinct(col("_toks"))).as("n_unique"),
+        round(length(translate(col(textCol), " ", ""))
+          .cast("double") / size(col("_toks")), 6).as("avg_token_len"),
+        round(markerCount("_toks", stopwords).cast("double") /
+          size(col("_toks")), 6).as("stop_ratio"),
+        round((length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[.,!?;:'\"]", ""))).cast("double") /
+          length(col(textCol)), 6).as("punct_ratio"),
+        round((length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[0-9]", ""))).cast("double") /
+          length(col(textCol)), 6).as("digit_ratio"),
+        graft.functions.TextExprs.wordNgrams(col("_toks"), repN).as("_grams")) ++
+        profiles.map { case (lang, _) => col(s"_s_$lang") }: _*)
+    val best = greatest(profiles.map { case (lang, _) => col(s"_s_$lang") }: _*)
+    val firstWins = profiles.foldRight(lit("und")) { case ((lang, _), e) =>
+      when(col(s"_s_$lang") === best, lang).otherwise(e)
+    }
+    stats.select(col(idCol),
+      col("n_chars"), col("n_tokens"), col("n_unique"),
+      col("avg_token_len"), col("stop_ratio"), col("punct_ratio"),
+      col("digit_ratio"),
+      round((
+        least(col("n_chars").cast("double") / 500.0, lit(1.0)) +
+        least(col("stop_ratio") * 5.0, lit(1.0)) +
+        col("n_unique").cast("double") / col("n_tokens")) / 3.0, 6)
+        .as("quality"),
+      firstWins.as("predicted_lang"),
+      best.cast("int").as("lang_score"),
+      size(col("_grams")).as("n_grams"),
+      round(when(size(col("_grams")) > 0,
+        lit(1.0) - size(array_distinct(col("_grams"))).cast("double") /
+          size(col("_grams"))).otherwise(0.0), 6).as("rep_ratio"))
+  }
+
   /** Corpus-level top-k word bigrams — the boilerplate / template
     * detector: a bigram whose count approaches the document count is
     * repeated scaffolding, not content. Bigram generation is a narrow

@@ -338,6 +338,32 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(4L) == ((4L, 5, 0L, 0)))
   }
 
+  test("signalPanel is bit-identical to the four standalone operators it fuses") {
+    val profiles = Seq("en" -> Seq("the", "cat"), "xx" -> Seq("zig", "zag"))
+    val d = Seq(
+      (1L, "the cat sat on the mat . the cat sat"),
+      (2L, "zig zag zig zag 123 !!"),
+      (3L, "one"),
+      (4L, "a b a b a b a b")).toDF("doc_id", "text")
+    val panel = TextAnalysis.signalPanel(d, "doc_id", "text", profiles)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val stats = TextAnalysis.textStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val qual = TextAnalysis.qualityScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lang = TextAnalysis.languageId(d, "doc_id", "text", profiles)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val rep = TextAnalysis.repetitionRatio(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L)) {
+      val p = panel(id); val s = stats(id)
+      for (i <- 1 to 7) assert(p.get(i) == s.get(i), s"doc $id stats col $i")
+      assert(p.getDouble(8) == qual(id), s"doc $id quality")
+      assert((p.getString(9), p.getInt(10)) == lang(id), s"doc $id lang")
+      assert((p.getInt(11), p.getDouble(12)) == rep(id), s"doc $id repetition")
+    }
+  }
+
   test("bucketPack never straddles, fills windows to capacity, flags over-long docs") {
     // 20 docs of 30 toks (cap 4 at ctx 128), 6 of 50 (cap 2), 1 of 200 (overflow)
     val d = ((0L until 20L).map(i => (i, "en", ("w " * 30).trim)) ++
