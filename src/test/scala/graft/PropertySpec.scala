@@ -145,4 +145,66 @@ object PropertySpec extends Properties("graft") {
           nBpe >= nWords && nBpe <= nChars && nOov == 0 && comp >= 1.0
         }
     }
+
+  property("budgetSelect: never over budget; greedy by score value") =
+    Prop.forAll(
+      Gen.chooseNum(1L, 400L),
+      Gen.listOfN(40, Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(1L, 20L)))
+    ) { (budget, rows) =>
+      val df = rows.zipWithIndex
+        .map { case ((s, c), i) => (i.toLong, s / 10.0, c) }
+        .toDF("doc_id", "score", "cost")
+      val kept = graft.llm.Selection
+        .budgetSelect(df, "doc_id", "score", "cost", budget)
+        .as[(Long, Double, Long)].collect()
+      val keptIds = kept.map(_._1).toSet
+      val all = rows.zipWithIndex.map { case ((s, c), i) => (i.toLong, s / 10.0, c.toLong) }
+      val total = kept.map(_._3).sum
+      // greedy at VALUE granularity: a dropped doc never outscores a
+      // kept one except inside the single boundary score value
+      val keptScores = kept.map(_._2).toSet
+      val dropped = all.filterNot(r => keptIds.contains(r._1))
+      val boundary = if (dropped.isEmpty) -1.0 else dropped.map(_._2).max
+      total <= budget &&
+        dropped.forall(_._2 <= boundary) &&
+        kept.forall(k => k._2 >= boundary || boundary == -1.0) &&
+        (if (all.map(_._3).sum <= budget) keptIds.size == all.size else true)
+    }
+
+  property("bucketPack: windows never exceed context; slots dense; all docs land") =
+    Prop.forAll(
+      Gen.listOfN(30, Gen.chooseNum(1, 40)).suchThat(_.nonEmpty)) { lens =>
+      val ctx = 32
+      val df = lens.zipWithIndex
+        .map { case (l, i) => (i.toLong, "g", ("w " * l).trim) }
+        .toDF("doc_id", "grp", "text")
+      val out = graft.llm.Packing
+        .bucketPack(df, "doc_id", "text", "grp", ctx, saltBlocks = 3)
+        .as[(Long, String, Int, Int, Long, Int)].collect()
+      val (over, packed) = out.partition(_._5 == -1L)
+      over.forall(r => r._3 > ctx) && packed.forall(r => r._3 <= ctx) &&
+        out.length == lens.size &&
+        packed.groupBy(r => (r._3, r._4, r._5)).forall { case (_, rs) =>
+          rs.map(_._3).sum <= ctx &&
+            rs.map(_._6).sorted.toSeq == (0 until rs.length)
+        }
+    }
+
+  property("wordNgrams: count is max(0, n_tokens - n + 1); each gram has n tokens") =
+    Prop.forAll(
+      Gen.chooseNum(1, 4),
+      Gen.listOfN(6, Gen.listOfN(5, Gen.alphaLowerStr.map(_.take(3))))
+    ) { (n, tokLists) =>
+      val df = tokLists.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = df.select(col("doc_id"),
+          graft.functions.TextExprs.wordNgrams(split(col("text"), " "), n).as("g"),
+          size(split(col("text"), " ")).as("nt"))
+        .as[(Long, Seq[String], Int)].collect()
+      out.forall { case (_, grams, nt) =>
+        grams.length == math.max(0, nt - n + 1) &&
+          grams.forall(_.split(" ", -1).length == n)
+      }
+    }
 }
