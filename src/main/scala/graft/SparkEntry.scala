@@ -940,6 +940,14 @@ object SparkEntry {
         "n_tokens", budget = 15000L)
     }),
 
+    // --- contrastive triplet mining: nearest same-label positive +
+    //     top-3 cross-label hard negatives per query, semi-hard flag ---
+    "q190_contrastive_triplets" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.contrastiveTriplets(emb, emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", "label", kNeg = 3)
+    }),
+
     // --- one-pass quality signal panel: stats + quality + lang-ID +
     //     repetition in ONE projection over ONE corpus scan (vs 4
     //     scans + 3 joins composing the standalone operators) ---
@@ -3125,6 +3133,47 @@ object SparkEntry {
     "q174_quality_model" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(1 AS INT) AS auc_ok FROM documents""".stripMargin,
+
+    // triplet replay: one dot CTE, same-label row_number 1 = positive,
+    // cross-label row_number <= 3 = negatives, semi-hard comparison
+    "q190_contrastive_triplets" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DECIMAL(18,9)) AS vd,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, SQRT(CAST(SUM(vd*vd) AS DOUBLE)) AS nrm
+        |          FROM e GROUP BY vec_id),
+        |lab AS (SELECT DISTINCT vec_id, label FROM e),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         CAST(SUM(a.vd*b.vd) AS DOUBLE) AS dot
+        |  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 50
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT id_a, id_b, la.label AS lab_a, lb.label AS lab_b,
+        |         ROUND(dot / (na.nrm * nb.nrm), 4) AS cos
+        |  FROM dots JOIN norms na ON id_a = na.vec_id
+        |            JOIN norms nb ON id_b = nb.vec_id
+        |            JOIN lab la ON id_a = la.vec_id
+        |            JOIN lab lb ON id_b = lb.vec_id),
+        |p AS (
+        |  SELECT id_a, id_b AS pos_id, cos AS pos_cos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+        |              ORDER BY cos DESC, id_b) AS rn
+        |    FROM cos WHERE lab_a = lab_b) t
+        |  WHERE rn = 1),
+        |n AS (
+        |  SELECT id_a, CAST(rn AS INT) AS neg_rank, id_b AS neg_id,
+        |         cos AS neg_cos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+        |              ORDER BY cos DESC, id_b) AS rn
+        |    FROM cos WHERE lab_a <> lab_b) t
+        |  WHERE rn <= 3)
+        |SELECT p.id_a, p.pos_id, p.pos_cos, n.neg_rank, n.neg_id, n.neg_cos,
+        |       CAST(CASE WHEN n.neg_cos < p.pos_cos THEN 1 ELSE 0 END AS INT)
+        |         AS semi_hard
+        |FROM p JOIN n ON p.id_a = n.id_a""".stripMargin,
 
     // the q32/q52/q50/q103 formulas fused into one CTE pipeline —
     // value-identical to the standalone oracles by construction

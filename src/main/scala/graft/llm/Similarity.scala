@@ -149,6 +149,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"), col("rank"))
   }
 
+  /** Contrastive TRIPLET mining (the FaceNet/DPR training-pairs
+    * shape): for each query vector, its nearest SAME-label neighbor
+    * (the positive) paired with the `kNeg` most-similar CROSS-label
+    * vectors (the hard negatives, [[hardNegatives]] semantics), plus
+    * the classic semi-hard flag `neg_cos < pos_cos` — the triplets a
+    * margin-loss trainer consumes directly.
+    *
+    * Queries whose label has no second member have no positive and
+    * emit nothing (a triplet needs all three corners). One scored
+    * (query × corpus) stream feeds BOTH bounded top-k aggregations;
+    * exact decimal cosine keeps it SQL-oracle-able. Output:
+    * `(id_a, pos_id, pos_cos, neg_rank, neg_id, neg_cos, semi_hard)`.
+    */
+  def contrastiveTriplets(embeddings: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, labelCol: String,
+                          kNeg: Int): DataFrame = {
+    def prep(df: DataFrame, id: String) = df
+      .select(col(idCol).as(id), col(labelCol).as(s"_l$id"),
+        decVec(col(vecCol)).as(s"_v$id"))
+      .withColumn(s"_n$id",
+        sqrt(decDot(col(s"_v$id"), col(s"_v$id")).cast("double")))
+    val cos = prep(embeddings, "id_b")
+      .join(broadcast(prep(queries, "id_a")), col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("_lid_a") === col("_lid_b")).as("_same"),
+        round(decDot(col("_vid_a"), col("_vid_b")).cast("double") /
+          (col("_nid_a") * col("_nid_b")), 4).as("cos"))
+    val pos = graft.operators.TopKAgg
+      .perGroup(cos.filter(col("_same")), "id_a", "cos", "id_b", 1)
+      .select(col("id_a"), col("id_b").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = graft.operators.TopKAgg
+      .perGroup(cos.filter(!col("_same")), "id_a", "cos", "id_b", kNeg)
+      .select(col("id_a"), col("rank").as("neg_rank"),
+        col("id_b").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, "id_a")
+      .withColumn("semi_hard", (col("neg_cos") < col("pos_cos")).cast("int"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the dedup-family variant
     * of similarity search): all pairs with cosine ≥ `minCos`, exact
     * decimal arithmetic → SQL-oracle-able. Candidate generation is an

@@ -49,6 +49,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0)._3 > out(1)._3)
   }
 
+  test("contrastiveTriplets pairs the same-label nearest with cross-label negatives") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(1f, 0.05f, 0f), 0),  // nearest same-label -> positive
+      (2L, Array(0.8f, 0f, 0.1f), 0), // same label, further
+      (3L, Array(1f, 0.01f, 0f), 1),  // cross-label, HARDER than the positive
+      (4L, Array(0f, 1f, 0f), 1),     // far cross-label
+      (5L, Array(0f, 0f, 1f), 2))     // label with ONE member
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastiveTriplets(emb, emb.filter($"vec_id" <= 0 || $"vec_id" === 5L),
+      "vec_id", "embedding", "label", kNeg = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4), r.getDouble(5), r.getInt(6)))
+    // anchor 5 has no same-label positive -> emits nothing
+    assert(out.forall(_._1 == 0L))
+    assert(out.forall(_._2 == 1L))              // positive = nearest same-label
+    assert(out.map(_._5).sorted.toSeq == Seq(3L, 4L)) // negatives cross-label
+    val byRank = out.map(t => t._4 -> t).toMap
+    assert(byRank(1)._5 == 3L && byRank(2)._5 == 4L)
+    // vec 3 is MORE similar to the anchor than the positive -> not semi-hard
+    assert(byRank(1)._7 == 0 && byRank(2)._7 == 1)
+    assert(out.forall(t => (t._7 == 1) == (t._6 < t._3)))
+  }
+
   test("quantizeInt8 maps max|x| to ±127, zeros to zeros, and round-trips within scale/254") {
     val emb = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f)), // scale 1.0 → (64, -127, 32)
