@@ -507,7 +507,9 @@ object Dedup {
       idCol, Seq("band", "bucket"), maxBucket)
     val left = banded.toDF("id_a", "fp_a", "band", "bucket")
     val right = banded.toDF("id_b", "fp_b", "band", "bucket")
-    left.join(right, Seq("band", "bucket"))
+    // same corpus-sized self-join shape as [[lshCandidates]] — same
+    // SHUFFLE_HASH hint for the same Generate-fan-out estimation trap
+    left.join(right.hint("shuffle_hash"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
