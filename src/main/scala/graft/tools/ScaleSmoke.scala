@@ -117,6 +117,7 @@ object ScaleSmoke {
     * copy neighbor structure absent, pair density linear in copies.
     */
   private def genSf10(spark: SparkSession): Unit = {
+    genSf10Documents(spark)
     if (new java.io.File(s"$Sf10/embeddings.parquet/_SUCCESS").exists()) return
     new java.io.File(Sf10).mkdirs()
     val src = Tables.load(spark, Sf01, "embeddings")
@@ -136,6 +137,35 @@ object ScaleSmoke {
     }.reduce(_.unionByName(_))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$Sf10/embeddings.parquet")
+  }
+
+  /** 100× sf0.1 documents (500k docs). The salting must be DENSER than
+    * the sf1 tenfold's every-5th-token suffix: a ≥3-token shingle
+    * window can dodge a 1-in-5 modification (2/5 of trigrams survive
+    * unmodified), and at 100 copies those shared shingles give every
+    * cross-copy pair of the same source doc J ≈ 0.25 — which collides
+    * in ≥1 of 32×2 MinHash bands with p ≈ 0.87, i.e. ~C(100,2)·5000 ≈
+    * 25M candidate pairs (first measurement: q45 at 254 s, 41×). The
+    * construction was quadratic, not the engine (the round-4 lesson).
+    * Suffixing every 3rd token (offset i mod 3) puts ≥1 modified token
+    * in EVERY window of length ≥3 — zero shared shingles/chunks/spans
+    * across copies — while within-copy near-dup structure is preserved
+    * (co-copy docs are suffixed at identical positions).
+    */
+  private def genSf10Documents(spark: SparkSession): Unit = {
+    if (new java.io.File(s"$Sf10/documents.parquet/_SUCCESS").exists()) return
+    new java.io.File(Sf10).mkdirs()
+    val src = Tables.load(spark, Sf01, "documents")
+    (0 until Copies * Copies).map { i =>
+      src.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (if (i == 0) col("text")
+         else expr(("array_join(transform(split(text, ' '), (t, j) -> " +
+           s"IF(j % 3 = $i % 3, concat(t, '_$i'), t)), ' ')"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Sf10/documents.parquet")
   }
 
   final case class StageStat(tasks: Int, runMs: Long, name: String)
