@@ -672,7 +672,7 @@ object SparkEntry {
           col("rating").cast("double").as("score"))
       val pool = Popularity.topByCount(r, "itemId", 5)
         .select(col("itemId"), col("num_ratings").cast("double").as("score"))
-      val fallback = r.select(col("userId")).distinct().crossJoin(pool)
+      val fallback = r.select(col("userId")).distinct().crossJoin(broadcast(pool))
       TopK.fillToK(primary, fallback, "userId", "itemId", "score", k = 3)
     }),
 
@@ -712,7 +712,7 @@ object SparkEntry {
           col("rating").cast("double").as("score"))
       val pool = Popularity.topByCount(r, "itemId", 10)
         .select(col("itemId"), col("num_ratings").cast("double").as("score"))
-      val fallback = users.crossJoin(pool)
+      val fallback = users.crossJoin(broadcast(pool))
       Serve.wide(
         TopK.fillToK(primary, fallback, "userId", "itemId", "score", k = 5),
         k = 5)
@@ -893,8 +893,8 @@ object SparkEntry {
       val heldOut = scores.join(labels, Seq("doc_id"))
         .filter(pmod(col("doc_id"), lit(5)) =!= 0)
       d.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(Eval.aucDf(heldOut, "label", "quality_prob")
-          .select((col("auc") >= 0.9).cast("int").as("auc_ok")))
+        .crossJoin(broadcast(Eval.aucDf(heldOut, "label", "quality_prob")
+          .select((col("auc") >= 0.9).cast("int").as("auc_ok"))))
     }),
 
     // --- DSIR importance weights (Xie et al. 2023): hashed-bigram
@@ -1013,7 +1013,7 @@ object SparkEntry {
       val hits = Similarity.embedLshTopK(all, "vec_id", "embedding", k = 3)
         .filter(col("id_a") >= PlantOffset &&
           col("id_b") === col("id_a") - PlantOffset)
-      nPlanted.crossJoin(hits.agg(count(lit(1)).as("n_found")))
+      nPlanted.crossJoin(broadcast(hits.agg(count(lit(1)).as("n_found"))))
     }),
 
     "q125_ivf_recall" -> ((s, dir) => {
@@ -1021,7 +1021,7 @@ object SparkEntry {
       val hits = Similarity.embedIvfTopK(all, "vec_id", "embedding", k = 3)
         .filter(col("id_a") >= PlantOffset &&
           col("id_b") === col("id_a") - PlantOffset)
-      nPlanted.crossJoin(hits.agg(count(lit(1)).as("n_found")))
+      nPlanted.crossJoin(broadcast(hits.agg(count(lit(1)).as("n_found"))))
     }),
 
     // --- cross-table ANN (the SERVING shape): NEW query vectors
@@ -1034,7 +1034,7 @@ object SparkEntry {
           "vec_id", "vec_id", "embedding", k = 3)
         .filter(col("id_b") === col("id_a") - PlantOffset)
       emb.agg(count(lit(1)).as("n_queries"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_found")))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_found"))))
     }),
 
     // --- persisted ANN index (train-once/serve-many): build + save
@@ -1050,7 +1050,7 @@ object SparkEntry {
           "vec_id", "embedding", k = 3)
         .filter(col("id_b") === col("id_a") - PlantOffset)
       emb.agg(count(lit(1)).as("n_queries"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_found")))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_found"))))
     }),
 
     // --- semantic dedup (SemDeDup shape): near-dup pairs whose
@@ -1064,7 +1064,7 @@ object SparkEntry {
       val hits = Similarity.semDedupPairs(all, "vec_id", "embedding",
           minCos = 0.999)
         .filter(col("id_b") === col("id_a") + PlantOffset)
-      nPlanted.crossJoin(hits.agg(count(lit(1)).as("n_found")))
+      nPlanted.crossJoin(broadcast(hits.agg(count(lit(1)).as("n_found"))))
     }),
 
     // --- SimHash planted recall: one appended token on a ~100-token
@@ -1083,7 +1083,7 @@ object SparkEntry {
           "doc_id", "text", maxDist = 3)
         .filter(col("id_b") === col("id_a") + PlantOffset)
       docs.agg(count(lit(1)).as("n_planted"))
-        .crossJoin(hits.agg(count(lit(1)).as("_nf")))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("_nf"))))
         .select(col("n_planted"),
           (col("_nf") >= col("n_planted") * 0.55).cast("int").as("recall_ok"))
     }),
@@ -1532,7 +1532,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_both"))
         .join(perType.toDF("type_a", "n_a"), Seq("type_a"))
         .join(perType.toDF("type_b", "n_b"), Seq("type_b"))
-        .crossJoin(total)
+        .crossJoin(broadcast(total))
         .select(col("type_a"), col("type_b"), col("n_both"),
           round(col("n_both").cast("double") * col("n_users") /
             (col("n_a") * col("n_b")), 6).as("lift"))
@@ -1876,8 +1876,8 @@ object SparkEntry {
         .groupBy(col("userId"))
         .agg(countDistinct(col("itemId")).as("_k"))
       users.agg(count(lit(1)).as("n_users"))
-        .crossJoin(perUser.agg(
-          count(lit(1)).as("_nu"), min(col("_k")).as("_mink")))
+        .crossJoin(broadcast(perUser.agg(
+          count(lit(1)).as("_nu"), min(col("_k")).as("_mink"))))
         .select(col("n_users"),
           (col("_nu") === col("n_users") && col("_mink") === 5)
             .cast("int").as("complete"))

@@ -67,17 +67,29 @@ object Packing {
     * they surface with `pack_seq = -1, slot = -1` for the caller to
     * route through chunking ([[Dedup.chunkDedup]]'s splitter shape).
     *
+    * `saltBlocks` is the scale dial, NOT a tuning nicety: a populous
+    * (group, length) class lands entirely in `saltBlocks` window
+    * partitions, so at corpus scale it MUST be sized like a partition
+    * count (≈ `spark.sql.shuffle.partitions`), or a common length
+    * class becomes a heavy single-task sort. The default `0` means
+    * "auto": the session's shuffle-partition count. Results are a
+    * function of `saltBlocks` (the md5 block assignment changes), so
+    * oracled/pinned callers pass it explicitly.
+    *
     * Output: `(idCol, groupCol, n_tok, block, pack_seq, slot)` —
     * deterministic on any partitioning and replayable in SQL.
     */
   def bucketPack(docs: DataFrame, idCol: String, textCol: String,
                  groupCol: String, contextLen: Int,
-                 saltBlocks: Int = 16): DataFrame = {
+                 saltBlocks: Int = 0): DataFrame = {
+    val blocks =
+      if (saltBlocks > 0) saltBlocks
+      else docs.sparkSession.sessionState.conf.numShufflePartitions
     val base = docs.select(col(idCol), col(groupCol),
         size(split(col(textCol), " ")).as("n_tok"))
       .withColumn("block",
         (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-          .cast("long") % saltBlocks).cast("int"))
+          .cast("long") % blocks).cast("int"))
     val w = Window.partitionBy(col(groupCol), col("n_tok"), col("block"))
       .orderBy(col(idCol))
     val cap = floor(lit(contextLen).cast("double") / col("n_tok"))

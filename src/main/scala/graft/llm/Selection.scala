@@ -213,6 +213,9 @@ object Selection {
     * map-side aggregated); the per-bucket cap is the native bounded
     * top-k aggregation ([[TopKAgg.perGroup]]) — ≤ perBucket rows per
     * mapper·bucket before any exchange, never a per-row window sort.
+    *
+    * `idCol` must be integral (the bounded top-k buffer carries ids as
+    * longs; [[TopKAgg.perGroup]] fails fast otherwise).
     */
   def diversitySample(docs: DataFrame, idCol: String, textCol: String,
                       bits: Int = 6, perBucket: Int = 10,

@@ -128,6 +128,9 @@ object Similarity {
     * the query batch; the unbounded-corpus path is
     * [[searchIvfIndex]] candidates + the same label anti-filter +
     * exact re-rank.
+    *
+    * `idCol` must be integral (the bounded top-k buffer carries ids as
+    * longs; [[graft.operators.TopKAgg.perGroup]] fails fast otherwise).
     */
   def hardNegatives(embeddings: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, labelCol: String,
@@ -161,6 +164,9 @@ object Similarity {
     * (query × corpus) stream feeds BOTH bounded top-k aggregations;
     * exact decimal cosine keeps it SQL-oracle-able. Output:
     * `(id_a, pos_id, pos_cos, neg_rank, neg_id, neg_cos, semi_hard)`.
+    *
+    * `idCol` must be integral (the bounded top-k buffer carries ids as
+    * longs; [[graft.operators.TopKAgg.perGroup]] fails fast otherwise).
     */
   def contrastiveTriplets(embeddings: DataFrame, queries: DataFrame,
                           idCol: String, vecCol: String, labelCol: String,

@@ -121,7 +121,7 @@ object TextAnalysis {
       .partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, "term")
-      .crossJoin(nDocs)
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       .withColumn("rank", row_number().over(w))

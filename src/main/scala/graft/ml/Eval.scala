@@ -87,7 +87,7 @@ object Eval {
     val tot = g.agg(sum(col("pos")).as("tot_pos"), sum(col("n")).as("tot_n"))
     g.withColumn("cum_pos", sum(col("pos")).over(cum))
       .withColumn("cum_n", sum(col("n")).over(cum))
-      .crossJoin(tot)
+      .crossJoin(broadcast(tot))
       .select(
         col(scoreCol),
         round((col("cum_n") - col("cum_pos")) / (col("tot_n") - col("tot_pos")),

@@ -30,7 +30,7 @@ object Serve {
     val pool = Popularity.topByCount(ratings, "itemId", poolSize)
       .select(col("itemId"), col("num_ratings").cast("double").as("score"))
     val fallback = users.select(col("userId").cast("int").as("userId"))
-      .crossJoin(pool)
+      .crossJoin(broadcast(pool))
     TopK.fillToK(recs, fallback, "userId", "itemId", "score", k)
   }
 

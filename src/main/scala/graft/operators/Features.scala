@@ -314,7 +314,9 @@ object Features {
       .select(col("v").as("v_ref"),
         round(col("cum").cast("double") / col("tot"), 9).as("cdf"))
     val groups = gc.select(col("grp")).distinct()
-    val refs = groups.crossJoin(gcdf)
+    // the group list is the tiny side (the CDF frame is value-domain
+    // sized): broadcast it so the replicate join never exchanges gcdf
+    val refs = broadcast(groups).crossJoin(gcdf)
       .select(col("grp"), lit(null).cast("double").as("v"), col("cdf"),
         lit(0).as("tag"), col("v_ref"))
     val probes = gc.select(col("grp"), col("v"), col("cdf"),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Per-group top-k as a typed `Aggregator` (SURVEY §7.3's "top-k
   * without a full window sort", the optional custom-aggregate path).
@@ -127,6 +128,16 @@ object TopKAgg {
   def perGroup(df: DataFrame, groupCol: String, scoreCol: String,
                idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
+    // fail fast on non-integral ids: the buffer carries the id as a
+    // long, and a string/struct id would cast to null — which the
+    // aggregate SKIPS (see the null-semantics note above), silently
+    // returning partial/empty groups. Callers with non-numeric ids
+    // must map them through an ordinal first (operators/IdMapping).
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"TopKAgg.perGroup requires an integral id column; '$idCol' is " +
+        s"$idType — non-numeric values would cast to null and be " +
+        "silently dropped. Map ids to ordinals first (IdMapping).")
     val topk = Bridge.column(graft.functions.TopKPairsAgg(
         Bridge.expression(col(scoreCol).cast("double")),
         Bridge.expression(col(idCol).cast("long")), k)

@@ -236,6 +236,22 @@ class PlanAuditSpec extends SparkSpec {
       s"window runs over per-doc rows:\n$winLines")
   }
 
+  test("1-row scalar joins are explicitly broadcast-hinted, never left " +
+    "to AQE (no CartesianProduct in the pre-adaptive plan)") {
+    // the discipline: every crossJoin against a 1-row aggregate (corpus
+    // size, totals, recall denominators) carries an explicit
+    // broadcast(...) hint. AQE usually rescues an unhinted one at
+    // runtime, but the INITIAL plan then contains a CartesianProduct —
+    // which is exactly what this sweep detects. sparkPlan (not
+    // executedPlan) is deliberate: it is the pre-AQE physical plan.
+    Seq("q75_tfidf", "q34_roc_points", "q124_lsh_recall", "q126_simhash_recall",
+      "q161_quantile_norm", "q174_quality_model", "q28_fill_to_k").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan.toString()
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans an unhinted scalar join:\n${p.take(2000)}")
+    }
+  }
+
   test("q176: substring-span dedup joins on the gram key, never all-pairs") {
     val p = plan("q176_substr_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
