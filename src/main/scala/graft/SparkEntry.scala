@@ -652,6 +652,18 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("int").as("score")),
         "label", "score")),
 
+    // --- binned-ROC twin of q34 on a CONTINUOUS score (value/7 —
+    //     distinct ≈ rows at every sf): binDigits=1 decimal-floor
+    //     bins the score FIRST, so the partitionless cumulative
+    //     window runs over a ≤ ~700-row histogram instead of the
+    //     eval set (the corpus-scale contract of Eval.rocPoints) ---
+    "q192_roc_binned" -> ((s, dir) =>
+      Eval.rocPoints(
+        t(s, dir, "events").select(
+          pmod(col("user_id"), lit(2)).cast("double").as("label"),
+          (col("value") / lit(7.0)).as("score")),
+        "label", "score", binDigits = Some(1))),
+
     // --- ALS train + subset top-k serve + explode (M1/M4/F3/F4; no SQL
     //     oracle: factor optimization is not SQL-expressible → driver
     //     records the rows-only check; ε-band tests live in AlsSpec) ---
@@ -2471,6 +2483,15 @@ object SparkEntry {
       Features.quantileNormalize(t(s, dir, "events"), "event_type",
         "value")),
 
+    // --- binned twin of q161: event values are CONTINUOUS (distinct
+    //     ≈ rows), so the global-CDF window is table-sized without
+    //     the knob; binDigits=0 floors values to integer bins, which
+    //     provably bounds every CDF window to the ≤ ~500-row value
+    //     histogram (the corpus-scale contract of quantileNormalize) ---
+    "q193_qnorm_binned" -> ((s, dir) =>
+      Features.quantileNormalize(t(s, dir, "events"), "event_type",
+        "value", binDigits = Some(0))),
+
     // --- salted exact distinct: 5 hot keys × millions of rows is the
     //     case where per-key COUNT(DISTINCT) serializes on 5 reducers;
     //     salting on the hash of the DISTINCT VALUE partitions each
@@ -2862,6 +2883,27 @@ object SparkEntry {
       """WITH src AS (
         |  SELECT CAST(CASE WHEN value > 100.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
         |         CAST(json_extract_string(props, '$.k') AS INT) AS score
+        |  FROM events),
+        |g AS (SELECT score, CAST(COUNT(*) AS DOUBLE) AS n, SUM(label) AS pos
+        |      FROM src GROUP BY score),
+        |w AS (SELECT *,
+        |             SUM(pos) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        |             SUM(n)   OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |             SUM(pos) OVER () AS tot_pos,
+        |             SUM(n)   OVER () AS tot_n
+        |      FROM g)
+        |SELECT score,
+        |       ROUND((cum_n - cum_pos) / (tot_n - tot_pos), 6) AS fpr,
+        |       ROUND(cum_pos / tot_pos, 6) AS tpr
+        |FROM w""".stripMargin,
+
+    // binned-ROC twin: decimal-floor binning replayed verbatim
+    // (FLOOR is exact on doubles and engine-portable, unlike decimal
+    // rounding), then the identical q34 curve SQL over the bins
+    "q192_roc_binned" ->
+      """WITH src AS (
+        |  SELECT CAST(user_id % 2 AS DOUBLE) AS label,
+        |         FLOOR(("value" / 7.0) * 10.0) / 10.0 AS score
         |  FROM events),
         |g AS (SELECT score, CAST(COUNT(*) AS DOUBLE) AS n, SUM(label) AS pos
         |      FROM src GROUP BY score),
@@ -4671,6 +4713,43 @@ object SparkEntry {
         |               AS DOUBLE) / tot, 9) AS cdf
         |  FROM pv JOIN gt USING (grp)),
         |gv AS (SELECT "value" AS v, CAST(COUNT(*) AS BIGINT) AS w
+        |       FROM events GROUP BY 1),
+        |gtot AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM gv),
+        |gcdf AS (
+        |  SELECT v AS v_ref,
+        |         ROUND(CAST(SUM(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |                 PRECEDING AND CURRENT ROW) AS DOUBLE) / tot, 9) AS cdf
+        |  FROM gv, gtot),
+        |u AS (
+        |  SELECT g.grp, CAST(NULL AS DOUBLE) AS v, r.cdf, 0 AS tag, r.v_ref
+        |  FROM (SELECT DISTINCT grp FROM gc) g, gcdf r
+        |  UNION ALL
+        |  SELECT grp, v, cdf, 1 AS tag, CAST(NULL AS DOUBLE) AS v_ref
+        |  FROM gc),
+        |m AS (
+        |  SELECT grp, v, cdf, tag,
+        |         LAST_VALUE(v_ref IGNORE NULLS) OVER (PARTITION BY grp
+        |           ORDER BY cdf, tag, COALESCE(v, v_ref)
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_norm
+        |  FROM u)
+        |SELECT grp, v, cdf, v_norm FROM m WHERE tag = 1""".stripMargin,
+
+    // binned quantile normalization: FLOOR("value") bins replayed in
+    // both CDFs, then the identical q161 alignment SQL
+    "q193_qnorm_binned" ->
+      """WITH pv AS (
+        |  SELECT event_type AS grp, FLOOR("value" * 1.0) / 1.0 AS v,
+        |         CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM events GROUP BY 1, 2),
+        |gt AS (SELECT grp, CAST(SUM(w) AS BIGINT) AS tot FROM pv GROUP BY 1),
+        |gc AS (
+        |  SELECT pv.grp, v,
+        |         ROUND(CAST(SUM(w) OVER (PARTITION BY pv.grp ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                 AS DOUBLE) / tot, 9) AS cdf
+        |  FROM pv JOIN gt USING (grp)),
+        |gv AS (SELECT FLOOR("value" * 1.0) / 1.0 AS v,
+        |              CAST(COUNT(*) AS BIGINT) AS w
         |       FROM events GROUP BY 1),
         |gtot AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM gv),
         |gcdf AS (

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -42,22 +42,48 @@ object Eval {
     df.agg(sqrt(avg(pow(col(predCol) - col(labelCol), 2.0))))
       .head().getDouble(0)
 
+  /** Decimal-floor binning: `⌊score·10^d⌋ / 10^d`. Floor (not round)
+    * is deliberate — it is exact on doubles and identical in every
+    * engine, whereas decimal rounding of a double differs between
+    * Spark (BigDecimal HALF_UP on the decimal string) and C-family
+    * engines near .5 boundaries, which would move whole histogram
+    * rows in an oracle replay. The multiply stays exact while
+    * |score·10^d| < 2^53 (any practical score scale).
+    */
+  private def binned(c: Column, binDigits: Option[Int]): Column =
+    binDigits.map { d =>
+      val p = math.pow(10.0, d)
+      floor(c * lit(p)) / lit(p)
+    }.getOrElse(c)
+
   /** Binary AUC-ROC via the Mann–Whitney rank-sum, computed over the
     * per-distinct-score histogram (M6): group by score →
     * (n, positives), cumulative count of strictly-lower scores via a
-    * window over DISTINCT SCORES (cardinality = |score domain|, not
-    * |rows| — at 100 TB the row count is irrelevant; only score
-    * cardinality matters, and real scoring pipelines bin/round scores).
-    * Tie handling = average rank, identical to sklearn/spark.ml.
-    * All intermediate values are half-integers — exact in double, so
-    * the result is partitioning-independent.
+    * window over DISTINCT SCORES. Tie handling = average rank,
+    * identical to sklearn/spark.ml. All intermediate values are
+    * half-integers — exact in double, so the result is
+    * partitioning-independent.
+    *
+    * SCALE CONTRACT — the partitionless window: its input is the
+    * distinct-score histogram, so its size is the SCORE CARDINALITY,
+    * not the row count. For discrete/rounded scores that is a
+    * histogram; for a CONTINUOUS score column (raw float model
+    * outputs) distinct ≈ rows and the single window partition becomes
+    * eval-set-sized — acceptable for bounded eval sets (the same
+    * boundary as driver-side sklearn), NOT for corpus-scale scoring.
+    * Corpus-scale callers set `binDigits = Some(d)`: scores are
+    * decimal-floor binned to d fractional digits FIRST, provably
+    * bounding the window input to ≤ (max−min)·10^d + 1 rows at an AUC
+    * perturbation ≤ the bin width. (With ties averaged, binning is
+    * exactly AUC over the coarsened score.)
     */
   def aucDf(df: DataFrame, labelCol: String, scoreCol: String,
-            digits: Int = 6): DataFrame = {
+            digits: Int = 6, binDigits: Option[Int] = None): DataFrame = {
     // null scores carry no defined AUC semantics and sort differently
     // across engines (Spark windows: NULLS FIRST; DuckDB: NULLS LAST)
     // — drop them before the histogram so results cannot diverge
-    val g = df.filter(col(scoreCol).isNotNull).groupBy(col(scoreCol)).agg(
+    val g = df.filter(col(scoreCol).isNotNull)
+      .groupBy(binned(col(scoreCol), binDigits).as(scoreCol)).agg(
       count(lit(1)).cast("double").as("n"),
       sum(col(labelCol).cast("double")).as("pos"))
     val before = Window.orderBy(col(scoreCol))
@@ -74,12 +100,16 @@ object Eval {
     * PNG, `Model_evaluation.py:95-107`, with the S7 table the survey
     * prescribes): one (score, fpr, tpr) row per distinct score,
     * thresholds descending — "predict positive when score ≥ s".
-    * Same distinct-score histogram shape as [[aucDf]].
+    * Same distinct-score histogram shape — and the same continuous-
+    * score contract and `binDigits` bound — as [[aucDf]] (a binned
+    * curve is the exact ROC of the coarsened score; one point per
+    * bin).
     */
   def rocPoints(df: DataFrame, labelCol: String, scoreCol: String,
-                digits: Int = 6): DataFrame = {
+                digits: Int = 6, binDigits: Option[Int] = None): DataFrame = {
     // same null-score drop as [[aucDf]] (threshold semantics undefined)
-    val g = df.filter(col(scoreCol).isNotNull).groupBy(col(scoreCol)).agg(
+    val g = df.filter(col(scoreCol).isNotNull)
+      .groupBy(binned(col(scoreCol), binDigits).as(scoreCol)).agg(
       count(lit(1)).cast("double").as("n"),
       sum(col(labelCol).cast("double")).as("pos"))
     val cum = Window.orderBy(col(scoreCol).desc)

@@ -289,10 +289,25 @@ object Features {
     * by the value domain, never by the table). A probe below the
     * smallest reference CDF maps to NULL. Output:
     * `(grp, v, cdf, v_norm)` per distinct (group, value).
+    *
+    * SCALE CONTRACT — the global-CDF window: "distinct values" is a
+    * histogram bound only when the value column is discrete/rounded.
+    * A CONTINUOUS value column makes distinct ≈ rows and the
+    * partitionless window table-sized. Corpus-scale callers set
+    * `binDigits = Some(d)`: values are decimal-floor binned
+    * (`⌊v·10^d⌋/10^d` — floor, not round: exact on doubles and
+    * engine-portable, see [[graft.ml.Eval]]) BEFORE both CDFs, which
+    * provably bounds every window input to ≤ (max−min)·10^d + 1 rows;
+    * the output `v`/`v_norm` are then bin representatives.
     */
   def quantileNormalize(df: DataFrame, groupCol: String,
-                        valueCol: String): DataFrame = {
-    val pv = df.groupBy(col(groupCol).as("grp"), col(valueCol).as("v"))
+                        valueCol: String,
+                        binDigits: Option[Int] = None): DataFrame = {
+    val vb = binDigits.map { d =>
+      val p = math.pow(10.0, d)
+      floor(col(valueCol) * lit(p)) / lit(p)
+    }.getOrElse(col(valueCol))
+    val pv = df.groupBy(col(groupCol).as("grp"), vb.as("v"))
       .agg(count(lit(1)).as("w"))
     val wg = Window.partitionBy(col("grp")).orderBy(col("v").asc)
     val tot = pv.groupBy(col("grp")).agg(sum(col("w")).as("tot"))
@@ -302,7 +317,7 @@ object Features {
       .join(broadcast(tot), "grp")
       .select(col("grp"), col("v"),
         round(col("cum").cast("double") / col("tot"), 9).as("cdf"))
-    val gv = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("w"))
+    val gv = df.groupBy(vb.as("v")).agg(count(lit(1)).as("w"))
     val wAll = Window.orderBy(col("v").asc)
     val gtot = gv.agg(sum(col("w")).as("tot"))
     // global CDF: the window runs over distinct values only (the

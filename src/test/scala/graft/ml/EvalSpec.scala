@@ -44,4 +44,30 @@ class EvalSpec extends SparkSpec {
     // top threshold (score=5, a positive): tpr=1/3, fpr=0
     assert(pts.head._3 == math.rint(1.0 / 3.0 * 1e6) / 1e6 && pts.head._2 == 0.0)
   }
+
+  test("aucDf binDigits: continuous scores collapse to a provably " +
+    "bounded histogram; AUC moves by at most the bin width") {
+    // 20k CONTINUOUS scores in [0, 2): distinct = rows without the
+    // knob — exactly the case the corpus-scale contract forbids
+    val n = 20000
+    val df = (0 until n).map { i =>
+      val score = (i * 2654435761L % 1000003).toDouble / 500001.5
+      val label = if ((i * 40503L % 65536) < 32768 ^ score > 1.0) 1.0 else 0.0
+      (label, score)
+    }.toDF("label", "score")
+    import org.apache.spark.sql.functions._
+    // the window-input bound: binned distinct ≤ (max−min)·10^d + 1
+    val binnedDistinct = df
+      .select((floor(col("score") * 100.0) / 100.0).as("b"))
+      .distinct().count()
+    assert(binnedDistinct <= 201, s"bin bound violated: $binnedDistinct")
+    assert(df.select(col("score")).distinct().count() > n / 2,
+      "fixture is not continuous enough to exercise the contract")
+    val full = Eval.aucDf(df, "label", "score").as[Double].head()
+    val binned = Eval.aucDf(df, "label", "score", binDigits = Some(2))
+      .as[Double].head()
+    // ties are averaged, so coarsening perturbs AUC by ≤ the mass
+    // within a bin; at 100 bins over a smooth score that is ≲ 0.01
+    assert(math.abs(full - binned) < 0.01, s"full=$full binned=$binned")
+  }
 }

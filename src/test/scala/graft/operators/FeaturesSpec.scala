@@ -243,4 +243,24 @@ class FeaturesSpec extends SparkSpec {
     assert(math.abs(gotT - tExp) < 1e-3)
     assert(math.abs(gotDof - dofExp) < 1e-2)
   }
+
+  test("quantileNormalize binDigits bounds both CDF windows to the bin " +
+    "histogram and matches the unbinned result on pre-binned input") {
+    import org.apache.spark.sql.functions._
+    // continuous values: distinct ≈ rows; binned at d=0 → ≤ 11 bins
+    val df = (0 until 5000).map { i =>
+      (if (i % 2 == 0) "a" else "b",
+        (i * 2654435761L % 100003).toDouble / 10000.3)
+    }.toDF("grp", "value")
+    assert(df.select(col("value")).distinct().count() > 2500)
+    val binned = Features.quantileNormalize(df, "grp", "value",
+      binDigits = Some(0)).collect()
+    // the window inputs are the bin histograms: every v is integral
+    assert(binned.forall(r => r.getDouble(1) == math.floor(r.getDouble(1))))
+    // binning first == running the unbinned operator on floored input
+    val pre = df.select(col("grp"),
+      (floor(col("value") * 1.0) / 1.0).as("value"))
+    val expect = Features.quantileNormalize(pre, "grp", "value").collect()
+    assert(binned.map(_.toSeq).toSet == expect.map(_.toSeq).toSet)
+  }
 }
