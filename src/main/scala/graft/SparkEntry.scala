@@ -121,6 +121,27 @@ object SparkEntry {
       bpeRules.put((System.identityHashCode(s.sparkContext), dir), rules)
       words
     }
+  /** 8-merge BPE training restricted to the `doc_id % 4 = 0` SLICE of
+    * `documents` — the training half of the q191 cross-corpus encode
+    * gate (the encoder scores the DISJOINT complement, glued into
+    * words the training never saw). Memoized like [[bpeWords]]; the
+    * rules frame rides the words entry.
+    */
+  private val bpeSliceRules =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def bpeSliceWords(s: SparkSession, dir: String): DataFrame =
+    memoUnit(s, dir, "bpe8slice") {
+      val (rules, words) = Bpe.trainShared(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(4)) === 0),
+        "text", 8)
+      bpeSliceRules.put((System.identityHashCode(s.sparkContext), dir), rules)
+      words
+    }
+  private def bpeSliceMerges(s: SparkSession, dir: String): DataFrame = {
+    bpeSliceWords(s, dir) // ensure trained (and rebuilt if swept)
+    bpeSliceRules((System.identityHashCode(s.sparkContext), dir))
+  }
+
   private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     bpeWords(s, dir) // ensure trained (and rebuilt if swept)
     bpeRules((System.identityHashCode(s.sparkContext), dir))
@@ -142,7 +163,8 @@ object SparkEntry {
       "_shared:unit-embeddings" -> ((s, dir) => unitEmb(s, dir)),
       "_shared:unit-perturbed" -> ((s, dir) => unitPerturbed(s, dir)),
       "_shared:neardup-pairs" -> ((s, dir) => nearDupPairs(s, dir)),
-      "_shared:bpe8" -> ((s, dir) => bpeWords(s, dir)))
+      "_shared:bpe8" -> ((s, dir) => bpeWords(s, dir)),
+      "_shared:bpe8slice" -> ((s, dir) => bpeSliceWords(s, dir)))
 
   /** Queries whose bench time is marginal given [[sharedInputs]]. */
   private[graft] val sharedConsumers: Map[String, Seq[String]] = Map(
@@ -153,7 +175,8 @@ object SparkEntry {
       "q167_ann_search", "q168_ann_index", "q171_semdedup_recall"),
     "_shared:neardup-pairs" -> Seq("q80_dup_clusters", "q165_dup_canonical",
       "q166_dedup_split", "q180_soft_dedup"),
-    "_shared:bpe8" -> Seq("q177_bpe_merges", "q179_bpe_tokenize"))
+    "_shared:bpe8" -> Seq("q177_bpe_merges", "q179_bpe_tokenize"),
+    "_shared:bpe8slice" -> Seq("q191_bpe_encode"))
 
   /** The q178/q181 mixture weights, and their oracle VALUES clause:
     * the SQL side receives the PRE-NORMALIZED weights (each divided by
@@ -881,6 +904,27 @@ object SparkEntry {
     "q179_bpe_tokenize" -> ((s, dir) =>
       Bpe.tokenCountsWith(t(s, dir, "documents"), "doc_id", "text",
         bpeWords(s, dir))),
+
+    // --- TRUE BPE encoding of unseen text (the production tokenizer
+    //     serve face): train on the doc_id%4=0 slice, then ENCODE the
+    //     disjoint complement with adjacent token pairs GLUED into
+    //     words the training never saw — the greedy merge application
+    //     segments them into learned sub-words (vs q179's char-count
+    //     OOV fallback), so n_oov collapses to truly-unseen CHARACTERS
+    //     (zero here) and n_bpe reflects real token economics ---
+    "q191_bpe_encode" -> ((s, dir) => {
+      val eval = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        .withColumn("_t", expr("filter(split(text, ' '), x -> x <> '')"))
+        .select(col("doc_id"), concat_ws(" ",
+          when(size(col("_t")) >= 2, expr(
+            "transform(sequence(1, size(_t) div 2), " +
+              "i -> concat(element_at(_t, CAST(2*i-1 AS INT)), " +
+              "element_at(_t, CAST(2*i AS INT))))"))
+            .otherwise(array().cast("array<string>"))).as("text"))
+      Bpe.encodeTokenCountsWith(eval, "doc_id", "text",
+        bpeSliceMerges(s, dir), bpeSliceWords(s, dir))
+    }),
 
     // --- deterministic pretraining order: content-hash shard + in-
     //     shard hash-ordered position — a reproducible, engine-
@@ -3541,6 +3585,18 @@ object SparkEntry {
     "q177_bpe_merges" -> Bpe.oracleSql(8),
 
     "q179_bpe_tokenize" -> Bpe.tokenizeOracleSql(8),
+
+    // cross-corpus encode: train on the doc_id%4=0 slice, apply the 8
+    // merges sequentially to the glued-pair word table of the
+    // complement (see Bpe.encodeLen for why sequential rank-order
+    // replay == the engine's min-rank-first loop)
+    "q191_bpe_encode" -> Bpe.encodeOracleSql(8,
+      trainWhere = "doc_id % 4 = 0",
+      tokCte = "SELECT doc_id, unnest(g) AS word " +
+        "FROM (SELECT doc_id, list_transform(range(1, len(t)//2 + 1), " +
+        "i -> t[2*i-1] || t[2*i]) AS g " +
+        "FROM (SELECT doc_id, [x FOR x IN string_split(text, ' ') IF x <> ''] AS t " +
+        "FROM documents WHERE doc_id % 4 <> 0))"),
 
     // integer token math via FLOOR over PRE-NORMALIZED weights (see
     // mixWeightsSql — no in-SQL weight-sum division to diverge at a

@@ -416,18 +416,144 @@ object Bpe {
         round(col("n_chars").cast("double") / col("n_bpe"), 4))
   }
 
+  /** Greedy BPE ENCODING of one word under a trained merge-rank map —
+    * the production tokenizer's serve face (GPT-2 `bpe()` shape):
+    * repeatedly find the adjacent symbol pair with the LOWEST merge
+    * rank and apply that merge to every occurrence (greedy
+    * left-to-right non-overlapping, the training replace semantics),
+    * until no trained pair remains. Returns the final symbol count.
+    *
+    * WHY this equals replaying the merges sequentially in rank order
+    * (which is what the SQL oracle does, and what training did to the
+    * training corpus): merging (l,r) → lr only creates NEW adjacencies
+    * that involve lr, and any rule whose side is lr necessarily has a
+    * later rank than the rule that created lr — so occurrences of
+    * lower-ranked pairs are only ever consumed, never created, and the
+    * min-rank-first loop applies rules in strictly increasing rank
+    * order: exactly the sequential replay minus its no-ops. The same
+    * argument makes encoding a training word reproduce its trained
+    * segmentation bit-for-bit (the BpeSpec parity gate).
+    *
+    * O(len²) worst case per word — words are short, and the caller
+    * encodes each DISTINCT word once.
+    */
+  private def encodeLen(chars: Array[String],
+                        ranks: scala.collection.Map[(String, String), Int])
+      : Long = {
+    if (chars.length <= 1) return chars.length.toLong
+    var syms = chars
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        val l = syms(bi); val r = syms(bi + 1); val m = l + r
+        val b = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            b += m; j += 2
+          } else { b += syms(j); j += 1 }
+        }
+        syms = b.result()
+      }
+    }
+    syms.length.toLong
+  }
+
+  /** Tokenize text under an ALREADY-TRAINED vocabulary by actually
+    * APPLYING the learned merges to each word — the production
+    * tokenizer serve face, vs [[tokenCountsWith]]'s lookup-with-
+    * char-fallback (which charges every out-of-vocabulary word its
+    * full character count: honest for budgeting, but an upper bound).
+    * Here an unseen word is greedily segmented into learned sub-words
+    * ([[encodeLen]] — provably identical to rank-order merge replay,
+    * so a SQL engine oracles it), and `n_oov` narrows to its real
+    * meaning: words containing a CHARACTER the training corpus never
+    * saw (the only case a merge-applying tokenizer cannot segment —
+    * where a byte-fallback tokenizer would switch to bytes).
+    *
+    * Output: `(doc_id, n_words, n_chars, n_bpe, n_oov, compression)` —
+    * same schema and emit-nothing-for-empty-docs contract as
+    * [[tokenCountsWith]]; on the training corpus itself the two agree
+    * exactly with `n_oov = 0` (BpeSpec pins this).
+    *
+    * Scale: the merge table (`nMerges` rows) and the training alphabet
+    * (charset-sized) broadcast from the driver; encoding runs ONCE per
+    * DISTINCT word of the scoring corpus (vocabulary-sized
+    * `mapPartitions` — sublinear in corpus bytes, the same economics
+    * as training), and the corpus word stream equi-joins the encoded
+    * vocabulary. Character segmentation stays engine-defined
+    * (`split(word, '')` on the executor) so driver and oracle agree on
+    * what a character is.
+    */
+  def encodeTokenCountsWith(docs: DataFrame, idCol: String, textCol: String,
+                            rules: DataFrame,
+                            trainedWords: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ranks: Map[(String, String), Int] = rules
+      .select(col("rank"), col("lhs"), col("rhs")).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val alphabet: Set[String] = trainedWords
+      .select(explode(expr("filter(split(word, ''), x -> x <> '')")).as("ch"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val bcRanks = spark.sparkContext.broadcast(ranks)
+    val bcAlpha = spark.sparkContext.broadcast(alphabet)
+
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(wordOk)
+    import spark.implicits._
+    val encoded = tok.select(col("word")).distinct()
+      .withColumn("_chars", expr("filter(split(word, ''), x -> x <> '')"))
+      .as[(String, Seq[String])]
+      .mapPartitions { it =>
+        val rk = bcRanks.value
+        val al = bcAlpha.value
+        it.map { case (w, chars) =>
+          val a = chars.toArray
+          (w, encodeLen(a, rk), if (a.forall(al.contains)) 0L else 1L)
+        }
+      }.toDF("word", "_nsym", "_oov")
+
+    // SHUFFLE_HASH on the vocab side: the mapPartitions encode erases
+    // size stats, and Spark otherwise broadcasts the post-explode
+    // CORPUS stream (the Generate-broadcast trap — explode fan-out is
+    // invisible to size estimation). The hint builds on the
+    // vocabulary-sized side, never sorts, and holds at any vocab size.
+    tok.join(encoded.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(col("_nsym")).as("n_bpe"),
+        sum(col("_oov")).as("n_oov"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("n_bpe"), 4))
+  }
+
   /** Shared CTE chain `w0 … w<nMerges>` (each `(word, s, n)`) with the
     * per-round pair-count / argmax / replace, in lockstep with the
-    * Scala loop.
+    * Scala loop. `trainWhere` optionally restricts the training corpus
+    * (the cross-corpus encode oracle trains on a slice).
     */
-  private def roundsCte(nMerges: Int): String = {
+  private def roundsCte(nMerges: Int, trainWhere: String = ""): String = {
+    val src =
+      if (trainWhere.isEmpty) "FROM documents"
+      else s"FROM documents WHERE $trainWhere"
     val w0 =
-      """w0 AS (
+      s"""w0 AS (
         |  SELECT word,
         |         '<' || array_to_string([c FOR c IN string_split(word, '')], '><')
         |             || '>' AS s, n
         |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
-        |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS word $src)
         |        WHERE word <> '' AND NOT contains(word, '<')
         |          AND NOT contains(word, '>') GROUP BY 1))""".stripMargin
     val rounds = (1 to nMerges).map { r =>
@@ -490,5 +616,59 @@ object Bpe {
          |         AS compression
          |FROM j GROUP BY 1""".stripMargin
     s"WITH ${roundsCte(nMerges)},\n$tail"
+  }
+
+  /** The DuckDB replay of [[encodeTokenCountsWith]]: train on the
+    * `trainWhere` slice of `documents` (the full `roundsCte` chain),
+    * then apply the learned merges to the eval token stream given by
+    * `tokCte` (a SQL body producing `(doc_id, word)`) — applied
+    * SEQUENTIALLY in rank order over the eval DISTINCT-word table,
+    * which [[encodeLen]]'s scaladoc proves identical to the engine's
+    * min-rank-first loop. `n_oov` = words containing a character
+    * absent from the training alphabet (chars of `w0`), exactly the
+    * engine's definition.
+    */
+  def encodeOracleSql(nMerges: Int, trainWhere: String,
+                      tokCte: String): String = {
+    val encRounds = (1 to nMerges).map { r =>
+      s"""e$r AS (SELECT word, replace(s,
+         |          '<' || split_part(pr, ' ', 1) || '><' || split_part(pr, ' ', 2) || '>',
+         |          '<' || split_part(pr, ' ', 1) || split_part(pr, ' ', 2) || '>') AS s
+         |        FROM e${r - 1}, r$r)""".stripMargin
+    }.mkString(",\n")
+    // NOTE: same stripMargin discipline as [[oracleSql]] — interpolated
+    // pieces are pre-stripped and contain no line-leading `|`, so only
+    // the literal tail goes through stripMargin
+    val tail =
+      s"""tok AS ($tokCte),
+         |tokg AS (SELECT doc_id, word FROM tok
+         |         WHERE word <> '' AND NOT contains(word, '<')
+         |           AND NOT contains(word, '>')),
+         |ew AS (SELECT DISTINCT word FROM tokg),
+         |e0 AS (SELECT word,
+         |              '<' || array_to_string([c FOR c IN string_split(word, '')], '><')
+         |                  || '>' AS s
+         |       FROM ew),
+         |$encRounds,
+         |v AS (SELECT word,
+         |             CAST(len(string_split(trim(s, '<>'), '><')) AS BIGINT) AS nsym
+         |      FROM e$nMerges),
+         |alpha AS (SELECT DISTINCT unnest([c FOR c IN string_split(word, '')]) AS ch
+         |          FROM w0),
+         |wch AS (SELECT DISTINCT word, unnest([c FOR c IN string_split(word, '')]) AS ch
+         |        FROM ew),
+         |wo AS (SELECT wch.word,
+         |              CAST(MAX(CASE WHEN a.ch IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+         |       FROM wch LEFT JOIN alpha a USING (ch) GROUP BY 1),
+         |j AS (SELECT t.doc_id, t.word, v.nsym, wo.oov
+         |      FROM tokg t JOIN v USING (word) JOIN wo USING (word))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+         |       CAST(SUM(nsym) AS BIGINT) AS n_bpe,
+         |       CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |       ROUND(CAST(SUM(len(word)) AS DOUBLE) / SUM(nsym), 4)
+         |         AS compression
+         |FROM j GROUP BY 1""".stripMargin
+    s"WITH ${roundsCte(nMerges, trainWhere)},\n$tail"
   }
 }

@@ -143,6 +143,7 @@ class PlanAuditSpec extends SparkSpec {
       "q75_tfidf", "q123_inverted_index", "q137_bm25", "q144_vocab_coverage",
       "q148_chi2_terms", "q176_substr_spans", "q183_dsir_weights",
       "q170_chunk_dedup", "q172_decontaminate", "q175_ref_perplexity",
+      "q191_bpe_encode",
       // q141_incremental_dedup is deliberately absent: its broadcast
       // build side IS a raw exploded stream, but of the incremental
       // BATCH (contractually bounded), probing the corpus-sized store

@@ -166,4 +166,54 @@ class BpeSpec extends SparkSpec {
       .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
     assert(mem.toSeq === dist.toSeq)
   }
+
+  test("encodeTokenCountsWith segments UNSEEN words via learned merges; " +
+    "known words reproduce the trained segmentation exactly") {
+    val trainDocs = Seq((1L, "low low low"), (2L, "lower lowest"))
+      .toDF("doc_id", "text")
+    val (rules, words) = Bpe.trainShared(trainDocs, "text", nMerges = 4)
+    // merges after 4 rounds: lo, low, lowe, lower.
+    // "lowlow" (unseen): l o w l o w -> lo.. -> low low = 2 syms;
+    // "slow" (unseen): s l o w -> s lo w -> s low = 2 syms;
+    // "zq" (unseen chars): no pair trained, 2 syms, counts as OOV
+    val score = Seq((10L, "lowlow slow zq")).toDF("doc_id", "text")
+    val out = Bpe.encodeTokenCountsWith(score, "doc_id", "text", rules, words)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // n_words=3, n_chars=12, n_bpe=2+2+2=6, n_oov=1 (zq), 12/6=2.0
+    assert(out.toSeq === Seq((10L, 3L, 12L, 6L, 1L, 2.0)))
+  }
+
+  test("encode parity: on the training corpus the encoder reproduces " +
+    "tokenCountsWith bit-for-bit with zero OOV") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val (rules, words) = Bpe.trainShared(docs, "text", nMerges = 8)
+    val viaLookup = Bpe.tokenCountsWith(docs, "doc_id", "text", words)
+      .collect().map(_.toSeq).toSet
+    val viaEncode = Bpe.encodeTokenCountsWith(docs, "doc_id", "text",
+      rules, words).collect().map(_.toSeq).toSet
+    assert(viaEncode == viaLookup)
+    assert(viaEncode.forall(r => r(4) == 0L), "training corpus has OOV")
+  }
+
+  test("encode is deterministic under repartition and never exceeds " +
+    "the char-count upper bound") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(50)
+    val (rules, words) = Bpe.trainShared(docs, "text", nMerges = 6)
+    val glued = docs.selectExpr("doc_id",
+      "array_join(transform(filter(split(text, ' '), x -> x <> ''), " +
+        "t -> concat(t, t)), ' ') AS text")
+    val a = Bpe.encodeTokenCountsWith(glued, "doc_id", "text", rules, words)
+      .collect().map(_.toSeq).toSet
+    val b = Bpe.encodeTokenCountsWith(glued.repartition(7), "doc_id",
+      "text", rules, words).collect().map(_.toSeq).toSet
+    assert(a == b)
+    a.foreach { r =>
+      val (nChars, nBpe) = (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long])
+      assert(nBpe <= nChars && nBpe >= 1, r)
+    }
+  }
 }
