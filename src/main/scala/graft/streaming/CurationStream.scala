@@ -96,7 +96,7 @@ object CurationStream {
     * per-shard bloom column joined on shard id, which this layout's
     * (kind, bytes) schema extends to.
     */
-  private[streaming] final case class StoreBloom(bf: BloomFilter, nItems: Long,
+  private[graft] final case class StoreBloom(bf: BloomFilter, nItems: Long,
                                                  capacity: Long, fpp: Double)
 
   private def bloomBytes(bf: BloomFilter): Array[Byte] = {
@@ -111,7 +111,7 @@ object CurationStream {
     * "absent" — the probe falls back to the exact full anti-join and
     * the next commit rebuilds the sidecar from the store.
     */
-  private[streaming] def readBlooms(spark: SparkSession, storePath: String)
+  private[graft] def readBlooms(spark: SparkSession, storePath: String)
       : Map[String, StoreBloom] =
     try {
       spark.read.parquet(s"$storePath/probe_bloom")

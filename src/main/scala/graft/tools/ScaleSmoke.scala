@@ -37,11 +37,36 @@ object ScaleSmoke {
   private val Sf01 = "/root/testdata/sf0.1"
   private val Sf1 = "/tmp/graft_sf1"
   private val Sf10 = "/tmp/graft_sf10"
+  private val Sf1g = "/tmp/graft_sf1g"
+  private val Sf10g = "/tmp/graft_sf10g"
   private val Copies = 10
   private val DefaultQueries =
     "q47_embed_lsh,q80_dup_clusters,q57_embed_ivf,q30_cosine_topk,q78_corpus_funnel,q89_edit_distance"
   private val AnnQueries =
     "q57_embed_ivf,q125_ivf_recall,q167_ann_search,q168_ann_index,q171_semdedup_recall"
+  private val GraphQueries =
+    "q142_pagerank,q146_triangles,q159_hits,q80_dup_clusters"
+
+  /** Document-salt stride: copy i suffixes every `DocSaltStride`-th
+    * token (offset i mod stride), which guarantees ≥1 modified token
+    * in EVERY n-gram window of length ≥ stride — zero cross-copy
+    * shingles/chunks/spans. Set to 2 (not 3) so the guarantee covers
+    * BIGRAM operators too: a stride-3 salt leaves copies with equal
+    * offset mod 3 sharing ~1/3 of their bigrams, which re-creates the
+    * quadratic construction artifact for any 2-token-window operator
+    * smoked at 100 copies. Keep this ≤ the smallest shingle/window
+    * length of every operator in the smoke lists.
+    */
+  private val DocSaltStride = 2
+
+  private def saltDocs(d: DataFrame, i: Int): DataFrame =
+    d.select(
+      (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+      (if (i == 0) col("text")
+       else expr(("array_join(transform(split(text, ' '), (t, j) -> " +
+         s"IF(j % $DocSaltStride = $i % $DocSaltStride, " +
+         s"concat(t, '_$i'), t)), ' ')"))).as("text"),
+      col("lang"), col("source"), col("n_chars"))
 
   private def gen(spark: SparkSession): Unit = {
     new java.io.File(Sf1).mkdirs()
@@ -147,43 +172,92 @@ object ScaleSmoke {
     * in ≥1 of 32×2 MinHash bands with p ≈ 0.87, i.e. ~C(100,2)·5000 ≈
     * 25M candidate pairs (first measurement: q45 at 254 s, 41×). The
     * construction was quadratic, not the engine (the round-4 lesson).
-    * Suffixing every 3rd token (offset i mod 3) puts ≥1 modified token
-    * in EVERY window of length ≥3 — zero shared shingles/chunks/spans
-    * across copies — while within-copy near-dup structure is preserved
-    * (co-copy docs are suffixed at identical positions).
+    * [[saltDocs]]' every-`DocSaltStride`-th-token suffix puts ≥1
+    * modified token in EVERY window of length ≥ stride — zero shared
+    * shingles/chunks/spans across copies — while within-copy near-dup
+    * structure is preserved (co-copy docs are suffixed at identical
+    * positions).
     */
   private def genSf10Documents(spark: SparkSession): Unit = {
     if (new java.io.File(s"$Sf10/documents.parquet/_SUCCESS").exists()) return
     new java.io.File(Sf10).mkdirs()
     val src = Tables.load(spark, Sf01, "documents")
-    (0 until Copies * Copies).map { i =>
-      src.select(
-        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-        (if (i == 0) col("text")
-         else expr(("array_join(transform(split(text, ' '), (t, j) -> " +
-           s"IF(j % 3 = $i % 3, concat(t, '_$i'), t)), ' ')"))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_.unionByName(_))
+    (0 until Copies * Copies).map(saltDocs(src, _))
+      .reduce(_.unionByName(_))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$Sf10/documents.parquet")
+  }
+
+  /** Graph-decade corpora: `copies` DISJOINT copies of the sf0.1
+    * fact tables the graph family reads (q142/q146 build part
+    * co-purchase edges from lineitem, q159 the customer→part
+    * bipartite graph from orders⋈lineitem, q80 clusters document
+    * near-dup pairs). Unlike the sf1 tenfold — which deliberately
+    * SHARES part keys to stress the DIMSUM per-user cap, so the
+    * co-purchase graph does not grow with copies — every key here is
+    * offset per copy: the graph becomes `copies` disconnected
+    * instances of the sf0.1 graph, node/edge counts scale linearly,
+    * and per-copy structure (degrees, triangles, rank distribution)
+    * is preserved exactly. That is the growth a graph decade must
+    * measure: same local shape, `copies`× the data.
+    */
+  private def genGraph(spark: SparkSession, dir: String, copies: Int): Unit = {
+    new java.io.File(dir).mkdirs()
+    def make(name: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
+      if (new java.io.File(s"$dir/$name.parquet/_SUCCESS").exists()) return
+      val src = Tables.load(spark, Sf01, name)
+      (0 until copies).map(copy(src, _)).reduce(_.unionByName(_))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    make("lineitem") { (l, i) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * 10000000L))
+    }
+    make("orders") { (o, i) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+    }
+    make("documents") { (d, i) => saltDocs(d, i) }
   }
 
   final case class StageStat(tasks: Int, runMs: Long, name: String)
 
   def main(args: Array[String]): Unit = {
     // default mode measures sf0.1 → sf1 (10×); "sf10" as the first arg
-    // measures the ANN decade sf1 → sf10 (100× sf0.1, embeddings only)
-    val sf10Mode = args.headOption.contains("sf10")
+    // measures the ANN decade sf1 → sf10 (100× sf0.1, embeddings only);
+    // "graph" measures the graph-family decade sf1g → sf10g over the
+    // disjoint-copy fact tables (see genGraph)
+    val mode = args.headOption.filter(Set("sf10", "graph")).getOrElse("sf1")
     val queries =
-      (if (sf10Mode) args.lift(1).getOrElse(AnnQueries)
-       else args.headOption.getOrElse(DefaultQueries)).split(",").toSeq
-    val (fromDir, toDir, fromLabel, toLabel) =
-      if (sf10Mode) (Sf1, Sf10, "sf1", "sf10") else (Sf01, Sf1, "sf0.1", "sf1")
+      (mode match {
+        case "sf10"  => args.lift(1).getOrElse(AnnQueries)
+        case "graph" => args.lift(1).getOrElse(GraphQueries)
+        case _       => args.headOption.getOrElse(DefaultQueries)
+      }).split(",").toSeq
+    val (fromDir, toDir, fromLabel, toLabel) = mode match {
+      case "sf10"  => (Sf1, Sf10, "sf1", "sf10")
+      case "graph" => (Sf1g, Sf10g, "sf1g", "sf10g")
+      case _       => (Sf01, Sf1, "sf0.1", "sf1")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = Sessions.tune(Sessions.builder(cpus, "graft-scale").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    gen(spark)
-    if (sf10Mode) genSf10(spark)
+    if (mode == "graph") {
+      // the sf10g edge shuffle is ~335M rows; at partitions = cpus
+      // (the suite default, sized for sf0.1) that is ~21M rows per
+      // hash-agg task and execution memory dies. A cluster sizes
+      // shuffle partitions to the DATA — do the same here (uniform
+      // across both scales; AQE coalesces the small stages back down,
+      // so only the genuinely large exchanges fan out).
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      genGraph(spark, Sf1g, Copies)
+      genGraph(spark, Sf10g, Copies * Copies)
+    } else {
+      gen(spark)
+      if (mode == "sf10") genSf10(spark)
+    }
 
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageStat]()
     spark.sparkContext.addSparkListener(

@@ -193,6 +193,48 @@ class CurationStreamSpec extends SparkSpec {
     assert(storeIds(store) == (1L to 10L).toSet)
   }
 
+  test("capacity-crossing soak: sidecar rebuilds at >=4x, measured fpp " +
+    "stays near target, per-batch probe input stays bloom-bounded") {
+    val store = freshStore("bloomsoak")
+    // per-doc unique tokens in EVERY 3-gram window: zero cross-doc
+    // shingles, so the near-dup index stays collision-free while the
+    // store grows — the soak measures the BLOOM path, not LSH
+    def doc(i: Long) = DocRow(i, s"the quick w${i}a fox w${i}b over " +
+      s"w${i}c lazy w${i}d and w${i}e to w${i}f green w${i}g in w${i}h " +
+      s"time w${i}i nice", "web")
+    val cfg = CurationStream.Config(bloomCapacity = 1L << 10, bloomFpp = 0.01)
+    val B = 512
+    // first build sizes 4x the first batch (2048); batch 5's
+    // 2048+512 crosses it and must trigger the >=4x store rebuild
+    (0 until 6).foreach { b =>
+      CurationStream.processBatch(
+        ((b * B + 1L) to ((b + 1) * B)).map(doc).toDF(),
+        "doc_id", "text", profiles, store, cfg)
+    }
+    assert(storeIds(store).size == 6 * B, "soak docs did not all survive")
+    val ids = CurationStream.readBlooms(spark, store)("ids")
+    assert(ids.nItems == 6L * B)
+    assert(ids.capacity >= 4 * (1L << 10) && ids.capacity >= 2 * ids.nItems,
+      s"capacity ${ids.capacity}")
+    // measured fpp over 20k ABSENT keys <= ~2x the configured target
+    // (build/probe both hash through xxhash64, the sidecar contract)
+    val absent = spark.range(10000000L, 10020000L)
+      .select(xxhash64(col("id").cast("long")).as("h")).as[Long].collect()
+    val fp = absent.count(ids.bf.mightContainLong)
+    assert(fp <= 2.5 * cfg.bloomFpp * absent.length,
+      s"measured fpp ${fp.toDouble / absent.length} vs target ${cfg.bloomFpp}")
+    // probe-boundedness: a batch with ONE replayed id — the exact
+    // anti-join only ever reads the bloom-positive residue, which is
+    // the true dup + false positives, never the store or the batch
+    val batchKeys = ((6L * B + 1L) to (6L * B + B)) :+ 5L
+    val hashed = batchKeys.toDF("doc_id")
+      .select(xxhash64(col("doc_id")).as("h")).as[Long].collect()
+    val residue = hashed.count(ids.bf.mightContainLong)
+    assert(residue >= 1 &&
+      residue <= 1 + math.ceil(5 * cfg.bloomFpp * batchKeys.size).toInt,
+      s"residue $residue of ${batchKeys.size} keys (store ${6 * B})")
+  }
+
   test("streaming soak: file-less MemoryStream micro-batches, funnel log, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val store = freshStore("stream")
