@@ -142,6 +142,32 @@ object SparkEntry {
     bpeSliceRules((System.identityHashCode(s.sparkContext), dir))
   }
 
+  /** The q191/q194 EVAL corpus: the doc_id%4≠0 complement of the
+    * training slice with adjacent token pairs GLUED into single words
+    * the training never saw (seen sub-words, unseen words — the case
+    * that separates true merge application from char-count fallback).
+    * Odd trailing tokens are dropped; docs with <2 tokens emit
+    * nothing (both mirrored by the oracle's tokCte).
+    */
+  private def gluedEvalDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .withColumn("_t", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select(col("doc_id"), concat_ws(" ",
+        when(size(col("_t")) >= 2, expr(
+          "transform(sequence(1, size(_t) div 2), " +
+            "i -> concat(element_at(_t, CAST(2*i-1 AS INT)), " +
+            "element_at(_t, CAST(2*i AS INT))))"))
+          .otherwise(array().cast("array<string>"))).as("text"))
+
+  /** The oracle replay of [[gluedEvalDocs]]' token stream. */
+  private val gluedTokCte: String =
+    "SELECT doc_id, unnest(g) AS word " +
+      "FROM (SELECT doc_id, list_transform(range(1, len(t)//2 + 1), " +
+      "i -> t[2*i-1] || t[2*i]) AS g " +
+      "FROM (SELECT doc_id, [x FOR x IN string_split(text, ' ') IF x <> ''] AS t " +
+      "FROM documents WHERE doc_id % 4 <> 0))"
+
   private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     bpeWords(s, dir) // ensure trained (and rebuilt if swept)
     bpeRules((System.identityHashCode(s.sparkContext), dir))
@@ -176,7 +202,7 @@ object SparkEntry {
     "_shared:neardup-pairs" -> Seq("q80_dup_clusters", "q165_dup_canonical",
       "q166_dedup_split", "q180_soft_dedup"),
     "_shared:bpe8" -> Seq("q177_bpe_merges", "q179_bpe_tokenize"),
-    "_shared:bpe8slice" -> Seq("q191_bpe_encode"))
+    "_shared:bpe8slice" -> Seq("q191_bpe_encode", "q194_bpe_segment"))
 
   /** The q178/q181 mixture weights, and their oracle VALUES clause:
     * the SQL side receives the PRE-NORMALIZED weights (each divided by
@@ -912,19 +938,18 @@ object SparkEntry {
     //     segments them into learned sub-words (vs q179's char-count
     //     OOV fallback), so n_oov collapses to truly-unseen CHARACTERS
     //     (zero here) and n_bpe reflects real token economics ---
-    "q191_bpe_encode" -> ((s, dir) => {
-      val eval = t(s, dir, "documents")
-        .filter(pmod(col("doc_id"), lit(4)) =!= 0)
-        .withColumn("_t", expr("filter(split(text, ' '), x -> x <> '')"))
-        .select(col("doc_id"), concat_ws(" ",
-          when(size(col("_t")) >= 2, expr(
-            "transform(sequence(1, size(_t) div 2), " +
-              "i -> concat(element_at(_t, CAST(2*i-1 AS INT)), " +
-              "element_at(_t, CAST(2*i AS INT))))"))
-            .otherwise(array().cast("array<string>"))).as("text"))
-      Bpe.encodeTokenCountsWith(eval, "doc_id", "text",
-        bpeSliceMerges(s, dir), bpeSliceWords(s, dir))
-    }),
+    "q191_bpe_encode" -> ((s, dir) =>
+      Bpe.encodeTokenCountsWith(gluedEvalDocs(s, dir), "doc_id", "text",
+        bpeSliceMerges(s, dir), bpeSliceWords(s, dir))),
+
+    // --- the tokenizer's ACTUAL serve output: the per-distinct-word
+    //     segmentation table over the same never-seen glued corpus —
+    //     `segmented` is the bracketed sub-word sequence ("<s><low>"),
+    //     pinned symbol-for-symbol against the oracle's sequential
+    //     merge replay ---
+    "q194_bpe_segment" -> ((s, dir) =>
+      Bpe.encodeSegments(gluedEvalDocs(s, dir), "text",
+        bpeSliceMerges(s, dir), bpeSliceWords(s, dir))),
 
     // --- deterministic pretraining order: content-hash shard + in-
     //     shard hash-ordered position — a reproducible, engine-
@@ -3591,12 +3616,12 @@ object SparkEntry {
     // complement (see Bpe.encodeLen for why sequential rank-order
     // replay == the engine's min-rank-first loop)
     "q191_bpe_encode" -> Bpe.encodeOracleSql(8,
-      trainWhere = "doc_id % 4 = 0",
-      tokCte = "SELECT doc_id, unnest(g) AS word " +
-        "FROM (SELECT doc_id, list_transform(range(1, len(t)//2 + 1), " +
-        "i -> t[2*i-1] || t[2*i]) AS g " +
-        "FROM (SELECT doc_id, [x FOR x IN string_split(text, ' ') IF x <> ''] AS t " +
-        "FROM documents WHERE doc_id % 4 <> 0))"),
+      trainWhere = "doc_id % 4 = 0", tokCte = gluedTokCte),
+
+    // the segmentation table: the oracle's final eN.s column IS the
+    // engine's bracketed segmentation, compared symbol for symbol
+    "q194_bpe_segment" -> Bpe.segmentOracleSql(8,
+      trainWhere = "doc_id % 4 = 0", tokCte = gluedTokCte),
 
     // integer token math via FLOOR over PRE-NORMALIZED weights (see
     // mixWeightsSql — no in-SQL weight-sum division to diverge at a

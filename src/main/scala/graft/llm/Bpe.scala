@@ -437,10 +437,10 @@ object Bpe {
     * O(len²) worst case per word — words are short, and the caller
     * encodes each DISTINCT word once.
     */
-  private def encodeLen(chars: Array[String],
-                        ranks: scala.collection.Map[(String, String), Int])
-      : Long = {
-    if (chars.length <= 1) return chars.length.toLong
+  private def encodeSyms(chars: Array[String],
+                         ranks: scala.collection.Map[(String, String), Int])
+      : Array[String] = {
+    if (chars.length <= 1) return chars
     var syms = chars
     var done = false
     while (!done && syms.length > 1) {
@@ -465,7 +465,7 @@ object Bpe {
         syms = b.result()
       }
     }
-    syms.length.toLong
+    syms
   }
 
   /** Tokenize text under an ALREADY-TRAINED vocabulary by actually
@@ -494,9 +494,15 @@ object Bpe {
     * (`split(word, '')` on the executor) so driver and oracle agree on
     * what a character is.
     */
-  def encodeTokenCountsWith(docs: DataFrame, idCol: String, textCol: String,
-                            rules: DataFrame,
-                            trainedWords: DataFrame): DataFrame = {
+  /** The encoded DISTINCT-word vocabulary of `docs`' word stream:
+    * `(word, _nsym, _oov, _seg)` where `_seg` is the bracketed
+    * segmentation (`"<lo><w>"` — the exact `s` representation the
+    * training loop and the SQL oracle use). Vocabulary-sized; shared
+    * by [[encodeTokenCountsWith]] and [[encodeSegments]].
+    */
+  private def encodedVocab(docs: DataFrame, textCol: String,
+                           rules: DataFrame,
+                           trainedWords: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val ranks: Map[(String, String), Int] = rules
       .select(col("rank"), col("lhs"), col("rhs")).collect()
@@ -506,12 +512,10 @@ object Bpe {
       .distinct().collect().map(_.getString(0)).toSet
     val bcRanks = spark.sparkContext.broadcast(ranks)
     val bcAlpha = spark.sparkContext.broadcast(alphabet)
-
-    val tok = docs.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("word"))
-      .filter(wordOk)
     import spark.implicits._
-    val encoded = tok.select(col("word")).distinct()
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(wordOk)
+      .distinct()
       .withColumn("_chars", expr("filter(split(word, ''), x -> x <> '')"))
       .as[(String, Seq[String])]
       .mapPartitions { it =>
@@ -519,10 +523,23 @@ object Bpe {
         val al = bcAlpha.value
         it.map { case (w, chars) =>
           val a = chars.toArray
-          (w, encodeLen(a, rk), if (a.forall(al.contains)) 0L else 1L)
+          val syms = encodeSyms(a, rk)
+          val sb = new java.lang.StringBuilder
+          syms.foreach(s => sb.append('<').append(s).append('>'))
+          (w, syms.length.toLong,
+            if (a.forall(al.contains)) 0L else 1L, sb.toString)
         }
-      }.toDF("word", "_nsym", "_oov")
+      }.toDF("word", "_nsym", "_oov", "_seg")
+  }
 
+  def encodeTokenCountsWith(docs: DataFrame, idCol: String, textCol: String,
+                            rules: DataFrame,
+                            trainedWords: DataFrame): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(wordOk)
+    val encoded = encodedVocab(docs, textCol, rules, trainedWords)
+      .select(col("word"), col("_nsym"), col("_oov"))
     // SHUFFLE_HASH on the vocab side: the mapPartitions encode erases
     // size stats, and Spark otherwise broadcasts the post-explode
     // CORPUS stream (the Generate-broadcast trap — explode fan-out is
@@ -537,6 +554,22 @@ object Bpe {
       .withColumn("compression",
         round(col("n_chars").cast("double") / col("n_bpe"), 4))
   }
+
+  /** The tokenizer's ACTUAL output: the per-distinct-word segmentation
+    * table `(word, n_sym, oov, segmented)` under an already-trained
+    * vocabulary, with `segmented` in the same bracketed form as the
+    * training representation (`"slow"` → `"<s><low>"`). This is what a
+    * serving tokenizer ships — a corpus tokenizes by joining its word
+    * stream against this table ([[encodeTokenCountsWith]] is exactly
+    * that join, aggregated). Vocabulary-sized output; the same
+    * min-rank-first ≡ sequential-replay argument as [[encodeSyms]]
+    * makes it SQL-oracle-able symbol for symbol.
+    */
+  def encodeSegments(docs: DataFrame, textCol: String, rules: DataFrame,
+                     trainedWords: DataFrame): DataFrame =
+    encodedVocab(docs, textCol, rules, trainedWords)
+      .select(col("word"), col("_nsym").as("n_sym"),
+        col("_oov").as("oov"), col("_seg").as("segmented"))
 
   /** Shared CTE chain `w0 … w<nMerges>` (each `(word, s, n)`) with the
     * per-round pair-count / argmax / replace, in lockstep with the
@@ -628,47 +661,68 @@ object Bpe {
     * absent from the training alphabet (chars of `w0`), exactly the
     * engine's definition.
     */
-  def encodeOracleSql(nMerges: Int, trainWhere: String,
-                      tokCte: String): String = {
+  /** The shared encode CTE chain: eval token stream (`tokCte` →
+    * `tokg`), distinct eval words, sequential merge application
+    * `e0 … e<nMerges>`, per-word symbol count `v`, training alphabet
+    * `alpha`, and the per-word unseen-char flag `wo`.
+    * NOTE: same stripMargin discipline as [[oracleSql]] — interpolated
+    * pieces are pre-stripped and contain no line-leading `|`, so only
+    * the literal text goes through stripMargin.
+    */
+  private def encodeCtes(nMerges: Int, tokCte: String): String = {
     val encRounds = (1 to nMerges).map { r =>
       s"""e$r AS (SELECT word, replace(s,
          |          '<' || split_part(pr, ' ', 1) || '><' || split_part(pr, ' ', 2) || '>',
          |          '<' || split_part(pr, ' ', 1) || split_part(pr, ' ', 2) || '>') AS s
          |        FROM e${r - 1}, r$r)""".stripMargin
     }.mkString(",\n")
-    // NOTE: same stripMargin discipline as [[oracleSql]] — interpolated
-    // pieces are pre-stripped and contain no line-leading `|`, so only
-    // the literal tail goes through stripMargin
+    s"""tok AS ($tokCte),
+       |tokg AS (SELECT doc_id, word FROM tok
+       |         WHERE word <> '' AND NOT contains(word, '<')
+       |           AND NOT contains(word, '>')),
+       |ew AS (SELECT DISTINCT word FROM tokg),
+       |e0 AS (SELECT word,
+       |              '<' || array_to_string([c FOR c IN string_split(word, '')], '><')
+       |                  || '>' AS s
+       |       FROM ew),
+       |$encRounds,
+       |v AS (SELECT word,
+       |             CAST(len(string_split(trim(s, '<>'), '><')) AS BIGINT) AS nsym
+       |      FROM e$nMerges),
+       |alpha AS (SELECT DISTINCT unnest([c FOR c IN string_split(word, '')]) AS ch
+       |          FROM w0),
+       |wch AS (SELECT DISTINCT word, unnest([c FOR c IN string_split(word, '')]) AS ch
+       |        FROM ew),
+       |wo AS (SELECT wch.word,
+       |              CAST(MAX(CASE WHEN a.ch IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+       |       FROM wch LEFT JOIN alpha a USING (ch) GROUP BY 1)""".stripMargin
+  }
+
+  def encodeOracleSql(nMerges: Int, trainWhere: String,
+                      tokCte: String): String = {
     val tail =
-      s"""tok AS ($tokCte),
-         |tokg AS (SELECT doc_id, word FROM tok
-         |         WHERE word <> '' AND NOT contains(word, '<')
-         |           AND NOT contains(word, '>')),
-         |ew AS (SELECT DISTINCT word FROM tokg),
-         |e0 AS (SELECT word,
-         |              '<' || array_to_string([c FOR c IN string_split(word, '')], '><')
-         |                  || '>' AS s
-         |       FROM ew),
-         |$encRounds,
-         |v AS (SELECT word,
-         |             CAST(len(string_split(trim(s, '<>'), '><')) AS BIGINT) AS nsym
-         |      FROM e$nMerges),
-         |alpha AS (SELECT DISTINCT unnest([c FOR c IN string_split(word, '')]) AS ch
-         |          FROM w0),
-         |wch AS (SELECT DISTINCT word, unnest([c FOR c IN string_split(word, '')]) AS ch
-         |        FROM ew),
-         |wo AS (SELECT wch.word,
-         |              CAST(MAX(CASE WHEN a.ch IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
-         |       FROM wch LEFT JOIN alpha a USING (ch) GROUP BY 1),
-         |j AS (SELECT t.doc_id, t.word, v.nsym, wo.oov
-         |      FROM tokg t JOIN v USING (word) JOIN wo USING (word))
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-         |       CAST(SUM(len(word)) AS BIGINT) AS n_chars,
-         |       CAST(SUM(nsym) AS BIGINT) AS n_bpe,
-         |       CAST(SUM(oov) AS BIGINT) AS n_oov,
-         |       ROUND(CAST(SUM(len(word)) AS DOUBLE) / SUM(nsym), 4)
-         |         AS compression
-         |FROM j GROUP BY 1""".stripMargin
-    s"WITH ${roundsCte(nMerges, trainWhere)},\n$tail"
+      """j AS (SELECT t.doc_id, t.word, v.nsym, wo.oov
+        |      FROM tokg t JOIN v USING (word) JOIN wo USING (word))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+        |       CAST(SUM(nsym) AS BIGINT) AS n_bpe,
+        |       CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |       ROUND(CAST(SUM(len(word)) AS DOUBLE) / SUM(nsym), 4)
+        |         AS compression
+        |FROM j GROUP BY 1""".stripMargin
+    s"WITH ${roundsCte(nMerges, trainWhere)},\n" +
+      s"${encodeCtes(nMerges, tokCte)},\n$tail"
+  }
+
+  /** The DuckDB replay of [[encodeSegments]]: the final `e<nMerges>.s`
+    * column IS the engine's bracketed segmentation, symbol for symbol.
+    */
+  def segmentOracleSql(nMerges: Int, trainWhere: String,
+                       tokCte: String): String = {
+    val tail =
+      s"""SELECT e.word, v.nsym AS n_sym, wo.oov, e.s AS segmented
+         |FROM e$nMerges e JOIN v USING (word) JOIN wo USING (word)""".stripMargin
+    s"WITH ${roundsCte(nMerges, trainWhere)},\n" +
+      s"${encodeCtes(nMerges, tokCte)}\n$tail"
   }
 }

@@ -80,6 +80,38 @@ object BpeTrainBench {
         f"oov ${a.getLong(4)}) train=$trainSec%.1f s tokenize=$tokSec%.1f s")
     }
 
+    // ENCODE at the production vocab (round-11): a disjoint corpus of
+    // nWords/2 words the training never saw, greedily segmented under
+    // the 32k merge table — measures the broadcast rank-map encode
+    // over a genuinely vocabulary-sized distinct-word frame (the
+    // tokenizer SERVE face at production scale)
+    val seen2 = scala.collection.mutable.HashSet.empty[String]
+    val rng2 = new scala.util.Random(7)
+    while (seen2.size < nWords / 2) {
+      val len = 4 + rng2.nextInt(11)
+      val w = Array.fill(len)(('a' + rng2.nextInt(26)).toChar).mkString
+      if (!seen.contains(w)) seen2 += w
+    }
+    val scoreDocs = seen2.toSeq.sorted.zipWithIndex
+      .map { case (w, i) => (i.toLong % 1000L, w) }
+      .toDF("doc_id", "word")
+      .repartition(cpus * 2)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", collect_list(col("word"))).as("text"))
+      .localCheckpoint()
+    val t4 = System.nanoTime()
+    val enc = Bpe.encodeTokenCountsWith(scoreDocs, "doc_id", "text",
+        rules, wordsOut)
+      .agg(sum("n_words").as("w"), sum("n_chars").as("c"),
+        sum("n_bpe").as("b"), sum("n_oov").as("o"))
+      .head()
+    val encSec = (System.nanoTime() - t4) / 1e9
+    println(f"encode ${enc.getLong(0)} UNSEEN words @$nRules merges: " +
+      f"${enc.getLong(1)} chars -> ${enc.getLong(2)} tokens " +
+      f"(compression ${enc.getLong(1).toDouble / enc.getLong(2)}%.3f, " +
+      f"oov ${enc.getLong(3)}) in $encSec%.1f s " +
+      f"(${enc.getLong(0) / encSec}%.0f words/s)")
+
     // distributed fallback at a small count → per-merge job cost
     val distMerges = 64
     val t1 = System.nanoTime()

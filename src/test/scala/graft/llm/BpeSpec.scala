@@ -216,4 +216,24 @@ class BpeSpec extends SparkSpec {
       assert(nBpe <= nChars && nBpe >= 1, r)
     }
   }
+
+  test("encodeSegments emits the exact bracketed sub-word sequence") {
+    val trainDocs = Seq((1L, "low low low"), (2L, "lower lowest"))
+      .toDF("doc_id", "text")
+    val (rules, words) = Bpe.trainShared(trainDocs, "text", nMerges = 4)
+    // merges: lo, low, lowe, lower
+    val score = Seq((10L, "slow lowlow glow zq low")).toDF("doc_id", "text")
+    val out = Bpe.encodeSegments(score, "text", rules, words)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("slow") === ((2L, 0L, "<s><low>")))
+    assert(out("lowlow") === ((2L, 0L, "<low><low>")))
+    // 'g' is outside the training alphabet -> oov flag set, yet the
+    // word STILL segments with the learned merges (the flag reports,
+    // it never blocks encoding)
+    assert(out("glow") === ((2L, 1L, "<g><low>")))
+    assert(out("zq") === ((2L, 1L, "<z><q>")))   // unseen chars -> oov
+    assert(out("low") === ((1L, 0L, "<low>")))   // trained word intact
+    assert(out.size == 5)                        // vocabulary-sized
+  }
 }
