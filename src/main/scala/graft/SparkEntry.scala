@@ -202,7 +202,7 @@ object SparkEntry {
     "_shared:neardup-pairs" -> Seq("q80_dup_clusters", "q165_dup_canonical",
       "q166_dedup_split", "q180_soft_dedup"),
     "_shared:bpe8" -> Seq("q177_bpe_merges", "q179_bpe_tokenize"),
-    "_shared:bpe8slice" -> Seq("q191_bpe_encode", "q194_bpe_segment"))
+    "_shared:bpe8slice" -> Seq("q191_bpe_encode", "q194_bpe_segment", "q195_bpe_pack"))
 
   /** The q178/q181 mixture weights, and their oracle VALUES clause:
     * the SQL side receives the PRE-NORMALIZED weights (each divided by
@@ -950,6 +950,20 @@ object SparkEntry {
     "q194_bpe_segment" -> ((s, dir) =>
       Bpe.encodeSegments(gluedEvalDocs(s, dir), "text",
         bpeSliceMerges(s, dir), bpeSliceWords(s, dir))),
+
+    // --- pack context windows by TRUE BPE token counts (the real SFT
+    //     packing flow): per-doc n_bpe from the cross-corpus encoder
+    //     feeds the no-straddle length-class packer — windows budgeted
+    //     in tokenizer tokens, not whitespace words; over-long docs
+    //     flagged -1 for chunking ---
+    "q195_bpe_pack" -> ((s, dir) => {
+      val counts = Bpe.encodeTokenCountsWith(gluedEvalDocs(s, dir),
+          "doc_id", "text", bpeSliceMerges(s, dir), bpeSliceWords(s, dir))
+        .select(col("doc_id"), col("n_bpe"))
+      val langs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      Packing.bucketPackCounted(counts.join(langs, "doc_id"), "doc_id",
+        "n_bpe", "lang", contextLen = 256, saltBlocks = 4)
+    }),
 
     // --- deterministic pretraining order: content-hash shard + in-
     //     shard hash-ordered position — a reproducible, engine-
@@ -3622,6 +3636,33 @@ object SparkEntry {
     // engine's bracketed segmentation, compared symbol for symbol
     "q194_bpe_segment" -> Bpe.segmentOracleSql(8,
       trainWhere = "doc_id % 4 = 0", tokCte = gluedTokCte),
+
+    // the q191 per-doc token economics nested as a CTE, then the q188
+    // pack chain with n_tok = the encoder's n_bpe and ctx 256
+    "q195_bpe_pack" -> {
+      val perDoc = Bpe.encodeOracleSql(8,
+        trainWhere = "doc_id % 4 = 0", tokCte = gluedTokCte)
+      // stripMargin ONLY the literal tail: perDoc is already stripped
+      // and contains line-leading `||` continuations that a second
+      // stripMargin would corrupt (the documented Bpe.oracleSql footgun)
+      val tail =
+        """base AS (
+         |  SELECT c.doc_id, d.lang, CAST(c.n_bpe AS INT) AS n_tok,
+         |         CAST(CAST(concat('0x', substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 8))
+         |                   AS BIGINT) % 4 AS INT) AS block
+         |  FROM counts c JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, n_tok, block
+         |                               ORDER BY doc_id) AS rn,
+         |         CAST(FLOOR(256.0 / n_tok) AS BIGINT) AS cap
+         |  FROM base)
+         |SELECT doc_id, lang, n_tok, block,
+         |       CAST(CASE WHEN n_tok > 256 THEN -1
+         |                 ELSE CAST(FLOOR((rn - 1) / cap) AS BIGINT) END AS BIGINT) AS pack_seq,
+         |       CAST(CASE WHEN n_tok > 256 THEN -1 ELSE (rn - 1) % cap END AS INT) AS slot
+         |FROM r""".stripMargin
+      s"WITH counts AS ($perDoc),\n$tail"
+    },
 
     // integer token math via FLOOR over PRE-NORMALIZED weights (see
     // mixWeightsSql — no in-SQL weight-sum division to diverge at a

@@ -81,12 +81,27 @@ object Packing {
     */
   def bucketPack(docs: DataFrame, idCol: String, textCol: String,
                  groupCol: String, contextLen: Int,
-                 saltBlocks: Int = 0): DataFrame = {
+                 saltBlocks: Int = 0): DataFrame =
+    bucketPackCounted(
+      docs.select(col(idCol), col(groupCol),
+        size(split(col(textCol), " ")).as("n_tok")),
+      idCol, "n_tok", groupCol, contextLen, saltBlocks)
+
+  /** [[bucketPack]] over a PRECOMPUTED per-doc token count — the
+    * composition point for a real tokenizer: feed `n_bpe` from
+    * [[Bpe.encodeTokenCountsWith]] and windows are budgeted in TRUE
+    * BPE tokens instead of whitespace words (what an SFT/long-context
+    * packer actually needs). Same contract, output, and scale design
+    * as [[bucketPack]]; `nTokCol` must be positive and integral.
+    */
+  def bucketPackCounted(docs: DataFrame, idCol: String, nTokCol: String,
+                        groupCol: String, contextLen: Int,
+                        saltBlocks: Int = 0): DataFrame = {
     val blocks =
       if (saltBlocks > 0) saltBlocks
       else docs.sparkSession.sessionState.conf.numShufflePartitions
     val base = docs.select(col(idCol), col(groupCol),
-        size(split(col(textCol), " ")).as("n_tok"))
+        col(nTokCol).cast("int").as("n_tok"))
       .withColumn("block",
         (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
           .cast("long") % blocks).cast("int"))

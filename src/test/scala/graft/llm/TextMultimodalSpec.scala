@@ -364,6 +364,20 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bucketPackCounted with whitespace counts equals bucketPack") {
+    val d = ((0L until 20L).map(i => (i, "en", ("w " * (5 + (i % 4)).toInt).trim)) :+
+      ((99L, "en", ("w " * 200).trim))).toDF("doc_id", "lang", "text")
+    import org.apache.spark.sql.functions._
+    val counted = Packing.bucketPackCounted(
+      d.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n")),
+      "doc_id", "n", "lang", contextLen = 16, saltBlocks = 2)
+      .collect().map(_.toSeq).toSet
+    val direct = Packing.bucketPack(d, "doc_id", "text", "lang",
+      contextLen = 16, saltBlocks = 2).collect().map(_.toSeq).toSet
+    assert(counted == direct)
+  }
+
   test("bucketPack never straddles, fills windows to capacity, flags over-long docs") {
     // 20 docs of 30 toks (cap 4 at ctx 128), 6 of 50 (cap 2), 1 of 200 (overflow)
     val d = ((0L until 20L).map(i => (i, "en", ("w " * 30).trim)) ++
