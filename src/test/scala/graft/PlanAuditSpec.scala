@@ -253,6 +253,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q195: the pack ordinal window is salt-block partitioned " +
+    "(no length class becomes one sort partition)") {
+    val p = plan("q195_bpe_pack")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .mkString("\n")
+    assert(winLines.contains("block"),
+      s"pack window not partitioned by salt block:\n$winLines")
+  }
+
   test("q176: substring-span dedup joins on the gram key, never all-pairs") {
     val p = plan("q176_substr_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
