@@ -713,6 +713,16 @@ object SparkEntry {
           (col("value") / lit(7.0)).as("score")),
         "label", "score", binDigits = Some(1))),
 
+    // --- the aucDf face of the same knob: Mann-Whitney AUC over the
+    //     decimal-floor binned continuous score (label decorrelated
+    //     via user parity, so the value is non-trivially mid-range) ---
+    "q196_auc_binned" -> ((s, dir) =>
+      Eval.aucDf(
+        t(s, dir, "events").select(
+          pmod(col("user_id"), lit(2)).cast("double").as("label"),
+          (col("value") / lit(7.0)).as("score")),
+        "label", "score", binDigits = Some(1))),
+
     // --- ALS train + subset top-k serve + explode (M1/M4/F3/F4; no SQL
     //     oracle: factor optimization is not SQL-expressible → driver
     //     records the rows-only check; ε-band tests live in AlsSpec) ---
@@ -2999,6 +3009,21 @@ object SparkEntry {
         |SELECT score,
         |       ROUND((cum_n - cum_pos) / (tot_n - tot_pos), 6) AS fpr,
         |       ROUND(cum_pos / tot_pos, 6) AS tpr
+        |FROM w""".stripMargin,
+
+    // the q27 rank-sum SQL over the q192 binned-score histogram
+    "q196_auc_binned" ->
+      """WITH src AS (
+        |  SELECT CAST(user_id % 2 AS DOUBLE) AS label,
+        |         FLOOR(("value" / 7.0) * 10.0) / 10.0 AS score
+        |  FROM events),
+        |g AS (SELECT score, CAST(COUNT(*) AS DOUBLE) AS n, SUM(label) AS pos
+        |      FROM src GROUP BY score),
+        |w AS (SELECT *,
+        |             COALESCE(SUM(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM g)
+        |SELECT ROUND((SUM(pos * (cum_before + (n + 1.0) / 2.0)) - SUM(pos) * (SUM(pos) + 1.0) / 2.0)
+        |             / (SUM(pos) * (SUM(n) - SUM(pos))), 6) AS auc
         |FROM w""".stripMargin,
 
     "q28_fill_to_k" ->
