@@ -723,6 +723,28 @@ object SparkEntry {
           (col("value") / lit(7.0)).as("score")),
         "label", "score", binDigits = Some(1))),
 
+    // --- calibration reliability diagram: a [0,1) probability score
+    //     derived from the event props, labels from the value
+    //     threshold; per-bin confidence vs accuracy with decimal-
+    //     exact score mass (the quality-model-as-corpus-gate check) ---
+    "q199_calibration_bins" -> ((s, dir) =>
+      Eval.calibrationBins(
+        t(s, dir, "events").select(
+          Cleaning.binarize(col("value"), 100.0).as("label"),
+          (get_json_object(col("props"), "$.k").cast("int")
+            .cast("double") / lit(100.0)).as("score")),
+        "label", "score").orderBy(col("bin"))),
+
+    // --- the scalar face of the same binning: ECE / MCE / Brier in
+    //     one ≤ nBins-row pipeline ---
+    "q200_calibration_summary" -> ((s, dir) =>
+      Eval.calibrationSummary(
+        t(s, dir, "events").select(
+          Cleaning.binarize(col("value"), 100.0).as("label"),
+          (get_json_object(col("props"), "$.k").cast("int")
+            .cast("double") / lit(100.0)).as("score")),
+        "label", "score")),
+
     // --- ALS train + subset top-k serve + explode (M1/M4/F3/F4; no SQL
     //     oracle: factor optimization is not SQL-expressible → driver
     //     records the rows-only check; ε-band tests live in AlsSpec) ---
@@ -2049,6 +2071,65 @@ object SparkEntry {
             .cast("long")).as("n_ok"))
     }),
 
+    // --- perceptual image hash gate: executors synthesize ramp and
+    //     solid PNGs; the dHash closed forms (strictly-increasing
+    //     ramp ⇒ all 64 comparison bits set ⇒ -1L; solid ⇒ no bit set
+    //     ⇒ 0L) pin the cell grid, the luma formula, and the bit
+    //     order against the count-only oracle ---
+    "q197_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).filter(col("doc_id") % 19 === 0)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (36 + id % 16).toInt
+          val h = (32 + id % 8).toInt
+          val png =
+            if (id % 2 == 0) Multimodal.rampPng(w, h)
+            else Multimodal.solidPng(w, h, (40 + id % 160).toInt)
+          (id, png)
+        })
+        .toDF("doc_id", "png")
+      Multimodal.imageDHash(payloads, "doc_id", "png")(s).toDF()
+        .agg(
+          count(lit(1)).as("n_images"),
+          sum((col("decoded") && col("id") % 2 === 0 &&
+            col("dhash") === -1L).cast("long")).as("n_ramp_allones"),
+          sum((col("decoded") && col("id") % 2 === 1 &&
+            col("dhash") === 0L).cast("long")).as("n_solid_zero"))
+    }),
+
+    // --- image near-dup gate (the pixel face of the dedup family):
+    //     3 pattern copies per sampled doc — base, +8 brightness
+    //     (dHash-identical by construction), +16 brightness with a
+    //     +25 bump in cell (0,0) (Hamming ≤ 1) — so each group must
+    //     yield EXACTLY its 3 within-group pairs through the 8-band
+    //     Hamming join; the oracle derives the pair count from the
+    //     doc sample alone ---
+    "q198_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).filter(col("doc_id") % 23 === 0)
+        .as[Long]
+        .flatMap { id =>
+          val w = (36 + id % 16).toInt
+          val h = (32 + id % 8).toInt
+          Seq(
+            (id * 4, Multimodal.cellPatternPng(w, h, id)),
+            (id * 4 + 1, Multimodal.cellPatternPng(w, h, id, brightness = 8)),
+            (id * 4 + 2,
+              Multimodal.cellPatternPng(w, h, id, brightness = 16, bump00 = 25)))
+        }
+        .toDF("img_id", "png")
+      val pairs = Multimodal.imageNearDup(imgs, "img_id", "png", maxDist = 4)(s)
+        .filter(floor(col("id_a") / 4) === floor(col("id_b") / 4))
+      t(s, dir, "documents").filter(col("doc_id") % 23 === 0)
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+        .select(col("n_docs"), col("n_pairs"),
+          (col("n_pairs") === col("n_docs") * 3).cast("int").as("complete"))
+    }),
+
     // --- real video-container decode gate: executors synthesize
     //     MJPEG-in-AVI payloads (1 + doc_id % 4 solid-gray JPEG
     //     frames, dims + gray closed-form in doc_id and frame index),
@@ -3025,6 +3106,50 @@ object SparkEntry {
         |SELECT ROUND((SUM(pos * (cum_before + (n + 1.0) / 2.0)) - SUM(pos) * (SUM(pos) + 1.0) / 2.0)
         |             / (SUM(pos) * (SUM(n) - SUM(pos))), 6) AS auc
         |FROM w""".stripMargin,
+
+    // reliability diagram: decimal-exact per-bin score mass, IEEE
+    // double divisions — the replay mirrors Eval.calibrationBins op
+    // for op (LEAST/FLOOR binning, DECIMAL(18,8) accumulation)
+    "q199_calibration_bins" ->
+      """WITH src AS (
+        |  SELECT CAST(CASE WHEN value > 100.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
+        |         CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DOUBLE) / 100.0 AS score
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(LEAST(FLOOR(score * 10), 9) AS INT) AS bin,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(score AS DECIMAL(18,8))) AS s,
+        |         SUM(label) AS pos
+        |  FROM src GROUP BY 1)
+        |SELECT bin,
+        |       ROUND(CAST(bin AS DOUBLE) / 10, 6) AS p_lo,
+        |       n,
+        |       ROUND(CAST(s AS DOUBLE) / n, 6) AS conf,
+        |       ROUND(pos / n, 6) AS acc,
+        |       ROUND(ABS(pos / n - CAST(s AS DOUBLE) / n), 6) AS gap
+        |FROM b ORDER BY bin""".stripMargin,
+
+    "q200_calibration_summary" ->
+      """WITH src AS (
+        |  SELECT CAST(CASE WHEN value > 100.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
+        |         CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DOUBLE) / 100.0 AS score
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(LEAST(FLOOR(score * 10), 9) AS INT) AS bin,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(score AS DECIMAL(18,8))) AS s,
+        |         SUM(label) AS pos,
+        |         SUM((CAST(score AS DECIMAL(18,8)) - CAST(label AS DECIMAL(18,8))) *
+        |             (CAST(score AS DECIMAL(18,8)) - CAST(label AS DECIMAL(18,8)))) AS sq
+        |  FROM src GROUP BY 1),
+        |g AS (SELECT *, ABS(pos / n - CAST(s AS DOUBLE) / n) AS gap FROM b)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |       ROUND(SUM(gap * n) / SUM(n), 6) AS ece,
+        |       ROUND(MAX(gap), 6) AS mce,
+        |       ROUND(CAST(SUM(sq) AS DOUBLE) / SUM(n), 6) AS brier
+        |FROM g""".stripMargin,
 
     "q28_fill_to_k" ->
       s"""WITH r AS ($ratingsSql),
@@ -4087,6 +4212,24 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_decoded,
         |       CAST(COUNT(*) AS BIGINT) AS n_ok
         |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
+
+    // dHash closed-form gates: even sampled docs get ramp payloads
+    // (all-ones hash), odd get solids (zero hash) — the oracle
+    // recomputes both sample sizes from doc_id arithmetic alone
+    "q197_image_phash" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+        |       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ramp_allones,
+        |       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_solid_zero
+        |FROM documents WHERE doc_id % 19 = 0""".stripMargin,
+
+    // every sampled doc plants 3 near-copies whose pairwise Hamming
+    // is ≤ 1 by construction, so the 8-band join must return exactly
+    // 3 within-group pairs per doc
+    "q198_image_neardup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(3 * COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(1 AS INT) AS complete
+        |FROM documents WHERE doc_id % 23 = 0""".stripMargin,
 
     "q132_audio_features" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_clips,

@@ -491,19 +491,46 @@ object Dedup {
                      cacheFingerprints: Boolean = false,
                      maxBucket: Option[Int] = None): DataFrame = {
     // same caching contract as [[minHashNearDup]]; same hot-bucket cap
-    // contract as [[lshCandidates]] (a 16-bit band of near-identical
+    // contract as [[lshCandidates]] (a 15-bit band of near-identical
     // fingerprints is the k-copies hazard here)
     val fp0 = simHash(docs, idCol, textCol)
     val fp = if (cacheFingerprints) fp0.cache() else fp0
-    val bandBits = SimBits / 4
+    hammingNearDup(fp, idCol, "simhash", SimBits, 4, maxDist, maxBucket)
+  }
+
+  /** Hamming near-dup pairs over ANY integer fingerprint column — the
+    * banding+verify core shared by [[simHashNearDup]] (60-bit text
+    * SimHash) and [[Multimodal.imageNearDup]] (64-bit image dHash),
+    * and open to any future modality fingerprint (audio chroma, video
+    * scene hashes). Candidates come from equality on `nBands` bit
+    * bands of `bits/nBands` bits each — pigeonhole guarantees every
+    * pair within Hamming `nBands - 1` shares at least one band, so
+    * candidate recall is EXACT when `nBands > maxDist` and
+    * best-effort beyond that radius (the historical simHash contract:
+    * a wider verify radius still only ever ADDS pairs) — verified
+    * with `bit_count(xor)`. Output: (id_a, id_b, hamming), one row
+    * per unordered pair.
+    *
+    * Scale: the fingerprint frame is ~16 bytes/row whatever the
+    * payload size (the 100 TB image corpus reduces to a few hundred
+    * GB of hashes before any join); candidates shuffle on the
+    * (band, bucket) key, never all-pairs; `maxBucket` caps degenerate
+    * buckets (k identical images) exactly like the LSH path.
+    */
+  def hammingNearDup(fp: DataFrame, idCol: String, fpCol: String,
+                     bits: Int, nBands: Int, maxDist: Int,
+                     maxBucket: Option[Int] = None): DataFrame = {
+    require(bits % nBands == 0 && bits <= 64,
+      s"bits ($bits) must be a multiple of nBands ($nBands) and <= 64")
+    val bandBits = bits / nBands
     val bandMask = (1L << bandBits) - 1
     val banded = capBuckets(
-      fp.select(col(idCol), col("simhash"),
-        explode(array((0 until 4).map(j =>
+      fp.select(col(idCol), col(fpCol),
+        explode(array((0 until nBands).map(j =>
           struct(lit(j).as("band"),
-            shiftrightunsigned(col("simhash"), j * bandBits)
+            shiftrightunsigned(col(fpCol), j * bandBits)
               .bitwiseAND(lit(bandMask)).as("bucket"))): _*)).as("b"))
-        .select(col(idCol), col("simhash"), col("b.band"), col("b.bucket")),
+        .select(col(idCol), col(fpCol), col("b.band"), col("b.bucket")),
       idCol, Seq("band", "bucket"), maxBucket)
     val left = banded.toDF("id_a", "fp_a", "band", "bucket")
     val right = banded.toDF("id_b", "fp_b", "band", "bucket")

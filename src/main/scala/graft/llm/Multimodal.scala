@@ -367,6 +367,70 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Horizontal-ramp PNG: gray rises strictly left→right
+    * (`40 + x*160/width`), flat in y — closed-form dHash of all-ones
+    * (every cell-mean comparison true ⇒ `dhash == -1L`) for
+    * `width ≥ 18`, the [[imageDHash]] oracle payload. Pure function
+    * of its arguments; runs on executors.
+    */
+  def rampPng(width: Int, height: Int): Array[Byte] = {
+    imageIoNoDiskCache()
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = 40 + x * 160 / width
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Piecewise-constant pattern PNG aligned to [[imageDHash]]'s 8×9
+    * cell grid: cell `(cy, cx)` gray is a seed-keyed pseudo-random
+    * constant in [40, 200), plus a uniform `brightness` shift and an
+    * extra `bump00` inside cell (0,0) only. The planted-near-dup
+    * payload: a `brightness`-only copy hashes IDENTICALLY (uniform
+    * shifts preserve every cell-mean comparison; no clamping by
+    * contract: `brightness + bump00 ≤ 55`), and a `bump00` copy can
+    * flip at most the single bit comparing cells (0,0) and (0,1) —
+    * so within-group Hamming ≤ 1 deterministically, while different
+    * seeds disagree on ~half of all 64 bits. Pure function of its
+    * arguments; runs on executors.
+    */
+  def cellPatternPng(width: Int, height: Int, seed: Long,
+                     brightness: Int = 0, bump00: Int = 0): Array[Byte] = {
+    require(brightness + bump00 <= 55 && brightness >= 0 && bump00 >= 0,
+      s"pattern gray must stay in [40, 255]: brightness=$brightness bump00=$bump00")
+    imageIoNoDiskCache()
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      val cy = math.min(7, y * 8 / height)
+      var x = 0
+      while (x < width) {
+        val cx = math.min(8, x * 9 / width)
+        val m = (cx + 1) * 73856093L ^ (cy + 1) * 19349663L ^
+          (seed + 1) * 83492791L
+        val g = 40 + (((m % 160) + 160) % 160).toInt + brightness +
+          (if (cx == 0 && cy == 0) bump00 else 0)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Hand-rolled RIFF/WAVE container around constant-amplitude 16-bit
     * mono PCM — the payload synthesizer for the q132 decode gate
     * (constant signal ⇒ RMS == amplitude exactly). 44-byte canonical
@@ -621,6 +685,116 @@ object Multimodal {
           }
         }
       }
+  }
+
+  final case class ImagePHash(id: Long, decoded: Boolean, dhash: Long)
+
+  /** 64-bit difference hash (dHash) of a decoded image: luma block
+    * means over an 8×9 cell grid, bit `r*8+c` set iff
+    * `mean(r,c) < mean(r,c+1)`. The standard perceptual fingerprint
+    * for image-corpus dedup (LAION-style): invariant to uniform
+    * brightness shifts and any resize that preserves cell ordering,
+    * and two visually-distinct images land ~32 bits apart, so a small
+    * Hamming radius separates near-copies from the rest.
+    *
+    * Cell means come from a bounded sample grid (≥8 samples per cell
+    * axis on large images, every pixel on small ones) so the hash
+    * pass costs O(4608) pixel reads per image regardless of payload
+    * size — the same discipline as the decode pass's `sampledLuma`.
+    * Cell assignment is `floor(x*9/w)` / `floor(y*8/h)`, matching
+    * [[cellPatternPng]] exactly (cell-constant payloads hash with
+    * zero boundary leakage — what makes the planted oracle exact).
+    */
+  def imageDHash(df: DataFrame, idCol: String, binCol: String)
+                (implicit spark: SparkSession): Dataset[ImagePHash] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoNoDiskCache()
+        it.map { case (id, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case Some(i) => ImagePHash(id, decoded = true, dHash64(i))
+            case None    => ImagePHash(id, decoded = false, 0L)
+          }
+        }
+      }
+  }
+
+  // luma accumulates as an INTEGER (299r + 587g + 114b per pixel) and
+  // cell means compare by cross-multiplication — no doubles anywhere,
+  // so equal-luma cells with different pixel counts compare EQUAL
+  // (float accumulation order would drift them by ulps and set
+  // spurious bits on e.g. solid images), and a uniform brightness
+  // shift provably preserves every comparison
+  private def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val xStep = math.max(1, w / 72)
+    val yStep = math.max(1, h / 64)
+    val sums = new Array[Long](72)
+    val cnts = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(8, x * 9 / w)
+        val rgb = img.getRGB(x, y)
+        sums(cy * 9 + cx) += 299L * ((rgb >> 16) & 0xFF) +
+          587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+        cnts(cy * 9 + cx) += 1L
+        x += xStep
+      }
+      y += yStep
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val i = r * 9 + c
+        // mean(i) < mean(i+1) ⟺ s_i·n_{i+1} < s_{i+1}·n_i (exact;
+        // bounded: s ≤ 255000·4608 ≈ 1.2e9, product ≤ 5.4e12 ≪ 2^63);
+        // an empty cell (sub-9-pixel-wide image) counts as mean 0
+        val a = if (cnts(i) == 0) 0L else sums(i)
+        val na = if (cnts(i) == 0) 1L else cnts(i)
+        val b = if (cnts(i + 1) == 0) 0L else sums(i + 1)
+        val nb = if (cnts(i + 1) == 0) 1L else cnts(i + 1)
+        if (a * nb < b * na) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Image near-duplicate pairs: [[imageDHash]] fingerprints joined
+    * through [[Dedup.hammingNearDup]]'s band-bucket equi-join (8
+    * bands of 8 bits — exact candidate recall for Hamming ≤ 7; no
+    * all-pairs). Undecodable payloads are excluded (a poison image
+    * can't be a duplicate of anything). Output (id_a, id_b, hamming).
+    *
+    * This is the image face of the dedup family: text has
+    * MinHash/SimHash, embeddings have SemDeDup — a multimodal corpus
+    * needs near-dup over the PIXELS too (re-encoded/re-branded
+    * copies share no bytes and no caption text). At 100 TB the
+    * decode+hash scan dominates and is embarrassingly parallel; the
+    * pair join runs over the 16-byte/row fingerprint frame.
+    */
+  def imageNearDup(df: DataFrame, idCol: String, binCol: String,
+                   maxDist: Int = 4, maxBucket: Option[Int] = None)
+                  (implicit spark: SparkSession): DataFrame = {
+    require(maxDist < 8,
+      s"imageNearDup's 8-band layout guarantees candidate recall only " +
+        s"for maxDist <= 7; got $maxDist")
+    Dedup.hammingNearDup(
+      imageDHash(df, idCol, binCol).filter(col("decoded")).toDF(),
+      "id", "dhash", bits = 64, nBands = 8, maxDist = maxDist,
+      maxBucket = maxBucket)
   }
 
   final case class AudioMeta(id: Long, decoded: Boolean, sampleRate: Int,

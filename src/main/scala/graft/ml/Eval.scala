@@ -96,6 +96,69 @@ object Eval {
         digits).as("auc"))
   }
 
+  /** Reliability diagram for a probability-scored binary frame — the
+    * calibration face of the eval family (a quality-model score used
+    * as a KEEP probability must be calibrated before it gates a
+    * corpus; cf. the L30 quality model): fixed-width bins over [0,1]
+    * (`bin = min(⌊p·nBins⌋, nBins−1)`), one row per non-empty bin with
+    * `(bin, p_lo, n, conf, acc, gap)` — mean predicted probability,
+    * empirical positive rate, and |acc − conf|.
+    *
+    * Determinism: per-bin score mass accumulates in DECIMAL (exact,
+    * partitioning-independent — the [[rmseDf]] discipline); the only
+    * doubles are final divisions, which IEEE fixes bit-identically in
+    * every engine. Scale: ONE map-side-combinable aggregation into
+    * ≤ nBins groups; nothing downstream exceeds nBins rows.
+    */
+  def calibrationBins(df: DataFrame, labelCol: String, scoreCol: String,
+                      nBins: Int = 10, digits: Int = 6): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    df.filter(col(scoreCol).isNotNull)
+      .groupBy(least(floor(col(scoreCol) * nBins), lit(nBins - 1))
+        .cast("int").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(scoreCol).cast(D8)).as("_s"),
+        sum(col(labelCol).cast("double")).as("_pos"))
+      .select(
+        col("bin"),
+        round(col("bin").cast("double") / nBins, digits).as("p_lo"),
+        col("n"),
+        round(col("_s").cast("double") / col("n"), digits).as("conf"),
+        round(col("_pos") / col("n"), digits).as("acc"),
+        round(abs(col("_pos") / col("n") -
+          col("_s").cast("double") / col("n")), digits).as("gap"))
+  }
+
+  /** Scalar calibration metrics over the same binning as
+    * [[calibrationBins]]: expected calibration error (bin-mass-
+    * weighted |acc − conf|), maximum calibration error, and the
+    * binning-free Brier score — as a 1-row frame
+    * `(n, ece, mce, brier)`. Same decimal-accumulation determinism
+    * and ≤ nBins intermediate rows as the bins frame.
+    */
+  def calibrationSummary(df: DataFrame, labelCol: String, scoreCol: String,
+                         nBins: Int = 10, digits: Int = 6): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val d = (col(scoreCol).cast(D8) - col(labelCol).cast(D8))
+    val bins = df.filter(col(scoreCol).isNotNull)
+      .groupBy(least(floor(col(scoreCol) * nBins), lit(nBins - 1))
+        .cast("int").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(scoreCol).cast(D8)).as("_s"),
+        sum(col(labelCol).cast("double")).as("_pos"),
+        sum(d * d).as("_sq"))
+      .withColumn("_gap",
+        abs(col("_pos") / col("n") - col("_s").cast("double") / col("n")))
+    bins.agg(
+      sum(col("n")).as("n"),
+      round(sum(col("_gap") * col("n")) / sum(col("n")), digits).as("ece"),
+      round(max(col("_gap")), digits).as("mce"),
+      round(sum(col("_sq")).cast("double") / sum(col("n")), digits)
+        .as("brier"))
+  }
+
   /** ROC curve points (M10; replaces the reference's sklearn/matplotlib
     * PNG, `Model_evaluation.py:95-107`, with the S7 table the survey
     * prescribes): one (score, fpr, tpr) row per distinct score,

@@ -407,4 +407,53 @@ class TextMultimodalSpec extends SparkSpec {
         r.getInt(3), r.getLong(4), r.getInt(5)))
     assert(out.toSet == again.toSet)
   }
+
+  test("imageDHash: ramp all-ones, solid zero, brightness-invariant, bump flips <= 1 bit, poison tolerated") {
+    implicit val s = spark
+    val rows = Seq(
+      (1L, Multimodal.rampPng(40, 32)),
+      (2L, Multimodal.solidPng(40, 32, 77)),
+      (3L, Multimodal.cellPatternPng(45, 36, seed = 9L)),
+      (4L, Multimodal.cellPatternPng(45, 36, seed = 9L, brightness = 8)),
+      (5L, Multimodal.cellPatternPng(45, 36, seed = 9L, brightness = 16,
+        bump00 = 25)),
+      (6L, Multimodal.cellPatternPng(45, 36, seed = 10L)),
+      (7L, Array.tabulate(64)(i => (i * 7 % 256).toByte)) // not an image
+    ).toDF("doc_id", "b")
+    val h = Multimodal.imageDHash(rows, "doc_id", "b")
+      .collect().map(m => m.id -> m).toMap
+    assert(h(1L).decoded && h(1L).dhash == -1L)
+    assert(h(2L).decoded && h(2L).dhash == 0L)
+    assert(h(3L).dhash == h(4L).dhash,
+      "uniform brightness shift must preserve every cell comparison")
+    assert(java.lang.Long.bitCount(h(3L).dhash ^ h(5L).dhash) <= 1,
+      "a bump confined to cell (0,0) can flip only bit (0,0)")
+    assert(java.lang.Long.bitCount(h(3L).dhash ^ h(6L).dhash) > 8,
+      "different seeds must disagree on many bits")
+    assert(!h(7L).decoded)
+  }
+
+  test("imageNearDup finds exactly the planted within-group pairs") {
+    implicit val s = spark
+    val imgs = (0 until 3).flatMap { g =>
+      val seed = 100L + g * 7
+      Seq(
+        (g * 10L, Multimodal.cellPatternPng(40 + g, 32 + g, seed)),
+        (g * 10L + 1, Multimodal.cellPatternPng(40 + g, 32 + g, seed,
+          brightness = 8)),
+        (g * 10L + 2, Multimodal.cellPatternPng(40 + g, 32 + g, seed,
+          brightness = 16, bump00 = 25)))
+    }.toDF("img_id", "png")
+    val pairs = Multimodal.imageNearDup(imgs, "img_id", "png", maxDist = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val within = pairs.filter { case (a, b, _) => a / 10 == b / 10 }
+    val expected = (0 until 3).flatMap { g =>
+      Seq((g * 10L, g * 10L + 1), (g * 10L, g * 10L + 2),
+        (g * 10L + 1, g * 10L + 2))
+    }.toSet
+    assert(within.map(p => (p._1, p._2)).toSet == expected)
+    assert(within.forall(_._3 <= 1),
+      s"planted copies must be Hamming <= 1, got ${within.mkString(",")}")
+  }
 }

@@ -70,4 +70,40 @@ class EvalSpec extends SparkSpec {
     // within a bin; at 100 bins over a smooth score that is ≲ 0.01
     assert(math.abs(full - binned) < 0.01, s"full=$full binned=$binned")
   }
+
+  test("calibrationBins: hand-computed reliability diagram; score 1.0 lands in the top bin") {
+    // bin 0: p=0.05 ×2, one positive → conf .05, acc .5, gap .45
+    // bin 9: p=0.95 and p=1.0 (edge: floor(1.0·10)=10 clamps to 9),
+    //        both positive → conf .975, acc 1.0, gap .025
+    val df = Seq(
+      (1.0, 0.05), (0.0, 0.05), (1.0, 0.95), (1.0, 1.0)
+    ).toDF("label", "score")
+    val bins = Eval.calibrationBins(df, "label", "score")
+      .orderBy("bin").collect()
+    assert(bins.length == 2)
+    val b0 = bins(0); val b9 = bins(1)
+    assert(b0.getAs[Int]("bin") == 0 && b0.getAs[Long]("n") == 2L)
+    assert(b0.getAs[Double]("conf") == 0.05 && b0.getAs[Double]("acc") == 0.5)
+    assert(b0.getAs[Double]("gap") == 0.45)
+    assert(b9.getAs[Int]("bin") == 9 && b9.getAs[Long]("n") == 2L)
+    assert(b9.getAs[Double]("conf") == 0.975 && b9.getAs[Double]("acc") == 1.0)
+    assert(b9.getAs[Double]("gap") == 0.025)
+  }
+
+  test("calibrationSummary: ECE/MCE/Brier match the hand computation; perfect calibration is 0") {
+    val df = Seq(
+      (1.0, 0.05), (0.0, 0.05), (1.0, 0.95), (1.0, 1.0)
+    ).toDF("label", "score")
+    val s = Eval.calibrationSummary(df, "label", "score").head()
+    assert(s.getAs[Long]("n") == 4L)
+    // ece = (2·0.45 + 2·0.025)/4 = 0.2375; mce = 0.45
+    assert(s.getAs[Double]("ece") == 0.2375)
+    assert(s.getAs[Double]("mce") == 0.45)
+    // brier = ((0.95)² + (0.05)² + (0.05)² + 0²)/4 = 0.226875
+    assert(math.abs(s.getAs[Double]("brier") - 0.226875) < 1e-9)
+    // a perfectly calibrated degenerate scorer: p == empirical rate
+    val perfect = Seq((1.0, 0.5), (0.0, 0.5)).toDF("label", "score")
+    val p = Eval.calibrationSummary(perfect, "label", "score").head()
+    assert(p.getAs[Double]("ece") == 0.0 && p.getAs[Double]("mce") == 0.0)
+  }
 }
