@@ -168,6 +168,18 @@ object SparkEntry {
       "FROM (SELECT doc_id, [x FOR x IN string_split(text, ' ') IF x <> ''] AS t " +
       "FROM documents WHERE doc_id % 4 <> 0))"
 
+  /** [[gluedTokCte]] with word positions (the q202 ids oracle needs
+    * the ORDER of the word stream, not just its bag).
+    */
+  private val gluedTokPosCte: String =
+    "SELECT doc_id, u.i AS wpos, u.w AS word " +
+      "FROM (SELECT doc_id, unnest(list_transform(range(1, len(g) + 1), " +
+      "i -> struct_pack(i := i, w := g[i]))) AS u " +
+      "FROM (SELECT doc_id, list_transform(range(1, len(t)//2 + 1), " +
+      "i -> t[2*i-1] || t[2*i]) AS g " +
+      "FROM (SELECT doc_id, [x FOR x IN string_split(text, ' ') IF x <> ''] AS t " +
+      "FROM documents WHERE doc_id % 4 <> 0)))"
+
   private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     bpeWords(s, dir) // ensure trained (and rebuilt if swept)
     bpeRules((System.identityHashCode(s.sparkContext), dir))
@@ -202,7 +214,8 @@ object SparkEntry {
     "_shared:neardup-pairs" -> Seq("q80_dup_clusters", "q165_dup_canonical",
       "q166_dedup_split", "q180_soft_dedup"),
     "_shared:bpe8" -> Seq("q177_bpe_merges", "q179_bpe_tokenize"),
-    "_shared:bpe8slice" -> Seq("q191_bpe_encode", "q194_bpe_segment", "q195_bpe_pack"))
+    "_shared:bpe8slice" -> Seq("q191_bpe_encode", "q194_bpe_segment",
+      "q195_bpe_pack", "q201_bpe_vocab", "q202_bpe_ids"))
 
   /** The q178/q181 mixture weights, and their oracle VALUES clause:
     * the SQL side receives the PRE-NORMALIZED weights (each divided by
@@ -995,6 +1008,45 @@ object SparkEntry {
       val langs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
       Packing.bucketPackCounted(counts.join(langs, "doc_id"), "doc_id",
         "n_bpe", "lang", contextLen = 256, saltBlocks = 4)
+    }),
+
+    // --- the trained tokenizer's token-id table (piece ↔ id
+    //     bijection: space at 0, alphabet in binary order, merges in
+    //     rank order) — the FULL table hash-compared against the
+    //     SQL-replayed vocabulary ---
+    "q201_bpe_vocab" -> ((s, dir) =>
+      Bpe.pieceVocab(bpeSliceMerges(s, dir), bpeSliceWords(s, dir))),
+
+    // --- the pretraining artifact: per-doc flat token-ID sequences
+    //     over the never-seen glued corpus, with id 0 whitespace
+    //     tokens and -1 OOV markers; the output row carries the
+    //     position-weighted id fingerprint (order-sensitive — any id,
+    //     order, or interleave divergence moves it) and an HONEST
+    //     decode-roundtrip flag computed from decodeIds, which the
+    //     oracle predicts as n_oov = 0 ---
+    "q202_bpe_ids" -> ((s, dir) => {
+      val docs = gluedEvalDocs(s, dir)
+      val rules = bpeSliceMerges(s, dir)
+      val words = bpeSliceWords(s, dir)
+      // materialize once: the encode chain feeds BOTH the fingerprint
+      // and the decode round trip (the q169 double-execution lesson)
+      val enc = Bpe.encodeIds(docs, "doc_id", "text", rules, words)
+        .localCheckpoint()
+      val dec = Bpe.decodeIds(enc, "doc_id", "ids", rules, words)
+      val expected = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("_wpos", "word")))
+        .filter(Bpe.wordOk)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("_wpos"), col("word"))))
+          .as("_ws"))
+        .select(col("doc_id"),
+          expr("array_join(transform(_ws, x -> x.word), ' ')").as("_exp"))
+      enc.join(dec, Seq("doc_id")).join(expected, Seq("doc_id"))
+        .select(col("doc_id"), col("n_bpe"), col("n_oov"),
+          expr("aggregate(transform(ids, (x, i) -> CAST(x AS BIGINT) * (i + 1)), " +
+            "CAST(0 AS BIGINT), (a, y) -> a + y)").as("ids_fp"),
+          (col("text_decoded") === col("_exp")).cast("int")
+            .as("roundtrip_ok"))
     }),
 
     // --- deterministic pretraining order: content-hash shard + in-
@@ -2128,6 +2180,92 @@ object SparkEntry {
         .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
         .select(col("n_docs"), col("n_pairs"),
           (col("n_pairs") === col("n_docs") * 3).cast("int").as("complete"))
+    }),
+
+    // --- perceptual audio hash gate (the q197 pattern on the audio
+    //     axis): strictly-rising staircases hash to all-ones,
+    //     constant tones to zero — pinning the window grid, the
+    //     |sample| accumulation, and the bit order ---
+    "q203_audio_phash" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).filter(col("doc_id") % 29 === 0)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val wav =
+            if (id % 2 == 0) Multimodal.staircaseWav()
+            else Multimodal.pcm16Wav(8000, (500 + (id % 100) * 7).toShort,
+              (650 + id % 64).toInt)
+          (id, wav)
+        })
+        .toDF("doc_id", "wav")
+      Multimodal.audioDHash(payloads, "doc_id", "wav")(s).toDF()
+        .agg(
+          count(lit(1)).as("n_clips"),
+          sum((col("decoded") && col("id") % 2 === 0 &&
+            col("ahash") === -1L).cast("long")).as("n_stair_allones"),
+          sum((col("decoded") && col("id") % 2 === 1 &&
+            col("ahash") === 0L).cast("long")).as("n_const_zero"))
+    }),
+
+    // --- audio near-dup gate: 3 pattern copies per sampled doc —
+    //     base, ×2 gain (hash-identical: integer gain preserves every
+    //     window comparison), ×2 gain with a window-0 bump (Hamming
+    //     ≤ 1) — exactly 3 within-group pairs through the shared
+    //     8-band Hamming join ---
+    "q204_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val clips = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).filter(col("doc_id") % 31 === 0)
+        .as[Long]
+        .flatMap { id =>
+          Seq(
+            (id * 4, Multimodal.windowPatternWav(id)),
+            (id * 4 + 1, Multimodal.windowPatternWav(id, gain = 2)),
+            (id * 4 + 2,
+              Multimodal.windowPatternWav(id, gain = 2, bump0 = 800)))
+        }
+        .toDF("clip_id", "wav")
+      val pairs = Multimodal.audioNearDup(clips, "clip_id", "wav",
+          maxDist = 4)(s)
+        .filter(floor(col("id_a") / 4) === floor(col("id_b") / 4))
+      t(s, dir, "documents").filter(col("doc_id") % 31 === 0)
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+        .select(col("n_docs"), col("n_pairs"),
+          (col("n_pairs") === col("n_docs") * 3).cast("int").as("complete"))
+    }),
+
+    // --- video near-dup gate (re-cut detection): per sampled doc,
+    //     two MJPEG videos sharing exactly 2 of their 3 pattern
+    //     frames (identical synthesizer args ⇒ identical JPEG bytes
+    //     ⇒ identical frame dHash); minShared = 2 must pair exactly
+    //     the within-doc couple and nothing else counted ---
+    "q205_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val vids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).filter(col("doc_id") % 37 === 0)
+        .as[Long]
+        .flatMap { id =>
+          val w = (36 + id % 16).toInt
+          val h = (32 + id % 8).toInt
+          def f(k: Long) = Multimodal.cellPatternJpeg(w, h, id * 16 + k)
+          Seq(
+            (id * 4, Multimodal.mjpegAvi(Seq(f(0), f(1), f(2)), w, h)),
+            (id * 4 + 1, Multimodal.mjpegAvi(Seq(f(0), f(1), f(3)), w, h)))
+        }
+        .toDF("vid_id", "avi")
+      val pairs = Multimodal.videoNearDup(vids, "vid_id", "avi",
+          minShared = 2)(s)
+        .filter(floor(col("id_a") / 4) === floor(col("id_b") / 4))
+      t(s, dir, "documents").filter(col("doc_id") % 37 === 0)
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(pairs
+          .agg(count(lit(1)).as("n_pairs"),
+            coalesce(sum(col("shared_frames")), lit(0L)).as("n_shared"))))
+        .select(col("n_docs"), col("n_pairs"), col("n_shared"),
+          (col("n_pairs") === col("n_docs") &&
+            col("n_shared") === col("n_docs") * 2).cast("int").as("complete"))
     }),
 
     // --- real video-container decode gate: executors synthesize
@@ -3814,6 +3952,15 @@ object SparkEntry {
       s"WITH counts AS ($perDoc),\n$tail"
     },
 
+    // the full piece↔id table replayed from the training slice alone
+    "q201_bpe_vocab" -> Bpe.vocabOracleSql(8, trainWhere = "doc_id % 4 = 0"),
+
+    // per-doc token-id economics + position-weighted fingerprint over
+    // the glued eval corpus; roundtrip predicted as n_oov = 0 (the
+    // Spark side computes it honestly via decodeIds)
+    "q202_bpe_ids" -> Bpe.idsOracleSql(8, trainWhere = "doc_id % 4 = 0",
+      tokPosCte = gluedTokPosCte),
+
     // integer token math via FLOOR over PRE-NORMALIZED weights (see
     // mixWeightsSql — no in-SQL weight-sum division to diverge at a
     // floor boundary); rate is the EXACT double division capped at the
@@ -4230,6 +4377,29 @@ object SparkEntry {
         |       CAST(3 * COUNT(*) AS BIGINT) AS n_pairs,
         |       CAST(1 AS INT) AS complete
         |FROM documents WHERE doc_id % 23 = 0""".stripMargin,
+
+    // each sampled doc plants one video couple sharing exactly 2
+    // frames; the oracle derives pair and shared-frame counts from
+    // the doc sample alone
+    "q205_video_neardup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(2 * COUNT(*) AS BIGINT) AS n_shared,
+        |       CAST(1 AS INT) AS complete
+        |FROM documents WHERE doc_id % 37 = 0""".stripMargin,
+
+    // audio dHash closed-form gates (the q197 scheme on audio)
+    "q203_audio_phash" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_clips,
+        |       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stair_allones,
+        |       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_const_zero
+        |FROM documents WHERE doc_id % 29 = 0""".stripMargin,
+
+    "q204_audio_neardup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(3 * COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(1 AS INT) AS complete
+        |FROM documents WHERE doc_id % 31 = 0""".stripMargin,
 
     "q132_audio_features" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_clips,

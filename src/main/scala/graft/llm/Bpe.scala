@@ -66,8 +66,11 @@ import org.apache.spark.sql.types._
   */
 object Bpe {
 
-  /** The guard both sides apply to the raw word stream. */
-  private def wordOk = col("word") =!= "" &&
+  /** The guard both sides apply to the raw word stream. Exposed to
+    * the query layer so roundtrip gates recompose EXACTLY the clean
+    * word stream the encoder saw.
+    */
+  private[graft] def wordOk = col("word") =!= "" &&
     !col("word").contains("<") && !col("word").contains(">")
 
   private val rulesSchema = StructType(Seq(
@@ -527,9 +530,10 @@ object Bpe {
           val sb = new java.lang.StringBuilder
           syms.foreach(s => sb.append('<').append(s).append('>'))
           (w, syms.length.toLong,
-            if (a.forall(al.contains)) 0L else 1L, sb.toString)
+            if (a.forall(al.contains)) 0L else 1L, sb.toString,
+            syms.toSeq)
         }
-      }.toDF("word", "_nsym", "_oov", "_seg")
+      }.toDF("word", "_nsym", "_oov", "_seg", "_syms")
   }
 
   def encodeTokenCountsWith(docs: DataFrame, idCol: String, textCol: String,
@@ -570,6 +574,110 @@ object Bpe {
     encodedVocab(docs, textCol, rules, trainedWords)
       .select(col("word"), col("_nsym").as("n_sym"),
         col("_oov").as("oov"), col("_seg").as("segmented"))
+
+  /** The trained tokenizer's token-id table `(piece, token_id)` — the
+    * artifact a serving stack ships alongside the merge rules. Id 0
+    * is the reserved whitespace piece `" "` (what makes
+    * [[decodeIds]] ∘ [[encodeIds]] the identity on clean text — the
+    * GPT-2 move of making whitespace a token instead of losing it);
+    * ids 1..|A| are the training alphabet in lexicographic (binary)
+    * order; merge results follow in rank order. Two merge paths can
+    * yield the same piece string — the smallest id wins, so the table
+    * is a bijection piece ↔ id.
+    *
+    * Scale: vocabulary-sized throughout. The one window
+    * (`row_number` over the alphabet) runs on the CHARSET — bounded
+    * by the script, not the corpus.
+    */
+  def pieceVocab(rules: DataFrame, trainedWords: DataFrame): DataFrame = {
+    val spark = rules.sparkSession
+    import spark.implicits._
+    val alphaIds = trainedWords
+      .select(explode(expr("filter(split(word, ''), x -> x <> '')"))
+        .as("piece"))
+      .distinct()
+      .select(col("piece"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("piece"))).as("id"))
+    val nAlpha = alphaIds.count()
+    val mergeIds = rules.select(
+      concat(col("lhs"), col("rhs")).as("piece"),
+      (col("rank") + lit(nAlpha)).cast("int").as("id"))
+    Seq((" ", 0)).toDF("piece", "id")
+      .unionByName(alphaIds)
+      .unionByName(mergeIds)
+      .groupBy(col("piece"))
+      .agg(min(col("id")).cast("int").as("token_id"))
+  }
+
+  /** The pretraining artifact itself: each document as its flat
+    * token-ID sequence under an already-trained vocabulary —
+    * `(doc_id, ids, n_oov, n_bpe)` with id 0 interleaved between
+    * words ([[pieceVocab]]'s whitespace token) and `-1` for a piece
+    * the vocabulary cannot name (a single character the training
+    * corpus never saw — the byte-fallback seam; such words are
+    * tallied per occurrence in `n_oov`). `n_bpe = size(ids)` — the
+    * true context-window cost including whitespace tokens. Documents
+    * with no clean word emit nothing (the [[tokenCountsWith]]
+    * convention).
+    *
+    * Scale: segmentation and id lookup run ONCE per DISTINCT word
+    * (vocabulary-sized; the piece→id table broadcasts); the corpus
+    * word stream equi-joins the encoded vocabulary with the build
+    * hinted onto the vocab side (the Generate-fan-out estimation trap
+    * — see [[encodeTokenCountsWith]]); per-doc assembly is one keyed
+    * aggregation with an in-row sort over the doc's own words — no
+    * windows, nothing beyond document length anywhere.
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                rules: DataFrame, trainedWords: DataFrame): DataFrame = {
+    val vocab = pieceVocab(rules, trainedWords)
+    val wordIds = encodedVocab(docs, textCol, rules, trainedWords)
+      .select(col("word"), col("_oov"),
+        posexplode(col("_syms")).as(Seq("_spos", "piece")))
+      .join(broadcast(vocab), Seq("piece"), "left")
+      .groupBy(col("word"))
+      .agg(max(col("_oov")).as("_oov"),
+        sort_array(collect_list(struct(col("_spos"),
+          coalesce(col("token_id"), lit(-1)).as("id")))).as("_ps"))
+      .select(col("word"), col("_oov"),
+        expr("transform(_ps, p -> p.id)").as("_wids"))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("_wpos", "word")))
+      .filter(wordOk)
+      .join(wordIds.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("_wpos"), col("_wids"))))
+          .as("_ws"),
+        sum(col("_oov")).as("n_oov"))
+      .select(col("doc_id"),
+        expr("flatten(transform(_ws, (w, i) -> " +
+          "IF(i = 0, w._wids, concat(array(0), w._wids))))").as("ids"),
+        col("n_oov"))
+      .withColumn("n_bpe", size(col("ids")).cast("long"))
+  }
+
+  /** Inverse of [[encodeIds]]: token-id sequences back to text —
+    * `(doc_id, text_decoded)`. Id 0 decodes to the space, an id the
+    * vocabulary does not know (e.g. the `-1` OOV marker) to U+FFFD,
+    * so `decode(encode(d)) == d`'s clean word stream exactly when the
+    * document had no OOV word (the q202 roundtrip gate proves it
+    * per-document). Same scale shape as encode: broadcast vocab, one
+    * keyed aggregation, in-row sort.
+    */
+  def decodeIds(encoded: DataFrame, idCol: String, idsCol: String,
+                rules: DataFrame, trainedWords: DataFrame): DataFrame = {
+    val vocab = pieceVocab(rules, trainedWords)
+    encoded.select(col(idCol).as("doc_id"),
+        posexplode(col(idsCol)).as(Seq("_pos", "token_id")))
+      .join(broadcast(vocab), Seq("token_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("_pos"),
+        coalesce(col("piece"), lit("�")).as("p")))).as("_ps"))
+      .select(col("doc_id"),
+        expr("array_join(transform(_ps, x -> x.p), '')").as("text_decoded"))
+  }
 
   /** Shared CTE chain `w0 … w<nMerges>` (each `(word, s, n)`) with the
     * per-round pair-count / argmax / replace, in lockstep with the
@@ -724,5 +832,102 @@ object Bpe {
          |FROM e$nMerges e JOIN v USING (word) JOIN wo USING (word)""".stripMargin
     s"WITH ${roundsCte(nMerges, trainWhere)},\n" +
       s"${encodeCtes(nMerges, tokCte)}\n$tail"
+  }
+
+  /** The token-id vocabulary CTEs shared by [[vocabOracleSql]] and
+    * [[idsOracleSql]]: alphabet ids 1..|A| in binary order, merge
+    * results at |A|+rank, the space piece at 0, min-id dedup — the
+    * exact [[pieceVocab]] construction. Requires `w0` and `r1..rN`
+    * (from [[roundsCte]]) in scope.
+    */
+  private def vocabCtes(nMerges: Int): String = {
+    val ranked = (1 to nMerges)
+      .map(r => s"SELECT $r AS rk, pr FROM r$r").mkString("\n  UNION ALL ")
+    s"""valpha AS (SELECT DISTINCT unnest([c FOR c IN string_split(word, '')]) AS ch
+       |           FROM w0),
+       |aid AS (SELECT ch AS piece,
+       |               CAST(ROW_NUMBER() OVER (ORDER BY ch) AS INT) AS id
+       |        FROM valpha),
+       |na AS (SELECT CAST(COUNT(*) AS INT) AS n FROM aid),
+       |mid AS (SELECT split_part(pr, ' ', 1) || split_part(pr, ' ', 2) AS piece,
+       |               CAST(rk + na.n AS INT) AS id
+       |        FROM ($ranked), na),
+       |voc AS (SELECT piece, CAST(MIN(id) AS INT) AS token_id
+       |        FROM (SELECT ' ' AS piece, 0 AS id
+       |              UNION ALL SELECT piece, id FROM aid
+       |              UNION ALL SELECT piece, id FROM mid)
+       |        GROUP BY 1)""".stripMargin
+  }
+
+  /** The DuckDB replay of [[pieceVocab]] over a `trainWhere`-sliced
+    * training corpus.
+    */
+  def vocabOracleSql(nMerges: Int, trainWhere: String): String =
+    s"WITH ${roundsCte(nMerges, trainWhere)},\n${vocabCtes(nMerges)}\n" +
+      "SELECT piece, token_id FROM voc"
+
+  /** The DuckDB replay of [[encodeIds]]'s per-document economics plus
+    * the decode-roundtrip prediction: `tokPosCte` must produce
+    * `(doc_id, wpos, word)` with `wpos` any ordering key that matches
+    * the engine's word order (positions are compacted per doc on both
+    * sides). Emits `(doc_id, n_bpe, n_oov, ids_fp, roundtrip_ok)`
+    * where `ids_fp = Σ id·pos` over the flat 1-based stream (space
+    * tokens contribute 0 — id 0 — so the word-offset algebra closes)
+    * and `roundtrip_ok` is the PROOF-side prediction `n_oov = 0`
+    * (the Spark side computes it honestly from [[decodeIds]] output;
+    * a divergence in id assignment, piece order, or whitespace
+    * interleaving flips the row red).
+    */
+  def idsOracleSql(nMerges: Int, trainWhere: String,
+                   tokPosCte: String): String = {
+    val encRounds = (1 to nMerges).map { r =>
+      s"""e$r AS (SELECT word, replace(s,
+         |          '<' || split_part(pr, ' ', 1) || '><' || split_part(pr, ' ', 2) || '>',
+         |          '<' || split_part(pr, ' ', 1) || split_part(pr, ' ', 2) || '>') AS s
+         |        FROM e${r - 1}, r$r)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""tokp AS ($tokPosCte),
+         |tokg AS (SELECT doc_id, wpos, word FROM tokp
+         |         WHERE word <> '' AND NOT contains(word, '<')
+         |           AND NOT contains(word, '>')),
+         |ew AS (SELECT DISTINCT word FROM tokg),
+         |e0 AS (SELECT word,
+         |              '<' || array_to_string([c FOR c IN string_split(word, '')], '><')
+         |                  || '>' AS s
+         |       FROM ew),
+         |$encRounds,
+         |wp AS (SELECT word, unnest(list_transform(range(1, len(t) + 1),
+         |              i -> struct_pack(spos := i, piece := t[i]))) AS u
+         |       FROM (SELECT word, string_split(trim(s, '<>'), '><') AS t
+         |             FROM e$nMerges)),
+         |wps AS (SELECT word, u.spos AS spos, u.piece AS piece FROM wp),
+         |wid AS (SELECT word, spos, COALESCE(token_id, -1) AS id
+         |        FROM wps LEFT JOIN voc USING (piece)),
+         |wids AS (SELECT word, list(id ORDER BY spos) AS ids,
+         |                CAST(COUNT(*) AS BIGINT) AS nsym
+         |         FROM wid GROUP BY 1),
+         |wch AS (SELECT DISTINCT word,
+         |               unnest([c FOR c IN string_split(word, '')]) AS ch
+         |        FROM ew),
+         |wo AS (SELECT wch.word,
+         |              CAST(MAX(CASE WHEN a.ch IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+         |       FROM wch LEFT JOIN valpha a USING (ch) GROUP BY 1),
+         |ds AS (SELECT t.doc_id, t.wpos, w.ids, w.nsym, wo.oov,
+         |              ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.wpos) AS k,
+         |              COALESCE(SUM(w.nsym) OVER (PARTITION BY t.doc_id ORDER BY t.wpos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |       FROM tokg t JOIN wids w USING (word) JOIN wo USING (word)),
+         |fp AS (SELECT doc_id, oov, nsym,
+         |              list_sum(list_transform(range(1, len(ids) + 1),
+         |                j -> CAST(ids[j] AS BIGINT) * (prev + k - 1 + j))) AS contrib
+         |       FROM ds)
+         |SELECT doc_id,
+         |       CAST(SUM(nsym) + COUNT(*) - 1 AS BIGINT) AS n_bpe,
+         |       CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |       CAST(SUM(contrib) AS BIGINT) AS ids_fp,
+         |       CAST(CASE WHEN SUM(oov) = 0 THEN 1 ELSE 0 END AS INT) AS roundtrip_ok
+         |FROM fp GROUP BY 1""".stripMargin
+    s"WITH ${roundsCte(nMerges, trainWhere)},\n${vocabCtes(nMerges)},\n$tail"
   }
 }

@@ -167,6 +167,15 @@ object Dedup {
     * Over-full buckets degrade recall gracefully instead of exploding
     * the candidate join quadratically.
     */
+  /** [[capBuckets]] opened to the sibling fingerprint families
+    * ([[Multimodal.videoNearDup]]'s frame-hash buckets — same
+    * k-copies hazard, same graceful-degradation contract).
+    */
+  private[llm] def capFingerprintBuckets(banded: DataFrame, idCol: String,
+                                         bucketCols: Seq[String],
+                                         maxBucket: Option[Int]): DataFrame =
+    capBuckets(banded, idCol, bucketCols, maxBucket)
+
   private def capBuckets(banded: DataFrame, idCol: String,
                          bucketCols: Seq[String],
                          maxBucket: Option[Int]): DataFrame =

@@ -406,6 +406,28 @@ object Multimodal {
     */
   def cellPatternPng(width: Int, height: Int, seed: Long,
                      brightness: Int = 0, bump00: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      cellPatternImage(width, height, seed, brightness, bump00), "png", out)
+    out.toByteArray
+  }
+
+  /** [[cellPatternPng]] encoded as baseline JPEG — the video-frame
+    * payload for [[videoNearDup]]'s planted oracle (identical
+    * synthesizer arguments ⇒ identical JPEG bytes ⇒ identical frame
+    * dHash, whatever the codec's quantization does to the pixels).
+    */
+  def cellPatternJpeg(width: Int, height: Int, seed: Long,
+                      brightness: Int = 0, bump00: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      cellPatternImage(width, height, seed, brightness, bump00), "jpg", out)
+    out.toByteArray
+  }
+
+  private def cellPatternImage(width: Int, height: Int, seed: Long,
+                               brightness: Int,
+                               bump00: Int): java.awt.image.BufferedImage = {
     require(brightness + bump00 <= 55 && brightness >= 0 && bump00 >= 0,
       s"pattern gray must stay in [40, 255]: brightness=$brightness bump00=$bump00")
     imageIoNoDiskCache()
@@ -426,9 +448,7 @@ object Multimodal {
       }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    img
   }
 
   /** Hand-rolled RIFF/WAVE container around constant-amplitude 16-bit
@@ -556,78 +576,156 @@ object Multimodal {
     * rows rather than killing the task. Containers whose codec the
     * JDK lacks keep [[decodeFramesStub]] as the declared seam.
     */
+  private def aviU32(b: Array[Byte], pos: Long): Long = {
+    val p = pos.toInt
+    (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+      ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+  }
+  private def aviTag(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, "US-ASCII")
+
+  // collect '..dc'/'..db' payload spans inside a chunk range,
+  // recursing into LIST('movi') and LIST('rec '). All offset/length
+  // arithmetic stays in Long: a crafted chunk length near 2^31 would
+  // wrap negative under Int truncation, pass the bounds check and
+  // index out of the array — poison containers must degrade, not
+  // kill the task. Emitted spans are safe Ints (≤ to ≤ array length).
+  private def aviFrameSpans(b: Array[Byte], from: Int, to: Int,
+                            inMovi: Boolean): Vector[(Int, Int)] = {
+    var p = from.toLong
+    var out = Vector.empty[(Int, Int)]
+    while (p + 8 <= to) {
+      val id = aviTag(b, p.toInt)
+      val len = aviU32(b, p + 4)              // unsigned 32-bit, ≥ 0
+      val dataStart = p + 8
+      if (dataStart + len > to) return out    // truncated: stop
+      if (id == "LIST" && len >= 4) {
+        val lt = aviTag(b, dataStart.toInt)
+        if (lt == "movi" || (inMovi && lt == "rec "))
+          out ++= aviFrameSpans(b, dataStart.toInt + 4,
+            (dataStart + len).toInt, inMovi = true)
+      } else if (inMovi && id.length == 4 &&
+        (id.endsWith("dc") || id.endsWith("db"))) {
+        out :+= ((dataStart.toInt, len.toInt))
+      }
+      p = dataStart + len + (len & 1L)
+    }
+    out
+  }
+
+  /** The shared AVI entry walk: frame spans of a well-formed RIFF/AVI
+    * payload, None for anything else (belt over the Long-arithmetic
+    * braces: ANY container-walk failure degrades, never a dead task).
+    */
+  private def aviSpansOf(bytes: Array[Byte]): Option[Vector[(Int, Int)]] = {
+    val ok = bytes != null && bytes.length >= 12 &&
+      aviTag(bytes, 0) == "RIFF" && aviTag(bytes, 8) == "AVI "
+    if (!ok) None
+    else {
+      val end = math.min(bytes.length.toLong, 8L + aviU32(bytes, 4)).toInt
+      val spans =
+        try aviFrameSpans(bytes, 12, end, inMovi = false)
+        catch { case _: Exception => Vector.empty[(Int, Int)] }
+      if (spans.isEmpty) None else Some(spans)
+    }
+  }
+
   def decodeVideoFrames(df: DataFrame, idCol: String, binCol: String)
                        (implicit spark: SparkSession): Dataset[VideoFrame] = {
     import spark.implicits._
-
-    def u32(b: Array[Byte], pos: Long): Long = {
-      val p = pos.toInt
-      (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
-        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
-    }
-    def tag(b: Array[Byte], p: Int): String =
-      new String(b, p, 4, "US-ASCII")
-
-    // collect '..dc'/'..db' payload spans inside a chunk range,
-    // recursing into LIST('movi') and LIST('rec '). All offset/length
-    // arithmetic stays in Long: a crafted chunk length near 2^31 would
-    // wrap negative under Int truncation, pass the bounds check and
-    // index out of the array — poison containers must degrade, not
-    // kill the task. Emitted spans are safe Ints (≤ to ≤ array length).
-    def frameSpans(b: Array[Byte], from: Int, to: Int,
-                   inMovi: Boolean): Vector[(Int, Int)] = {
-      var p = from.toLong
-      var out = Vector.empty[(Int, Int)]
-      while (p + 8 <= to) {
-        val id = tag(b, p.toInt)
-        val len = u32(b, p + 4)                 // unsigned 32-bit, ≥ 0
-        val dataStart = p + 8
-        if (dataStart + len > to) return out    // truncated: stop
-        if (id == "LIST" && len >= 4) {
-          val lt = tag(b, dataStart.toInt)
-          if (lt == "movi" || (inMovi && lt == "rec "))
-            out ++= frameSpans(b, dataStart.toInt + 4, (dataStart + len).toInt,
-              inMovi = true)
-        } else if (inMovi && id.length == 4 &&
-          (id.endsWith("dc") || id.endsWith("db"))) {
-          out :+= ((dataStart.toInt, len.toInt))
-        }
-        p = dataStart + len + (len & 1L)
-      }
-      out
-    }
-
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         imageIoNoDiskCache()
         it.flatMap { case (id, bytes) =>
-          val ok = bytes != null && bytes.length >= 12 &&
-            tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "AVI "
-          if (!ok) Iterator.single(VideoFrame(id, -1, decoded = false, -1, -1, 0.0))
-          else {
-            val end = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
-            // belt over the Long-arithmetic braces: ANY container-walk
-            // failure yields one decoded=false row, never a dead task
-            val spans =
-              try frameSpans(bytes, 12, end, inMovi = false)
-              catch { case _: Exception => Vector.empty[(Int, Int)] }
-            if (spans.isEmpty)
+          aviSpansOf(bytes) match {
+            case None =>
               Iterator.single(VideoFrame(id, -1, decoded = false, -1, -1, 0.0))
-            else spans.iterator.zipWithIndex.map { case ((start, len), i) =>
-              val img =
-                try Option(javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(bytes, start, len)))
-                catch { case _: Exception => None }
-              img match {
-                case Some(im) => VideoFrame(id, i, decoded = true,
-                  im.getWidth, im.getHeight, sampledLuma(im))
-                case None => VideoFrame(id, i, decoded = false, -1, -1, 0.0)
+            case Some(spans) =>
+              spans.iterator.zipWithIndex.map { case ((start, len), i) =>
+                val img =
+                  try Option(javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes, start, len)))
+                  catch { case _: Exception => None }
+                img match {
+                  case Some(im) => VideoFrame(id, i, decoded = true,
+                    im.getWidth, im.getHeight, sampledLuma(im))
+                  case None => VideoFrame(id, i, decoded = false, -1, -1, 0.0)
+                }
               }
-            }
           }
         }
       }
+  }
+
+  final case class VideoFrameHash(id: Long, frameIdx: Int,
+                                  decoded: Boolean, dhash: Long)
+
+  /** Per-frame perceptual hashes of an MJPEG-in-AVI payload — the
+    * same RIFF walk as [[decodeVideoFrames]], emitting each frame's
+    * [[imageDHash]]-style 64-bit dHash instead of luma metadata.
+    * Poison containers and undecodable frames degrade to
+    * `decoded = false` rows.
+    */
+  def videoFrameDHash(df: DataFrame, idCol: String, binCol: String)
+                     (implicit spark: SparkSession): Dataset[VideoFrameHash] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        imageIoNoDiskCache()
+        it.flatMap { case (id, bytes) =>
+          aviSpansOf(bytes) match {
+            case None =>
+              Iterator.single(VideoFrameHash(id, -1, decoded = false, 0L))
+            case Some(spans) =>
+              spans.iterator.zipWithIndex.map { case ((start, len), i) =>
+                val img =
+                  try Option(javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes, start, len)))
+                  catch { case _: Exception => None }
+                img match {
+                  case Some(im) => VideoFrameHash(id, i, decoded = true,
+                    dHash64(im))
+                  case None => VideoFrameHash(id, i, decoded = false, 0L)
+                }
+              }
+          }
+        }
+      }
+  }
+
+  /** Video near-duplicate pairs via shared frame fingerprints: two
+    * videos pair when ≥ `minShared` DISTINCT frame dHashes match
+    * exactly — the re-cut/re-container detection a multimodal corpus
+    * needs (a re-muxed or trimmed copy keeps most frame content; its
+    * container bytes share nothing). Output
+    * `(id_a, id_b, shared_frames)`.
+    *
+    * Scale: the payload corpus reduces to ONE ~20-byte row per
+    * distinct (video, frame-hash) before any join; candidates come
+    * from an equi-join on the 64-bit hash — a bucket key like every
+    * near-dup path in [[Dedup]] — with `maxBucket` capping degenerate
+    * hashes (solid/black frames shared by thousands of videos are
+    * the k-copies hazard; default 64 keeps any such bucket's pair
+    * fan-out ≤ 2k while real shared content is far below the cap).
+    */
+  def videoNearDup(df: DataFrame, idCol: String, binCol: String,
+                   minShared: Int = 2, maxBucket: Option[Int] = Some(64))
+                  (implicit spark: SparkSession): DataFrame = {
+    val fp = videoFrameDHash(df, idCol, binCol)
+      .filter(col("decoded")).toDF()
+      .select(col("id"), col("dhash")).distinct()
+    val capped = Dedup.capFingerprintBuckets(fp, "id", Seq("dhash"), maxBucket)
+    val left = capped.toDF("id_a", "dhash")
+    val right = capped.toDF("id_b", "dhash")
+    // same self-join hint discipline as hammingNearDup: both sides are
+    // the corpus-sized fingerprint stream
+    left.join(right.hint("shuffle_hash"), Seq("dhash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
   }
 
   final case class ImageMeta(id: Long, decoded: Boolean, width: Int,
@@ -796,6 +894,120 @@ object Multimodal {
       "id", "dhash", bits = 64, nBands = 8, maxDist = maxDist,
       maxBucket = maxBucket)
   }
+
+  final case class AudioPHash(id: Long, decoded: Boolean, ahash: Long)
+
+  /** 64-bit perceptual audio fingerprint — the audio face of the
+    * near-dup fingerprint family (image: [[imageDHash]]; text:
+    * [[Dedup.simHash]]): the clip's frames split into 65 equal
+    * windows, per-window mean |sample| over a bounded sample grid,
+    * bit `i` set iff `mean(i) < mean(i+1)` — the envelope-shape
+    * difference hash. Same exactness discipline as the image hash:
+    * integer accumulation + cross-multiplied comparisons, so a
+    * uniform integer gain (re-levelled copies, the audio analog of a
+    * brightness shift) provably preserves every bit, and equal-energy
+    * windows with different frame counts compare equal.
+    *
+    * Parses the lock-free [[parseWavPcm16]] fast path only — exotic
+    * containers report `decoded = false` (poison tolerance; route
+    * AIFF/AU through [[resampleAudio]]'s canonical-WAV write-back
+    * first if they need fingerprints). Frame stride bounds the scan
+    * at ~4160 frames per clip whatever the payload length (the
+    * metadata-pass discipline).
+    */
+  def audioDHash(df: DataFrame, idCol: String, binCol: String)
+                (implicit spark: SparkSession): Dataset[AudioPHash] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseWavPcm16(bytes) match {
+          case Some(w) if w.nFrames > 0 =>
+            AudioPHash(id, decoded = true, audioHash64(bytes, w))
+          case _ => AudioPHash(id, decoded = false, 0L)
+        }
+      })
+  }
+
+  private def audioHash64(bytes: Array[Byte], w: WavPcm16): Long = {
+    val n = w.nFrames
+    val step = math.max(1, n / 4160)
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var f = 0
+    while (f < n) {
+      val wi = math.min(64, (f.toLong * 65 / n).toInt)
+      var acc = 0L
+      var c = 0
+      while (c < w.channels) {
+        val o = w.off + (f * w.channels + c) * 2
+        acc += math.abs(((bytes(o + 1) << 8) | (bytes(o) & 0xFF)).toShort.toInt)
+        c += 1
+      }
+      sums(wi) += acc
+      cnts(wi) += 1
+      f += step
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      // exact: ≤ ~64 counted frames/window × 32768·ch ⇒ products ≪ 2^63
+      val a = if (cnts(i) == 0) 0L else sums(i)
+      val na = if (cnts(i) == 0) 1L else cnts(i)
+      val b = if (cnts(i + 1) == 0) 0L else sums(i + 1)
+      val nb = if (cnts(i + 1) == 0) 1L else cnts(i + 1)
+      if (a * nb < b * na) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Audio near-duplicate pairs: [[audioDHash]] through
+    * [[Dedup.hammingNearDup]]'s 8-band candidate join (exact recall
+    * to Hamming 7; never all-pairs). Output (id_a, id_b, hamming) —
+    * same contract and 100 TB economics as [[imageNearDup]]: the
+    * payload corpus reduces to a 16-byte/row fingerprint frame
+    * before any join.
+    */
+  def audioNearDup(df: DataFrame, idCol: String, binCol: String,
+                   maxDist: Int = 4, maxBucket: Option[Int] = None)
+                  (implicit spark: SparkSession): DataFrame = {
+    require(maxDist < 8,
+      s"audioNearDup's 8-band layout guarantees candidate recall only " +
+        s"for maxDist <= 7; got $maxDist")
+    Dedup.hammingNearDup(
+      audioDHash(df, idCol, binCol).filter(col("decoded")).toDF(),
+      "id", "ahash", bits = 64, nBands = 8, maxDist = maxDist,
+      maxBucket = maxBucket)
+  }
+
+  /** 65-window pattern WAV aligned to [[audioDHash]]'s window grid:
+    * window w holds `framesPerWindow` frames of constant seed-keyed
+    * amplitude in [500, 7500), times an integer `gain`, plus `bump0`
+    * inside window 0 only — the planted-near-dup payload (gain-only
+    * copies hash identically; a window-0 bump flips at most bit 0).
+    * Keep `gain·7500 + bump0 < 32768` so nothing clips.
+    */
+  def windowPatternWav(seed: Long, gain: Int = 1, bump0: Int = 0,
+                       framesPerWindow: Int = 8): Array[Byte] = {
+    require(7500 * gain + bump0 < 32768,
+      s"pattern would clip: gain=$gain bump0=$bump0")
+    val amps = Array.tabulate(65) { w =>
+      val m = (w + 1) * 73856093L ^ (seed + 1) * 83492791L
+      (((((m % 7000) + 7000) % 7000).toInt + 500) * gain +
+        (if (w == 0) bump0 else 0)).toShort
+    }
+    pcm16WavSamples(8000, amps.flatMap(a => Array.fill(framesPerWindow)(a)))
+  }
+
+  /** Strictly-rising 65-step staircase WAV: closed-form
+    * [[audioDHash]] of all-ones (-1L), the audio analog of
+    * [[rampPng]].
+    */
+  def staircaseWav(framesPerWindow: Int = 8): Array[Byte] =
+    pcm16WavSamples(8000,
+      Array.tabulate(65)(w => (100 * (w + 1)).toShort)
+        .flatMap(a => Array.fill(framesPerWindow)(a)))
 
   final case class AudioMeta(id: Long, decoded: Boolean, sampleRate: Int,
                              channels: Int, nFrames: Long, rms: Double)

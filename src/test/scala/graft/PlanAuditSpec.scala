@@ -44,6 +44,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("multimodal fingerprint near-dups candidate-join on band/hash keys, " +
+    "never all-pairs (mapPartitions frames have no size stats — the " +
+    "shuffle_hash hint must hold)") {
+    // the gates end in a 1-row crossJoin(broadcast(agg)) summary — a
+    // LEGITIMATE BroadcastNestedLoopJoin; offense = any nested-loop
+    // whose build side is not rooted in an aggregation (i.e. the
+    // fingerprint stream itself), or any cartesian anywhere
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    def aggRooted(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case other if other.children.size == 1 => aggRooted(other.children.head)
+      case _ => false
+    }
+    Seq("q198_image_neardup", "q204_audio_neardup",
+        "q205_video_neardup").foreach { q =>
+      val sp: SparkPlan =
+        SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q plans a cartesian join")
+      val offenders = sp.collect {
+        case b: BroadcastNestedLoopJoinExec
+            if !aggRooted(b.buildSide match {
+              case BuildLeft => b.left
+              case BuildRight => b.right
+            }) => b
+      }
+      assert(offenders.isEmpty,
+        s"$q nested-loops over a non-scalar side:\n${offenders.headOption}")
+    }
+  }
+
   test("q57: IVF assignment and probing are narrow matrix expressions, " +
     "no nested-loop join anywhere in the plan") {
     val p = plan("q57_embed_ivf")

@@ -236,4 +236,58 @@ class BpeSpec extends SparkSpec {
     assert(out("low") === ((1L, 0L, "<low>")))   // trained word intact
     assert(out.size == 5)                        // vocabulary-sized
   }
+
+  test("pieceVocab: space at 0, alphabet in binary order, merges at |A|+rank, bijection") {
+    val docs = Seq((1L, "low low low"), (2L, "lower lowest")).toDF("doc_id", "text")
+    val (rules, words) = Bpe.trainShared(docs, "text", nMerges = 4)
+    val v = Bpe.pieceVocab(rules, words)
+      .as[(String, Int)].collect().toMap
+    // alphabet: e l o r s t w -> ids 1..7; merges lo/low/lowe/lower -> 8..11
+    assert(v(" ") == 0)
+    assert(v("e") == 1 && v("l") == 2 && v("w") == 7)
+    assert(v("lo") == 8 && v("low") == 9 && v("lowe") == 10 && v("lower") == 11)
+    assert(v.size == 12 && v.values.toSeq.distinct.size == 12)
+  }
+
+  test("encodeIds + decodeIds: roundtrip identity on clean text, OOV marked and flagged") {
+    val train = Seq((1L, "low low low"), (2L, "lower lowest")).toDF("doc_id", "text")
+    val (rules, words) = Bpe.trainShared(train, "text", nMerges = 4)
+    val eval = Seq(
+      (10L, "low lowlow slow"),   // clean: all chars trained
+      (11L, "glow low")           // 'g' unseen -> OOV word
+    ).toDF("doc_id", "text")
+    val enc = Bpe.encodeIds(eval, "doc_id", "text", rules, words)
+      .localCheckpoint()
+    val byId = enc.select("doc_id", "ids", "n_oov", "n_bpe")
+      .as[(Long, Seq[Int], Long, Long)].collect().map(r => r._1 -> r).toMap
+    // low=<low>(9), lowlow=<low><low>, slow=<s><low> (s=5), space=0
+    assert(byId(10L)._2 == Seq(9, 0, 9, 9, 0, 5, 9))
+    assert(byId(10L)._3 == 0L && byId(10L)._4 == 7L)
+    // glow=<g><low> with g unseen -> -1 marker, n_oov counts the word
+    assert(byId(11L)._2 == Seq(-1, 9, 0, 9))
+    assert(byId(11L)._3 == 1L)
+    val dec = Bpe.decodeIds(enc, "doc_id", "ids", rules, words)
+      .as[(Long, String)].collect().toMap
+    assert(dec(10L) == "low lowlow slow")      // exact roundtrip
+    assert(dec(11L) == "�low low")        // OOV char -> U+FFFD
+  }
+
+  test("encodeIds agrees with encodeTokenCountsWith on symbol totals") {
+    val train = Seq((1L, "low low low"), (2L, "lower lowest")).toDF("doc_id", "text")
+    val (rules, words) = Bpe.trainShared(train, "text", nMerges = 4)
+    val eval = Seq((10L, "low lowlow slow"), (11L, "glow low zq"))
+      .toDF("doc_id", "text")
+    val ids = Bpe.encodeIds(eval, "doc_id", "text", rules, words)
+      .select("doc_id", "n_bpe", "n_oov").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val cnt = Bpe.encodeTokenCountsWith(eval, "doc_id", "text", rules, words)
+      .select("doc_id", "n_words", "n_bpe", "n_oov")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    cnt.foreach { case (d, (nWords, nBpe, nOov)) =>
+      // the flat stream adds one space token between words
+      assert(ids(d)._1 == nBpe + nWords - 1, s"doc $d")
+      assert(ids(d)._2 == nOov, s"doc $d oov")
+    }
+  }
 }

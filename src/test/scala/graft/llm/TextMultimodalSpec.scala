@@ -433,6 +433,76 @@ class TextMultimodalSpec extends SparkSpec {
     assert(!h(7L).decoded)
   }
 
+  test("audioDHash: staircase all-ones, constant zero, gain-invariant, bump flips <= 1 bit, poison tolerated") {
+    implicit val s = spark
+    val rows = Seq(
+      (1L, Multimodal.staircaseWav()),
+      (2L, Multimodal.pcm16Wav(8000, 1200, 650)),
+      (3L, Multimodal.windowPatternWav(seed = 5L)),
+      (4L, Multimodal.windowPatternWav(seed = 5L, gain = 2)),
+      (5L, Multimodal.windowPatternWav(seed = 5L, gain = 2, bump0 = 800)),
+      (6L, Multimodal.windowPatternWav(seed = 6L)),
+      (7L, Array.tabulate(64)(i => (i * 7 % 256).toByte)) // not a WAV
+    ).toDF("doc_id", "b")
+    val h = Multimodal.audioDHash(rows, "doc_id", "b")
+      .collect().map(m => m.id -> m).toMap
+    assert(h(1L).decoded && h(1L).ahash == -1L)
+    assert(h(2L).decoded && h(2L).ahash == 0L)
+    assert(h(3L).ahash == h(4L).ahash,
+      "integer gain must preserve every window comparison")
+    assert(java.lang.Long.bitCount(h(3L).ahash ^ h(5L).ahash) <= 1,
+      "a bump confined to window 0 can flip only bit 0")
+    assert(java.lang.Long.bitCount(h(3L).ahash ^ h(6L).ahash) > 8,
+      "different seeds must disagree on many bits")
+    assert(!h(7L).decoded)
+  }
+
+  test("audioNearDup finds exactly the planted within-group pairs") {
+    implicit val s = spark
+    val clips = (0 until 3).flatMap { g =>
+      val seed = 40L + g * 3
+      Seq(
+        (g * 10L, Multimodal.windowPatternWav(seed)),
+        (g * 10L + 1, Multimodal.windowPatternWav(seed, gain = 2)),
+        (g * 10L + 2, Multimodal.windowPatternWav(seed, gain = 2, bump0 = 800)))
+    }.toDF("clip_id", "wav")
+    val pairs = Multimodal.audioNearDup(clips, "clip_id", "wav", maxDist = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val within = pairs.filter { case (a, b, _) => a / 10 == b / 10 }
+    val expected = (0 until 3).flatMap { g =>
+      Seq((g * 10L, g * 10L + 1), (g * 10L, g * 10L + 2),
+        (g * 10L + 1, g * 10L + 2))
+    }.toSet
+    assert(within.map(p => (p._1, p._2)).toSet == expected)
+    assert(within.forall(_._3 <= 1),
+      s"planted copies must be Hamming <= 1, got ${within.mkString(",")}")
+  }
+
+  test("videoFrameDHash matches imageDHash on the same JPEG; videoNearDup pairs on shared frames") {
+    implicit val s = spark
+    def f(seed: Long) = Multimodal.cellPatternJpeg(40, 32, seed)
+    val vids = Seq(
+      (1L, Multimodal.mjpegAvi(Seq(f(1), f(2), f(3)), 40, 32)),
+      (2L, Multimodal.mjpegAvi(Seq(f(1), f(2), f(9)), 40, 32)), // shares 2 with 1
+      (3L, Multimodal.mjpegAvi(Seq(f(2), f(7), f(8)), 40, 32)), // shares 1 with 1 and 2
+      (4L, Array.tabulate(64)(i => (i * 3 % 256).toByte))       // poison
+    ).toDF("vid_id", "avi")
+    val fh = Multimodal.videoFrameDHash(vids, "vid_id", "avi")
+      .collect()
+    assert(fh.filter(_.id == 4L).forall(!_.decoded))
+    val frame0 = fh.find(v => v.id == 1L && v.frameIdx == 0).get
+    val still = Multimodal.imageDHash(
+      Seq((1L, f(1))).toDF("doc_id", "png"), "doc_id", "png")
+      .collect().head
+    assert(frame0.decoded && still.decoded && frame0.dhash == still.dhash,
+      "a video frame must hash exactly like the same JPEG as a still")
+    val pairs = Multimodal.videoNearDup(vids, "vid_id", "avi", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSet == Set((1L, 2L, 2L)),
+      s"only the 2-shared-frame couple pairs at minShared=2, got ${pairs.mkString(",")}")
+  }
+
   test("imageNearDup finds exactly the planted within-group pairs") {
     implicit val s = spark
     val imgs = (0 until 3).flatMap { g =>
