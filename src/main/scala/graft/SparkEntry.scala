@@ -215,7 +215,8 @@ object SparkEntry {
       "q166_dedup_split", "q180_soft_dedup"),
     "_shared:bpe8" -> Seq("q177_bpe_merges", "q179_bpe_tokenize"),
     "_shared:bpe8slice" -> Seq("q191_bpe_encode", "q194_bpe_segment",
-      "q195_bpe_pack", "q201_bpe_vocab", "q202_bpe_ids"))
+      "q195_bpe_pack", "q201_bpe_vocab", "q202_bpe_ids",
+      "q206_pack_materialize"))
 
   /** The q178/q181 mixture weights, and their oracle VALUES clause:
     * the SQL side receives the PRE-NORMALIZED weights (each divided by
@@ -1047,6 +1048,28 @@ object SparkEntry {
             "CAST(0 AS BIGINT), (a, y) -> a + y)").as("ids_fp"),
           (col("text_decoded") === col("_exp")).cast("int")
             .as("roundtrip_ok"))
+    }),
+
+    // --- the pipeline's FINAL artifact: packed context windows
+    //     MATERIALIZED as token-id streams (encodeIds → bucketPack →
+    //     one row per window, docs in slot order, -2 boundary
+    //     markers); the position-weighted window fingerprint pins id
+    //     content AND order against the fully-nested SQL replay ---
+    "q206_pack_materialize" -> ((s, dir) => {
+      val docs = gluedEvalDocs(s, dir)
+      val rules = bpeSliceMerges(s, dir)
+      val words = bpeSliceWords(s, dir)
+      val enc = Bpe.encodeIds(docs, "doc_id", "text", rules, words)
+        .localCheckpoint()
+      val langs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val packs = Packing.bucketPackCounted(
+        enc.select(col("doc_id"), col("n_bpe")).join(langs, Seq("doc_id")),
+        "doc_id", "n_bpe", "lang", contextLen = 256, saltBlocks = 4)
+      Packing.materializeWindows(packs, enc, "doc_id", "ids", "lang")
+        .select(col("lang"), col("n_tok"), col("block"), col("pack_seq"),
+          col("n_docs"), col("n_ids"),
+          expr("aggregate(transform(ids, (x, i) -> CAST(x AS BIGINT) * (i + 1)), " +
+            "CAST(0 AS BIGINT), (a, y) -> a + y)").as("win_fp"))
     }),
 
     // --- deterministic pretraining order: content-hash shard + in-
@@ -3960,6 +3983,42 @@ object SparkEntry {
     // Spark side computes it honestly via decodeIds)
     "q202_bpe_ids" -> Bpe.idsOracleSql(8, trainWhere = "doc_id % 4 = 0",
       tokPosCte = gluedTokPosCte),
+
+    // the per-doc flat id stream nested as a CTE, the q195 pack chain
+    // over its length, then per-window list assembly in slot order —
+    // the deepest composition oracle in the suite (train → encode →
+    // ids → pack → materialize, replayed end to end)
+    "q206_pack_materialize" -> {
+      val docIds = Bpe.docIdsSelect(8, trainWhere = "doc_id % 4 = 0",
+        tokPosCte = gluedTokPosCte)
+      val tail =
+        """base AS (
+         |  SELECT di.doc_id, d.lang, CAST(di.n_bpe AS INT) AS n_tok, di.dids,
+         |         CAST(CAST(concat('0x', substring(md5(CAST(di.doc_id AS VARCHAR)), 1, 8))
+         |                   AS BIGINT) % 4 AS INT) AS block
+         |  FROM di JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, n_tok, block
+         |                               ORDER BY doc_id) AS rn,
+         |         CAST(FLOOR(256.0 / n_tok) AS BIGINT) AS cap
+         |  FROM base
+         |  WHERE n_tok <= 256),
+         |p AS (SELECT lang, n_tok, block,
+         |             CAST(FLOOR((rn - 1) / cap) AS BIGINT) AS pack_seq,
+         |             CAST((rn - 1) % cap AS INT) AS slot, dids
+         |      FROM r),
+         |w AS (SELECT lang, n_tok, block, pack_seq,
+         |             CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             flatten(list(CASE WHEN slot = 0 THEN dids
+         |                               ELSE list_prepend(-2, dids) END ORDER BY slot)) AS wids
+         |      FROM p GROUP BY 1, 2, 3, 4)
+         |SELECT lang, n_tok, block, pack_seq, n_docs,
+         |       CAST(len(wids) AS INT) AS n_ids,
+         |       CAST(list_sum(list_transform(range(1, len(wids) + 1),
+         |            j -> CAST(wids[j] AS BIGINT) * j)) AS BIGINT) AS win_fp
+         |FROM w""".stripMargin
+      s"WITH di AS ($docIds),\n$tail"
+    },
 
     // integer token math via FLOOR over PRE-NORMALIZED weights (see
     // mixWeightsSql — no in-SQL weight-sum division to diverge at a

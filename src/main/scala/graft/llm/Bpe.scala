@@ -880,54 +880,83 @@ object Bpe {
     */
   def idsOracleSql(nMerges: Int, trainWhere: String,
                    tokPosCte: String): String = {
+    val tail =
+      """fp AS (SELECT doc_id, oov, nsym,
+        |              list_sum(list_transform(range(1, len(ids) + 1),
+        |                j -> CAST(ids[j] AS BIGINT) * (prev + k - 1 + j))) AS contrib
+        |       FROM ds)
+        |SELECT doc_id,
+        |       CAST(SUM(nsym) + COUNT(*) - 1 AS BIGINT) AS n_bpe,
+        |       CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |       CAST(SUM(contrib) AS BIGINT) AS ids_fp,
+        |       CAST(CASE WHEN SUM(oov) = 0 THEN 1 ELSE 0 END AS INT) AS roundtrip_ok
+        |FROM fp GROUP BY 1""".stripMargin
+    s"WITH ${roundsCte(nMerges, trainWhere)},\n${vocabCtes(nMerges)},\n" +
+      s"${idsChainCtes(nMerges, tokPosCte)},\n$tail"
+  }
+
+  /** The per-word-id chain shared by [[idsOracleSql]] and
+    * [[docIdsSelect]]: eval token stream with positions → distinct
+    * words → sequential merge replay → per-word ordered id lists
+    * (`wids`), per-word unseen-char flags (`wo`) and the per-doc
+    * word stream `ds` with compacted word rank `k` and the
+    * cumulative-symbol offset `prev`. Requires [[roundsCte]] +
+    * [[vocabCtes]] in scope.
+    */
+  private def idsChainCtes(nMerges: Int, tokPosCte: String): String = {
     val encRounds = (1 to nMerges).map { r =>
       s"""e$r AS (SELECT word, replace(s,
          |          '<' || split_part(pr, ' ', 1) || '><' || split_part(pr, ' ', 2) || '>',
          |          '<' || split_part(pr, ' ', 1) || split_part(pr, ' ', 2) || '>') AS s
          |        FROM e${r - 1}, r$r)""".stripMargin
     }.mkString(",\n")
+    s"""tokp AS ($tokPosCte),
+       |tokg AS (SELECT doc_id, wpos, word FROM tokp
+       |         WHERE word <> '' AND NOT contains(word, '<')
+       |           AND NOT contains(word, '>')),
+       |ew AS (SELECT DISTINCT word FROM tokg),
+       |e0 AS (SELECT word,
+       |              '<' || array_to_string([c FOR c IN string_split(word, '')], '><')
+       |                  || '>' AS s
+       |       FROM ew),
+       |$encRounds,
+       |wp AS (SELECT word, unnest(list_transform(range(1, len(t) + 1),
+       |              i -> struct_pack(spos := i, piece := t[i]))) AS u
+       |       FROM (SELECT word, string_split(trim(s, '<>'), '><') AS t
+       |             FROM e$nMerges)),
+       |wps AS (SELECT word, u.spos AS spos, u.piece AS piece FROM wp),
+       |wid AS (SELECT word, spos, COALESCE(token_id, -1) AS id
+       |        FROM wps LEFT JOIN voc USING (piece)),
+       |wids AS (SELECT word, list(id ORDER BY spos) AS ids,
+       |                CAST(COUNT(*) AS BIGINT) AS nsym
+       |         FROM wid GROUP BY 1),
+       |wch AS (SELECT DISTINCT word,
+       |               unnest([c FOR c IN string_split(word, '')]) AS ch
+       |        FROM ew),
+       |wo AS (SELECT wch.word,
+       |              CAST(MAX(CASE WHEN a.ch IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+       |       FROM wch LEFT JOIN valpha a USING (ch) GROUP BY 1),
+       |ds AS (SELECT t.doc_id, t.wpos, w.ids, w.nsym, wo.oov,
+       |              ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.wpos) AS k,
+       |              COALESCE(SUM(w.nsym) OVER (PARTITION BY t.doc_id ORDER BY t.wpos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+       |       FROM tokg t JOIN wids w USING (word) JOIN wo USING (word))""".stripMargin
+  }
+
+  /** A nestable full SELECT producing `(doc_id, n_bpe, dids)` — each
+    * document's FLAT id list with the space token joined between
+    * words, the SQL twin of [[encodeIds]]' `ids` column. Composition
+    * oracles (pack materialization) wrap it as a CTE.
+    */
+  def docIdsSelect(nMerges: Int, trainWhere: String,
+                   tokPosCte: String): String = {
     val tail =
-      s"""tokp AS ($tokPosCte),
-         |tokg AS (SELECT doc_id, wpos, word FROM tokp
-         |         WHERE word <> '' AND NOT contains(word, '<')
-         |           AND NOT contains(word, '>')),
-         |ew AS (SELECT DISTINCT word FROM tokg),
-         |e0 AS (SELECT word,
-         |              '<' || array_to_string([c FOR c IN string_split(word, '')], '><')
-         |                  || '>' AS s
-         |       FROM ew),
-         |$encRounds,
-         |wp AS (SELECT word, unnest(list_transform(range(1, len(t) + 1),
-         |              i -> struct_pack(spos := i, piece := t[i]))) AS u
-         |       FROM (SELECT word, string_split(trim(s, '<>'), '><') AS t
-         |             FROM e$nMerges)),
-         |wps AS (SELECT word, u.spos AS spos, u.piece AS piece FROM wp),
-         |wid AS (SELECT word, spos, COALESCE(token_id, -1) AS id
-         |        FROM wps LEFT JOIN voc USING (piece)),
-         |wids AS (SELECT word, list(id ORDER BY spos) AS ids,
-         |                CAST(COUNT(*) AS BIGINT) AS nsym
-         |         FROM wid GROUP BY 1),
-         |wch AS (SELECT DISTINCT word,
-         |               unnest([c FOR c IN string_split(word, '')]) AS ch
-         |        FROM ew),
-         |wo AS (SELECT wch.word,
-         |              CAST(MAX(CASE WHEN a.ch IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
-         |       FROM wch LEFT JOIN valpha a USING (ch) GROUP BY 1),
-         |ds AS (SELECT t.doc_id, t.wpos, w.ids, w.nsym, wo.oov,
-         |              ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.wpos) AS k,
-         |              COALESCE(SUM(w.nsym) OVER (PARTITION BY t.doc_id ORDER BY t.wpos
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
-         |       FROM tokg t JOIN wids w USING (word) JOIN wo USING (word)),
-         |fp AS (SELECT doc_id, oov, nsym,
-         |              list_sum(list_transform(range(1, len(ids) + 1),
-         |                j -> CAST(ids[j] AS BIGINT) * (prev + k - 1 + j))) AS contrib
-         |       FROM ds)
-         |SELECT doc_id,
-         |       CAST(SUM(nsym) + COUNT(*) - 1 AS BIGINT) AS n_bpe,
-         |       CAST(SUM(oov) AS BIGINT) AS n_oov,
-         |       CAST(SUM(contrib) AS BIGINT) AS ids_fp,
-         |       CAST(CASE WHEN SUM(oov) = 0 THEN 1 ELSE 0 END AS INT) AS roundtrip_ok
-         |FROM fp GROUP BY 1""".stripMargin
-    s"WITH ${roundsCte(nMerges, trainWhere)},\n${vocabCtes(nMerges)},\n$tail"
+      """SELECT doc_id,
+        |       CAST(SUM(nsym) + COUNT(*) - 1 AS BIGINT) AS n_bpe,
+        |       flatten(list(CASE WHEN k = 1 THEN ids
+        |                         ELSE list_prepend(0, ids) END ORDER BY wpos)) AS dids
+        |FROM ds GROUP BY doc_id""".stripMargin
+    s"WITH ${roundsCte(nMerges, trainWhere)},\n${vocabCtes(nMerges)},\n" +
+      s"${idsChainCtes(nMerges, tokPosCte)}\n$tail"
   }
 }

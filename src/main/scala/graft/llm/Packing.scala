@@ -115,4 +115,38 @@ object Packing {
         when(col("n_tok") > contextLen, lit(-1))
           .otherwise(((col("_rn") - 1) % cap).cast("int")).as("slot"))
   }
+
+  /** Materialize packed context windows — the FINAL artifact of the
+    * curation pipeline, the ready-to-train row a pretraining loader
+    * reads: each [[bucketPackCounted]] assignment joins its
+    * document's token-id sequence (`Bpe.encodeIds` shape) and every
+    * window emits ONE row with the concatenated id stream, documents
+    * in slot order with `sepId` between them (the document-boundary
+    * marker — the EOS analog; the separator rides outside the token
+    * budget by contract, windows being same-length-class). Over-long
+    * docs (`pack_seq = -1`, the chunking route) are excluded.
+    *
+    * Output: `(groupCol, n_tok, block, pack_seq, n_docs, ids, n_ids)`.
+    *
+    * Scale: one equi-join on the doc key plus ONE keyed aggregation
+    * per window with an in-row sort over the window's own documents
+    * (≤ contextLen/n_tok entries); the window key carries the salt
+    * block, so nothing anywhere materializes more than one training
+    * window of ids.
+    */
+  def materializeWindows(packs: DataFrame, ids: DataFrame, idCol: String,
+                         idsCol: String, groupCol: String,
+                         sepId: Int = -2): DataFrame =
+    packs.filter(col("pack_seq") >= 0)
+      .join(ids.select(col(idCol), col(idsCol).as("_ids")), Seq(idCol))
+      .groupBy(col(groupCol), col("n_tok"), col("block"), col("pack_seq"))
+      .agg(
+        sort_array(collect_list(struct(col("slot"), col("_ids"))))
+          .as("_ds"),
+        count(lit(1)).as("n_docs"))
+      .select(col(groupCol), col("n_tok"), col("block"), col("pack_seq"),
+        col("n_docs"),
+        expr("flatten(transform(_ds, (d, i) -> " +
+          s"IF(i = 0, d._ids, concat(array($sepId), d._ids))))").as("ids"))
+      .withColumn("n_ids", size(col("ids")))
 }

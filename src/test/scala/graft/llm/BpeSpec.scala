@@ -217,6 +217,20 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encodeIds is repartition-invariant (flat id streams bit-equal)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(40)
+    val (rules, words) = Bpe.trainShared(docs, "text", nMerges = 6)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Bpe.encodeIds(d, "doc_id", "text", rules, words)
+        .select($"doc_id", $"ids", $"n_oov", $"n_bpe")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toList,
+          r.getLong(2), r.getLong(3))).toSet
+    assert(run(docs) == run(docs.repartition(7)))
+  }
+
   test("encodeSegments emits the exact bracketed sub-word sequence") {
     val trainDocs = Seq((1L, "low low low"), (2L, "lower lowest"))
       .toDF("doc_id", "text")

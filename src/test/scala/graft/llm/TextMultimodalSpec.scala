@@ -364,6 +364,25 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("materializeWindows concatenates docs in slot order with boundary markers") {
+    val counts = Seq((1L, "a", 2), (2L, "a", 2), (3L, "a", 2), (9L, "a", 9))
+      .toDF("doc_id", "lang", "n")
+    val ids = Seq((1L, Seq(5, 6)), (2L, Seq(7, 8)), (3L, Seq(9, 9)),
+      (9L, Seq(1))).toDF("doc_id", "ids")
+    val packs = Packing.bucketPackCounted(counts, "doc_id", "n", "lang",
+      contextLen = 4, saltBlocks = 1)
+    val wins = Packing.materializeWindows(packs, ids, "doc_id", "ids", "lang")
+      .orderBy("pack_seq").collect()
+    // n=9 > ctx 4 → excluded (the chunking route); docs 1,2 fill
+    // window 0 (cap = 2), doc 3 starts window 1
+    assert(wins.length == 2)
+    assert(wins(0).getAs[Long]("n_docs") == 2L)
+    assert(wins(0).getAs[scala.collection.Seq[Int]]("ids").toSeq == Seq(5, 6, -2, 7, 8))
+    assert(wins(0).getAs[Int]("n_ids") == 5)
+    assert(wins(1).getAs[Long]("n_docs") == 1L &&
+      wins(1).getAs[scala.collection.Seq[Int]]("ids").toSeq == Seq(9, 9))
+  }
+
   test("bucketPackCounted with whitespace counts equals bucketPack") {
     val d = ((0L until 20L).map(i => (i, "en", ("w " * (5 + (i % 4)).toInt).trim)) :+
       ((99L, "en", ("w " * 200).trim))).toDF("doc_id", "lang", "text")
