@@ -1072,6 +1072,24 @@ object SparkEntry {
             "CAST(0 AS BIGINT), (a, y) -> a + y)").as("win_fp"))
     }),
 
+    // --- Johnson–Lindenstrauss ±1 random projection: 64 → 8 dims via
+    //     the md5-sign matrix, exact decimal accumulation (a narrow
+    //     codegen'd scan — the pre-shrink before LSH/clustering when
+    //     dimensionality is the cost driver) ---
+    "q207_random_project" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), "vec_id",
+          "embedding", outDim = 8, inDim = 64, seed = 42)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "y")))
+        .select(col("vec_id"), col("j"),
+          round(col("y").cast("double"), 6).as("y"))),
+
+    // --- exact-substring dedup as a TRANSFORM (Lee et al. 2022): the
+    //     corpus-wide first occurrence of each duplicated 5-gram
+    //     survives, every other duplicated span is stripped from the
+    //     text; reassembly is one codegen'd merge-walk per doc ---
+    "q208_remove_dup_spans" -> ((s, dir) =>
+      Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text")),
+
     // --- deterministic pretraining order: content-hash shard + in-
     //     shard hash-ordered position — a reproducible, engine-
     //     replayable global permutation of the corpus ---
@@ -4019,6 +4037,81 @@ object SparkEntry {
          |FROM w""".stripMargin
       s"WITH di AS ($docIds),\n$tail"
     },
+
+    // the md5-sign matrix replayed in SQL (top md5 hex digit 0–7 ⇒ +1)
+    // and the projection as the exact decimal(18,9) sum the engine's
+    // SignedProject expression computes — bit-identical by integer
+    // arithmetic, rounded once at the output face. The float column
+    // widens to DOUBLE[] BEFORE the decimal cast: DuckDB's direct
+    // float→decimal scales in float32 (±2e-9 per element — invisible
+    // at the 4-digit rounds of q30/q37, visible in a ±64-term sum at
+    // 6 digits), while Spark casts through double
+    "q207_random_project" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         CAST(unnest(CAST(embedding AS DOUBLE[])) AS DECIMAL(18,9)) AS vd,
+        |         generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(range(8)) AS j),
+        |proj AS (
+        |  SELECT e.vec_id, dims.j,
+        |         SUM(CASE WHEN substr(md5('rp:42:' || dims.j || ':' || e.i), 1, 1)
+        |                       <= '7'
+        |                  THEN e.vd ELSE -e.vd END) AS y
+        |  FROM e CROSS JOIN dims
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, CAST(j AS INT) AS j,
+        |       ROUND(CAST(y AS DOUBLE), 6) AS y
+        |FROM proj""".stripMargin,
+
+    // q176's gram/island chain with the canonical (min doc, min pos)
+    // occurrence EXCLUDED from removal, then token-level reassembly
+    "q208_remove_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t) - 3),
+        |           i -> struct_pack(pos := i - 1,
+        |                gram := array_to_string(t[i:i+4], ' '))),
+        |           recursive := true)
+        |  FROM toks WHERE len(t) >= 5),
+        |dup AS (SELECT gram, MIN(doc_id * 4294967296 + pos) AS canon
+        |        FROM g GROUP BY 1 HAVING COUNT(*) > 1),
+        |occ AS (SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s,
+        |               CAST(g.pos + 4 AS BIGINT) AS e
+        |        FROM g JOIN dup USING (gram)
+        |        WHERE g.doc_id * 4294967296 + g.pos <> dup.canon),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |         CASE WHEN s > COALESCE(MAX(e) OVER (
+        |             PARTITION BY doc_id ORDER BY s, e
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |           THEN 1 ELSE 0 END AS brk
+        |  FROM occ),
+        |grp AS (SELECT doc_id, s, e,
+        |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |        FROM isl),
+        |spans AS (SELECT doc_id, gid, MIN(s) AS s0, MAX(e) AS e0
+        |          FROM grp GROUP BY 1, 2),
+        |per AS (SELECT doc_id, CAST(SUM(e0 - s0 + 1) AS BIGINT) AS n_removed
+        |        FROM spans GROUP BY 1),
+        |tk AS (SELECT doc_id, unnest(t) AS tok,
+        |              CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS p
+        |       FROM toks),
+        |kept AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |                           WHERE sp.doc_id = tk.doc_id
+        |                             AND tk.p BETWEEN sp.s0 AND sp.e0)),
+        |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+        |          FROM kept GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |       COALESCE(per.n_removed, 0) AS n_removed,
+        |       COALESCE(c.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |                 LEFT JOIN clean c USING (doc_id)""".stripMargin,
 
     // integer token math via FLOOR over PRE-NORMALIZED weights (see
     // mixWeightsSql — no in-SQL weight-sum division to diverge at a

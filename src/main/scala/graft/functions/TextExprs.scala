@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -130,6 +130,70 @@ object WordNgrams {
   }
 }
 
+/** Space-join of the tokens NOT covered by any of a row's spans —
+  * the reassembly step of span-level dedup
+  * ([[graft.llm.Dedup.removeDupSpans]]): tokens is the document's
+  * token array, (starts, ends) the SORTED, DISJOINT, inclusive
+  * 0-based spans to drop (exactly what the gaps-and-islands merge
+  * emits). One merge-walk per row — O(tokens + spans) — where the
+  * higher-order `filter(…, exists(spans, …))` form is interpreted
+  * and O(tokens·spans).
+  *
+  * Null semantics: any null input array → null row (null-intolerant);
+  * null tokens are skipped (concat_ws convention). Spans outside the
+  * token range simply cover nothing; `starts`/`ends` are paired by
+  * position (extra elements of the longer array are ignored).
+  */
+case class JoinTokensExcept(tokens: Expression, starts: Expression,
+                            ends: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "join_tokens_except"
+  override def first: Expression = tokens
+  override def second: Expression = starts
+  override def third: Expression = ends
+
+  override def nullSafeEval(t: Any, s: Any, e: Any): Any =
+    JoinTokensExcept.compute(t.asInstanceOf[ArrayData],
+      s.asInstanceOf[ArrayData], e.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s, e) =>
+      s"${ev.value} = graft.functions.JoinTokensExcept$$.MODULE$$.compute($t, $s, $e);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): JoinTokensExcept =
+    copy(tokens = newFirst, starts = newSecond, ends = newThird)
+}
+
+object JoinTokensExcept {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData, ss: ArrayData, es: ArrayData): UTF8String = {
+    val n = toks.numElements()
+    val m = math.min(ss.numElements(), es.numElements())
+    val kept = new Array[UTF8String](n)
+    var k = 0
+    var sp = 0
+    var i = 0
+    while (i < n) {
+      while (sp < m && es.getLong(sp) < i) sp += 1
+      val covered = sp < m && ss.getLong(sp) <= i
+      if (!covered && !toks.isNullAt(i)) {
+        kept(k) = toks.getUTF8String(i)
+        k += 1
+      }
+      i += 1
+    }
+    UTF8String.concatWs(Space, java.util.Arrays.copyOf(kept, k): _*)
+  }
+}
+
 object TextExprs {
   /** Codegen'd marker-set occurrence count over a string array. */
   def tokenSetCount(tokens: Column, markers: Seq[String]): Column =
@@ -138,4 +202,13 @@ object TextExprs {
   /** Codegen'd space-joined word n-grams over a string array. */
   def wordNgrams(tokens: Column, n: Int): Column =
     Bridge.column(WordNgrams(Bridge.expression(tokens), n))
+
+  /** Codegen'd space-join of tokens outside the given sorted disjoint
+    * spans ([[JoinTokensExcept]]).
+    */
+  def joinTokensExcept(tokens: Column, starts: Column,
+                       ends: Column): Column =
+    Bridge.column(JoinTokensExcept(Bridge.expression(tokens),
+      Bridge.expression(starts.cast("array<bigint>")),
+      Bridge.expression(ends.cast("array<bigint>"))))
 }

@@ -1067,6 +1067,87 @@ object CellRangeScan {
   }
 }
 
+/** Deterministic ±1 random projection (the dense sign matrix of
+  * Achlioptas 2003 / Johnson–Lindenstrauss): `y[j] = Σ_i s[j][i]·x[i]`
+  * over `array<decimal(18,9))>` input with the sign matrix embedded in
+  * the expression (same memory contract as [[ArgmaxMatrixDot]] — one
+  * driver-held array referenced from generated code, never a crossJoin
+  * or a per-dimension explode).
+  *
+  * EXACT by construction: a scale-9 decimal times ±1 is a negated
+  * unscaled long, so each output coordinate is an integer sum of
+  * unscaled longs — associative, partitioning-independent, and equal
+  * bit-for-bit to the SQL oracle's
+  * `SUM(CASE WHEN sign THEN vd ELSE -vd END)` over
+  * `CAST(x AS DECIMAL(18,9))`. Range contract: `Σ_i |x[i]| < 10^9`
+  * per row (any embedding-scale data; the unscaled sum must stay
+  * inside decimal(18,9)).
+  *
+  * Null semantics follow [[ArrayDotProduct]]: null array → null row,
+  * null elements contribute 0, the loop runs over the common prefix
+  * of the vector and the sign rows.
+  */
+case class SignedProject(child: Expression, signs: Array[Array[Byte]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(DecimalType(18, 9), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "signed_project"
+
+  override def nullSafeEval(a: Any): Any =
+    SignedProject.project(a.asInstanceOf[ArrayData], signs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("signs", signs, "byte[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.SignedProject.project($v, $mat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignedProject =
+    copy(child = newChild)
+}
+
+object SignedProject {
+  def project(v: ArrayData, signs: Array[Array[Byte]])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    // the element conversion is LITERALLY Spark's double→decimal(18,9)
+    // cast (Decimal(d) + changePrecision — the same code Cast runs),
+    // pulled inside the expression so the query needs no interpreted
+    // `transform(_.cast(...))` HOF around it; the input array<float>
+    // widens to array<double> losslessly via the implicit input cast
+    val n0 = v.numElements()
+    val units = new Array[Long](n0)
+    var i = 0
+    while (i < n0) {
+      if (!v.isNullAt(i)) {
+        val dec = org.apache.spark.sql.types.Decimal(v.getDouble(i))
+        // overflow cannot occur under the documented Σ|x| range
+        dec.changePrecision(18, 9)
+        units(i) = dec.toUnscaledLong
+      }
+      i += 1
+    }
+    val out = new Array[Any](signs.length)
+    var j = 0
+    while (j < signs.length) {
+      val row = signs(j)
+      val n = math.min(row.length, n0)
+      var s = 0L
+      i = 0
+      while (i < n) {
+        s += (if (row(i) > 0) units(i) else -units(i))
+        i += 1
+      }
+      out(j) = org.apache.spark.sql.types.Decimal(s, 18, 9)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExprs {
   /** `Σ a[i]·b[i]` as a codegen'd column; inputs are cast to
     * array<double> (float vectors widen losslessly).
@@ -1105,6 +1186,15 @@ object VectorExprs {
   def decimalDot(a: Column, b: Column): Column =
     Bridge.column(ArrayDecimalDotProduct(
       Bridge.expression(a), Bridge.expression(b)))
+
+  /** Exact ±1 sign projection over a fixed sign matrix
+    * ([[SignedProject]]); the double→decimal(18,9) element conversion
+    * (the oracle contract) happens INSIDE the expression — pass the
+    * raw float/double vector.
+    */
+  def signedProject(v: Column, signs: Array[Array[Byte]]): Column =
+    Bridge.column(SignedProject(
+      Bridge.expression(v.cast("array<double>")), signs))
 
   /** argmax over a fixed centroid matrix ([[ArgmaxMatrixDot]]). */
   def argmaxDot(v: Column, matrix: Array[Array[Double]]): Column =

@@ -732,6 +732,78 @@ object Dedup {
           col("n_tokens"), 4).as("dup_frac"))
   }
 
+  /** The TRANSFORM face of [[substrDupSpans]] — exact-substring dedup
+    * that actually EDITS the corpus (the Lee et al. 2022 "deduplicating
+    * training data" rewrite): for every duplicated `w`-token window the
+    * corpus-wide FIRST occurrence (min doc_id, then min position) is
+    * canonical and survives; every other occurrence is merged into
+    * maximal per-doc spans and its tokens are dropped from the
+    * document. One copy of each duplicated passage remains in the
+    * corpus; boilerplate disappears from everywhere else.
+    *
+    * Scale design: same two gram-keyed shuffles as [[substrDupSpans]]
+    * (the canonical key rides the SAME map-side-combinable aggregation
+    * that finds duplicates — `min(doc_id·2^32 + pos)` — never a
+    * row_number window over hot boilerplate grams), one doc-keyed
+    * window whose state is bounded by document length, and reassembly
+    * as ONE narrow projection: the merged spans collect to a per-doc
+    * array (≤ len/1 entries) and a codegen'd merge-walk
+    * ([[graft.functions.JoinTokensExcept]], O(tokens + spans)) emits
+    * the cleaned text — the raw corpus text never shuffles.
+    *
+    * Contracts: positions pack as `doc_id·2^32 + pos`, so doc ids must
+    * fit 31 bits and documents 2^32 tokens (any real corpus; ids
+    * beyond that re-key upstream). `clean_text` is the kept tokens
+    * re-joined with single spaces (canonical whitespace — same
+    * convention as the SQL reassembly). Docs shorter than `w` tokens
+    * or with nothing duplicated pass through intact (modulo the
+    * whitespace canonicalization); a fully-covered doc yields ''.
+    *
+    * Output: `(doc_id, n_tokens, n_removed, clean_text)` — one row per
+    * input document; `n_removed ≤` [[substrDupSpans]]' `dup_tokens`
+    * (canonical windows stay).
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int = 5): DataFrame = {
+    val packKey = col("doc_id") * lit(4294967296L) + col("pos")
+    val grams = docs.withColumn("_toks", split(col(textCol), " "))
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextExprs.wordNgrams(col("_toks"), w))
+          .as(Seq("pos", "gram")))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_n"), min(packKey).as("_canon"))
+      .filter(col("_n") > 1)
+      .select(col("gram"), col("_canon"))
+    val occ = grams.join(dup, Seq("gram"))
+      .filter(packKey =!= col("_canon"))
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + (w - 1)).cast("long").as("e"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val spans = occ
+      .withColumn("_pmax",
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_brk",
+        when(col("s") > coalesce(col("_pmax"), lit(-1L)) + 1, 1).otherwise(0))
+      .withColumn("_gid",
+        sum(col("_brk")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("_gid"))
+      .agg(min(col("s")).as("s0"), max(col("e")).as("e0"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s0"), col("e0"))))
+          .as("_spans"),
+        sum(col("e0") - col("s0") + 1).as("_rm"))
+    val emptyLongs = array().cast("array<bigint>")
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(split(col("_text"), " ")).cast("long").as("n_tokens"),
+        coalesce(col("_rm"), lit(0L)).as("n_removed"),
+        graft.functions.TextExprs.joinTokensExcept(
+          split(col("_text"), " "),
+          coalesce(col("_spans.s0"), emptyLongs),
+          coalesce(col("_spans.e0"), emptyLongs)).as("clean_text"))
+  }
+
   /** One row per consecutive `k`-token chunk: (id, _idx, _chunk) —
     * non-overlapping, last chunk partial. Shuffle-free scan
     * projection; the shared candidate stream of [[chunkDedup]] and

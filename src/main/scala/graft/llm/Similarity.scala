@@ -1174,4 +1174,52 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         round(sum(col("_v").cast("decimal(18,9)")).cast("double") /
           count(lit(1)), 6).as("centroid"))
+
+  /** The ±1 sign matrix behind [[randomProject]]: row j, column i is
+    * +1 iff the first hex digit of `md5("rp:<seed>:<j>:<i>")` is in
+    * 0–7 (i.e. the digest's top bit is 0 — a fair coin). md5 is the
+    * one hash every SQL engine exposes with identical semantics, so
+    * the matrix is reproducible ANYWHERE from the three integers
+    * (seed, outDim, inDim) — no RNG state, no serialized model.
+    */
+  private[graft] def rpSigns(seed: Int, outDim: Int,
+                             inDim: Int): Array[Array[Byte]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val d = md.digest(
+        s"rp:$seed:$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((d(0) >> 4) & 0xf) < 8) 1.toByte else -1.toByte
+    }
+  }
+
+  /** Random projection (Johnson–Lindenstrauss, dense ±1 signs —
+    * Achlioptas 2003): reduce an embedding column from `inDim` to
+    * `outDim` coordinates with `y[j] = Σ_i s[j][i]·x[i]`, the
+    * standard pre-shrink before LSH banding, clustering, or an
+    * index build when the raw dimensionality is the cost driver
+    * (128→16 cuts every downstream dot, shuffle byte, and index
+    * list 8×; pairwise cosine is preserved to O(1/√outDim) because
+    * the projection is a near-isometry up to the constant √outDim
+    * scale, which cosine cancels).
+    *
+    * Deterministic and engine-replayable end to end: the sign matrix
+    * derives from md5 ([[rpSigns]]) and the projection itself is an
+    * exact integer sum over scale-9 decimals
+    * ([[graft.functions.SignedProject]] — codegen'd, narrow, fused
+    * into the scan; no shuffle, no RNG, no driver round-trip). The
+    * SQL oracle replays both the matrix AND the arithmetic
+    * bit-for-bit.
+    *
+    * Output: `(idCol, proj array<decimal(18,9)>)` — unscaled (no
+    * 1/√outDim factor: cosine and relative distance don't need it,
+    * and omitting it keeps the values exact).
+    */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int, inDim: Int, seed: Int = 42): DataFrame = {
+    require(outDim >= 1 && outDim <= 4096, "outDim must be in [1, 4096]")
+    require(inDim >= 1 && inDim <= 65536, "inDim must be in [1, 65536]")
+    emb.select(col(idCol),
+      graft.functions.VectorExprs.signedProject(
+        col(vecCol), rpSigns(seed, outDim, inDim)).as("proj"))
+  }
 }

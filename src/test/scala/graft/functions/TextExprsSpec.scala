@@ -68,4 +68,40 @@ class TextExprsSpec extends SparkSpec {
     assert(stats(2L) == 3.0)
     assert(stats(3L) == 1.0)
   }
+
+  test("joinTokensExcept drops exactly the covered positions on every " +
+       "edge shape (leading span, trailing span, full cover, no spans)") {
+    val rows = Seq(
+      // spans sorted, disjoint, inclusive — the operator contract
+      (1L, Seq("a", "b", "c", "d", "e"), Seq(1L, 4L), Seq(2L, 4L)), // -> "a d"
+      (2L, Seq("a", "b", "c"), Seq(0L), Seq(2L)),                   // full cover
+      (3L, Seq("a", "b", "c"), Seq[Long](), Seq[Long]()),           // no spans
+      (4L, Seq("x"), Seq(5L), Seq(9L)),                             // out of range
+      (5L, Seq[String](), Seq[Long](), Seq[Long]())                 // empty tokens
+    ).toDF("id", "toks", "ss", "es")
+    val out = rows.select(col("id"),
+        TextExprs.joinTokensExcept(col("toks"), col("ss"), col("es")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a d", 2L -> "", 3L -> "a b c",
+      4L -> "x", 5L -> ""))
+  }
+
+  test("joinTokensExcept propagates a null array and matches the " +
+       "interpreted filter+exists HOF form") {
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d"), Seq(1L), Seq(2L)),
+      (2L, null.asInstanceOf[Seq[String]], Seq(0L), Seq(0L)))
+      .toDF("id", "toks", "ss", "es")
+    val out = rows.select(col("id"),
+        TextExprs.joinTokensExcept(col("toks"), col("ss"), col("es")).as("fast"),
+        expr("concat_ws(' ', filter(toks, (t, i) -> " +
+          "NOT exists(arrays_zip(ss, es), sp -> i BETWEEN sp.ss AND sp.es)))")
+          .as("hof"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        r.getString(2))).toSeq
+    assert(out.find(_._1 == 1L).get._2 == "a d")
+    assert(out.find(_._1 == 1L).get._3 == "a d")
+    assert(out.find(_._1 == 2L).get._2 == null)
+  }
 }

@@ -357,4 +357,37 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((6L, 1L, 5L, 0.8333)))
     assert(out(5L) === ((6L, 1L, 5L, 0.8333)))
   }
+
+  test("removeDupSpans keeps the corpus-wide first occurrence and strips " +
+       "every other duplicated span from the text") {
+    val corpus = Seq(
+      1L -> "p q r s t A B C D E u v w x y A B C D E",
+      2L -> "m m m m m m",
+      3L -> "one two three four",
+      4L -> "k l m n o p",
+      5L -> "z k l m n o"
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(corpus, "doc_id", "text", w = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.size === 5)
+    // within-doc repeat: canonical pos 5 stays, pos-15 copy stripped
+    assert(out(1L) === ((20L, 5L, "p q r s t A B C D E u v w x y")))
+    // overlapping windows at pos 0 (canonical) and 1: span [1,5] goes
+    assert(out(2L) === ((6L, 5L, "m")))
+    // shorter than the window: untouched
+    assert(out(3L) === ((4L, 0L, "one two three four")))
+    // cross-doc dup: doc 4 owns the first occurrence — intact; doc 5
+    // loses the copied span and keeps only its own token
+    assert(out(4L) === ((6L, 0L, "k l m n o p")))
+    assert(out(5L) === ((6L, 1L * 5L, "z")))
+
+    // invariant vs the report face: canonical windows stay, so per-doc
+    // removal never exceeds substrDupSpans' duplicated-token coverage
+    val cov = Dedup.substrDupSpans(corpus, "doc_id", "text", w = 5)
+      .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+    out.foreach { case (id, (_, removed, _)) =>
+      assert(removed <= cov(id), s"doc $id removed=$removed cov=${cov(id)}")
+    }
+  }
 }

@@ -426,4 +426,69 @@ class SimilaritySpec extends SparkSpec {
       ("a", 0, 2L, 2.0), ("a", 1, 2L, 4.0),
       ("b", 0, 1L, 10.0), ("b", 1, 1L, 20.0)))
   }
+
+  test("randomProject equals the driver-side exact reference (md5 signs, " +
+       "scale-9 decimal sums) and handles short vectors by zero-padding") {
+    val rows = Seq(
+      (1L, Array(0.5f, -1.25f, 2.0f, 0.125f)),
+      (2L, Array(-0.001f, 0.0f, 1.5f, -3.75f)),
+      (3L, Array(1.0f)) // shorter than inDim: common-prefix contract
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(rows, "vec_id", "embedding",
+        outDim = 3, inDim = 4, seed = 7)
+      .select(col("vec_id"), col("proj").cast("array<string>"))
+      .as[(Long, Seq[String])].collect().toMap
+
+    val signs = Similarity.rpSigns(seed = 7, outDim = 3, inDim = 4)
+    def ref(v: Array[Float]): Seq[java.math.BigDecimal] =
+      signs.toSeq.map { row =>
+        var s = java.math.BigDecimal.ZERO
+        v.indices.foreach { i =>
+          // same conversion Spark's float→decimal(18,9) cast performs
+          // (float → double → shortest decimal string → HALF_UP to scale 9)
+          val d = new java.math.BigDecimal(
+              java.lang.Double.toString(v(i).toDouble))
+            .setScale(9, java.math.RoundingMode.HALF_UP)
+          s = if (row(i) > 0) s.add(d) else s.subtract(d)
+        }
+        s.setScale(9)
+      }
+    for ((id, vec) <- Seq(1L -> Array(0.5f, -1.25f, 2.0f, 0.125f),
+                          2L -> Array(-0.001f, 0.0f, 1.5f, -3.75f),
+                          3L -> Array(1.0f))) {
+      val got = out(id).map(new java.math.BigDecimal(_))
+      val want = ref(vec)
+      assert(got.zip(want).forall { case (g, w) => g.compareTo(w) == 0 },
+        s"id=$id got=$got want=$want")
+    }
+  }
+
+  test("randomProject preserves pairwise cosine within the JL tolerance " +
+       "on the real embeddings (deterministic matrix, fixed pairs)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 40)
+    val proj = Similarity.randomProject(emb, "vec_id", "embedding",
+        outDim = 32, inDim = 64, seed = 42)
+      .select(col("vec_id"),
+        transform(col("proj"), c => c.cast("double")).as("p"))
+      .as[(Long, Array[Double])].collect().toMap
+    val orig = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = orig.keys.toSeq.sorted
+    val errs = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+    } yield math.abs(cos(orig(a), orig(b)) - cos(proj(a), proj(b)))
+    // dense ±1 JL at outDim 32: cosine error concentrates ~1/√32 ≈ .18
+    // with a tail ~3σ over the 780 pairs (measured max .531, mean .11);
+    // the matrix is deterministic so these are fixed values, not a
+    // flaky statistical draw
+    assert(errs.max < 0.55, s"max cosine drift ${errs.max}")
+    assert(errs.sum / errs.size < 0.15, s"mean cosine drift ${errs.sum / errs.size}")
+  }
 }
