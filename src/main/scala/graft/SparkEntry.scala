@@ -1090,6 +1090,84 @@ object SparkEntry {
     "q208_remove_dup_spans" -> ((s, dir) =>
       Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text")),
 
+    // --- random projection AS the ANN scale path: LSH top-3 over the
+    //     64→32 PROJECTED corpus must still recall every planted
+    //     perturbed twin (cos 0.9999 pairs survive the JL shrink) ---
+    "q209_rp_lsh_recall" -> ((s, dir) => {
+      val (all, nPlanted) = plantedEmbeddings(s, dir)
+      val proj = Similarity.randomProject(all, "vec_id", "_unit",
+          outDim = 32, inDim = 64, seed = 42)
+        .select(col("vec_id"), col("proj").cast("array<float>").as("embedding"))
+      val hits = Similarity.embedLshTopK(proj, "vec_id", "embedding", k = 3)
+        .filter(col("id_a") >= PlantOffset &&
+          col("id_b") === col("id_a") - PlantOffset)
+      nPlanted.crossJoin(broadcast(hits.agg(count(lit(1)).as("n_found"))))
+    }),
+
+    // --- shot-boundary detection over synthetic MJPEG-AVIs with a
+    //     known cut structure (A A B B B C): first frame + 2 pattern
+    //     transitions = 3 cuts/3 shots per video; within-shot frames
+    //     are byte-identical JPEGs ⇒ Hamming 0 ---
+    "q210_video_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      val vids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).filter(col("doc_id") % 41 === 0)
+        .as[Long]
+        .map { id =>
+          val w = (36 + id % 16).toInt
+          val h = (32 + id % 8).toInt
+          def f(k: Long) = Multimodal.cellPatternJpeg(w, h, id * 16 + k)
+          (id, Multimodal.mjpegAvi(
+            Seq(f(0), f(0), f(1), f(1), f(1), f(2)), w, h))
+        }
+        .toDF("vid_id", "avi")
+      Multimodal.videoSceneCuts(vids, "vid_id", "avi", threshold = 1)(s)
+        .agg(
+          countDistinct(col("vid_id")).as("n_videos"),
+          count(lit(1)).as("n_frames"),
+          sum(col("is_cut")).as("n_cuts"),
+          sum((col("hamming") === 0).cast("long")).as("n_static"),
+          max(col("shot")).cast("int").as("max_shot"))
+    }),
+
+    // --- precision–recall curve (the imbalanced-label companion of
+    //     q34's ROC: a corpus keep-gate's positive class is the
+    //     minority, where ROC hides precision collapse) ---
+    "q211_pr_points" -> ((s, dir) =>
+      Eval.prPoints(
+        t(s, dir, "events").select(
+          Cleaning.binarize(col("value"), 100.0).as("label"),
+          get_json_object(col("props"), "$.k").cast("int").as("score")),
+        "label", "score")),
+
+    // --- PSI distribution drift between two corpus snapshots (here:
+    //     the even/odd user_id halves of the event values): dense
+    //     fixed-width bins, add-half smoothing, per-bin contributions ---
+    "q212_psi_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Eval.psiBins(
+        ev.filter(pmod(col("user_id"), lit(2)) === 0).select(col("value")),
+        ev.filter(pmod(col("user_id"), lit(2)) === 1).select(col("value")),
+        "value", lo = 0.0, hi = 200.0, nBins = 10)
+    }),
+
+    // --- incremental index ingest: build the IVF index on the base
+    //     corpus, APPEND the perturbed twins without retraining, then
+    //     every base query must find its appended twin in the top-3
+    //     (self ranks 1 at cos 1.0, the twin at cos ≈ 0.9999) ---
+    "q213_ann_append" -> ((s, dir) => {
+      val emb = unitEmb(s, dir)
+      val path = scratch("ivfappend", dir)
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", path)
+      Similarity.appendToIvfIndex(s, path, unitPerturbed(s, dir),
+        "vec_id", "embedding")
+      val hits = Similarity.searchIvfIndex(s, path, emb,
+          "vec_id", "embedding", k = 3)
+        .filter(col("id_b") === col("id_a") + PlantOffset)
+      emb.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_found"))))
+    }),
+
     // --- deterministic pretraining order: content-hash shard + in-
     //     shard hash-ordered position — a reproducible, engine-
     //     replayable global permutation of the corpus ---
@@ -4112,6 +4190,74 @@ object SparkEntry {
         |       COALESCE(c.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN per USING (doc_id)
         |                 LEFT JOIN clean c USING (doc_id)""".stripMargin,
+
+    // planted-recall gate over the PROJECTED corpus (q124 scheme):
+    // n_found pinned equal to the independently-derived plant count
+    "q209_rp_lsh_recall" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+        |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
+
+    // closed-form scene structure: 6 frames per video, cuts at frame 0
+    // (first-frame convention) and the two pattern transitions; the 3
+    // within-shot frames are byte-identical JPEGs ⇒ Hamming 0
+    "q210_video_scene_cuts" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_videos,
+        |       CAST(6 * COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(3 * COUNT(*) AS BIGINT) AS n_cuts,
+        |       CAST(3 * COUNT(*) AS BIGINT) AS n_static,
+        |       CAST(2 AS INT) AS max_shot
+        |FROM documents WHERE doc_id % 41 = 0""".stripMargin,
+
+    // the q34 curve machinery with precision/recall outputs
+    "q211_pr_points" ->
+      """WITH src AS (
+        |  SELECT CAST(CASE WHEN value > 100.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label,
+        |         CAST(json_extract_string(props, '$.k') AS INT) AS score
+        |  FROM events),
+        |g AS (SELECT score, CAST(COUNT(*) AS DOUBLE) AS n, SUM(label) AS pos
+        |      FROM src GROUP BY score),
+        |w AS (SELECT *,
+        |             SUM(pos) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+        |             SUM(n)   OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |             SUM(pos) OVER () AS tot_pos
+        |      FROM g)
+        |SELECT score,
+        |       ROUND(cum_pos / cum_n, 6) AS "precision",
+        |       ROUND(cum_pos / tot_pos, 6) AS recall
+        |FROM w""".stripMargin,
+
+    // fixed-width clamped bins, add-half-smoothed shares, and the
+    // (p_a − p_e)·ln(p_a/p_e) contribution — all double arithmetic
+    // over integer counts (IEEE-identical; the q75 ln precedent),
+    // rounded once at the output face
+    "q212_psi_drift" ->
+      """WITH e AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 20.0), 0.0), 9.0) AS INT) AS bin
+        |           FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL),
+        |a AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 20.0), 0.0), 9.0) AS INT) AS bin
+        |      FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL),
+        |bins AS (SELECT unnest(range(10)) AS bin),
+        |ec AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_expected FROM e GROUP BY 1),
+        |ac AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_actual FROM a GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM e) AS te, (SELECT COUNT(*) FROM a) AS ta),
+        |j AS (SELECT CAST(bins.bin AS INT) AS bin,
+        |             COALESCE(ec.n_expected, 0) AS n_expected,
+        |             COALESCE(ac.n_actual, 0) AS n_actual,
+        |             (COALESCE(ec.n_expected, 0) + 0.5) / (tot.te + 5.0) AS pe,
+        |             (COALESCE(ac.n_actual, 0) + 0.5) / (tot.ta + 5.0) AS pa
+        |      FROM bins LEFT JOIN ec ON bins.bin = ec.bin
+        |                LEFT JOIN ac ON bins.bin = ac.bin
+        |                CROSS JOIN tot)
+        |SELECT bin, ROUND(0.0 + bin * 20.0, 6) AS lo_edge,
+        |       n_expected, n_actual,
+        |       ROUND(pe, 6) AS p_expected, ROUND(pa, 6) AS p_actual,
+        |       ROUND((pa - pe) * LN(pa / pe), 6) AS contrib
+        |FROM j""".stripMargin,
+
+    // append-then-serve recall gate, same pinned form as q168: every
+    // base query finds its APPENDED perturbed twin
+    "q213_ann_append" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
 
     // integer token math via FLOOR over PRE-NORMALIZED weights (see
     // mixWeightsSql — no in-SQL weight-sum division to diverge at a

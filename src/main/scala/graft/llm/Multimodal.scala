@@ -728,6 +728,51 @@ object Multimodal {
       .filter(col("shared_frames") >= minShared)
   }
 
+  /** Shot-boundary (scene-cut) detection: a cut is a frame whose dHash
+    * differs from the PREVIOUS frame's by ≥ `threshold` Hamming bits —
+    * the standard cheap shot detector, and the prerequisite for
+    * representative frame sampling (one frame per SHOT instead of one
+    * per N frames, so a 10-minute static shot contributes one frame
+    * and a rapid montage keeps its variety).
+    *
+    * Scale: the corpus reduces to one 16-byte (video, frameIdx, hash)
+    * row per frame at decode (the embarrassingly-parallel scan cost);
+    * the lag comparison is a per-video window whose state is bounded
+    * by the video's frame count, never the corpus. Undecodable frames
+    * are EXCLUDED before the lag (a poison frame mid-video would
+    * otherwise manufacture two phantom cuts); the first decoded frame
+    * of a video is cut 0 by convention (every video has ≥ 1 segment).
+    *
+    * Output: one row per decoded frame —
+    * `(vid_id, frame_idx, hamming, is_cut, shot)` where `hamming` is
+    * the distance to the previous decoded frame (null on the first)
+    * and `shot` is the running cut count (0-based shot index the
+    * frame belongs to).
+    */
+  def videoSceneCuts(df: DataFrame, idCol: String, binCol: String,
+                     threshold: Int = 8)
+                    (implicit spark: SparkSession): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid_id")).orderBy(col("frame_idx"))
+    videoFrameDHash(df, idCol, binCol).toDF()
+      .filter(col("decoded"))
+      .select(col("id").as("vid_id"), col("frameIdx").as("frame_idx"),
+        col("dhash"))
+      .withColumn("_prev", lag(col("dhash"), 1).over(w))
+      .withColumn("hamming",
+        when(col("_prev").isNull, lit(null).cast("int"))
+          .otherwise(bit_count(col("_prev").bitwiseXOR(col("dhash")))
+            .cast("int")))
+      .withColumn("is_cut",
+        (col("_prev").isNull || col("hamming") >= threshold).cast("int"))
+      .withColumn("shot",
+        sum(col("is_cut")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .cast("int") - 1)
+      .select(col("vid_id"), col("frame_idx"), col("hamming"),
+        col("is_cut"), col("shot"))
+  }
+
   final case class ImageMeta(id: Long, decoded: Boolean, width: Int,
                              height: Int, meanLuma: Double)
 

@@ -1126,6 +1126,92 @@ object Similarity {
       k, excludeSelf = false, quantized = quantized)
   }
 
+  /** Append NEW vectors to a persisted IVF index WITHOUT retraining —
+    * the incremental-ingest face of the train-once/serve-many index
+    * (an embedding corpus grows daily; the quantizer is rebuilt
+    * rarely): each new vector is assigned to its cell under the
+    * EXISTING centroids (the same argmax expressions the lists build
+    * used — an appended vector lands exactly where a rebuild with
+    * frozen centroids would put it) and written as ordinary list rows
+    * in the stored layout and codec. Centroids, meta, and existing
+    * list files are untouched; [[searchIvfIndex]] serves the union
+    * immediately.
+    *
+    * Each append batch is range-laid and sorted on (_c1, _c2) like
+    * the base build, so parquet min/max stats keep pruning per FILE —
+    * the serve-time `_c1 IN (probed)` filter skips non-probed files
+    * of every batch. The documented trade (standard IVF practice):
+    * centroids do not learn the appended distribution — rebuild when
+    * drift degrades recall (measure with [[graft.ml.Eval.psiBins]] on
+    * the assignment histogram).
+    *
+    * Scale: one narrow assignment pass over the batch (level-2 via
+    * the driver-held cell matrices under the same budget contract as
+    * the probe path, the salted equi-join beyond it) + one ranged
+    * write; nothing reads the existing corpus-sized lists.
+    */
+  def appendToIvfIndex(spark: SparkSession, path: String,
+                       newVectors: DataFrame, idCol: String,
+                       vecCol: String): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(metaPath)
+    val meta =
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    def longOf(key: String): Long =
+      s""""$key":(-?\\d+)""".r.findFirstMatchIn(meta).get.group(1).toLong
+    val l1n = longOf("l1n").toInt; val l2n = longOf("l2n").toInt
+    val seed = longOf("seed")
+    val quantized = """"quantized":true""".r.findFirstIn(meta).isDefined
+    val l1m = spark.read.parquet(s"$path/l1").orderBy(col("_c1"))
+      .collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("_c1v")).toArray)
+    val par = spark.sparkContext.defaultParallelism
+    val unit = normalizedVecs(newVectors, idCol, idCol, vecCol)
+    val withC1 = unit.select(col(idCol), col("_unit"),
+      graft.functions.VectorExprs.argmaxDot(col("_unit"), l1m).as("_c1"))
+    val dims = l1m.headOption.map(_.length).getOrElse(0)
+    val assigned =
+      if (l2n <= 1) withC1.withColumn("_c2", lit(0))
+      else {
+        val l2 = spark.read.parquet(s"$path/l2")
+        if (l1n.toLong * l2n * dims <= maxDriverCellElems(spark))
+          withC1.withColumn("_c2",
+            graft.functions.VectorExprs.groupedArgmaxDot(
+              col("_unit"), col("_c1"), collectCells(l2, l1n)))
+        else {
+          // beyond the driver budget: the training loop's salted
+          // equi-join assignment (ties → smaller _c2, identical)
+          val batch = withC1.localCheckpoint()
+          batch.join(
+            salted(batch, idCol, par, l1n, seed)
+              .join(replicated(l2, par, l1n), Seq("_c1", "_salt"))
+              .select(col(idCol), col("_c1"), col("_c2"),
+                doubleDot(col("_unit"), col("_c2v")).as("_dot"))
+              .groupBy(col(idCol), col("_c1"))
+              .agg(max_by(col("_c2"),
+                struct(col("_dot"), (-col("_c2")).as("_t"))).as("_c2")),
+            Seq(idCol, "_c1"))
+        }
+      }
+    val listsRanged = assigned
+      .select(col(idCol).as("id_b"), col("_unit").as("_ub"),
+        col("_c1"), col("_c2").cast("int").as("_c2"))
+      .repartitionByRange(par, col("_c1"), col("_c2"))
+      .sortWithinPartitions("_c1", "_c2")
+    val listsOut =
+      if (!quantized) listsRanged
+      else {
+        val q = graft.functions.VectorExprs.int8Quantize(col("_ub"))
+        listsRanged.select(col("id_b"), col("_c1"), col("_c2"),
+          q.getField("scale").as("_sb"),
+          q.getField("qvec").as("_qb"))
+      }
+    listsOut.write.mode("append").parquet(s"$path/lists")
+  }
+
   /** Per-row double dot product — the native codegen'd
     * [[graft.functions.VectorExprs.dot]] expression (per-row
     * evaluation, so deterministic under any partitioning). Used where

@@ -187,4 +187,92 @@ object Eval {
           digits).as("fpr"),
         round(col("cum_pos") / col("tot_pos"), digits).as("tpr"))
   }
+
+  /** Precision–recall curve points — the companion of [[rocPoints]]
+    * for the IMBALANCED labels a corpus quality gate actually has
+    * (keep-worthy docs are the minority class; ROC's fpr axis hides
+    * precision collapse there): one
+    * `(score, precision, recall)` row per distinct (or binned) score,
+    * thresholds descending, "predict positive when score ≥ s".
+    * Identical histogram shape, null-score drop, continuous-score
+    * `binDigits` bound, and half-integer-exact cumulative arithmetic
+    * as [[rocPoints]].
+    */
+  def prPoints(df: DataFrame, labelCol: String, scoreCol: String,
+               digits: Int = 6, binDigits: Option[Int] = None): DataFrame = {
+    val g = df.filter(col(scoreCol).isNotNull)
+      .groupBy(binned(col(scoreCol), binDigits).as(scoreCol)).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col(labelCol).cast("double")).as("pos"))
+    val cum = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = g.agg(sum(col("pos")).as("tot_pos"))
+    g.withColumn("cum_pos", sum(col("pos")).over(cum))
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .crossJoin(broadcast(tot))
+      .select(
+        col(scoreCol),
+        round(col("cum_pos") / col("cum_n"), digits).as("precision"),
+        round(col("cum_pos") / col("tot_pos"), digits).as("recall"))
+  }
+
+  /** Population stability index between two snapshots of a value
+    * column — the drift monitor a periodically-rebuilt corpus (or a
+    * quality-score distribution) needs: fixed-width bins over
+    * `[lo, hi)` (out-of-range values clamp into the edge bins, so the
+    * index also SEES range drift), per-bin shares with add-half
+    * smoothing (`(n + 0.5) / (N + nBins/2)` — no magic epsilon, empty
+    * bins stay finite), `contrib = (p_a − p_e)·ln(p_a/p_e)`, PSI =
+    * Σ contrib. The usual reading: < 0.1 stable, 0.1–0.25 moderate,
+    * > 0.25 major shift.
+    *
+    * Output: one row per bin 0..nBins−1 (dense — empty bins included,
+    * they carry drift signal): `(bin, lo_edge, n_expected, n_actual,
+    * p_expected, p_actual, contrib)`.
+    *
+    * Determinism: shares and ln run in double over integer counts —
+    * IEEE-identical in any engine (the q75 tf-idf ln precedent);
+    * rounded once at the output face. Scale: two map-side-combinable
+    * ≤ nBins aggregations joined on the bin id; nothing exceeds nBins
+    * rows after the scans.
+    */
+  def psiBins(expected: DataFrame, actual: DataFrame, valueCol: String,
+              lo: Double, hi: Double, nBins: Int = 10,
+              digits: Int = 6): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val width = (hi - lo) / nBins
+    def binOf(c: Column): Column =
+      least(greatest(floor((c - lo) / width), lit(0.0)), lit(nBins - 1.0))
+        .cast("int")
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(binOf(col(valueCol)).as("bin"))
+        .agg(count(lit(1)).as(as))
+    val bins = expected.sparkSession.range(nBins)
+      .select(col("id").cast("int").as("bin"))
+    val half = lit(0.5)
+    bins
+      .join(counts(expected, "n_expected"), Seq("bin"), "left")
+      .join(counts(actual, "n_actual"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_expected", "n_actual"))
+      .crossJoin(broadcast(
+        expected.filter(col(valueCol).isNotNull)
+          .agg(count(lit(1)).as("_te"))
+          .crossJoin(actual.filter(col(valueCol).isNotNull)
+            .agg(count(lit(1)).as("_ta")))))
+      .withColumn("p_expected",
+        (col("n_expected") + half) / (col("_te") + lit(0.5 * nBins)))
+      .withColumn("p_actual",
+        (col("n_actual") + half) / (col("_ta") + lit(0.5 * nBins)))
+      .select(
+        col("bin"),
+        round(lit(lo) + col("bin") * width, digits).as("lo_edge"),
+        col("n_expected"), col("n_actual"),
+        round(col("p_expected"), digits).as("p_expected"),
+        round(col("p_actual"), digits).as("p_actual"),
+        round((col("p_actual") - col("p_expected")) *
+          log(col("p_actual") / col("p_expected")), digits).as("contrib"))
+      .orderBy(col("bin"))
+  }
 }

@@ -427,6 +427,32 @@ class SimilaritySpec extends SparkSpec {
       ("b", 0, 1L, 10.0), ("b", 1, 1L, 20.0)))
   }
 
+  test("appendToIvfIndex: appended vectors are served immediately, land " +
+       "at their frozen-centroid cells, and existing rows are untouched") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.filter(col("vec_id") < 80)
+    val extra = emb.filter(col("vec_id") >= 80 && col("vec_id") < 100)
+    val path = s"/tmp/graft_test_ivfappend_${ProcessHandle.current().pid()}"
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", path)
+    val nBase = spark.read.parquet(s"$path/lists").count()
+    assert(nBase == 80L)
+    Similarity.appendToIvfIndex(spark, path, extra, "vec_id", "embedding")
+    val lists = spark.read.parquet(s"$path/lists")
+    assert(lists.count() == 100L, "append adds exactly the batch rows")
+    assert(lists.filter(col("id_b") < 80).count() == nBase,
+      "existing rows untouched")
+    // an appended vector queried verbatim must return ITSELF at rank 1
+    // — served from the appended files with no rebuild; cos is 1.0 up
+    // to the stored int8 codec's reconstruction bound
+    val self = Similarity.searchIvfIndex(spark, path,
+        extra, "vec_id", "embedding", k = 1)
+      .select("id_a", "id_b", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(self.length == 20 && self.forall(r => r._1 == r._2 &&
+      math.abs(r._3 - 1.0) <= 0.01 && r._4 == 1),
+      s"self-search: ${self.take(3).mkString(",")}")
+  }
+
   test("randomProject equals the driver-side exact reference (md5 signs, " +
        "scale-9 decimal sums) and handles short vectors by zero-padding") {
     val rows = Seq(

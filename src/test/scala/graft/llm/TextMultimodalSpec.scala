@@ -545,4 +545,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(within.forall(_._3 <= 1),
       s"planted copies must be Hamming <= 1, got ${within.mkString(",")}")
   }
+
+  test("videoSceneCuts: first-frame cut convention, identical frames are " +
+       "never cuts, shot indices run 0..n_cuts-1, poison frames excluded") {
+    implicit val s = spark
+    def f(seed: Long) = Multimodal.cellPatternJpeg(40, 32, seed)
+    val poison = Array.tabulate(64)(i => (i * 3 % 256).toByte)
+    val vids = Seq(
+      // A A B B C: cuts at 0 (first), 2 (A→B), 4 (B→C)
+      (1L, Multimodal.mjpegAvi(Seq(f(1), f(1), f(2), f(2), f(3)), 40, 32)),
+      // static video: single shot, one cut (the first frame)
+      (2L, Multimodal.mjpegAvi(Seq(f(5), f(5), f(5)), 40, 32)),
+      // a poison frame mid-video must be EXCLUDED, not manufacture two
+      // cuts: A poison A compares A→A across the gap ⇒ one shot
+      (3L, Multimodal.mjpegAvi(Seq(f(7), poison, f(7)), 40, 32))
+    ).toDF("vid_id", "avi")
+    val out = Multimodal.videoSceneCuts(vids, "vid_id", "avi", threshold = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2), r.getInt(3), r.getInt(4)))
+    val v1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(v1.map(_._4).toSeq == Seq(1, 0, 1, 0, 1), s"v1 cuts: ${v1.mkString(",")}")
+    assert(v1.map(_._5).toSeq == Seq(0, 0, 1, 1, 2), s"v1 shots: ${v1.mkString(",")}")
+    assert(v1.head._3 == -1, "first frame's hamming is null")
+    assert(v1(1)._3 == 0 && v1(3)._3 == 0, "identical frames ⇒ Hamming 0")
+    val v2 = out.filter(_._1 == 2L).sortBy(_._2)
+    assert(v2.map(_._4).sum == 1 && v2.forall(_._5 == 0))
+    val v3 = out.filter(_._1 == 3L).sortBy(_._2)
+    assert(v3.map(_._2).toSeq == Seq(0, 2), "poison frame row excluded")
+    assert(v3.map(_._4).toSeq == Seq(1, 0) && v3.last._3 == 0,
+      s"A→A across the poison gap is not a cut: ${v3.mkString(",")}")
+  }
 }

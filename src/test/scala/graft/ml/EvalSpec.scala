@@ -106,4 +106,50 @@ class EvalSpec extends SparkSpec {
     val p = Eval.calibrationSummary(perfect, "label", "score").head()
     assert(p.getAs[Double]("ece") == 0.0 && p.getAs[Double]("mce") == 0.0)
   }
+
+  test("prPoints: hand-computed curve, recall monotone, precision exact " +
+       "at each threshold") {
+    // scores desc: 5(+) 4(+) 3(−) 2(+) 1(−)
+    val df = Seq((0.0, 1.0), (1.0, 2.0), (0.0, 3.0), (1.0, 4.0), (1.0, 5.0))
+      .toDF("label", "score")
+    val pts = Eval.prPoints(df, "label", "score")
+      .orderBy($"score".desc).as[(Double, Double, Double)].collect()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(pts.map(p => (p._1, p._2, p._3)).toSeq == Seq(
+      (5.0, 1.0, r6(1.0 / 3)),        // ≥5: 1/1 precise, 1/3 recalled
+      (4.0, 1.0, r6(2.0 / 3)),        // ≥4: 2/2, 2/3
+      (3.0, r6(2.0 / 3), r6(2.0 / 3)),// ≥3: 2/3, 2/3
+      (2.0, 0.75, 1.0),               // ≥2: 3/4, 3/3
+      (1.0, 0.6, 1.0)))               // ≥1: 3/5, 3/3
+    val recalls = pts.map(_._3)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("psiBins: identical snapshots give ~0 PSI; a shifted snapshot is " +
+       "flagged; empty bins appear densely with smoothed shares") {
+    val expected = Seq.tabulate(100)(i => i % 10 * 1.0).toDF("v") // uniform 0..9
+    val same = Seq.tabulate(100)(i => i % 10 * 1.0).toDF("v")
+    val zero = Eval.psiBins(expected, same, "v", lo = 0.0, hi = 10.0,
+      nBins = 10).agg(org.apache.spark.sql.functions.sum("contrib"))
+      .as[Double].head()
+    assert(zero == 0.0, s"identical snapshots must have PSI 0, got $zero")
+
+    // all mass shifted into the top half + out-of-range clamp into bin 9
+    val shifted = Seq.tabulate(100)(i => 5.0 + i % 6 * 1.0).toDF("v")
+    val bins = Eval.psiBins(expected, shifted, "v", lo = 0.0, hi = 10.0,
+        nBins = 10).collect()
+    assert(bins.length == 10, "dense bins: one row per bin")
+    assert(bins.map(_.getAs[Int]("bin")).toSeq == (0 until 10))
+    val psi = bins.map(_.getAs[Double]("contrib")).sum
+    assert(psi > 0.25, s"a half-range shift is a major drift, got $psi")
+    // empty actual bins (0–4) still carry smoothed nonzero shares
+    val low = bins.filter(_.getAs[Int]("bin") < 5)
+    assert(low.forall(r => r.getAs[Long]("n_actual") == 0L &&
+      r.getAs[Double]("p_actual") > 0.0))
+    // value 10.0 would clamp into bin 9 (hi is exclusive only by clamp)
+    val clamp = Eval.psiBins(expected, Seq(10.0, 99.0, -5.0).toDF("v"),
+        "v", lo = 0.0, hi = 10.0, nBins = 10).collect()
+    assert(clamp.find(_.getAs[Int]("bin") == 9).get.getAs[Long]("n_actual") == 2L)
+    assert(clamp.find(_.getAs[Int]("bin") == 0).get.getAs[Long]("n_actual") == 1L)
+  }
 }
