@@ -213,7 +213,8 @@ object SparkEntry {
       "q167_ann_search", "q168_ann_index", "q171_semdedup_recall"),
     "_shared:neardup-pairs" -> Seq("q80_dup_clusters", "q165_dup_canonical",
       "q166_dedup_split", "q180_soft_dedup"),
-    "_shared:bpe8" -> Seq("q177_bpe_merges", "q179_bpe_tokenize"),
+    "_shared:bpe8" -> Seq("q177_bpe_merges", "q179_bpe_tokenize",
+      "q214_bpe_artifacts"),
     "_shared:bpe8slice" -> Seq("q191_bpe_encode", "q194_bpe_segment",
       "q195_bpe_pack", "q201_bpe_vocab", "q202_bpe_ids",
       "q206_pack_materialize"))
@@ -1149,6 +1150,17 @@ object SparkEntry {
         ev.filter(pmod(col("user_id"), lit(2)) === 0).select(col("value")),
         ev.filter(pmod(col("user_id"), lit(2)) === 1).select(col("value")),
         "value", lo = 0.0, hi = 200.0, nBins = 10)
+    }),
+
+    // --- tokenizer artifact export/import roundtrip: the trained
+    //     merge table through the GPT-2 merges.txt shape (line order
+    //     IS the rank) and back — the interop face a serving stack
+    //     consumes; oracle = the q177 training replay, so a drop or
+    //     reorder anywhere in the roundtrip flips the row red ---
+    "q214_bpe_artifacts" -> ((s, dir) => {
+      val path = scratch("bpeart", dir)
+      Bpe.exportArtifacts(bpeMerges(s, dir), bpeWords(s, dir), path)
+      Bpe.importMerges(s, path)
     }),
 
     // --- incremental index ingest: build the IVF index on the base
@@ -4258,6 +4270,11 @@ object SparkEntry {
     "q213_ann_append" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
+
+    // the q177 training replay minus the count column (merges.txt
+    // carries no counts) — the roundtrip must reproduce it verbatim
+    "q214_bpe_artifacts" ->
+      s"SELECT rank, lhs, rhs, merged FROM (\n${Bpe.oracleSql(8)}\n) t",
 
     // integer token math via FLOOR over PRE-NORMALIZED weights (see
     // mixWeightsSql — no in-SQL weight-sum division to diverge at a

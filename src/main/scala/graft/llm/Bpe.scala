@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -608,6 +608,51 @@ object Bpe {
       .unionByName(mergeIds)
       .groupBy(col("piece"))
       .agg(min(col("id")).cast("int").as("token_id"))
+  }
+
+  /** Export the trained tokenizer as the standard interop artifacts —
+    * what a serving stack or an external trainer exchange:
+    *
+    *  - `$path/merges`: ONE text file of rank-ordered `lhs rhs` lines
+    *    (the GPT-2 `merges.txt` shape — line order IS the rank, no
+    *    rank column). nMerges lines; the same documented bounded
+    *    single-file contract as the CSV sink (a merge table is
+    *    vocabulary-sized, never corpus-sized).
+    *  - `$path/vocab`: the [[pieceVocab]] `(piece, token_id)` table as
+    *    parquet (engine face — joins back into any pipeline).
+    *
+    * Symbols never contain spaces (words are split ON spaces and the
+    * `<`/`>` sentinels are guard-filtered), so the line format is
+    * unambiguous; [[importMerges]] round-trips it exactly (BpeSpec
+    * pins the roundtrip, q214 oracles it through disk).
+    */
+  def exportArtifacts(rules: DataFrame, trainedWords: DataFrame,
+                      path: String): Unit = {
+    rules.orderBy(col("rank"))
+      .select(concat_ws(" ", col("lhs"), col("rhs")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$path/merges")
+    pieceVocab(rules, trainedWords)
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Read a GPT-2-shape merges file back as `(rank, lhs, rhs,
+    * merged)` — rank reconstructed from line order, which the
+    * single-file export contract preserves (one file ⇒ one input
+    * split ⇒ sequential read, exactly how every tokenizer loader
+    * consumes `merges.txt`).
+    */
+  def importMerges(spark: SparkSession, path: String): DataFrame = {
+    val rows = spark.sparkContext.textFile(s"$path/merges", 1)
+      .zipWithIndex()
+      .map { case (line, i) =>
+        val sp = line.indexOf(' ')
+        Row(i.toInt + 1, line.substring(0, sp), line.substring(sp + 1))
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false))))
+      .withColumn("merged", concat(col("lhs"), col("rhs")))
   }
 
   /** The pretraining artifact itself: each document as its flat

@@ -276,17 +276,39 @@ object Similarity {
     // Auto bits (default): bucket count must GROW with the corpus.
     // Fixed bits fix the bucket count, so occupancy — and with it the
     // candidate join — grows quadratically: the 10× scale smoke
-    // measured 34× growth at 8 bits before this. bits ≈ log2(n/16)
-    // keeps ~16 vectors per bucket at any n (count() on the
-    // checkpointed frame is a cheap block scan). High-cos recall
-    // stays put: at cos ≥ 0.99 a 16-bit table still collides with
-    // p ≈ 0.95^16 ≈ 0.44 per table → ≥ 0.97 over 6 tables.
+    // measured 34× growth at 8 bits before this. Two terms:
+    //
+    //  - occupancy: bits ≈ log2(n/16) keeps ~16 vectors per bucket at
+    //    any n (count() on the checkpointed frame is a cheap block
+    //    scan);
+    //  - spread cancellation: a bulk pair's collision probability is
+    //    CONVEX in its cosine, and real corpora have bulk cosines
+    //    spread ~σ = 1/√dims around 0 — so expected bulk candidates
+    //    are p(0)^bits · exp((2·bits·σ/π)²/2), a factor that GROWS
+    //    with bits (i.e. with n) and made the third-decade smoke
+    //    superlinear (round 11: q124 16.9×, probe-attributed —
+    //    candidates/vector rose 50.5 → 76.3 raw, 88.6 → 191.4 at the
+    //    32-dim projection where σ doubles). Δ = (2·bits·σ/π)²/(2·ln2)
+    //    extra bits cancel that inflation exactly; planted-recall
+    //    gates keep their margin (cos ≥ 0.999 pairs collide per table
+    //    with p ≥ 0.986^bits, miss-all-6-tables ≤ 1e-4 at any n here).
+    //
+    // High-cos recall note: at cos ≥ 0.99 a 16-bit table still
+    // collides with p ≈ 0.95^16 ≈ 0.44 per table → ≥ 0.97 over 6
+    // tables; mid-cos (≈ 0.9) top-k recall degrades as bits grow —
+    // corpus-scale top-k belongs to the IVF path, whose candidate
+    // volume is an occupancy CONTRACT, not a cosine tail (SCALE.md).
     val nBits =
       if (bitsPerTable > 0) bitsPerTable
       else {
         val n = spread.count().toDouble
-        math.max(8, math.min(20,
+        val occ = math.max(8, math.min(20,
           math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
+        val sigma = 1.0 / math.sqrt(dims.toDouble)
+        val spreadExtra = math.ceil(
+          math.pow(2.0 * occ * sigma / math.Pi, 2) /
+            (2.0 * math.log(2.0))).toInt
+        math.min(24, occ + spreadExtra)
       }
     // Seeded hyperplanes, generated on the driver (tiny: tables×bits×d
     // doubles) and embedded in the banding EXPRESSION
@@ -1076,9 +1098,16 @@ object Similarity {
   /** Search a PERSISTED IVF index (see [[buildIvfIndex]]) with new
     * query vectors: (id_a = query id, id_b = corpus id, cos, rank).
     */
-  def searchIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
-                     queryIdCol: String, vecCol: String, k: Int,
-                     nProbe: Int = 4): DataFrame = {
+  /** Parse a persisted index's meta.json → (l1n, l2n, seed,
+    * quantized). The seed is written as a Long verbatim — parse it as
+    * one (an Int-range parse rejected any index built with a wide
+    * seed); an absent layout flag means a pre-quantization float
+    * index, which keeps serving. Meta goes through the Hadoop
+    * FileSystem resolved from the path (hdfs://s3a:// are the natural
+    * homes of a corpus-sized index).
+    */
+  private def readIvfMeta(spark: SparkSession,
+                          path: String): (Int, Int, Long, Boolean) = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(metaPath)
@@ -1086,14 +1115,16 @@ object Similarity {
       try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
-    // seed is written as a Long verbatim — parse it as one (an
-    // Int-range parse rejected any index built with a wide seed)
     def longOf(key: String): Long =
       s""""$key":(-?\\d+)""".r.findFirstMatchIn(meta).get.group(1).toLong
-    val l1n = longOf("l1n").toInt; val l2n = longOf("l2n").toInt
-    val seed = longOf("seed")
-    // layout flag absent → a pre-quantization float index; keep serving
-    val quantized = """"quantized":true""".r.findFirstIn(meta).isDefined
+    (longOf("l1n").toInt, longOf("l2n").toInt, longOf("seed"),
+      """"quantized":true""".r.findFirstIn(meta).isDefined)
+  }
+
+  def searchIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
+                     queryIdCol: String, vecCol: String, k: Int,
+                     nProbe: Int = 4): DataFrame = {
+    val (l1n, l2n, seed, quantized) = readIvfMeta(spark, path)
     val l2 = if (l2n > 1) Some(spark.read.parquet(s"$path/l2")) else None
     // the level-1 matrix is driver/broadcast-bounded by design — read
     // it back into the same in-expression shape training used
@@ -1153,18 +1184,7 @@ object Similarity {
   def appendToIvfIndex(spark: SparkSession, path: String,
                        newVectors: DataFrame, idCol: String,
                        vecCol: String): Unit = {
-    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
-    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(metaPath)
-    val meta =
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
-    def longOf(key: String): Long =
-      s""""$key":(-?\\d+)""".r.findFirstMatchIn(meta).get.group(1).toLong
-    val l1n = longOf("l1n").toInt; val l2n = longOf("l2n").toInt
-    val seed = longOf("seed")
-    val quantized = """"quantized":true""".r.findFirstIn(meta).isDefined
+    val (l1n, l2n, seed, quantized) = readIvfMeta(spark, path)
     val l1m = spark.read.parquet(s"$path/l1").orderBy(col("_c1"))
       .collect()
       .map(r => r.getSeq[Double](r.fieldIndex("_c1v")).toArray)

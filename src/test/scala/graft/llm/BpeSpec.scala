@@ -304,4 +304,26 @@ class BpeSpec extends SparkSpec {
       assert(ids(d)._2 == nOov, s"doc $d oov")
     }
   }
+
+  test("exportArtifacts/importMerges: merges and vocab roundtrip exactly " +
+       "through the GPT-2-shape files") {
+    val docs = Seq(
+      (1L, "low low low lowest"),
+      (2L, "lower lowest newer")
+    ).toDF("doc_id", "text")
+    val (rules, words) = Bpe.trainShared(docs, "text", nMerges = 6)
+    val path = s"/tmp/graft_test_bpeart_${ProcessHandle.current().pid()}"
+    Bpe.exportArtifacts(rules, words, path)
+    val back = Bpe.importMerges(spark, path)
+      .as[(Int, String, String, String)].collect().sortBy(_._1)
+    val orig = rules.select("rank", "lhs", "rhs", "merged")
+      .as[(Int, String, String, String)].collect().sortBy(_._1)
+    assert(back.toSeq == orig.toSeq,
+      s"merges roundtrip: got ${back.mkString(",")}")
+    val vocabBack = spark.read.parquet(s"$path/vocab")
+      .as[(String, Int)].collect().toSet
+    val vocabOrig = Bpe.pieceVocab(rules, words)
+      .as[(String, Int)].collect().toSet
+    assert(vocabBack == vocabOrig, "vocab parquet roundtrip")
+  }
 }
