@@ -367,9 +367,18 @@ object Similarity {
       .distinct()
     val vecs = spread.select(col(idCol).as("_vid"), col(vecCol).as("_v"),
       sqrt(doubleDot(col(vecCol), col(vecCol))).as("_n"))
+    // SHUFFLE_HASH on the corpus side: the candidate stream is pairs²-
+    // sized and the first join makes its rows VECTOR-wide — the
+    // default sort-merge join then sorts tens of millions of fat rows
+    // (the same trap the IVF verify's fused scan removed; the
+    // round-11 sf10 profile put the two SMJs at 61 + 446 CPU-s).
+    // Hash-building the n-row corpus side streams the candidates
+    // unsorted (tools/LshVerifyProbe: both joins ≈ 2.5 s wall for
+    // 17.7M candidates at sf10; the remaining stage cost is the
+    // candidate-volume dot + round + top-k window itself).
     val cos = cands
-      .join(vecs.toDF("id_a", "_va", "_na"), Seq("id_a"))
-      .join(vecs.toDF("id_b", "_vb", "_nb"), Seq("id_b"))
+      .join(vecs.toDF("id_a", "_va", "_na").hint("shuffle_hash"), Seq("id_a"))
+      .join(vecs.toDF("id_b", "_vb", "_nb").hint("shuffle_hash"), Seq("id_b"))
       .withColumn("cos", round(
         doubleDot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 4))
       .filter(col("cos") >= minCos)
