@@ -161,6 +161,16 @@ object SparkEntry {
           .otherwise(array().cast("array<string>"))).as("text"))
 
   /** The oracle replay of [[gluedEvalDocs]]' token stream. */
+  /** The q215 pretokenizer as a DuckDB expression — the exact 4-pass
+    * regexp chain of [[graft.llm.TextAnalysis.preTokenize]] in RE2
+    * dialect (`\0` = whole match; `'g'` because DuckDB replaces only
+    * the first match by default while Spark is always global).
+    */
+  private val duckPretok: String =
+    """trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      | '[A-Za-z]+', ' \0 ', 'g'), '[0-9]+', ' \0 ', 'g'),
+      | '[^A-Za-z0-9 ]+', ' \0 ', 'g'), ' +', ' ', 'g'))""".stripMargin
+
   private val gluedTokCte: String =
     "SELECT doc_id, unnest(g) AS word " +
       "FROM (SELECT doc_id, list_transform(range(1, len(t)//2 + 1), " +
@@ -1162,6 +1172,23 @@ object SparkEntry {
       Bpe.exportArtifacts(bpeMerges(s, dir), bpeWords(s, dir), path)
       Bpe.importMerges(s, path)
     }),
+
+    // --- production-style pretokenization (simplified GPT-2 shape):
+    //     letter/digit/punct runs become space-separated tokens, the
+    //     word stream a real tokenizer trains on ---
+    "q215_pretokenize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.preTokenize(col("text")).as("text"))),
+
+    // --- the BPE trainer over the PRETOKENIZED corpus — the whole
+    //     training stack composes with q215's rewrite (punctuation no
+    //     longer glued onto word types), replayed end to end in SQL
+    //     by swapping the oracle's text source expression ---
+    "q216_bpe_pretok" -> ((s, dir) =>
+      Bpe.learnMerges(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.preTokenize(col("text")).as("text")),
+        "text", nMerges = 8)),
 
     // --- incremental index ingest: build the IVF index on the base
     //     corpus, APPEND the perturbed twins without retraining, then
@@ -4275,6 +4302,15 @@ object SparkEntry {
     // carries no counts) — the roundtrip must reproduce it verbatim
     "q214_bpe_artifacts" ->
       s"SELECT rank, lhs, rhs, merged FROM (\n${Bpe.oracleSql(8)}\n) t",
+
+    // the same 4-pass regexp chain, RE2 dialect (\0 = whole match, 'g'
+    // = global — Spark's regexp_replace is always global)
+    "q215_pretokenize" ->
+      s"""SELECT doc_id, $duckPretok AS text FROM documents""",
+
+    // q177's training replay with the text SOURCE swapped for the
+    // pretokenized expression — the full 8-round CTE chain unchanged
+    "q216_bpe_pretok" -> Bpe.oracleSql(8, textSql = duckPretok),
 
     // integer token math via FLOOR over PRE-NORMALIZED weights (see
     // mixWeightsSql — no in-SQL weight-sum division to diverge at a

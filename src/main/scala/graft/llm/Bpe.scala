@@ -729,7 +729,8 @@ object Bpe {
     * Scala loop. `trainWhere` optionally restricts the training corpus
     * (the cross-corpus encode oracle trains on a slice).
     */
-  private def roundsCte(nMerges: Int, trainWhere: String = ""): String = {
+  private def roundsCte(nMerges: Int, trainWhere: String = "",
+                        textSql: String = "text"): String = {
     val src =
       if (trainWhere.isEmpty) "FROM documents"
       else s"FROM documents WHERE $trainWhere"
@@ -739,7 +740,7 @@ object Bpe {
         |         '<' || array_to_string([c FOR c IN string_split(word, '')], '><')
         |             || '>' AS s, n
         |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
-        |        FROM (SELECT unnest(string_split(text, ' ')) AS word $src)
+        |        FROM (SELECT unnest(string_split($textSql, ' ')) AS word $src)
         |        WHERE word <> '' AND NOT contains(word, '<')
         |          AND NOT contains(word, '>') GROUP BY 1))""".stripMargin
     val rounds = (1 to nMerges).map { r =>
@@ -763,7 +764,7 @@ object Bpe {
     * at least `nMerges` mergeable pairs (true for any real text
     * corpus; the Scala side stops early instead).
     */
-  def oracleSql(nMerges: Int): String = {
+  def oracleSql(nMerges: Int, textSql: String = "text"): String = {
     val union = (1 to nMerges)
       .map(r => s"SELECT $r AS rk, pr, cnt FROM r$r").mkString("\n  UNION ALL ")
     // NOTE: the CTE chain is already margin-stripped — a stripMargin
@@ -777,7 +778,7 @@ object Bpe {
          |       split_part(pr, ' ', 1) || split_part(pr, ' ', 2) AS merged,
          |       CAST(cnt AS BIGINT) AS n
          |FROM ($union)""".stripMargin
-    s"WITH ${roundsCte(nMerges)}\n$tail"
+    s"WITH ${roundsCte(nMerges, textSql = textSql)}\n$tail"
   }
 
   /** The DuckDB replay of [[tokenCounts]]. */

@@ -95,6 +95,26 @@ object TextAnalysis {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
+  /** Production-style PRETOKENIZATION (the simplified GPT-2 shape):
+    * rewrite text so that letter runs, digit runs, and punctuation
+    * runs are separated by single spaces — the word stream a real
+    * tokenizer trains on ("don't" → `don ' t`, "x2!" → `x 2 !`),
+    * instead of raw whitespace words that glue punctuation onto word
+    * types and explode the vocabulary. Output composes DIRECTLY with
+    * the whole BPE stack (train/encode/ids/pack), which splits on
+    * single spaces. Pure codegen'd regexp passes, RE2-compatible and
+    * group-free in semantics, so an external engine replays them
+    * byte-identically. The `<`/`>` sentinels become their own
+    * punctuation tokens and stay excluded by the BPE word guard (the
+    * documented unrepresentable-sentinel contract). Simplification vs
+    * GPT-2 proper: no contraction-suffix rules, no Unicode category
+    * classes — ASCII letter/digit/punct runs.
+    */
+  def preTokenize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+      "[A-Za-z]+", " $0 "), "[0-9]+", " $0 "), "[^A-Za-z0-9 ]+", " $0 "),
+      " +", " "))
+
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol),

@@ -326,4 +326,31 @@ class BpeSpec extends SparkSpec {
       .as[(String, Int)].collect().toSet
     assert(vocabBack == vocabOrig, "vocab parquet roundtrip")
   }
+
+  test("preTokenize separates letter/digit/punct runs and composes with " +
+       "the trainer (punctuation becomes its own token type)") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "don't stop x2! <g> a--b"),
+      (2L, ""),
+      (3L, "  a  b  "),
+      (4L, "hello"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        TextAnalysis.preTokenize(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "don ' t stop x 2 ! < g > a -- b",
+      2L -> "", 3L -> "a b", 4L -> "hello"))
+
+    // composition: the trainer over pretokenized "ha!ha!ha!" sees word
+    // types {ha, !} (sentinel-free), so the first merge is (h, a) at
+    // freq 3 — raw whitespace words would have trained on "ha!ha!ha!"
+    val docs = Seq((1L, "ha!ha!ha!")).toDF("doc_id", "text")
+    val pre = docs.select(col("doc_id"),
+      TextAnalysis.preTokenize(col("text")).as("text"))
+    val m = Bpe.learnMerges(pre, "text", nMerges = 1)
+      .as[(Int, String, String, String, Long)].collect()
+    assert(m.head == ((1, "h", "a", "ha", 3L)), m.mkString(","))
+  }
 }
