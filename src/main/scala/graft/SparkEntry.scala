@@ -2775,6 +2775,23 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node")).limit(50)
     }),
 
+    // --- personalized PageRank from a trusted seed set: quality
+    //     propagation over the co-purchase graph (score = graph
+    //     proximity to curated seeds — the selection face of the
+    //     pagerank machinery; q142's graph, seeds = nodes ≡ 0 mod 7) ---
+    "q217_ppr_trust" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val seeds = e.select(col("src").as("node")).distinct()
+        .filter(pmod(col("node"), lit(7)) === 0)
+      graft.operators.Graph.personalizedPageRank(e, "src", "dst", "w",
+          seeds, "node", iters = 3)
+        .orderBy(col("rank").desc, col("node")).limit(50)
+    }),
+
     // --- bigram-LM cross-entropy scoring: the corpus's own bigram
     //     model scores each document's average transition surprisal —
     //     the classic cheap perplexity filter for training data.
@@ -4311,6 +4328,57 @@ object SparkEntry {
     // q177's training replay with the text SOURCE swapped for the
     // pretokenized expression — the full 8-round CTE chain unchanged
     "q216_bpe_pretok" -> Bpe.oracleSql(8, textSql = duckPretok),
+
+    // q142's unrolled-round machinery with a seed-only teleport: r0 is
+    // the teleport distribution and every round is
+    // (1−d)·t + d·Σ ROUND(r·w/wout, 12) over in-edges, nodes LEFT JOIN
+    // the contribution so in-edge-free nodes keep their teleport floor
+    "q217_ppr_trust" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS src, b.pk AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        |  GROUP BY 1, 2),
+        |o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+        |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nd WHERE node % 7 = 0),
+        |tele AS (SELECT node, CASE WHEN node % 7 = 0
+        |                           THEN CAST(1.0 AS DOUBLE) / ns.n
+        |                           ELSE CAST(0.0 AS DOUBLE) END AS t
+        |         FROM nd, ns),
+        |r0 AS (SELECT node, t AS r FROM tele),
+        |r1 AS (
+        |  SELECT tele.node,
+        |         ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * tele.t +
+        |               CAST(0.85 AS DOUBLE) *
+        |               COALESCE(CAST(m.m AS DOUBLE), CAST(0.0 AS DOUBLE)), 12) AS r
+        |  FROM tele LEFT JOIN (
+        |    SELECT e.dst AS node, SUM(CAST(ROUND(r0.r * e.w / o.wout, 12)
+        |             AS DECIMAL(38,12))) AS m
+        |    FROM e JOIN o ON e.src = o.src JOIN r0 ON e.src = r0.node
+        |    GROUP BY 1) m ON tele.node = m.node),
+        |r2 AS (
+        |  SELECT tele.node,
+        |         ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * tele.t +
+        |               CAST(0.85 AS DOUBLE) *
+        |               COALESCE(CAST(m.m AS DOUBLE), CAST(0.0 AS DOUBLE)), 12) AS r
+        |  FROM tele LEFT JOIN (
+        |    SELECT e.dst AS node, SUM(CAST(ROUND(r1.r * e.w / o.wout, 12)
+        |             AS DECIMAL(38,12))) AS m
+        |    FROM e JOIN o ON e.src = o.src JOIN r1 ON e.src = r1.node
+        |    GROUP BY 1) m ON tele.node = m.node),
+        |r3 AS (
+        |  SELECT tele.node,
+        |         ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * tele.t +
+        |               CAST(0.85 AS DOUBLE) *
+        |               COALESCE(CAST(m.m AS DOUBLE), CAST(0.0 AS DOUBLE)), 12) AS r
+        |  FROM tele LEFT JOIN (
+        |    SELECT e.dst AS node, SUM(CAST(ROUND(r2.r * e.w / o.wout, 12)
+        |             AS DECIMAL(38,12))) AS m
+        |    FROM e JOIN o ON e.src = o.src JOIN r2 ON e.src = r2.node
+        |    GROUP BY 1) m ON tele.node = m.node)
+        |SELECT node, ROUND(r, 8) AS rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 50""".stripMargin,
 
     // integer token math via FLOOR over PRE-NORMALIZED weights (see
     // mixWeightsSql — no in-SQL weight-sum division to diverge at a

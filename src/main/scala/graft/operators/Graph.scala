@@ -104,6 +104,59 @@ object Graph {
     ranks.select(col("node"), round(col("r"), outDigits).as("rank"))
   }
 
+  /** PERSONALIZED PageRank: teleport mass goes only to a trusted SEED
+    * set — the seed-based quality-propagation technique a curation
+    * pipeline uses to SELECT data (score every document/domain by its
+    * graph proximity to a small curated set; rank is trust, the
+    * selection cut is a threshold or top-k). `r₀ = t`,
+    * `rₖ(v) = (1−d)·t(v) + d·Σ_in rₖ₋₁(src)·w/wout` with
+    * `t(v) = 1/|seeds|` on seeds and 0 elsewhere.
+    *
+    * Same determinism contract and scale shape as [[pageRank]]: one
+    * edge-scale join + decimal-summed aggregation per round,
+    * node-count rank frames localCheckpointed every round, the seed
+    * share a driver literal. Seeds not present in the graph are
+    * ignored (they can receive no mass and would only dilute the
+    * teleport); dangling-node mass evaporates (the simple PPR
+    * variant — replayable verbatim in SQL).
+    *
+    * Output: `(node, rank)`; seed rows carry the teleport floor
+    * `(1−d)/|seeds|` plus whatever the graph returns them.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           wCol: String, seeds: DataFrame, seedCol: String,
+                           iters: Int, damping: Double = 0.85,
+                           outDigits: Int = 8): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val st = prepare(edges, srcCol, dstCol, wCol, damping)
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+      .join(st.nodes, Seq("node"), "left_semi")
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "no seed is a node of the graph")
+    val tele = st.nodes
+      .join(seedSet.withColumn("_s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("_s").isNotNull, lit(1.0 / nSeeds))
+          .otherwise(lit(0.0)).as("t"))
+      .localCheckpoint()
+    var ranks = tele.select(col("node"), col("t").as("r"))
+    for (i <- 1 to iters) {
+      val m = st.e.join(st.outDeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          round(col("r") * col("w") / col("wout"), 12)
+            .cast(DecimalType(38, 12)).as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).cast("double").as("_m"))
+      ranks = tele.join(m, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) * col("t") +
+            lit(damping) * coalesce(col("_m"), lit(0.0)), 12).as("r"))
+      if (i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("r"), outDigits).as("rank"))
+  }
+
   /** PageRank iterated to a fixed point: rounds run until the max
     * per-node rank change drops below `tol` (one tiny driver action
     * per round — the convergence check IS the loop condition, the

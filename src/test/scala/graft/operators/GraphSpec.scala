@@ -97,4 +97,49 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(plain === chk)
   }
+
+  test("personalizedPageRank: mass concentrates near the seed; a node " +
+       "unreachable from it keeps rank 0; off-graph seeds are ignored") {
+    // two symmetric pairs, disconnected: {1,2} and {3,4}; seed = 1
+    val e = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 4L, 1L), (4L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L, 99L).toDF("node") // 99 is not a graph node
+    val r = Graph.personalizedPageRank(e, "src", "dst", "w",
+        seeds, "node", iters = 8)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // teleport share is 1/1 (seed 99 ignored), so total mass stays ~1
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, r.toString)
+    assert(r(1L) > r(2L), "the seed keeps the teleport floor advantage")
+    assert(r(2L) > 0.0)
+    assert(r(3L) == 0.0 && r(4L) == 0.0,
+      "components unreachable from the seed receive nothing")
+    // exact single rounds from r0 = (1, 0) on the 2-cycle:
+    // round 1 → (0.15, 0.85); round 2 → (0.15+0.85², 0.85·0.15)
+    val one = Graph.personalizedPageRank(e, "src", "dst", "w",
+        Seq(1L).toDF("node"), "node", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(one(1L) == 0.15 && one(2L) == 0.85, one.toString)
+    val two = Graph.personalizedPageRank(e, "src", "dst", "w",
+        Seq(1L).toDF("node"), "node", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(two(1L) == 0.8725 && two(2L) == 0.1275, two.toString)
+  }
+
+  test("personalizedPageRank splits teleport over multiple seeds and is " +
+       "partitioning-invariant") {
+    val e = (1L to 4L).flatMap(i => Seq((0L, i, 1L), (i, 0L, 1L)))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L, 2L).toDF("node")
+    val a = Graph.personalizedPageRank(e, "src", "dst", "w", seeds,
+        "node", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val b = Graph.personalizedPageRank(e.repartition(7), "src", "dst", "w",
+        seeds.repartition(3), "node", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(a === b, "decimal-summed rounds are partitioning-invariant")
+    assert(a(1L) === a(2L), "symmetric seeds score equally")
+    assert(a(1L) > a(3L) && a(3L) === a(4L),
+      "non-seed leaves rank below seeds, equal among themselves")
+    assert(a(0L) > a(3L), "the hub adjacent to both seeds beats far leaves")
+  }
 }
