@@ -1124,8 +1124,16 @@ object SignedProject {
     while (i < n0) {
       if (!v.isNullAt(i)) {
         val dec = org.apache.spark.sql.types.Decimal(v.getDouble(i))
-        // overflow cannot occur under the documented Σ|x| range
-        dec.changePrecision(18, 9)
+        // fail LOUDLY on elements outside decimal(18,9) — silently
+        // using the unscaled long of an overflowed decimal would emit
+        // a plausible-looking wrong projection for out-of-contract
+        // input (Cast's ANSI overflow behavior, with the contract in
+        // the message)
+        if (!dec.changePrecision(18, 9))
+          throw new ArithmeticException(
+            s"signed_project: element ${v.getDouble(i)} overflows " +
+              "decimal(18,9) — input vectors must satisfy |x[i]| < 1e9 " +
+              "(embedding-scale data)")
         units(i) = dec.toUnscaledLong
       }
       i += 1

@@ -642,10 +642,30 @@ object Bpe {
     * consumes `merges.txt`).
     */
   def importMerges(spark: SparkSession, path: String): DataFrame = {
+    // rank = line order is only sound when the directory holds ONE
+    // data file (one file ⇒ one split ⇒ zipWithIndex is the line
+    // number); a multi-part directory from another producer would
+    // silently interleave partitions into wrong ranks — fail instead
+    val mergesDir = new org.apache.hadoop.fs.Path(s"$path/merges")
+    val fs = mergesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(mergesDir)
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    require(dataFiles.length == 1,
+      s"importMerges expects exactly one data file under $mergesDir " +
+        s"(the single-file export contract); found ${dataFiles.length}: " +
+        dataFiles.sorted.mkString(", "))
     val rows = spark.sparkContext.textFile(s"$path/merges", 1)
+      // tolerate blank lines (a hand-edited file's trailing newline)
+      // BEFORE indexing, so ranks stay dense over the actual rules;
+      // any other spaceless line is a malformed rule — name it
+      .filter(_.nonEmpty)
       .zipWithIndex()
       .map { case (line, i) =>
         val sp = line.indexOf(' ')
+        if (sp < 0) throw new IllegalArgumentException(
+          s"importMerges: malformed merges rule ${i + 1} " +
+            s"(no 'lhs rhs' space): '$line'")
         Row(i.toInt + 1, line.substring(0, sp), line.substring(sp + 1))
       }
     spark.createDataFrame(rows, StructType(Seq(

@@ -226,6 +226,112 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Occupancy term of the LSH auto-sizing: bits ≈ log2(n/16) keeps
+    * ~16 vectors per bucket at any corpus size. Exposed package-private
+    * so the probes ([[graft.tools.LshProbe]]) attribute with the SAME
+    * formula the production path runs (a hand-copied formula
+    * desynchronizes silently — round-11 ADVICE).
+    */
+  private[graft] def lshOccBits(n: Double): Int =
+    math.max(8, math.min(20,
+      math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
+
+  /** Total auto-bits: occupancy + spread cancellation as a FIXED
+    * POINT. A bulk pair's per-table collision probability is convex in
+    * its cosine; with bulk cosines ~N(0, σ²) the expected bulk
+    * candidates at B bits inflate by exp((2Bσ/π)²/2) over the σ = 0
+    * model, so holding occupancy needs
+    *
+    *   B = occ + (2·B·σ/π)² / (2·ln 2)
+    *
+    * — in B, not occ, on the right-hand side: the extra bits
+    * themselves inflate. (Round 11 charged the correction at occ bits
+    * and the 32-dim projected corpus — σ ≈ 0.18 — still crept
+    * 32.5 → 49 candidates/vector across a decade; SCALE.md.) The
+    * quadratic a·B² − B + occ = 0, a = 2σ²/(π²·ln 2), has the stable
+    * fixed point at the smaller root B = (1 − √(1−4a·occ))/(2a); when
+    * the discriminant closes (σ too wide for ANY bit count to cancel —
+    * bulk pairs indistinguishable from neighbors) the cap is the
+    * honest answer. Capped at 24 bits, the near-dup band keeps its
+    * margin: cos ≥ 0.999 collides per table at ≥ 0.986²⁴ ≈ 0.71 →
+    * miss-all-6-tables ≤ (1−0.71)⁶ ≈ 6e-4; cos ≥ 0.99 still lands
+    * ≥ 0.91 over 6 tables (0.955²⁴ ≈ 0.33/table). Mid-cos top-k recall
+    * is the IVF path's job, as before.
+    */
+  private[graft] def lshAutoBits(n: Double, sigma: Double): Int = {
+    val occ = lshOccBits(n)
+    val a = 2.0 * sigma * sigma / (math.Pi * math.Pi * math.log(2.0))
+    val disc = 1.0 - 4.0 * a * occ
+    if (disc <= 0.0) 24
+    else math.min(24, math.max(occ,
+      math.ceil((1.0 - math.sqrt(disc)) / (2.0 * a)).toInt))
+  }
+
+  /** MEASURED bulk-cosine spread σ̂ — replaces the analytic 1/√dims,
+    * which models only isotropic vectors and under-corrects any corpus
+    * with structure (the 32-dim projected path adds JL distortion
+    * ≈ 1/√outDim on top of the base spread; measured σ̂ ≈ 0.21 vs the
+    * analytic 0.177 there). Deterministic bounded sample: the
+    * `sampleN` vectors with smallest (xxhash64(id), id) — a
+    * TakeOrderedAndProject, no shuffle — then all-pairs cosines on the
+    * driver (≤ C(256,2) ≈ 33k dots, sub-millisecond) and a
+    * MEDIAN-ABSOLUTE-DEVIATION estimate (×1.4826 for Gaussian
+    * consistency): planted near-dup pairs land in the sample of any
+    * dedup-gate corpus as cos ≈ 1 outliers, and MAD ignores them where
+    * an RMS would absorb them into σ̂. Falls back to 1/√dims when the
+    * sample is too small to estimate from (< [[SigmaMinSample]]
+    * vectors).
+    */
+  private[graft] val SigmaMinSample = 32
+  private[graft] def measuredSigma(vecs: DataFrame, idCol: String,
+                                   vecCol: String, dims: Int,
+                                   sampleN: Int = 256): Double = {
+    val sample = vecs
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleN)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    if (sample.length < SigmaMinSample) return 1.0 / math.sqrt(dims.toDouble)
+    val norms = sample.map(v => math.sqrt(v.map(x => x * x).sum))
+    val cosines = Array.newBuilder[Double]
+    var i = 0
+    while (i < sample.length) {
+      var j = i + 1
+      while (j < sample.length) {
+        if (norms(i) > 0 && norms(j) > 0) {
+          var d = 0.0
+          var t = 0
+          val n = math.min(sample(i).length, sample(j).length)
+          while (t < n) { d += sample(i)(t) * sample(j)(t); t += 1 }
+          cosines += d / (norms(i) * norms(j))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val cs = cosines.result()
+    if (cs.length < SigmaMinSample) return 1.0 / math.sqrt(dims.toDouble)
+    def median(a: Array[Double]): Double = {
+      val s = a.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val m = median(cs)
+    1.4826 * median(cs.map(c => math.abs(c - m)))
+  }
+
+  /** Seeded hyperplane tensor (tables × bits × dims) — the ONE
+    * generator for production banding and every probe; sharing it is
+    * what keeps probe attributions valid against the shipped code.
+    */
+  private[graft] def lshPlanes(numTables: Int, nBits: Int, dims: Int,
+                               seed: Long): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.tabulate(numTables, nBits)((_, _) =>
+      Array.fill(dims)(rng.nextGaussian()))
+  }
+
   /** Scale path: random-hyperplane (sign-bit) LSH, implemented
     * natively as column expressions — `numTables` independent tables
     * of `bitsPerTable` seeded hyperplanes; each vector's bucket per
@@ -276,40 +382,34 @@ object Similarity {
     // Auto bits (default): bucket count must GROW with the corpus.
     // Fixed bits fix the bucket count, so occupancy — and with it the
     // candidate join — grows quadratically: the 10× scale smoke
-    // measured 34× growth at 8 bits before this. Two terms:
+    // measured 34× growth at 8 bits before this. Two terms, both in
+    // [[lshAutoBits]] (shared with the probes):
     //
     //  - occupancy: bits ≈ log2(n/16) keeps ~16 vectors per bucket at
     //    any n (count() on the checkpointed frame is a cheap block
     //    scan);
     //  - spread cancellation: a bulk pair's collision probability is
-    //    CONVEX in its cosine, and real corpora have bulk cosines
-    //    spread ~σ = 1/√dims around 0 — so expected bulk candidates
-    //    are p(0)^bits · exp((2·bits·σ/π)²/2), a factor that GROWS
-    //    with bits (i.e. with n) and made the third-decade smoke
-    //    superlinear (round 11: q124 16.9×, probe-attributed —
-    //    candidates/vector rose 50.5 → 76.3 raw, 88.6 → 191.4 at the
-    //    32-dim projection where σ doubles). Δ = (2·bits·σ/π)²/(2·ln2)
-    //    extra bits cancel that inflation exactly; planted-recall
-    //    gates keep their margin (cos ≥ 0.999 pairs collide per table
-    //    with p ≥ 0.986^bits, miss-all-6-tables ≤ 1e-4 at any n here).
+    //    CONVEX in its cosine, so bulk-cosine spread σ inflates
+    //    expected bulk candidates by exp((2·bits·σ/π)²/2) — a factor
+    //    that GROWS with bits (i.e. with n) and made the third-decade
+    //    smoke superlinear (round 11: q124 16.9×, probe-attributed).
+    //    Round 11 charged Δ = (2·occ·σ/π)²/(2·ln2) extra bits with the
+    //    ANALYTIC σ = 1/√dims; the residual 32-dim creep (32.5 → 49
+    //    candidates/vector across sf1→sf10, SCALE.md) had two causes
+    //    fixed here: the correction must be a FIXED POINT in the total
+    //    bit count (the Δ bits themselves inflate), and σ must be
+    //    MEASURED ([[measuredSigma]] — the projected corpus carries JL
+    //    distortion the analytic model can't see).
     //
-    // High-cos recall note: at cos ≥ 0.99 a 16-bit table still
-    // collides with p ≈ 0.95^16 ≈ 0.44 per table → ≥ 0.97 over 6
-    // tables; mid-cos (≈ 0.9) top-k recall degrades as bits grow —
-    // corpus-scale top-k belongs to the IVF path, whose candidate
-    // volume is an occupancy CONTRACT, not a cosine tail (SCALE.md).
+    // High-cos recall note: the 24-bit cap keeps cos ≥ 0.999 recall
+    // ≥ 0.999 over 6 tables (see [[lshAutoBits]]); mid-cos (≈ 0.9)
+    // top-k recall degrades as bits grow — corpus-scale top-k belongs
+    // to the IVF path, whose candidate volume is an occupancy
+    // CONTRACT, not a cosine tail (SCALE.md).
     val nBits =
       if (bitsPerTable > 0) bitsPerTable
-      else {
-        val n = spread.count().toDouble
-        val occ = math.max(8, math.min(20,
-          math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
-        val sigma = 1.0 / math.sqrt(dims.toDouble)
-        val spreadExtra = math.ceil(
-          math.pow(2.0 * occ * sigma / math.Pi, 2) /
-            (2.0 * math.log(2.0))).toInt
-        math.min(24, occ + spreadExtra)
-      }
+      else lshAutoBits(spread.count().toDouble,
+        measuredSigma(spread, idCol, vecCol, dims))
     // Seeded hyperplanes, generated on the driver (tiny: tables×bits×d
     // doubles) and embedded in the banding EXPRESSION
     // ([[graft.functions.SignBandsMatrix]]) — the same memory contract
@@ -324,10 +424,7 @@ object Similarity {
     // merge bits across copies (the round-6 advice hazard). The
     // (id, table, bucket) result is checkpointed so both candidate-
     // join sides scan it instead of re-banding.
-    val rng = new scala.util.Random(seed)
-    val planes: Array[Array[Array[Double]]] =
-      Array.tabulate(numTables, nBits)((_, _) =>
-        Array.fill(dims)(rng.nextGaussian()))
+    val planes = lshPlanes(numTables, nBits, dims, seed)
     // Banded rows carry ONLY (id, table, bucket): the candidate join
     // and pair-dedup shuffle 16-byte pairs, not vectors. Vectors (and
     // their norms, computed once per row) come back via equi-joins on

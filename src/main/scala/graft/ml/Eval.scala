@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
 
 /** Model-evaluation metrics (SURVEY M5, M6, M10) as plain deterministic
   * DataFrame aggregations.
@@ -19,6 +19,37 @@ import org.apache.spark.sql.types.DecimalType
 object Eval {
 
   private val D8 = DecimalType(18, 8)
+
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.ml.Eval")
+
+  /** Last warning emitted by [[warnIfContinuousUnbinned]] — a testable
+    * hook (EvalSpec pins that the guard fires) beside the log line.
+    */
+  @volatile private[graft] var lastUnbinnedWarning: Option[String] = None
+
+  /** The distinct-score histogram family ([[aucDf]] / [[rocPoints]] /
+    * [[prPoints]]) runs a PARTITIONLESS window whose input size is the
+    * score cardinality. On a floating-point score column with no
+    * `binDigits`, distinct ≈ rows and that window funnels the whole
+    * eval set through one task — fine for bounded eval sets, a funnel
+    * at corpus scale. Warn loudly (with the bound that would fix it)
+    * instead of silently building the unbounded plan; results are
+    * unchanged, so every existing oracle stays green.
+    */
+  private def warnIfContinuousUnbinned(df: DataFrame, scoreCol: String,
+                                       binDigits: Option[Int],
+                                       op: String): Unit =
+    if (binDigits.isEmpty) df.schema(scoreCol).dataType match {
+      case FloatType | DoubleType =>
+        val msg = s"$op: score column '$scoreCol' is floating-point and " +
+          "binDigits is None — the distinct-score window is bounded only " +
+          "by score cardinality (eval-set-sized for continuous scores). " +
+          "Pass binDigits = Some(d) to bound it to (max-min)*10^d + 1 rows " +
+          "at <= one bin width of metric perturbation."
+        lastUnbinnedWarning = Some(msg)
+        logger.warn(msg)
+      case _ => ()
+    }
 
   /** RMSE as a 1-row DataFrame, deterministic: the squared error is
     * accumulated EXACTLY in decimal (inputs are ≤4-fractional-digit
@@ -79,6 +110,7 @@ object Eval {
     */
   def aucDf(df: DataFrame, labelCol: String, scoreCol: String,
             digits: Int = 6, binDigits: Option[Int] = None): DataFrame = {
+    warnIfContinuousUnbinned(df, scoreCol, binDigits, "aucDf")
     // null scores carry no defined AUC semantics and sort differently
     // across engines (Spark windows: NULLS FIRST; DuckDB: NULLS LAST)
     // — drop them before the histogram so results cannot diverge
@@ -170,6 +202,7 @@ object Eval {
     */
   def rocPoints(df: DataFrame, labelCol: String, scoreCol: String,
                 digits: Int = 6, binDigits: Option[Int] = None): DataFrame = {
+    warnIfContinuousUnbinned(df, scoreCol, binDigits, "rocPoints")
     // same null-score drop as [[aucDf]] (threshold semantics undefined)
     val g = df.filter(col(scoreCol).isNotNull)
       .groupBy(binned(col(scoreCol), binDigits).as(scoreCol)).agg(
@@ -200,6 +233,7 @@ object Eval {
     */
   def prPoints(df: DataFrame, labelCol: String, scoreCol: String,
                digits: Int = 6, binDigits: Option[Int] = None): DataFrame = {
+    warnIfContinuousUnbinned(df, scoreCol, binDigits, "prPoints")
     val g = df.filter(col(scoreCol).isNotNull)
       .groupBy(binned(col(scoreCol), binDigits).as(scoreCol)).agg(
       count(lit(1)).cast("double").as("n"),

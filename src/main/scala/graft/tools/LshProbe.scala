@@ -51,18 +51,12 @@ object LshProbe {
     val spread = emb.repartition(par).localCheckpoint()
     val n = spread.count().toDouble
     val dims = spread.select(size(col("embedding"))).head().getInt(0)
-    // mirror embedLshTopK's sizing (occupancy + spread cancellation)
-    val occBits = math.max(8, math.min(20,
-      math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
-    val sigma = 1.0 / math.sqrt(dims.toDouble)
-    val nBits = math.min(24, occBits + math.ceil(
-      math.pow(2.0 * occBits * sigma / math.Pi, 2) /
-        (2.0 * math.log(2.0))).toInt)
+    // the PRODUCTION sizing and plane generation, not a copy (round-11
+    // ADVICE: a third hand-copy of the formula desynchronizes silently)
+    val sigma = Similarity.measuredSigma(spread, "vec_id", "embedding", dims)
+    val nBits = Similarity.lshAutoBits(n, sigma)
     val numTables = 6
-    val rng = new scala.util.Random(42L)
-    val planes: Array[Array[Array[Double]]] =
-      Array.tabulate(numTables, nBits)((_, _) =>
-        Array.fill(dims)(rng.nextGaussian()))
+    val planes = Similarity.lshPlanes(numTables, nBits, dims, 42L)
     val banded = spread.select(col("vec_id"),
         posexplode(graft.functions.VectorExprs.signBands(
           col("embedding"), planes)).as(Seq("_table", "_bucket")))
@@ -76,7 +70,7 @@ object LshProbe {
     val top = occ.orderBy(col("c").desc).limit(8)
       .select(col("c")).collect().map(_.getLong(0)).mkString(",")
     val cand = stats.getLong(0)
-    println(f"LSHPROBE $tag n=${n.toLong} bits=$nBits cand=$cand " +
+    println(f"LSHPROBE $tag n=${n.toLong} bits=$nBits sigma=$sigma%.4f cand=$cand " +
       f"cand_per_n=${cand / n}%.1f max_bucket=${stats.getLong(1)} " +
       f"buckets=${stats.getLong(2)} top8=$top")
   }

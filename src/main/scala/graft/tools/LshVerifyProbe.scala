@@ -29,15 +29,11 @@ object LshVerifyProbe {
     val spread = all.repartition(par).localCheckpoint()
     val n = spread.count().toDouble
     val dims = spread.select(size(col("embedding"))).head().getInt(0)
-    val occBits = math.max(8, math.min(20,
-      math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt))
-    val nBits = math.min(24, occBits + math.ceil(math.pow(
-      2.0 * occBits / (math.Pi * math.sqrt(dims.toDouble)), 2) /
-      (2.0 * math.log(2.0))).toInt)
-    val rng = new scala.util.Random(42L)
-    val planes: Array[Array[Array[Double]]] =
-      Array.tabulate(6, nBits)((_, _) =>
-        Array.fill(dims)(rng.nextGaussian()))
+    // the production sizing/planes (shared helper — round-11 ADVICE)
+    val sigma = graft.llm.Similarity.measuredSigma(
+      spread, "vec_id", "embedding", dims)
+    val nBits = graft.llm.Similarity.lshAutoBits(n, sigma)
+    val planes = graft.llm.Similarity.lshPlanes(6, nBits, dims, 42L)
     val banded = spread.select(col("vec_id"),
         posexplode(graft.functions.VectorExprs.signBands(
           col("embedding"), planes)).as(Seq("table", "bucket")))

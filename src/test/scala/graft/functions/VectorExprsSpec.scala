@@ -254,4 +254,24 @@ class VectorExprsSpec extends SparkSpec {
     // sign bits are scale-invariant — same buckets at 100× magnitude
     assert(got(2L) == got(1L))
   }
+
+  test("signedProject fails loudly on elements outside decimal(18,9) " +
+       "instead of emitting a plausible wrong projection") {
+    val signs = Array(Array[Byte](1, 1))
+    val ok = Seq((1L, Array(0.5, -0.25))).toDF("id", "v")
+      .select(VectorExprs.signedProject($"v", signs).as("p"))
+      .selectExpr("CAST(p[0] AS DOUBLE)").as[Double].head()
+    assert(ok == 0.25)
+    val e = intercept[Exception] {
+      Seq((1L, Array(1.5e9, 0.0))).toDF("id", "v")
+        .select(VectorExprs.signedProject($"v", signs).as("p"))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(
+        _.contains("overflows decimal(18,9)"))),
+      s"expected the contract-naming overflow error, got $e")
+  }
 }

@@ -327,6 +327,43 @@ class BpeSpec extends SparkSpec {
     assert(vocabBack == vocabOrig, "vocab parquet roundtrip")
   }
 
+  test("importMerges: tolerates blank lines with dense ranks, names a " +
+       "malformed rule, and rejects multi-part merges directories") {
+    val base = s"/tmp/graft_test_bpeimp_${ProcessHandle.current().pid()}"
+    def write(dirTag: String, files: Map[String, String]): String = {
+      val p = new java.io.File(s"$base/$dirTag/merges")
+      p.mkdirs()
+      files.foreach { case (name, content) =>
+        java.nio.file.Files.write(new java.io.File(p, name).toPath,
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s"$base/$dirTag"
+    }
+    // hand-edited file: trailing newline + mid-file blank → ranks dense
+    val ok = write("ok", Map("part-00000" -> "l o\n\nlo w\n\n"))
+    val rules = Bpe.importMerges(spark, ok)
+      .as[(Int, String, String, String)].collect().sortBy(_._1).toSeq
+    assert(rules == Seq((1, "l", "o", "lo"), (2, "lo", "w", "low")))
+    // a spaceless line is a malformed rule, named by position
+    val bad = write("bad", Map("part-00000" -> "l o\nnospace\n"))
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Bpe.importMerges(spark, bad).collect()
+    }
+    assert(e1.getMessage.contains("malformed") ||
+      Option(e1.getCause).exists(_.getMessage.contains("malformed")))
+    // two data files: rank-from-line-order is unsound → refuse
+    val multi = write("multi",
+      Map("part-00000" -> "l o\n", "part-00001" -> "lo w\n"))
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.importMerges(spark, multi)
+    }
+    assert(e2.getMessage.contains("exactly one data file"))
+    // _SUCCESS/dot markers do not count as data files
+    val markers = write("markers",
+      Map("part-00000" -> "l o\n", "_SUCCESS" -> "", ".crc" -> "x"))
+    assert(Bpe.importMerges(spark, markers).count() == 1L)
+  }
+
   test("preTokenize separates letter/digit/punct runs and composes with " +
        "the trainer (punctuation becomes its own token type)") {
     import org.apache.spark.sql.functions.col

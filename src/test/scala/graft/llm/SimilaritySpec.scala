@@ -517,4 +517,50 @@ class SimilaritySpec extends SparkSpec {
     assert(errs.max < 0.55, s"max cosine drift ${errs.max}")
     assert(errs.sum / errs.size < 0.15, s"mean cosine drift ${errs.sum / errs.size}")
   }
+
+  test("lshAutoBits: fixed-point spread correction — occ at sigma 0, " +
+       "strictly above the one-shot round-11 charge at projected-LSH " +
+       "spreads, capped when no bit count can cancel the spread") {
+    val n = 4000000.0 // third-decade corpus, occ = 18
+    val occ = Similarity.lshOccBits(n)
+    assert(occ == 18)
+    assert(Similarity.lshAutoBits(n, 0.0) == occ)
+    // the round-11 one-shot correction (Δ charged at occ bits) vs the
+    // fixed point at sigma = 0.18 (the 32-dim projected corpus where
+    // the creep was measured): the fixed point must charge MORE —
+    // under-correction was exactly the r11 residual
+    val sigma = 0.18
+    val oneShot = occ + math.ceil(
+      math.pow(2.0 * occ * sigma / math.Pi, 2) / (2.0 * math.log(2.0))).toInt
+    val fixedPoint = Similarity.lshAutoBits(n, sigma)
+    assert(fixedPoint > oneShot,
+      s"fixed point $fixedPoint must exceed one-shot $oneShot")
+    assert(fixedPoint <= 24)
+    // bits monotone in sigma until the cap
+    val bitsBySigma = Seq(0.05, 0.1, 0.15, 0.2)
+      .map(Similarity.lshAutoBits(n, _))
+    assert(bitsBySigma == bitsBySigma.sorted)
+    // sigma so wide the discriminant closes → honest cap
+    assert(Similarity.lshAutoBits(n, 0.9) == 24)
+  }
+
+  test("measuredSigma: recovers the isotropic 1/sqrt(dims) spread on the " +
+       "real embeddings and ignores planted near-dup outliers (MAD)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dims = 64
+    val s0 = Similarity.measuredSigma(emb, "vec_id", "embedding", dims)
+    val analytic = 1.0 / math.sqrt(dims.toDouble)
+    assert(s0 > 0.5 * analytic && s0 < 2.0 * analytic,
+      s"near-isotropic testdata should measure near 1/sqrt(64): $s0")
+    // plant an exact duplicate of every vector (cos = 1 outlier pairs
+    // in any sample): the MAD estimate must not blow up
+    val planted = emb.unionByName(emb.select(
+      (col("vec_id") + 9000000L).as("vec_id"), col("embedding")))
+    val s1 = Similarity.measuredSigma(planted, "vec_id", "embedding", dims)
+    assert(s1 < 2.0 * analytic,
+      s"MAD must shrug off planted duplicates, got $s1 vs analytic $analytic")
+    // deterministic: same corpus, same estimate
+    assert(s0 == Similarity.measuredSigma(emb, "vec_id", "embedding", dims))
+  }
 }

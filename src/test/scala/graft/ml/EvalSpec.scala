@@ -152,4 +152,29 @@ class EvalSpec extends SparkSpec {
     assert(clamp.find(_.getAs[Int]("bin") == 9).get.getAs[Long]("n_actual") == 2L)
     assert(clamp.find(_.getAs[Int]("bin") == 0).get.getAs[Long]("n_actual") == 1L)
   }
+
+  test("the distinct-score window guard warns on unbinned floating-point " +
+       "scores and stays silent when binned or discrete") {
+    val cont = Seq((1, 0.123), (0, 0.456), (1, 0.789)).toDF("label", "score")
+    Eval.lastUnbinnedWarning = None
+    Eval.aucDf(cont, "label", "score")
+    assert(Eval.lastUnbinnedWarning.exists(_.contains("aucDf")),
+      "unbinned double score must warn")
+    Eval.lastUnbinnedWarning = None
+    Eval.rocPoints(cont, "label", "score", binDigits = Some(2))
+    assert(Eval.lastUnbinnedWarning.isEmpty, "binned call must not warn")
+    Eval.prPoints(Seq((1, 3), (0, 2)).toDF("label", "score"),
+      "label", "score")
+    assert(Eval.lastUnbinnedWarning.isEmpty, "integer scores must not warn")
+    Eval.prPoints(cont, "label", "score")
+    assert(Eval.lastUnbinnedWarning.exists(_.contains("prPoints")),
+      "unbinned continuous PR curve must warn")
+    // warning is advisory only: binned and unbinned results agree on a
+    // discrete-valued double column (q34/q211 oracles unchanged)
+    val r1 = Eval.aucDf(cont, "label", "score").as[Double].head()
+    val r2 = Eval.aucDf(cont, "label", "score", binDigits = Some(3))
+      .as[Double].head()
+    assert(r1 == r2)
+    Eval.lastUnbinnedWarning = None
+  }
 }
