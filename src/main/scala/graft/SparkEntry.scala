@@ -106,6 +106,33 @@ object SparkEntry {
         "text", threshold = 0.5).localCheckpoint()
     }
 
+  /** Symmetric weighted co-purchase edge list over lineitem (parts
+    * linked when they share an order) — THE graph-suite input: q142
+    * (PageRank), q217 (personalized PageRank) consume it directly and
+    * q146 (triangles) via the `src < dst ∧ w ≥ 2` restriction (the
+    * symmetric frame carries both orientations with equal w, so the
+    * filter reproduces the upper-triangle build exactly). The
+    * per-order pair explosion + (src, dst) aggregation was rebuilt by
+    * each query — the suite's heaviest shared prefix (r11 verdict) —
+    * and is now built once per (JVM, dir) and billed on the
+    * `_shared:copurchase-edges` bench line, the [[nearDupPairs]]
+    * convention. Edge rows are bounded by orders × width² (width ≤ 7),
+    * and the localCheckpoint is what pageRank would do to the frame
+    * anyway (the round-10 lazy-re-execution lesson). q159's HITS graph
+    * is NOT a consumer: it is the customer→part bipartite list
+    * (orders ⋈ lineitem, no pair explosion — a different, cheaper
+    * build).
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    memoUnit(s, dir, "copurchase") {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+    }
+
   /** 8-merge BPE training over `documents`, memoized per (JVM, dir)
     * like [[nearDupPairs]]: q177 emits the rule table, q179 consumes
     * the trained vocabulary — training runs once, not twice. Both
@@ -137,6 +164,71 @@ object SparkEntry {
       bpeSliceRules.put((System.identityHashCode(s.sparkContext), dir), rules)
       words
     }
+
+  /** The byte-level BPE fixture: `documents` with a per-doc UNICODE
+    * tail word (cycled by doc_id mod 8 — accents, CJK, emoji, Cyrillic,
+    * Greek). The doc_id % 4 = 0 training slice sees only tail classes
+    * {0, 4}; the eval complement carries six tail words whose
+    * CHARACTERS training never saw — the case where the char-level
+    * stack marks −1 OOV and the byte alphabet must still encode with
+    * n_oov structurally 0. Both engines build the fixture from the
+    * same expression ([[duckUniText]]).
+    */
+  private val uniWords = Seq("héllo", "wörld", "東京🚀", "naïve",
+    "русский", "ελληνικά", "中文词", "☃️❄")
+  private def unicodeDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" "),
+        element_at(array(uniWords.map(lit): _*),
+          (pmod(col("doc_id"), lit(8)) + 1).cast("int"))).as("text"))
+
+  /** The oracle-side fixture expression builds each unicode word from
+    * its UTF-8 HEX (`decode(from_hex(...))`) rather than a literal:
+    * oracle_sql.json stays pure ASCII — immune to any locale/charset
+    * seam between the JVM, the JSON file, and the oracle engine — and
+    * byte equality with the Spark literals is by construction (the hex
+    * IS `getBytes(UTF_8)`).
+    */
+  private val duckUniText: String =
+    "text || ' ' || ([" +
+      uniWords.map { w =>
+        val hex = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => f"${b & 0xff}%02X").mkString
+        s"decode(from_hex('$hex'))"
+      }.mkString(",") +
+      "])[CAST(doc_id % 8 AS INT) + 1]"
+
+  /** Eval token stream of the unicode fixture's doc_id % 4 ≠ 0
+    * complement, and its positioned variant for the ids oracle.
+    */
+  private val uniTokCte: String =
+    s"SELECT doc_id, unnest(string_split($duckUniText, ' ')) AS word " +
+      "FROM documents WHERE doc_id % 4 <> 0"
+  private val uniTokPosCte: String =
+    "SELECT doc_id, u.i AS wpos, u.w AS word " +
+      "FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1), " +
+      "i -> struct_pack(i := i, w := t[i]))) AS u " +
+      s"FROM (SELECT doc_id, string_split($duckUniText, ' ') AS t " +
+      "FROM documents WHERE doc_id % 4 <> 0))"
+
+  /** 8-merge BYTE-level BPE training over the unicode fixture's
+    * doc_id % 4 = 0 slice — memoized like [[bpeSliceWords]] (the rules
+    * frame rides the words entry).
+    */
+  private val bpeBytesRules =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def bpeBytesWords(s: SparkSession, dir: String): DataFrame =
+    memoUnit(s, dir, "bpebytes8") {
+      val (rules, words) = Bpe.trainSharedBytes(
+        unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) === 0),
+        "text", 8)
+      bpeBytesRules.put((System.identityHashCode(s.sparkContext), dir), rules)
+      words
+    }
+  private def bpeBytesMerges(s: SparkSession, dir: String): DataFrame = {
+    bpeBytesWords(s, dir) // ensure trained (and rebuilt if swept)
+    bpeBytesRules((System.identityHashCode(s.sparkContext), dir))
+  }
   private def bpeSliceMerges(s: SparkSession, dir: String): DataFrame = {
     bpeSliceWords(s, dir) // ensure trained (and rebuilt if swept)
     bpeSliceRules((System.identityHashCode(s.sparkContext), dir))
@@ -212,7 +304,9 @@ object SparkEntry {
       "_shared:unit-perturbed" -> ((s, dir) => unitPerturbed(s, dir)),
       "_shared:neardup-pairs" -> ((s, dir) => nearDupPairs(s, dir)),
       "_shared:bpe8" -> ((s, dir) => bpeWords(s, dir)),
-      "_shared:bpe8slice" -> ((s, dir) => bpeSliceWords(s, dir)))
+      "_shared:bpe8slice" -> ((s, dir) => bpeSliceWords(s, dir)),
+      "_shared:bpebytes8" -> ((s, dir) => bpeBytesWords(s, dir)),
+      "_shared:copurchase-edges" -> ((s, dir) => copurchaseEdges(s, dir)))
 
   /** Queries whose bench time is marginal given [[sharedInputs]]. */
   private[graft] val sharedConsumers: Map[String, Seq[String]] = Map(
@@ -227,7 +321,12 @@ object SparkEntry {
       "q214_bpe_artifacts"),
     "_shared:bpe8slice" -> Seq("q191_bpe_encode", "q194_bpe_segment",
       "q195_bpe_pack", "q201_bpe_vocab", "q202_bpe_ids",
-      "q206_pack_materialize"))
+      "q206_pack_materialize"),
+    "_shared:bpebytes8" -> Seq("q218_bpe_bytes_train",
+      "q219_bpe_bytes_encode", "q220_bpe_bytes_ids",
+      "q221_bpe_bytes_artifacts"),
+    "_shared:copurchase-edges" -> Seq("q142_pagerank", "q146_triangles",
+      "q217_ppr_trust"))
 
   /** The q178/q181 mixture weights, and their oracle VALUES clause:
     * the SQL side receives the PRE-NORMALIZED weights (each divided by
@@ -1189,6 +1288,66 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           TextAnalysis.preTokenize(col("text")).as("text")),
         "text", nMerges = 8)),
+
+    // --- BYTE-level BPE training (the production GPT-2/Llama shape):
+    //     base alphabet = the 256 UTF-8 bytes as hex symbols, learned
+    //     over the unicode fixture's training slice — accents, CJK and
+    //     emoji are just bytes; the same SQL merge chain replays it
+    //     rank by rank over hex(encode(word)) ---
+    "q218_bpe_bytes_train" -> ((s, dir) => bpeBytesMerges(s, dir)),
+
+    // --- byte-level encoding of the NEVER-SEEN unicode complement:
+    //     six of the eight tail words carry characters the training
+    //     slice never contained, and n_oov must still be the
+    //     STRUCTURAL 0 the byte alphabet guarantees (the char-level
+    //     stack marks such words OOV — this is the gap byte-level
+    //     closes; the PinSpec twin asserts the 0 directly) ---
+    "q219_bpe_bytes_encode" -> ((s, dir) =>
+      Bpe.encodeTokenCountsBytes(
+        unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        "doc_id", "text", bpeBytesMerges(s, dir))),
+
+    // --- byte-level token ids + HONEST decode roundtrip on unicode:
+    //     flat id streams with the space BYTE (id 32) interleaved,
+    //     position-weighted id fingerprint, decode(encode(d)) compared
+    //     byte-exactly against the clean word stream — emoji included.
+    //     The oracle PREDICTS n_oov = 0 / roundtrip_ok = 1; the Spark
+    //     side computes both honestly (vocab-join nulls, real decode) ---
+    "q220_bpe_bytes_ids" -> ((s, dir) => {
+      val docs = unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val rules = bpeBytesMerges(s, dir)
+      val enc = Bpe.encodeIdsBytes(docs, "doc_id", "text", rules)
+        .localCheckpoint()
+      val dec = Bpe.decodeIdsBytes(enc, "doc_id", "ids", rules)
+      val expected = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("_wpos", "word")))
+        .filter(Bpe.byteWordOk)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("_wpos"), col("word"))))
+          .as("_ws"))
+        .select(col("doc_id"),
+          expr("array_join(transform(_ws, x -> x.word), ' ')").as("_exp"))
+      enc.join(dec, Seq("doc_id")).join(expected, Seq("doc_id"))
+        .select(col("doc_id"), col("n_bpe"), col("n_oov"),
+          expr("aggregate(transform(ids, (x, i) -> CAST(x AS BIGINT) * (i + 1)), " +
+            "CAST(0 AS BIGINT), (a, y) -> a + y)").as("ids_fp"),
+          (col("text_decoded") === col("_exp")).cast("int")
+            .as("roundtrip_ok"))
+    }),
+
+    // --- byte-level artifact interop: merges.txt (GPT-2 line shape —
+    //     hex symbols are still space-free) + the fixed-256-base vocab
+    //     parquet through disk and back, rejoined so a drop, reorder,
+    //     or id drift anywhere in the roundtrip flips the row red ---
+    "q221_bpe_bytes_artifacts" -> ((s, dir) => {
+      val path = scratch("bpebart", dir)
+      Bpe.exportArtifactsBytes(bpeBytesMerges(s, dir), path)
+      Bpe.importMerges(s, path)
+        .join(s.read.parquet(s"$path/vocab"),
+          col("merged") === col("piece"))
+        .select(col("rank"), col("lhs"), col("rhs"), col("merged"),
+          col("token_id"))
+    }),
 
     // --- incremental index ingest: build the IVF index on the base
     //     corpus, APPEND the perturbed twins without retraining, then
@@ -2765,26 +2924,17 @@ object SparkEntry {
     //     Pregel step as relational algebra. Edge fan-out is bounded
     //     by order width (≤7 lines), so the edge list — and every
     //     round's shuffle — grows linearly with the fact table ---
-    "q142_pagerank" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
-        .filter(col("src") =!= col("dst"))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      graft.operators.Graph.pageRank(e, "src", "dst", "w", iters = 3)
-        .orderBy(col("rank").desc, col("node")).limit(50)
-    }),
+    "q142_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(copurchaseEdges(s, dir),
+          "src", "dst", "w", iters = 3)
+        .orderBy(col("rank").desc, col("node")).limit(50)),
 
     // --- personalized PageRank from a trusted seed set: quality
     //     propagation over the co-purchase graph (score = graph
     //     proximity to curated seeds — the selection face of the
     //     pagerank machinery; q142's graph, seeds = nodes ≡ 0 mod 7) ---
     "q217_ppr_trust" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
-        .filter(col("src") =!= col("dst"))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val e = copurchaseEdges(s, dir)
       val seeds = e.select(col("src").as("node")).distinct()
         .filter(pmod(col("node"), lit(7)) === 0)
       graft.operators.Graph.personalizedPageRank(e, "src", "dst", "w",
@@ -2827,12 +2977,11 @@ object SparkEntry {
     //     hub-proof exact algorithm; the oracle mirrors cap + closes
     //     triangles the naive 3-way-join way ---
     "q146_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
-        .filter(col("src") < col("dst"))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
+      // the shared symmetric frame restricted to the upper triangle:
+      // both orientations carry the same w, so this IS the src<dst
+      // build (and the w ≥ 2 repeat-co-purchase floor applies after)
+      val e = copurchaseEdges(s, dir)
+        .filter(col("src") < col("dst") && col("w") >= 2)
       val capped = Graph.sparsifyByDegree(e, "src", "dst", "w", maxDegree = 32)
       Graph.triangleCounts(capped, "a", "b")
     }),
@@ -4328,6 +4477,30 @@ object SparkEntry {
     // q177's training replay with the text SOURCE swapped for the
     // pretokenized expression — the full 8-round CTE chain unchanged
     "q216_bpe_pretok" -> Bpe.oracleSql(8, textSql = duckPretok),
+
+    // byte-level training replay over the unicode fixture's slice:
+    // the SAME merge-round chain, w0 segmented by hex(encode(word))
+    "q218_bpe_bytes_train" -> Bpe.byteOracleSql(8,
+      trainWhere = "doc_id % 4 = 0", textSql = duckUniText),
+
+    // byte-encode the never-seen unicode complement; n_oov is the
+    // structural 0 the byte alphabet guarantees (predicted here,
+    // computed honestly on the Spark side)
+    "q219_bpe_bytes_encode" -> Bpe.byteEncodeOracleSql(8,
+      trainWhere = "doc_id % 4 = 0", tokCte = uniTokCte,
+      textSql = duckUniText),
+
+    // per-doc byte token-id economics + position-weighted fingerprint
+    // (space byte id 32 contributes explicitly) + the structural
+    // roundtrip prediction
+    "q220_bpe_bytes_ids" -> Bpe.byteIdsOracleSql(8,
+      trainWhere = "doc_id % 4 = 0", tokPosCte = uniTokPosCte,
+      textSql = duckUniText),
+
+    // the q218 replay joined with the 256-base vocab ids — what the
+    // disk roundtrip must reproduce verbatim
+    "q221_bpe_bytes_artifacts" -> Bpe.byteArtifactsOracleSql(8,
+      trainWhere = "doc_id % 4 = 0", textSql = duckUniText),
 
     // q142's unrolled-round machinery with a seed-only teleport: r0 is
     // the teleport distribution and every round is

@@ -763,7 +763,17 @@ object Bpe {
         |        FROM (SELECT unnest(string_split($textSql, ' ')) AS word $src)
         |        WHERE word <> '' AND NOT contains(word, '<')
         |          AND NOT contains(word, '>') GROUP BY 1))""".stripMargin
-    val rounds = (1 to nMerges).map { r =>
+    s"$w0,\n${mergeRounds(nMerges)}"
+  }
+
+  /** The per-round pair-count / argmax / replace CTE triple
+    * `p_r/r_r/w_r` over a `w0(word, s, n)` base — segmentation-
+    * agnostic (char-level [[roundsCte]] and byte-level
+    * [[byteRoundsCte]] share it verbatim: the merge loop never looks
+    * inside a symbol).
+    */
+  private def mergeRounds(nMerges: Int): String =
+    (1 to nMerges).map { r =>
       s"""p$r AS (
          |  SELECT pr, SUM(n) AS cnt FROM (
          |    SELECT n, unnest(list_transform(range(1, len(t)),
@@ -777,29 +787,18 @@ object Bpe {
          |          '<' || split_part(pr, ' ', 1) || split_part(pr, ' ', 2) || '>') AS s, n
          |        FROM w${r - 1}, r$r)""".stripMargin
     }.mkString(",\n")
-    s"$w0,\n$rounds"
-  }
 
   /** The DuckDB replay of [[learnMerges]]. Assumes the corpus yields
     * at least `nMerges` mergeable pairs (true for any real text
     * corpus; the Scala side stops early instead).
     */
-  def oracleSql(nMerges: Int, textSql: String = "text"): String = {
-    val union = (1 to nMerges)
-      .map(r => s"SELECT $r AS rk, pr, cnt FROM r$r").mkString("\n  UNION ALL ")
-    // NOTE: the CTE chain is already margin-stripped — a stripMargin
-    // over the assembled string would re-strip its `|| '>'`
-    // continuation lines (blanks + `|` prefix) and corrupt the SQL,
-    // so only the literal tail goes through stripMargin
-    val tail =
-      s"""SELECT CAST(rk AS INT) AS rank,
-         |       split_part(pr, ' ', 1) AS lhs,
-         |       split_part(pr, ' ', 2) AS rhs,
-         |       split_part(pr, ' ', 1) || split_part(pr, ' ', 2) AS merged,
-         |       CAST(cnt AS BIGINT) AS n
-         |FROM ($union)""".stripMargin
-    s"WITH ${roundsCte(nMerges, textSql = textSql)}\n$tail"
-  }
+  // NOTE (stripMargin discipline, applies to every builder here): the
+  // CTE chains are already margin-stripped — a stripMargin over an
+  // ASSEMBLED string would re-strip their `|| '>'` continuation lines
+  // (blanks + `|` prefix) and corrupt the SQL, so only literal pieces
+  // go through stripMargin, never concatenations.
+  def oracleSql(nMerges: Int, textSql: String = "text"): String =
+    s"WITH ${roundsCte(nMerges, textSql = textSql)}\n${rulesSelect(nMerges)}"
 
   /** The DuckDB replay of [[tokenCounts]]. */
   def tokenizeOracleSql(nMerges: Int): String = {
@@ -1024,5 +1023,394 @@ object Bpe {
         |FROM ds GROUP BY doc_id""".stripMargin
     s"WITH ${roundsCte(nMerges, trainWhere)},\n${vocabCtes(nMerges)},\n" +
       s"${idsChainCtes(nMerges, tokPosCte)}\n$tail"
+  }
+
+  // ──────────────────────── byte-level BPE ────────────────────────
+  //
+  // The production GPT-2/Llama tokenizer shape: the base alphabet is
+  // the 256 BYTES of each word's UTF-8 encoding, so any unicode input
+  // — non-Latin scripts, emoji, mojibake — segments with n_oov
+  // STRUCTURALLY zero (the char-level stack above marks a
+  // training-unseen character −1 instead; that is its documented
+  // byte-fallback seam). Symbols ride as 2-char uppercase hex codes
+  // inside the SAME bracketed representation ("hé" → "<68><C3><A9>"),
+  // which buys three things at once:
+  //
+  //  - the whole merge machinery is reused VERBATIM — in-memory
+  //    trainer, distributed trainer, and the SQL oracle's replace
+  //    chain never look inside a symbol;
+  //  - no sentinel guard: hex symbols cannot contain '<'/'>', so the
+  //    byte path accepts the words the char path must discard (they
+  //    just become bytes 3C/3E);
+  //  - any engine replays the segmentation — Spark's
+  //    hex(encode(word,'UTF-8')) and DuckDB's hex(encode(word)) emit
+  //    the identical uppercase hex string, split into pairs by the
+  //    same '..' regex.
+  //
+  // The whitespace token needs no reserved id: space IS byte 0x20
+  // (id 32 by construction), so decode(encode(d)) is byte-exact on
+  // any clean text.
+
+  /** Byte-path word guard: only empty words drop (no sentinel
+    * exclusion — see the section note). Exposed like [[wordOk]] so
+    * roundtrip gates recompose the exact word stream.
+    */
+  private[graft] def byteWordOk = col("word") =!= ""
+
+  /** The bracketed byte segmentation of the `word` column. */
+  private val byteSegExpr =
+    "regexp_extract_all(hex(encode(word, 'UTF-8')), '..', 0)"
+
+  private def trainBytes(docs: DataFrame, textCol: String, nMerges: Int,
+                         maxDriverWords: Int): (Seq[Row], DataFrame) = {
+    require(nMerges >= 1, "nMerges must be positive")
+    // one corpus pass → vocabulary-sized (word, freq), bytes as hex
+    val words0 = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(byteWordOk)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(col("word"), concat(lit("<"),
+        concat_ws("><", expr(byteSegExpr)), lit(">")).as("s"), col("n"))
+      .localCheckpoint()
+    if (words0.count() <= maxDriverWords) trainInMemory(words0, nMerges)
+    else trainDistributed(words0, nMerges)
+  }
+
+  /** Byte-level [[trainShared]]: same hybrid merge loop, byte
+    * segmentation, no sentinel guard. Same scale economics — one
+    * corpus pass, everything after is vocabulary-sized.
+    */
+  def trainSharedBytes(docs: DataFrame, textCol: String, nMerges: Int,
+                       maxDriverWords: Int = DefaultMaxDriverWords)
+      : (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val (rules, words) = trainBytes(docs, textCol, nMerges, maxDriverWords)
+    val rulesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rules, 1), rulesSchema)
+    (rulesDf, words.localCheckpoint())
+  }
+
+  /** Byte-level [[learnMerges]]. */
+  def learnMergesBytes(docs: DataFrame, textCol: String, nMerges: Int,
+                       maxDriverWords: Int = DefaultMaxDriverWords): DataFrame =
+    trainSharedBytes(docs, textCol, nMerges, maxDriverWords)._1
+
+  /** Byte-level token-id table `(piece, token_id)`: ids 0..255 ARE the
+    * byte values — fixed 256-entry base regardless of what the
+    * training corpus contained (the GPT-2 move that makes every input
+    * encodable), no window needed (fixed-width uppercase hex sorts in
+    * numeric order; the id is just the byte). Merge results follow at
+    * 255 + rank; min-id dedup covers merge paths that reproduce the
+    * same piece string (base pieces are 2 chars, merges ≥ 4 — those
+    * families can never collide).
+    */
+  def byteVocab(rules: DataFrame): DataFrame = {
+    val spark = rules.sparkSession
+    import spark.implicits._
+    (0 until 256).map(b => (f"$b%02X", b)).toDF("piece", "id")
+      .unionByName(rules.select(
+        concat(col("lhs"), col("rhs")).as("piece"),
+        (col("rank") + lit(255)).cast("int").as("id")))
+      .groupBy(col("piece"))
+      .agg(min(col("id")).cast("int").as("token_id"))
+  }
+
+  /** Encoded DISTINCT-word vocabulary of `docs`' word stream under the
+    * byte-level rules: `(word, _nsym, _syms)`. [[encodeSyms]] applies
+    * unchanged — min-rank-first over hex symbols is the same provably-
+    * sequential replay, so the SQL oracle replays it rank by rank. No
+    * alphabet membership check: every base symbol is one of the 256
+    * bytes by construction.
+    */
+  private def encodedVocabBytes(docs: DataFrame, textCol: String,
+                                rules: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ranks: Map[(String, String), Int] = rules
+      .select(col("rank"), col("lhs"), col("rhs")).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    val bcRanks = spark.sparkContext.broadcast(ranks)
+    import spark.implicits._
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(byteWordOk)
+      .distinct()
+      .withColumn("_bytes", expr(byteSegExpr))
+      .as[(String, Seq[String])]
+      .mapPartitions { it =>
+        val rk = bcRanks.value
+        it.map { case (w, bytes) =>
+          val syms = encodeSyms(bytes.toArray, rk)
+          (w, syms.length.toLong, syms.toSeq)
+        }
+      }.toDF("word", "_nsym", "_syms")
+  }
+
+  /** Byte-level [[encodeTokenCountsWith]]:
+    * `(doc_id, n_words, n_bytes, n_bpe, n_oov, compression)` — the
+    * denominator is BYTES (what a byte-level tokenizer compresses) and
+    * `n_oov` is emitted as the structural 0 the byte alphabet
+    * guarantees, kept in the schema so gates PIN the guarantee rather
+    * than assume it. Same join economics as the char face (encode once
+    * per distinct word, SHUFFLE_HASH on the vocab side — the
+    * Generate-fan-out estimation trap).
+    */
+  def encodeTokenCountsBytes(docs: DataFrame, idCol: String,
+                             textCol: String, rules: DataFrame): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(byteWordOk)
+    val encoded = encodedVocabBytes(docs, textCol, rules)
+      .select(col("word"), col("_nsym"))
+    tok.join(encoded.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("octet_length(word)")).as("n_bytes"),
+        sum(col("_nsym")).as("n_bpe"))
+      .withColumn("n_oov", lit(0L))
+      .withColumn("compression",
+        round(col("n_bytes").cast("double") / col("n_bpe"), 4))
+  }
+
+  /** Byte-level [[encodeIds]]: `(doc_id, ids, n_oov, n_bpe)` with byte
+    * id 32 (space) interleaved between words. `n_oov` is computed
+    * HONESTLY from the vocab join (a null id would surface as −1 and
+    * count), so the structural-zero claim is verified per run, not
+    * asserted. Same shape: per-distinct-word encode, broadcast vocab,
+    * one keyed aggregation with in-row sorts.
+    */
+  def encodeIdsBytes(docs: DataFrame, idCol: String, textCol: String,
+                     rules: DataFrame): DataFrame = {
+    val vocab = byteVocab(rules)
+    val wordIds = encodedVocabBytes(docs, textCol, rules)
+      .select(col("word"), posexplode(col("_syms")).as(Seq("_spos", "piece")))
+      .join(broadcast(vocab), Seq("piece"), "left")
+      .groupBy(col("word"))
+      .agg(max(col("token_id").isNull.cast("long")).as("_oov"),
+        sort_array(collect_list(struct(col("_spos"),
+          coalesce(col("token_id"), lit(-1)).as("id")))).as("_ps"))
+      .select(col("word"), col("_oov"),
+        expr("transform(_ps, p -> p.id)").as("_wids"))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("_wpos", "word")))
+      .filter(byteWordOk)
+      .join(wordIds.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("_wpos"), col("_wids"))))
+          .as("_ws"),
+        sum(col("_oov")).as("n_oov"))
+      .select(col("doc_id"),
+        expr("flatten(transform(_ws, (w, i) -> " +
+          "IF(i = 0, w._wids, concat(array(32), w._wids))))").as("ids"),
+        col("n_oov"))
+      .withColumn("n_bpe", size(col("ids")).cast("long"))
+  }
+
+  /** Inverse of [[encodeIdsBytes]]: pieces are hex strings, so a
+    * document decodes by joining its pieces in order into ONE hex
+    * string (the space token contributes "20") and converting bytes →
+    * UTF-8 once per row. An unknown id decodes to U+FFFD's bytes.
+    */
+  def decodeIdsBytes(encoded: DataFrame, idCol: String, idsCol: String,
+                     rules: DataFrame): DataFrame = {
+    val vocab = byteVocab(rules)
+    encoded.select(col(idCol).as("doc_id"),
+        posexplode(col(idsCol)).as(Seq("_pos", "token_id")))
+      .join(broadcast(vocab), Seq("token_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("_pos"),
+        coalesce(col("piece"), lit("EFBFBD")).as("p")))).as("_ps"))
+      .select(col("doc_id"),
+        decode(unhex(expr("array_join(transform(_ps, x -> x.p), '')")),
+          "UTF-8").as("text_decoded"))
+  }
+
+  /** Byte-level [[exportArtifacts]]: merges.txt keeps the exact GPT-2
+    * line shape (rank-ordered `lhs rhs`; symbols are hex strings, so
+    * still space-free), the vocab parquet is [[byteVocab]].
+    * [[importMerges]] reads it back unchanged.
+    */
+  def exportArtifactsBytes(rules: DataFrame, path: String): Unit = {
+    rules.orderBy(col("rank"))
+      .select(concat_ws(" ", col("lhs"), col("rhs")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$path/merges")
+    byteVocab(rules).write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  // ─────────────── byte-level DuckDB oracle builders ───────────────
+
+  /** Byte-level `w0` + the SHARED merge rounds: segmentation =
+    * uppercase hex of the UTF-8 blob split into pairs (verified equal
+    * to Spark's hex(encode(...))), guard = non-empty only.
+    */
+  private def byteRoundsCte(nMerges: Int, trainWhere: String = "",
+                            textSql: String = "text"): String = {
+    val src =
+      if (trainWhere.isEmpty) "FROM documents"
+      else s"FROM documents WHERE $trainWhere"
+    val w0 =
+      s"""w0 AS (
+        |  SELECT word,
+        |         '<' || array_to_string(regexp_extract_all(hex(encode(word)), '..'), '><')
+        |             || '>' AS s, n
+        |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM (SELECT unnest(string_split($textSql, ' ')) AS word $src)
+        |        WHERE word <> '' GROUP BY 1))""".stripMargin
+    s"$w0,\n${mergeRounds(nMerges)}"
+  }
+
+  /** The `(rank, lhs, rhs, merged, n)` projection over `r1..rN` —
+    * shared tail of [[oracleSql]] and [[byteOracleSql]].
+    */
+  private def rulesSelect(nMerges: Int): String = {
+    val union = (1 to nMerges)
+      .map(r => s"SELECT $r AS rk, pr, cnt FROM r$r").mkString("\n  UNION ALL ")
+    s"""SELECT CAST(rk AS INT) AS rank,
+       |       split_part(pr, ' ', 1) AS lhs,
+       |       split_part(pr, ' ', 2) AS rhs,
+       |       split_part(pr, ' ', 1) || split_part(pr, ' ', 2) AS merged,
+       |       CAST(cnt AS BIGINT) AS n
+       |FROM ($union)""".stripMargin
+  }
+
+  /** The DuckDB replay of [[learnMergesBytes]]. */
+  def byteOracleSql(nMerges: Int, trainWhere: String = "",
+                    textSql: String = "text"): String =
+    s"WITH ${byteRoundsCte(nMerges, trainWhere, textSql)}\n" +
+      rulesSelect(nMerges)
+
+  /** Sequential rank-order merge application `e1..eN` over an
+    * `e0(word, s)` base — the encode half of both char and byte id
+    * chains.
+    */
+  private def encRoundsCte(nMerges: Int): String =
+    (1 to nMerges).map { r =>
+      s"""e$r AS (SELECT word, replace(s,
+         |          '<' || split_part(pr, ' ', 1) || '><' || split_part(pr, ' ', 2) || '>',
+         |          '<' || split_part(pr, ' ', 1) || split_part(pr, ' ', 2) || '>') AS s
+         |        FROM e${r - 1}, r$r)""".stripMargin
+    }.mkString(",\n")
+
+  /** The DuckDB replay of [[encodeTokenCountsBytes]]: train on the
+    * `trainWhere` slice, byte-segment the eval stream's distinct
+    * words, apply the merges sequentially, aggregate per doc. `n_oov`
+    * is the structural 0 — the oracle PREDICTS it; the Spark side's
+    * honest vocab-join count must agree.
+    */
+  def byteEncodeOracleSql(nMerges: Int, trainWhere: String,
+                          tokCte: String,
+                          textSql: String = "text"): String = {
+    val ctes =
+      s"""tok AS ($tokCte),
+         |tokg AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+         |ew AS (SELECT DISTINCT word FROM tokg),
+         |e0 AS (SELECT word,
+         |              '<' || array_to_string(regexp_extract_all(hex(encode(word)), '..'), '><')
+         |                  || '>' AS s
+         |       FROM ew),
+         |${encRoundsCte(nMerges)},
+         |v AS (SELECT word,
+         |             CAST(len(string_split(trim(s, '<>'), '><')) AS BIGINT) AS nsym
+         |      FROM e$nMerges)""".stripMargin
+    val tail =
+      """j AS (SELECT t.doc_id, t.word, v.nsym
+        |      FROM tokg t JOIN v USING (word))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(strlen(word)) AS BIGINT) AS n_bytes,
+        |       CAST(SUM(nsym) AS BIGINT) AS n_bpe,
+        |       CAST(0 AS BIGINT) AS n_oov,
+        |       ROUND(CAST(SUM(strlen(word)) AS DOUBLE) / SUM(nsym), 4)
+        |         AS compression
+        |FROM j GROUP BY 1""".stripMargin
+    s"WITH ${byteRoundsCte(nMerges, trainWhere, textSql)},\n$ctes,\n$tail"
+  }
+
+  /** The byte-level token-id vocabulary CTE `bvoc` (requires
+    * `r1..rN`): the fixed 256-byte base + merges at 255 + rank,
+    * min-id dedup — the exact [[byteVocab]] construction.
+    */
+  private def byteVocabCte(nMerges: Int): String = {
+    val ranked = (1 to nMerges)
+      .map(r => s"SELECT $r AS rk, pr FROM r$r").mkString("\n  UNION ALL ")
+    s"""bvoc AS (SELECT piece, CAST(MIN(id) AS INT) AS token_id FROM (
+       |  SELECT upper(lpad(to_hex(i), 2, '0')) AS piece, CAST(i AS INT) AS id
+       |  FROM range(256) t(i)
+       |  UNION ALL
+       |  SELECT split_part(pr, ' ', 1) || split_part(pr, ' ', 2) AS piece,
+       |         CAST(rk + 255 AS INT) AS id
+       |  FROM ($ranked))
+       |GROUP BY 1)""".stripMargin
+  }
+
+  /** The DuckDB replay of [[byteVocab]] over a `trainWhere`-sliced
+    * training corpus.
+    */
+  def byteVocabOracleSql(nMerges: Int, trainWhere: String,
+                         textSql: String = "text"): String =
+    s"WITH ${byteRoundsCte(nMerges, trainWhere, textSql)},\n" +
+      s"${byteVocabCte(nMerges)}\nSELECT piece, token_id FROM bvoc"
+
+  /** The DuckDB replay of the byte artifact roundtrip: the trained
+    * rules (rank order = merges.txt line order) joined with their
+    * vocab ids — a drop, reorder, or id drift anywhere in the
+    * export/import path flips the row red.
+    */
+  def byteArtifactsOracleSql(nMerges: Int, trainWhere: String,
+                             textSql: String = "text"): String =
+    s"WITH ${byteRoundsCte(nMerges, trainWhere, textSql)},\n" +
+      s"${byteVocabCte(nMerges)},\nrl AS (\n${rulesSelect(nMerges)}\n)\n" +
+      """SELECT rl.rank, rl.lhs, rl.rhs, rl.merged, b.token_id
+        |FROM rl JOIN bvoc b ON rl.merged = b.piece""".stripMargin
+
+  /** The DuckDB replay of [[encodeIdsBytes]]' per-document economics +
+    * the roundtrip prediction — the byte twin of [[idsOracleSql]].
+    * `ids_fp = Σ id·pos` over the flat 1-based stream; the space token
+    * is id 32 here (byte 0x20), so its positions contribute
+    * explicitly: the space before word k (k ≥ 2) sits at flat position
+    * `prev + k − 1`. `n_oov` and `roundtrip_ok` are the structural
+    * predictions (0 and 1); the Spark side computes both honestly.
+    */
+  def byteIdsOracleSql(nMerges: Int, trainWhere: String,
+                       tokPosCte: String,
+                       textSql: String = "text"): String = {
+    val ctes =
+      s"""tokp AS ($tokPosCte),
+         |tokg AS (SELECT doc_id, wpos, word FROM tokp WHERE word <> ''),
+         |ew AS (SELECT DISTINCT word FROM tokg),
+         |e0 AS (SELECT word,
+         |              '<' || array_to_string(regexp_extract_all(hex(encode(word)), '..'), '><')
+         |                  || '>' AS s
+         |       FROM ew),
+         |${encRoundsCte(nMerges)},
+         |wp AS (SELECT word, unnest(list_transform(range(1, len(t) + 1),
+         |              i -> struct_pack(spos := i, piece := t[i]))) AS u
+         |       FROM (SELECT word, string_split(trim(s, '<>'), '><') AS t
+         |             FROM e$nMerges)),
+         |wps AS (SELECT word, u.spos AS spos, u.piece AS piece FROM wp),
+         |wid AS (SELECT word, spos, COALESCE(token_id, -1) AS id
+         |        FROM wps LEFT JOIN bvoc USING (piece)),
+         |wids AS (SELECT word, list(id ORDER BY spos) AS ids,
+         |                CAST(COUNT(*) AS BIGINT) AS nsym
+         |         FROM wid GROUP BY 1),
+         |ds AS (SELECT t.doc_id, t.wpos, w.ids, w.nsym,
+         |              ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.wpos) AS k,
+         |              COALESCE(SUM(w.nsym) OVER (PARTITION BY t.doc_id ORDER BY t.wpos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |       FROM tokg t JOIN wids w USING (word))""".stripMargin
+    val tail =
+      """fp AS (SELECT doc_id, nsym,
+        |              list_sum(list_transform(range(1, len(ids) + 1),
+        |                j -> CAST(ids[j] AS BIGINT) * (prev + k - 1 + j)))
+        |              + CASE WHEN k > 1
+        |                     THEN 32 * CAST(prev + k - 1 AS BIGINT)
+        |                     ELSE 0 END AS contrib
+        |       FROM ds)
+        |SELECT doc_id,
+        |       CAST(SUM(nsym) + COUNT(*) - 1 AS BIGINT) AS n_bpe,
+        |       CAST(0 AS BIGINT) AS n_oov,
+        |       CAST(SUM(contrib) AS BIGINT) AS ids_fp,
+        |       CAST(1 AS INT) AS roundtrip_ok
+        |FROM fp GROUP BY 1""".stripMargin
+    s"WITH ${byteRoundsCte(nMerges, trainWhere, textSql)},\n" +
+      s"${byteVocabCte(nMerges)},\n$ctes,\n$tail"
   }
 }

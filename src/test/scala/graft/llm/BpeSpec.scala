@@ -364,6 +364,76 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.importMerges(spark, markers).count() == 1L)
   }
 
+  test("byte-level BPE: hex segmentation, structurally-zero OOV on " +
+       "never-seen unicode, byte-exact decode roundtrip, fixed 256 vocab") {
+    // train on pure-ASCII text; encode accents/CJK/emoji it never saw
+    val train = Seq(
+      (1L, "low low lower lowest"),
+      (2L, "new newer newest low")).toDF("doc_id", "text")
+    val (rules, _) = Bpe.trainSharedBytes(train, "text", nMerges = 4)
+    val got = rules.select("rank", "lhs", "rhs", "merged")
+      .as[(Int, String, String, String)].collect().sortBy(_._1)
+    // all symbols are hex pairs over the training bytes
+    assert(got.length == 4)
+    assert(got.forall { case (_, l, r, m) =>
+      m == l + r && (l + r).matches("[0-9A-F]+") })
+    // 'l','o','w' (6C 6F 77) dominate: first merge must be one of the
+    // 4-occurrence pairs with the smallest pair string — (6C,6F) "lo"
+    assert((got(0)._2, got(0)._3) == ("6C", "6F"))
+
+    // byteVocab: 256 fixed base ids = byte values, merges at 255+rank
+    val vocab = Bpe.byteVocab(rules)
+      .as[(String, Int)].collect().toMap
+    assert(vocab.size == 256 + 4)
+    assert(vocab("20") == 32 && vocab("00") == 0 && vocab("FF") == 255)
+    assert(vocab("6C6F") == 256)
+
+    // encode text whose CHARACTERS training never saw → n_oov must be
+    // the structural 0 (the char-level face would mark these words -1)
+    val eval = Seq(
+      (10L, "low löw"),
+      (11L, "東京🚀 naïve low"),
+      (12L, "☃️❄")).toDF("doc_id", "text")
+    val enc = Bpe.encodeIdsBytes(eval, "doc_id", "text", rules)
+      .localCheckpoint()
+    val rows = enc.select("doc_id", "n_oov", "ids")
+      .as[(Long, Long, Seq[Int])].collect().map(r => r._1 -> r).toMap
+    assert(rows.values.forall(_._2 == 0L), "byte alphabet cannot OOV")
+    // space byte id 32 interleaves words
+    assert(rows(10L)._3.count(_ == 32) == 1)
+    assert(rows(11L)._3.count(_ == 32) == 2)
+    // "low" = one trained merge chain: 6C6F + 77 → ids (256-based)
+    // exist; every id is in [0, 255 + 4]
+    assert(rows.values.forall(_._3.forall(id => id >= 0 && id < 260)))
+
+    // decode(encode(d)) is byte-exact on ANY unicode input
+    val dec = Bpe.decodeIdsBytes(enc, "doc_id", "ids", rules)
+      .as[(Long, String)].collect().toMap
+    assert(dec(10L) == "low löw")
+    assert(dec(11L) == "東京🚀 naïve low")
+    assert(dec(12L) == "☃️❄")
+
+    // token counts face agrees with the ids face on totals
+    val cnt = Bpe.encodeTokenCountsBytes(eval, "doc_id", "text", rules)
+      .select("doc_id", "n_words", "n_bytes", "n_bpe", "n_oov")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(cnt.values.forall(_._5 == 0L))
+    // n_bytes is the UTF-8 byte count, not the char count
+    assert(cnt(12L)._3 == "☃️❄".getBytes("UTF-8").length)
+    cnt.foreach { case (d, (_, nWords, _, nBpe, _)) =>
+      assert(rows(d)._3.size.toLong == nBpe + nWords - 1, s"doc $d") }
+
+    // artifact roundtrip: GPT-2-shape merges + 260-row vocab parquet
+    val path = s"/tmp/graft_test_bpebytes_${ProcessHandle.current().pid()}"
+    Bpe.exportArtifactsBytes(rules, path)
+    val back = Bpe.importMerges(spark, path)
+      .select("rank", "lhs", "rhs", "merged")
+      .as[(Int, String, String, String)].collect().sortBy(_._1)
+    assert(back.toSeq == got.toSeq)
+    assert(spark.read.parquet(s"$path/vocab").count() == 260L)
+  }
+
   test("preTokenize separates letter/digit/punct runs and composes with " +
        "the trainer (punctuation becomes its own token type)") {
     import org.apache.spark.sql.functions.col
