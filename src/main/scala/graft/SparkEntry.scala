@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det
-import graft.llm.{Bpe, CorpusPipeline, Dedup, LangModel, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Bpe, CorpusPipeline, Dedup, LangModel, Multimodal, Packing, Sampling, Similarity, TextAnalysis, WordPiece}
 import graft.ml.{Als, Eval, QualityModel, Serve}
 import graft.operators._
 import graft.sources.Tables
@@ -229,6 +229,26 @@ object SparkEntry {
     bpeBytesWords(s, dir) // ensure trained (and rebuilt if swept)
     bpeBytesRules((System.identityHashCode(s.sparkContext), dir))
   }
+
+  /** 8-merge WORDPIECE training over the unicode fixture's
+    * doc_id % 4 = 0 slice — the BERT-family twin of [[bpeBytesWords]],
+    * trained on the same slice so q224/q225's UNK face contrasts
+    * byte-BPE's structural-zero OOV on the identical eval complement.
+    */
+  private val wpRules =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def wpWords(s: SparkSession, dir: String): DataFrame =
+    memoUnit(s, dir, "wp8") {
+      val (rules, words) = WordPiece.trainShared(
+        unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) === 0),
+        "text", 8)
+      wpRules.put((System.identityHashCode(s.sparkContext), dir), rules)
+      words
+    }
+  private def wpMerges(s: SparkSession, dir: String): DataFrame = {
+    wpWords(s, dir) // ensure trained (and rebuilt if swept)
+    wpRules((System.identityHashCode(s.sparkContext), dir))
+  }
   private def bpeSliceMerges(s: SparkSession, dir: String): DataFrame = {
     bpeSliceWords(s, dir) // ensure trained (and rebuilt if swept)
     bpeSliceRules((System.identityHashCode(s.sparkContext), dir))
@@ -306,6 +326,7 @@ object SparkEntry {
       "_shared:bpe8" -> ((s, dir) => bpeWords(s, dir)),
       "_shared:bpe8slice" -> ((s, dir) => bpeSliceWords(s, dir)),
       "_shared:bpebytes8" -> ((s, dir) => bpeBytesWords(s, dir)),
+      "_shared:wp8" -> ((s, dir) => wpWords(s, dir)),
       "_shared:copurchase-edges" -> ((s, dir) => copurchaseEdges(s, dir)))
 
   /** Queries whose bench time is marginal given [[sharedInputs]]. */
@@ -324,7 +345,9 @@ object SparkEntry {
       "q206_pack_materialize"),
     "_shared:bpebytes8" -> Seq("q218_bpe_bytes_train",
       "q219_bpe_bytes_encode", "q220_bpe_bytes_ids",
-      "q221_bpe_bytes_artifacts"),
+      "q221_bpe_bytes_artifacts", "q222_bpe_gpt2_interop"),
+    "_shared:wp8" -> Seq("q223_wordpiece_train", "q224_wordpiece_segment",
+      "q225_wordpiece_counts"),
     "_shared:copurchase-edges" -> Seq("q142_pagerank", "q146_triangles",
       "q217_ppr_trust"))
 
@@ -1348,6 +1371,44 @@ object SparkEntry {
         .select(col("rank"), col("lhs"), col("rhs"), col("merged"),
           col("token_id"))
     }),
+
+    // --- TRUE GPT-2 merges.txt interop: the byte-level rules rendered
+    //     through the bytes_to_unicode alphabet (space byte → Ġ, é's
+    //     UTF-8 bytes → Ã© — the published artifact's exact look), a
+    //     file a real GPT-2 loader consumes; imported back through the
+    //     inverse bijection, the roundtrip must reproduce the q218
+    //     training replay verbatim ---
+    "q222_bpe_gpt2_interop" -> ((s, dir) => {
+      val path = scratch("bpegpt2", dir)
+      Bpe.exportMergesGpt2(bpeBytesMerges(s, dir), path)
+      Bpe.importMergesGpt2(s, path)
+    }),
+
+    // --- WORDPIECE training (the BERT tokenizer family): merges
+    //     picked by the LIKELIHOOD score count(l,r)/(count(l)·count(r))
+    //     — cohesion, not raw frequency — over position-aware symbols
+    //     (first piece bare, continuations ##-prefixed); replayed
+    //     round by round in SQL with the same replace chain and a
+    //     score argmax over exact integer counts ---
+    "q223_wordpiece_train" -> ((s, dir) => wpMerges(s, dir)),
+
+    // --- greedy longest-match-first segmentation under the trained
+    //     vocabulary (the WordPiece SERVE face — not merge replay):
+    //     per-distinct-word piece table; a word with an unmatchable
+    //     remainder becomes ONE [UNK] — the unicode tail words the
+    //     training slice never saw, i.e. exactly where byte-BPE's
+    //     q219 stays at n_oov = 0, this face must say [UNK] ---
+    "q224_wordpiece_segment" -> ((s, dir) =>
+      WordPiece.encodeSegments(
+        unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        "text", wpMerges(s, dir), wpWords(s, dir))),
+
+    // --- per-document WordPiece economics with the honest UNK tally
+    //     (the closed-vocabulary loss a corpus report must surface) ---
+    "q225_wordpiece_counts" -> ((s, dir) =>
+      WordPiece.tokenCounts(
+        unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        "doc_id", "text", wpMerges(s, dir), wpWords(s, dir))),
 
     // --- incremental index ingest: build the IVF index on the base
     //     corpus, APPEND the perturbed twins without retraining, then
@@ -4501,6 +4562,29 @@ object SparkEntry {
     // disk roundtrip must reproduce verbatim
     "q221_bpe_bytes_artifacts" -> Bpe.byteArtifactsOracleSql(8,
       trainWhere = "doc_id % 4 = 0", textSql = duckUniText),
+
+    // the q218 replay minus counts — the GPT-2-alphabet render +
+    // inverse is a bijection, so the disk roundtrip is the identity
+    // on the hex rule table
+    "q222_bpe_gpt2_interop" -> ("SELECT rank, lhs, rhs, merged FROM (\n" +
+      Bpe.byteOracleSql(8, trainWhere = "doc_id % 4 = 0",
+        textSql = duckUniText) + "\n) t"),
+
+    // WordPiece training replay: position-aware w0, per-round pair +
+    // symbol counts, the likelihood-score argmax, same replace chain
+    "q223_wordpiece_train" -> WordPiece.oracleSql(8,
+      trainWhere = "doc_id % 4 = 0", textSql = duckUniText),
+
+    // greedy longest-match per distinct eval word via a recursive CTE
+    // with a LATERAL longest-prefix probe; dead-end words → [UNK]
+    "q224_wordpiece_segment" -> WordPiece.segmentsOracleSql(8,
+      trainWhere = "doc_id % 4 = 0", tokCte = uniTokCte,
+      textSql = duckUniText),
+
+    // the per-doc aggregation over the same segmentation chain
+    "q225_wordpiece_counts" -> WordPiece.tokenCountsOracleSql(8,
+      trainWhere = "doc_id % 4 = 0", tokCte = uniTokCte,
+      textSql = duckUniText),
 
     // q142's unrolled-round machinery with a seed-only teleport: r0 is
     // the teleport distribution and every round is

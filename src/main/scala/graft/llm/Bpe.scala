@@ -1227,13 +1227,80 @@ object Bpe {
   /** Byte-level [[exportArtifacts]]: merges.txt keeps the exact GPT-2
     * line shape (rank-ordered `lhs rhs`; symbols are hex strings, so
     * still space-free), the vocab parquet is [[byteVocab]].
-    * [[importMerges]] reads it back unchanged.
+    * [[importMerges]] reads it back unchanged. For a merges.txt a REAL
+    * GPT-2 loader consumes (symbols in the bytes_to_unicode alphabet,
+    * not hex), use [[exportMergesGpt2]].
     */
   def exportArtifactsBytes(rules: DataFrame, path: String): Unit = {
     rules.orderBy(col("rank"))
       .select(concat_ws(" ", col("lhs"), col("rhs")).as("value"))
       .coalesce(1).write.mode("overwrite").text(s"$path/merges")
     byteVocab(rules).write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** GPT-2's `bytes_to_unicode` table (public: openai/gpt-2
+    * encoder.py): the 188 "printable" bytes (33–126, 161–172,
+    * 174–255) keep their own codepoint; the other 68 (controls,
+    * space, DEL, 127–160, 173) shift to 256+n in byte order — which
+    * is why a real merges.txt shows `Ġ` (U+0120 = 256+32) for the
+    * space byte and `Ċ` for newline. A BIJECTION byte ↔ char, so the
+    * hex↔GPT-2 renderings convert losslessly both ways.
+    */
+  private[graft] val Gpt2Alphabet: Array[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keep(b)) new String(Character.toChars(b))
+      else { val c = new String(Character.toChars(256 + n)); n += 1; c }
+    }.toArray
+  }
+  private val gpt2Inverse: Map[Char, String] =
+    Gpt2Alphabet.zipWithIndex
+      .map { case (c, b) => c.charAt(0) -> f"$b%02X" }.toMap
+
+  private def hexToGpt2(hex: String): String =
+    hex.grouped(2).map(h => Gpt2Alphabet(Integer.parseInt(h, 16))).mkString
+
+  /** Export the byte-level merge table as a merges.txt a REAL GPT-2
+    * tokenizer loader consumes: each hex symbol rendered through
+    * [[Gpt2Alphabet]] (so `é`'s UTF-8 bytes C3 A9 appear as `Ã©`,
+    * exactly like the published GPT-2 artifact). The rule table is
+    * vocabulary-sized by contract, so the driver-side rendering and
+    * the single-file write are bounded (the [[exportArtifacts]]
+    * `coalesce(1)` contract).
+    */
+  def exportMergesGpt2(rules: DataFrame, path: String): Unit = {
+    val spark = rules.sparkSession
+    val lines = rules.orderBy(col("rank"))
+      .select(col("lhs"), col("rhs")).collect()
+      .map(r => s"${hexToGpt2(r.getString(0))} ${hexToGpt2(r.getString(1))}")
+    import spark.implicits._
+    spark.sparkContext.parallelize(lines.toSeq, 1).toDF("value")
+      .write.mode("overwrite").text(s"$path/merges")
+  }
+
+  /** Inverse of [[exportMergesGpt2]]: a GPT-2-alphabet merges.txt back
+    * to the hex-symbol rule table `(rank, lhs, rhs, merged)` —
+    * [[importMerges]]' format/rank contract, plus the per-character
+    * alphabet inversion (fails loudly on a character outside the
+    * bytes_to_unicode range — not a GPT-2 merges file).
+    */
+  def importMergesGpt2(spark: SparkSession, path: String): DataFrame = {
+    val imported = importMerges(spark, path)
+    val inv = spark.sparkContext.broadcast(gpt2Inverse)
+    import spark.implicits._
+    imported.select(col("rank"), col("lhs"), col("rhs"))
+      .as[(Int, String, String)]
+      .map { case (rank, l, r) =>
+        val m = inv.value
+        def conv(s: String) = s.map(c => m.getOrElse(c,
+          throw new IllegalArgumentException(
+            f"not a GPT-2 alphabet character: '$c' (U+${c.toInt}%04X)")))
+          .mkString
+        (rank, conv(l), conv(r))
+      }
+      .toDF("rank", "lhs", "rhs")
+      .withColumn("merged", concat(col("lhs"), col("rhs")))
   }
 
   // ─────────────── byte-level DuckDB oracle builders ───────────────

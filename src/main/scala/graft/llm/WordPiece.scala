@@ -1,0 +1,399 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WordPiece — the SECOND production tokenizer family (BERT/DistilBERT
+  * /Electra), next to [[Bpe]]'s GPT-2/Llama family. Two faces differ
+  * from BPE and both are implemented to the published semantics
+  * (Schuster & Nakajima 2012; the HuggingFace `tokenizers`
+  * WordPieceTrainer is the de-facto reference):
+  *
+  *  - TRAINING picks the pair maximizing the LIKELIHOOD score
+  *    `count(l,r) / (count(l)·count(r))` — not the raw pair count:
+  *    merging is chosen where the pair is most surprising given its
+  *    parts, which prefers cohesive morphemes over merely frequent
+  *    collocations. Symbols are position-aware: a word's first piece
+  *    is bare, every continuation carries the `##` prefix
+  *    (`"hello"` → `<h><##e><##l><##l><##o>`), and a merge
+  *    concatenates the left piece with the right piece's raw text
+  *    (`(##l, ##l) → ##ll`; `(h, ##e) → he`) so initial-ness is
+  *    inherited from the left.
+  *  - SERVING is greedy LONGEST-MATCH-FIRST against the final piece
+  *    vocabulary (not merge replay): at each position take the longest
+  *    vocab piece that prefixes the remainder (initial pieces at
+  *    position 0, `##` pieces after); a word with any unmatchable
+  *    remainder becomes ONE `[UNK]` token — the WordPiece OOV
+  *    semantics, and the exact contrast to byte-level BPE's
+  *    structurally-zero OOV (X140): the q224 fixture carries unicode
+  *    words whose characters training never saw, and the two
+  *    tokenizers must disagree in precisely this documented way.
+  *
+  * Representation & machinery: the same bracketed symbol strings as
+  * [[Bpe]] (symbols are `h` / `##ll` — `#` cannot collide with the
+  * bracket sentinels, and the `<`/`>` word guard is shared), so the
+  * per-round SQL replay is the same replace chain with a score-based
+  * argmax. The score is a ratio of exact integer counts evaluated in
+  * double: with per-symbol counts < 2^26 the denominator product is
+  * exact in double and the division is IEEE-correctly-rounded, hence
+  * bit-identical in any engine (the q75 ln precedent); ties break on
+  * the pair string ascending, so training is a pure function of the
+  * corpus in both engines. (At corpus scales where counts exceed 2^26
+  * the engine remains self-consistent — only oracle bit-parity needs
+  * the bound, and oracles run at test scale.)
+  *
+  * Scale design — identical economics to [[Bpe]]: ONE corpus pass to
+  * the word-frequency table; each merge round is (a) one
+  * vocabulary-sized pair aggregation, (b) one vocabulary-sized symbol
+  * aggregation (the score's denominators), (c) a LIMIT-1 argmax, (d) a
+  * narrow codegen'd replace. Serving encodes each DISTINCT word once
+  * (vocabulary-sized `mapPartitions`, pieces broadcast) and the corpus
+  * word stream equi-joins the result.
+  */
+object WordPiece {
+
+  /** BERT's unknown-word token. */
+  val Unk = "[UNK]"
+
+  private val rulesSchema = StructType(Seq(
+    StructField("rank", IntegerType, nullable = false),
+    StructField("lhs", StringType, nullable = false),
+    StructField("rhs", StringType, nullable = false),
+    StructField("merged", StringType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+
+  /** Position-aware bracketed segmentation of the `word` column:
+    * first char bare, continuations `##`-prefixed.
+    */
+  private val wpSegExpr =
+    "concat('<', element_at(_t, 1), '>', " +
+      "IF(size(_t) > 1, concat('<##', " +
+      "array_join(slice(_t, 2, size(_t) - 1), '><##'), '>'), ''))"
+
+  /** The raw text of a (possibly `##`-prefixed) piece. */
+  private def raw(piece: String): String =
+    if (piece.startsWith("##")) piece.substring(2) else piece
+
+  /** One corpus pass → the position-aware `(word, s, n)` table. */
+  private def words0(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(Bpe.wordOk)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("_t", expr("filter(split(word, ''), x -> x <> '')"))
+      .select(col("word"), expr(wpSegExpr).as("s"), col("n"))
+      .localCheckpoint()
+
+  /** Distributed WordPiece merge loop: per round one pair-count
+    * aggregation, one symbol-count aggregation, a LIMIT-1 score
+    * argmax, a codegen'd replace — every frame vocabulary-sized.
+    */
+  private def trainDistributed(words0: DataFrame,
+                               nMerges: Int): (Seq[Row], DataFrame) = {
+    var words = words0
+    val rules = Seq.newBuilder[Row]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val syms = words
+        .withColumn("_t", split(trim(col("s"), "<>"), "><"))
+        .select(col("n"), explode(col("_t")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("n")).as("sc"))
+      val pairs = words
+        .withColumn("_t", split(trim(col("s"), "<>"), "><"))
+        .select(col("n"), explode(when(size(col("_t")) >= 2, expr(
+          "transform(sequence(1, size(_t) - 1), " +
+            "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"))
+          .otherwise(array())).as("pr"))
+        .groupBy(col("pr")).agg(sum(col("n")).as("cnt"))
+        .withColumn("_l", split(col("pr"), " ").getItem(0))
+        .withColumn("_r", split(col("pr"), " ").getItem(1))
+      val top = pairs
+        .join(syms.toDF("_l", "_nl"), Seq("_l"))
+        .join(syms.toDF("_r", "_nr"), Seq("_r"))
+        .withColumn("score", col("cnt").cast("double") /
+          (col("_nl").cast("double") * col("_nr").cast("double")))
+        .orderBy(col("score").desc, col("pr")).limit(1)
+        .select(col("pr"), col("cnt")).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pr = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val Array(l, rt) = pr.split(' ')
+        val merged = l + raw(rt)
+        rules += Row(r, l, rt, merged, cnt)
+        words = words.withColumn("s",
+          replace(col("s"), lit(s"<$l><$rt>"), lit(s"<$merged>")))
+        if (r % 16 == 0 && r < nMerges) words = words.localCheckpoint()
+        r += 1
+      }
+    }
+    (rules.result(), words)
+  }
+
+  /** Train `nMerges` WordPiece merges; returns the rule table and the
+    * fully-merged word table (both reusable, [[Bpe.trainShared]]
+    * shape).
+    */
+  def trainShared(docs: DataFrame, textCol: String,
+                  nMerges: Int): (DataFrame, DataFrame) = {
+    require(nMerges >= 1, "nMerges must be positive")
+    val spark = docs.sparkSession
+    val (rules, words) = trainDistributed(words0(docs, textCol), nMerges)
+    val rulesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rules, 1), rulesSchema)
+    (rulesDf, words.localCheckpoint())
+  }
+
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame =
+    trainShared(docs, textCol, nMerges)._1
+
+  /** The serving vocabulary: the position-aware BASE ALPHABET (every
+    * training word's first char bare + continuations `##`-prefixed —
+    * NOT the final word table's symbols, which the merges may have
+    * consumed entirely: `hu` must still segment as `h ##u` after
+    * `hug` merged away both letters) plus every merged piece. Every
+    * intermediate symbol is one or the other, so this is the complete
+    * piece universe. Vocabulary-sized.
+    */
+  def pieceSet(rules: DataFrame, trainedWords: DataFrame): DataFrame =
+    trainedWords
+      .withColumn("_t", expr("filter(split(word, ''), x -> x <> '')"))
+      .select(explode(expr(
+        "transform(_t, (c, i) -> IF(i = 0, c, concat('##', c)))"))
+        .as("piece"))
+      .unionByName(rules.select(col("merged").as("piece")))
+      .distinct()
+
+  /** Greedy longest-match-first segmentation of `docs`' DISTINCT words
+    * under the trained vocabulary — `(word, n_pieces, unk, segmented)`
+    * with `segmented` the space-joined pieces (`"hell ##o"`), or the
+    * single `[UNK]` (with `unk = 1`, `n_pieces = 1`) when any
+    * remainder is unmatchable. The per-word loop is O(len²) against a
+    * length-bucketed broadcast set; each distinct word encodes ONCE.
+    */
+  def encodeSegments(docs: DataFrame, textCol: String, rules: DataFrame,
+                     trainedWords: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val pieces: Array[String] = pieceSet(rules, trainedWords)
+      .collect().map(_.getString(0))
+    val bcInit = spark.sparkContext.broadcast(
+      pieces.filter(!_.startsWith("##")).toSet)
+    val bcCont = spark.sparkContext.broadcast(
+      pieces.filter(_.startsWith("##")).map(raw).toSet)
+    val maxLen = pieces.map(raw(_).length).max
+    import spark.implicits._
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(Bpe.wordOk)
+      .distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val init = bcInit.value
+        val cont = bcCont.value
+        it.map { w =>
+          val out = Seq.newBuilder[String]
+          var pos = 0
+          var dead = false
+          while (pos < w.length && !dead) {
+            val inSet = if (pos == 0) init else cont
+            var len = math.min(maxLen, w.length - pos)
+            var hit = -1
+            while (hit < 0 && len >= 1) {
+              if (inSet.contains(w.substring(pos, pos + len))) hit = len
+              else len -= 1
+            }
+            if (hit < 0) dead = true
+            else {
+              out += (if (pos == 0) w.substring(0, hit)
+                      else "##" + w.substring(pos, pos + hit))
+              pos += hit
+            }
+          }
+          if (dead) (w, 1L, 1, Unk)
+          else {
+            val ps = out.result()
+            (w, ps.length.toLong, 0, ps.mkString(" "))
+          }
+        }
+      }.toDF("word", "n_pieces", "unk", "segmented")
+  }
+
+  /** Per-document WordPiece economics — `(doc_id, n_words, n_pieces,
+    * n_unk)`: an `[UNK]` word contributes 1 piece and tallies in
+    * `n_unk` (the face that quantifies what a char-level closed
+    * vocabulary LOSES on unicode-bearing corpora — byte-BPE's q219
+    * twin is structurally 0 there). Distinct-word encode + stream
+    * join, the [[Bpe.encodeTokenCountsWith]] economics; the join is
+    * SHUFFLE_HASH-hinted on the vocabulary side (the Generate-fan-out
+    * estimation trap).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  rules: DataFrame, trainedWords: DataFrame): DataFrame = {
+    val seg = encodeSegments(docs, textCol, rules, trainedWords)
+      .select(col("word"), col("n_pieces"), col("unk"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(Bpe.wordOk)
+      .join(seg.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("unk").cast("long")).as("n_unk"))
+  }
+
+  // ──────────────────── DuckDB oracle builders ────────────────────
+
+  /** The training replay: position-aware `w0`, per-round pair + symbol
+    * counts, the score argmax (double ratio of exact integer counts —
+    * see the object note), the same replace chain.
+    */
+  private def roundsCte(nMerges: Int, trainWhere: String,
+                        textSql: String): String = {
+    val src =
+      if (trainWhere.isEmpty) "FROM documents"
+      else s"FROM documents WHERE $trainWhere"
+    val w0 =
+      s"""w0 AS (
+        |  SELECT word,
+        |         CASE WHEN len(t) > 1
+        |              THEN '<' || t[1] || '><##' ||
+        |                   array_to_string(t[2:], '><##') || '>'
+        |              ELSE '<' || t[1] || '>' END AS s, n
+        |  FROM (SELECT word, [c FOR c IN string_split(word, '')] AS t, n
+        |        FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        |              FROM (SELECT unnest(string_split($textSql, ' ')) AS word $src)
+        |              WHERE word <> '' AND NOT contains(word, '<')
+        |                AND NOT contains(word, '>') GROUP BY 1)))""".stripMargin
+    // AS MATERIALIZED throughout: each round references its inputs
+    // several times (t_r feeds both count CTEs; r_r joins sc_r twice),
+    // and DuckDB INLINES plain CTEs — the 8-round chain would expand
+    // to ~4^8 re-scans of the corpus (measured: EMFILE before any
+    // result). Materialization makes the replay linear in rounds.
+    val rounds = (1 to nMerges).map { r =>
+      s"""t$r AS MATERIALIZED (SELECT string_split(trim(s, '<>'), '><') AS t, n FROM w${r - 1}),
+         |sc$r AS MATERIALIZED (SELECT sym, SUM(n) AS sc FROM (
+         |           SELECT n, unnest(t) AS sym FROM t$r) GROUP BY 1),
+         |p$r AS MATERIALIZED (SELECT pr, SUM(n) AS cnt FROM (
+         |          SELECT n, unnest(list_transform(range(1, len(t)),
+         |                   i -> t[i] || ' ' || t[i+1])) AS pr
+         |          FROM t$r) GROUP BY 1),
+         |r$r AS MATERIALIZED (SELECT pr, cnt,
+         |               '<' || split_part(pr, ' ', 1) || '><' || split_part(pr, ' ', 2) || '>' AS pat,
+         |               '<' || split_part(pr, ' ', 1) ||
+         |                 CASE WHEN starts_with(split_part(pr, ' ', 2), '##')
+         |                      THEN substr(split_part(pr, ' ', 2), 3)
+         |                      ELSE split_part(pr, ' ', 2) END || '>' AS rep
+         |        FROM p$r
+         |        JOIN sc$r l ON l.sym = split_part(pr, ' ', 1)
+         |        JOIN sc$r r ON r.sym = split_part(pr, ' ', 2)
+         |        ORDER BY CAST(cnt AS DOUBLE) / (CAST(l.sc AS DOUBLE) * r.sc) DESC, pr
+         |        LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT word, replace(s, pat, rep) AS s, n FROM w${r - 1}, r$r)""".stripMargin
+    }.mkString(",\n")
+    s"$w0,\n$rounds"
+  }
+
+  /** The DuckDB replay of [[learnMerges]]. */
+  def oracleSql(nMerges: Int, trainWhere: String = "",
+                textSql: String = "text"): String = {
+    val union = (1 to nMerges)
+      .map(r => s"SELECT $r AS rk, pr, cnt FROM r$r").mkString("\n  UNION ALL ")
+    val tail =
+      s"""SELECT CAST(rk AS INT) AS rank,
+         |       split_part(pr, ' ', 1) AS lhs,
+         |       split_part(pr, ' ', 2) AS rhs,
+         |       split_part(pr, ' ', 1) ||
+         |         CASE WHEN starts_with(split_part(pr, ' ', 2), '##')
+         |              THEN substr(split_part(pr, ' ', 2), 3)
+         |              ELSE split_part(pr, ' ', 2) END AS merged,
+         |       CAST(cnt AS BIGINT) AS n
+         |FROM ($union)""".stripMargin
+    s"WITH ${roundsCte(nMerges, trainWhere, textSql)}\n$tail"
+  }
+
+  /** Longest-match unroll depth: each step consumes ≥ 1 character, so
+    * this bounds the longest segmentable word — plenty for any natural
+    * word stream (the oracle would mark a longer word [UNK]; the
+    * engine has no such bound).
+    */
+  val OracleMaxWordLen = 32
+
+  /** The serving vocabulary + greedy longest-match CTEs shared by the
+    * encode oracles: `voc(piece, rw, init)` and the per-distinct-word
+    * segmentation as an UNROLLED `g0..g<OracleMaxWordLen>` chain (one
+    * LATERAL length-desc/piece-asc LIMIT-1 probe per level; a word
+    * whose remainder matches nothing goes `dead` and aggregates to
+    * `[UNK]` — the engine's exact dead-end semantics) ending in
+    * `wseg(word, n_pieces, unk, segmented)`.
+    *
+    * Why unrolled instead of WITH RECURSIVE: DuckDB 1.0 returns no
+    * rows from a MATERIALIZED CTE referenced (even transitively)
+    * inside a recursive member — voc sees an empty merge table and
+    * every word goes [UNK] (measured; and unmaterializing the chain
+    * instead re-inlines it exponentially: ~4^rounds corpus re-scans,
+    * EMFILE before any result). Outside recursion the materialized
+    * chain behaves, and the unroll is bounded by word length anyway.
+    */
+  private def encodeCtes(nMerges: Int, tokCte: String): String = {
+    val mergedUnion = (1 to nMerges).map { r =>
+      s"SELECT split_part(pr, ' ', 1) || CASE WHEN starts_with(split_part(pr, ' ', 2), '##') " +
+        s"THEN substr(split_part(pr, ' ', 2), 3) ELSE split_part(pr, ' ', 2) END AS piece FROM r$r"
+    }.mkString("\n  UNION ALL ")
+    val levels = (1 to OracleMaxWordLen).map { i =>
+      s"""g$i AS (
+         |  SELECT g.word,
+         |         CASE WHEN g.rest = '' OR g.dead = 1 OR b.piece IS NULL
+         |              THEN g.rest ELSE substr(g.rest, strlen(b.rw) + 1) END AS rest,
+         |         CASE WHEN g.rest = '' OR g.dead = 1 OR b.piece IS NULL
+         |              THEN g.pieces ELSE list_append(g.pieces, b.piece) END AS pieces,
+         |         CASE WHEN g.rest <> '' AND g.dead = 0 AND b.piece IS NULL
+         |              THEN 1 ELSE g.dead END AS dead
+         |  FROM g${i - 1} g LEFT JOIN LATERAL (
+         |    SELECT v.piece, v.rw FROM voc v
+         |    WHERE v.init = CAST(len(g.pieces) = 0 AS INT) AND g.rest <> ''
+         |      AND starts_with(g.rest, v.rw)
+         |    ORDER BY strlen(v.rw) DESC, v.piece LIMIT 1) b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""voc AS MATERIALIZED (
+       |  SELECT DISTINCT piece,
+       |         CASE WHEN starts_with(piece, '##') THEN substr(piece, 3)
+       |              ELSE piece END AS rw,
+       |         CASE WHEN starts_with(piece, '##') THEN 0 ELSE 1 END AS init
+       |  FROM (SELECT unnest(string_split(trim(s, '<>'), '><')) AS piece
+       |        FROM w0
+       |        UNION ALL $mergedUnion)),
+       |tok AS ($tokCte),
+       |tokg AS MATERIALIZED (SELECT doc_id, word FROM tok
+       |         WHERE word <> '' AND NOT contains(word, '<')
+       |           AND NOT contains(word, '>')),
+       |ew AS MATERIALIZED (SELECT DISTINCT word FROM tokg),
+       |g0 AS (SELECT word, word AS rest,
+       |              CAST([] AS VARCHAR[]) AS pieces, 0 AS dead FROM ew),
+       |$levels,
+       |wseg AS MATERIALIZED (
+       |  SELECT word,
+       |         CASE WHEN dead = 1 OR rest <> '' THEN CAST(1 AS BIGINT)
+       |              ELSE CAST(len(pieces) AS BIGINT) END AS n_pieces,
+       |         CASE WHEN dead = 1 OR rest <> '' THEN 1 ELSE 0 END AS unk,
+       |         CASE WHEN dead = 1 OR rest <> '' THEN '[UNK]'
+       |              ELSE array_to_string(pieces, ' ') END AS segmented
+       |  FROM g$OracleMaxWordLen)""".stripMargin
+  }
+
+  /** The DuckDB replay of [[encodeSegments]]. */
+  def segmentsOracleSql(nMerges: Int, trainWhere: String, tokCte: String,
+                        textSql: String = "text"): String =
+    s"WITH ${roundsCte(nMerges, trainWhere, textSql)},\n" +
+      s"${encodeCtes(nMerges, tokCte)}\n" +
+      "SELECT word, n_pieces, unk, segmented FROM wseg"
+
+  /** The DuckDB replay of [[tokenCounts]]. */
+  def tokenCountsOracleSql(nMerges: Int, trainWhere: String, tokCte: String,
+                           textSql: String = "text"): String =
+    s"WITH ${roundsCte(nMerges, trainWhere, textSql)},\n" +
+      s"${encodeCtes(nMerges, tokCte)}\n" +
+      """SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(w.n_pieces) AS BIGINT) AS n_pieces,
+        |       CAST(SUM(w.unk) AS BIGINT) AS n_unk
+        |FROM tokg t JOIN wseg w USING (word) GROUP BY 1""".stripMargin
+}

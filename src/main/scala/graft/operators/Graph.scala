@@ -51,9 +51,13 @@ object Graph {
                                    damping: Double, nNodes: Long) {
     /** One synchronous PageRank round over `ranks(node, r)`. */
     def step(ranks: DataFrame): DataFrame = {
+      // SHUFFLE_HASH on the node-sized sides: build the hash on
+      // degrees/ranks and STREAM the pre-partitioned edge list — scale-
+      // stable (no size-threshold plan flip, no per-round edge sort)
       val contrib = e
-        .join(outDeg, "src")
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outDeg.hint("shuffle_hash"), "src")
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          "src")
         .select(col("dst").as("node"),
           // scalar double ops in a fixed order, then rounded: the
           // only nondeterministic step (the SUM) runs in decimal
@@ -73,9 +77,22 @@ object Graph {
     // The edge list is consumed once per iteration plus by the
     // degree/node prep — materialize it ONCE (upstream edge
     // construction is often a join/aggregation that would otherwise
-    // re-run every time the lazy plan is referenced)
+    // re-run every time the lazy plan is referenced), PRE-PARTITIONED
+    // on src: the checkpoint pins HashPartitioning(src), so every
+    // round's e ⋈ outDeg ⋈ ranks joins exchange NOTHING on the edge
+    // side (and outDeg aggregates exchange-free off the same
+    // partitioning) — the rounds' only edge-scale shuffle is the
+    // contribution groupBy(dst), which is the algorithm. Without the
+    // pin the per-round join re-plans by SIZE: node frames below the
+    // broadcast threshold broadcast (no edge shuffle), past it — the
+    // graph third decade, 2M nodes — the join flips to sort-merge and
+    // re-shuffles + re-sorts the full edge list EVERY round. The
+    // round-12 smoke caught exactly that once the shared-edge memo
+    // exposed the marginal round cost: 17× at 10× data, plan-flip
+    // attributed, ~linear after this pin (SCALE.md round 12).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("long").as("w")).localCheckpoint()
+      col(wCol).cast("long").as("w"))
+      .repartition(col("src")).localCheckpoint()
     val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -141,8 +158,10 @@ object Graph {
       .localCheckpoint()
     var ranks = tele.select(col("node"), col("t").as("r"))
     for (i <- 1 to iters) {
-      val m = st.e.join(st.outDeg, "src")
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+      // same stream-the-edges plan pin as PrState.step
+      val m = st.e.join(st.outDeg.hint("shuffle_hash"), "src")
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+          "src")
         .select(col("dst").as("node"),
           round(col("r") * col("w") / col("wout"), 12)
             .cast(DecimalType(38, 12)).as("c"))
@@ -197,12 +216,21 @@ object Graph {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, "iters must be >= 1")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+    // two pinned copies, one per half-round join key: the same
+    // stream-the-edges discipline as [[prepare]] (a node-sized score
+    // frame past the broadcast threshold otherwise flips each half to
+    // a sort-merge join re-shuffling the edge list every round); the
+    // second copy costs one bounded materialization up front and
+    // removes a per-round edge exchange forever after
+    val eBySrc = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().repartition(col("src")).localCheckpoint()
+    val eByDst = eBySrc.repartition(col("dst")).localCheckpoint()
 
     def half(scores: DataFrame, joinKey: String, outKey: String,
              scoreCol: String, outCol: String): DataFrame = {
-      val raw = e.join(scores.withColumnRenamed("id", joinKey), joinKey)
+      val e = if (joinKey == "src") eBySrc else eByDst
+      val raw = e.join(scores.withColumnRenamed("id", joinKey)
+          .hint("shuffle_hash"), joinKey)
         .select(col(outKey).as("id"),
           round(col(scoreCol), 12).cast(DecimalType(38, 12)).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("raw"))
@@ -218,7 +246,7 @@ object Graph {
         .localCheckpoint()
     }
 
-    var hub = e.select(col("src").as("id")).distinct()
+    var hub = eBySrc.select(col("src").as("id")).distinct()
       .withColumn("h", lit(1.0))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {

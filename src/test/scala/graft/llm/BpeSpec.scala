@@ -434,6 +434,38 @@ class BpeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/vocab").count() == 260L)
   }
 
+  test("GPT-2 bytes_to_unicode interop: the published alphabet's pinned " +
+       "entries, bijectivity, and an identity disk roundtrip") {
+    // the table from openai/gpt-2 encoder.py: printable bytes keep
+    // their codepoint, the 68 others shift to 256+n in byte order
+    val a = Bpe.Gpt2Alphabet
+    assert(a.length == 256 && a.distinct.length == 256, "bijection")
+    assert(a(' '.toInt) == "Ġ", "space renders as the famous Ġ")
+    assert(a('\n'.toInt) == "Ċ", "newline renders as Ċ")
+    assert(a('A'.toInt) == "A" && a('z'.toInt) == "z" && a('!'.toInt) == "!")
+    assert(a(0) == "Ā", "byte 0 is the first shifted char (Ā)")
+    assert(a(0xC3) == "Ã" && a(0xA9) == "©",
+      "é's UTF-8 bytes render as Ã© — the published artifact's look")
+    assert(a(0xAD) == "Ń", "soft hyphen (173) is shifted, not kept")
+
+    val docs = Seq((1L, "héllo héllo hello low")).toDF("doc_id", "text")
+    val (rules, _) = Bpe.trainSharedBytes(docs, "text", nMerges = 3)
+    val path = s"/tmp/graft_test_bpegpt2_${ProcessHandle.current().pid()}"
+    Bpe.exportMergesGpt2(rules, path)
+    // the exported text IS GPT-2-alphabet rendered: é's lead byte C3
+    // appears as the literal Ã, and lowercase letters as themselves
+    val raw = spark.read.text(s"$path/merges")
+      .as[String].collect().mkString("\n")
+    assert(raw.contains("Ã"), s"expected rendered Ã in: $raw")
+    assert(raw.contains("l o"), s"expected rendered 'l o' merge in: $raw")
+    val back = Bpe.importMergesGpt2(spark, path)
+      .select("rank", "lhs", "rhs", "merged")
+      .as[(Int, String, String, String)].collect().sortBy(_._1)
+    val orig = rules.select("rank", "lhs", "rhs", "merged")
+      .as[(Int, String, String, String)].collect().sortBy(_._1)
+    assert(back.toSeq == orig.toSeq, "roundtrip is the identity")
+  }
+
   test("preTokenize separates letter/digit/punct runs and composes with " +
        "the trainer (punctuation becomes its own token type)") {
     import org.apache.spark.sql.functions.col

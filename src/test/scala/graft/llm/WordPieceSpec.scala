@@ -1,0 +1,63 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("training maximizes the likelihood score, not the raw count: a " +
+       "rare-but-cohesive pair beats a frequent diffuse one") {
+    // words xa×2 xb×2 xc×2 aa×1 → symbol counts x:6, a:1, ##a:3,
+    // ##b:2, ##c:2. Scores: (x,##a)=2/18, (x,##b)=(x,##c)=2/12,
+    // (a,##a)=1/3 → the count-1 pair WINS (a BPE count argmax would
+    // have picked a count-2 pair)
+    val docs = Seq((1L, "xa xb xc aa"), (2L, "xa xb xc"))
+      .toDF("doc_id", "text")
+    val r = WordPiece.learnMerges(docs, "text", nMerges = 1)
+      .select("rank", "lhs", "rhs", "merged", "n")
+      .as[(Int, String, String, String, Long)].head()
+    assert(r == ((1, "a", "##a", "aa", 1L)), s"got $r")
+  }
+
+  test("position-aware merges with ## inheritance, score ties broken on " +
+       "the pair string") {
+    // hug×2 pug×1: all three pairs score 1/3 — tie → pair-string asc
+    // picks (##u,##g) (ASCII '#' < letters); then (h,##ug), (p,##ug)
+    val docs = Seq((1L, "hug hug pug")).toDF("doc_id", "text")
+    val (rules, words) = WordPiece.trainShared(docs, "text", nMerges = 3)
+    val got = rules.select("rank", "lhs", "rhs", "merged", "n")
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, "##u", "##g", "##ug", 3L),
+      (2, "h", "##ug", "hug", 2L),
+      (3, "p", "##ug", "pug", 1L)), s"got $got")
+    val merged = words.select("word", "s").as[(String, String)]
+      .collect().toMap
+    assert(merged("hug") == "<hug>" && merged("pug") == "<pug>")
+  }
+
+  test("longest-match-first serving: cohesive prefixes win, a dead-end " +
+       "anywhere makes the WHOLE word [UNK] (BERT semantics)") {
+    val train = Seq((1L, "hug hug pug")).toDF("doc_id", "text")
+    val (rules, words) = WordPiece.trainShared(train, "text", nMerges = 3)
+    val eval = Seq((10L, "hug hugug hu hugging pug zz hué"))
+      .toDF("doc_id", "text")
+    val seg = WordPiece.encodeSegments(eval, "text", rules, words)
+      .as[(String, Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(seg("hug") == ((1L, 0, "hug")))
+    assert(seg("hugug") == ((2L, 0, "hug ##ug")))
+    assert(seg("hu") == ((2L, 0, "h ##u")))
+    // 'hugging': hug → ##g → 'ing' has no ##i → whole word [UNK]
+    assert(seg("hugging") == ((1L, 1, "[UNK]")))
+    assert(seg("pug") == ((1L, 0, "pug")))
+    // no initial 'z' piece → [UNK]; unseen unicode char → [UNK]
+    assert(seg("zz") == ((1L, 1, "[UNK]")))
+    assert(seg("hué") == ((1L, 1, "[UNK]")))
+
+    val cnt = WordPiece.tokenCounts(eval, "doc_id", "text", rules, words)
+      .as[(Long, Long, Long, Long)].head()
+    // 7 words; pieces: 1+2+2+1+1+1+1 = 9; 3 UNK words
+    assert(cnt == ((10L, 7L, 9L, 3L)), s"got $cnt")
+  }
+}
