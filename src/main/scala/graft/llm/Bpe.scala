@@ -158,7 +158,7 @@ object Bpe {
     * in-memory argmax tie-break must match the distributed
     * `orderBy(pr)` exactly.
     */
-  private def compareUtf8(a: Array[Byte], b: Array[Byte]): Int = {
+  private[llm] def compareUtf8(a: Array[Byte], b: Array[Byte]): Int = {
     val n = math.min(a.length, b.length)
     var i = 0
     while (i < n) {

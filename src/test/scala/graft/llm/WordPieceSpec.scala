@@ -60,4 +60,26 @@ class WordPieceSpec extends SparkSpec {
     // 7 words; pieces: 1+2+2+1+1+1+1 = 9; 3 UNK words
     assert(cnt == ((10L, 7L, 9L, 3L)), s"got $cnt")
   }
+
+  test("in-memory and distributed trainers are rule-for-rule identical " +
+       "on a real corpus slice (the BPE hybrid parity discipline)") {
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val (fast, fastWords) = WordPiece.trainShared(docs, "text", nMerges = 12)
+    val (slow, slowWords) = WordPiece.trainShared(docs, "text", nMerges = 12,
+      maxDriverWords = 0) // force the distributed loop
+    val f = fast.select("rank", "lhs", "rhs", "merged", "n")
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val s = slow.select("rank", "lhs", "rhs", "merged", "n")
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(f == s, s"rule divergence:\n fast=$f\n slow=$s")
+    // the merged word tables agree symbol for symbol
+    val fw = fastWords.select("word", "s").as[(String, String)]
+      .collect().toMap
+    val sw = slowWords.select("word", "s").as[(String, String)]
+      .collect().toMap
+    assert(fw == sw, "merged word tables diverge")
+  }
 }
