@@ -278,10 +278,11 @@ object SparkEntry {
     * dialect (`\0` = whole match; `'g'` because DuckDB replaces only
     * the first match by default while Spark is always global).
     */
-  private val duckPretok: String =
-    """trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-      | '[A-Za-z]+', ' \0 ', 'g'), '[0-9]+', ' \0 ', 'g'),
-      | '[^A-Za-z0-9 ]+', ' \0 ', 'g'), ' +', ' ', 'g'))""".stripMargin
+  private def duckPretokOf(textExpr: String): String =
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace($textExpr,
+      | '[A-Za-z]+', ' \\0 ', 'g'), '[0-9]+', ' \\0 ', 'g'),
+      | '[^A-Za-z0-9 ]+', ' \\0 ', 'g'), ' +', ' ', 'g'))""".stripMargin
+  private val duckPretok: String = duckPretokOf("text")
 
   private val gluedTokCte: String =
     "SELECT doc_id, unnest(g) AS word " +
@@ -1383,6 +1384,18 @@ object SparkEntry {
       Bpe.exportMergesGpt2(bpeBytesMerges(s, dir), path)
       Bpe.importMergesGpt2(s, path)
     }),
+
+    // --- the byte stack composes with X138 pretokenization on raw
+    //     unicode: letter/digit runs become clean word types while
+    //     CJK/emoji/accented runs isolate as punct-class tokens, and
+    //     the byte trainer learns over BOTH without an OOV case —
+    //     replayed end to end by swapping the oracle's text source
+    //     for pretokenize(unicode fixture) ---
+    "q226_bpe_bytes_pretok" -> ((s, dir) =>
+      Bpe.learnMergesBytes(
+        unicodeDocs(s, dir).select(col("doc_id"),
+          TextAnalysis.preTokenize(col("text")).as("text")),
+        "text", nMerges = 8)),
 
     // --- WORDPIECE training (the BERT tokenizer family): merges
     //     picked by the LIKELIHOOD score count(l,r)/(count(l)·count(r))
@@ -4569,6 +4582,11 @@ object SparkEntry {
     "q222_bpe_gpt2_interop" -> ("SELECT rank, lhs, rhs, merged FROM (\n" +
       Bpe.byteOracleSql(8, trainWhere = "doc_id % 4 = 0",
         textSql = duckUniText) + "\n) t"),
+
+    // the byte training replay with the text source swapped for the
+    // pretokenized unicode fixture (q216's swap discipline, byte face)
+    "q226_bpe_bytes_pretok" -> Bpe.byteOracleSql(8,
+      textSql = duckPretokOf(duckUniText)),
 
     // WordPiece training replay: position-aware w0, per-round pair +
     // symbol counts, the likelihood-score argmax, same replace chain
