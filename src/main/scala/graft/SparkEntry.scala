@@ -249,6 +249,25 @@ object SparkEntry {
     wpWords(s, dir) // ensure trained (and rebuilt if swept)
     wpRules((System.identityHashCode(s.sparkContext), dir))
   }
+
+  /** The WordPiece EVAL corpus (q224/q225): the unicode fixture's
+    * doc_id % 4 ≠ 0 complement, with the %8=3 class carrying an extra
+    * 40-char degenerate token of TRAINING-SEEN characters — greedy
+    * matching would happily segment it, so only the
+    * `max_input_chars_per_word` bound (pinned at the oracle unroll
+    * depth, 32) turns it into the contractual single [UNK]. Training
+    * (%4 = 0) never sees it, so the memoized wp8 rules are unchanged.
+    */
+  private val wpLongWord = "a" * 40
+  private def wpEvalDocs(s: SparkSession, dir: String): DataFrame =
+    unicodeDocs(s, dir)
+      .filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(8)) === 3,
+        concat(col("text"), lit(" " + wpLongWord))).otherwise(col("text")))
+  private val uniLongTokCte: String =
+    s"SELECT doc_id, unnest(string_split(CASE WHEN doc_id % 8 = 3 " +
+      s"THEN $duckUniText || ' ${"a" * 40}' ELSE $duckUniText END, ' ')) " +
+      "AS word FROM documents WHERE doc_id % 4 <> 0"
   private def bpeSliceMerges(s: SparkSession, dir: String): DataFrame = {
     bpeSliceWords(s, dir) // ensure trained (and rebuilt if swept)
     bpeSliceRules((System.identityHashCode(s.sparkContext), dir))
@@ -1411,17 +1430,24 @@ object SparkEntry {
     //     remainder becomes ONE [UNK] — the unicode tail words the
     //     training slice never saw, i.e. exactly where byte-BPE's
     //     q219 stays at n_oov = 0, this face must say [UNK] ---
+    //     ... plus the max_input_chars_per_word contract: the %8=3
+    //     eval class carries a 40-char degenerate token (seen chars,
+    //     so it WOULD greedy-segment) that the bound must pre-kill to
+    //     ONE [UNK] — the HuggingFace semantics for URL/id-shaped
+    //     words, here pinned at the oracle's unroll depth ---
     "q224_wordpiece_segment" -> ((s, dir) =>
       WordPiece.encodeSegments(
-        unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0),
-        "text", wpMerges(s, dir), wpWords(s, dir))),
+        wpEvalDocs(s, dir),
+        "text", wpMerges(s, dir), wpWords(s, dir),
+        maxInputCharsPerWord = WordPiece.OracleMaxWordLen)),
 
     // --- per-document WordPiece economics with the honest UNK tally
     //     (the closed-vocabulary loss a corpus report must surface) ---
     "q225_wordpiece_counts" -> ((s, dir) =>
       WordPiece.tokenCounts(
-        unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0),
-        "doc_id", "text", wpMerges(s, dir), wpWords(s, dir))),
+        wpEvalDocs(s, dir),
+        "doc_id", "text", wpMerges(s, dir), wpWords(s, dir),
+        maxInputCharsPerWord = WordPiece.OracleMaxWordLen)),
 
     // --- incremental index ingest: build the IVF index on the base
     //     corpus, APPEND the perturbed twins without retraining, then
@@ -4593,15 +4619,16 @@ object SparkEntry {
     "q223_wordpiece_train" -> WordPiece.oracleSql(8,
       trainWhere = "doc_id % 4 = 0", textSql = duckUniText),
 
-    // greedy longest-match per distinct eval word via a recursive CTE
-    // with a LATERAL longest-prefix probe; dead-end words → [UNK]
+    // greedy longest-match per distinct eval word via an unrolled
+    // LATERAL longest-prefix chain; dead-end words AND words past the
+    // max_input_chars_per_word bound (the %8=3 40-char token) → [UNK]
     "q224_wordpiece_segment" -> WordPiece.segmentsOracleSql(8,
-      trainWhere = "doc_id % 4 = 0", tokCte = uniTokCte,
+      trainWhere = "doc_id % 4 = 0", tokCte = uniLongTokCte,
       textSql = duckUniText),
 
     // the per-doc aggregation over the same segmentation chain
     "q225_wordpiece_counts" -> WordPiece.tokenCountsOracleSql(8,
-      trainWhere = "doc_id % 4 = 0", tokCte = uniTokCte,
+      trainWhere = "doc_id % 4 = 0", tokCte = uniLongTokCte,
       textSql = duckUniText),
 
     // q142's unrolled-round machinery with a seed-only teleport: r0 is

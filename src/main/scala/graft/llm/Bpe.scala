@@ -640,8 +640,19 @@ object Bpe {
     * single-file export contract preserves (one file ⇒ one input
     * split ⇒ sequential read, exactly how every tokenizer loader
     * consumes `merges.txt`).
+    *
+    * `skipVersionHeader`: the published GPT-2 artifact convention puts
+    * a `#version: 0.2` first line ahead of the rules (openai/gpt-2's
+    * encoder.py drops line 1 unconditionally; HuggingFace `tokenizers`
+    * skips it iff it starts with `#version:`). We follow the HF test —
+    * skip ONLY a physical-line-1 `#version:` prefix — because in the
+    * byte-level rendering `#` is a legitimate rule character (byte
+    * 0x23) and an unconditional drop would eat the rank-1 merge of a
+    * headerless file. [[importMergesGpt2]] sets this; the engine's own
+    * headerless `merges` artifact does not.
     */
-  def importMerges(spark: SparkSession, path: String): DataFrame = {
+  def importMerges(spark: SparkSession, path: String,
+                   skipVersionHeader: Boolean = false): DataFrame = {
     // rank = line order is only sound when the directory holds ONE
     // data file (one file ⇒ one split ⇒ zipWithIndex is the line
     // number); a multi-part directory from another producer would
@@ -655,18 +666,33 @@ object Bpe {
       s"importMerges expects exactly one data file under $mergesDir " +
         s"(the single-file export contract); found ${dataFiles.length}: " +
         dataFiles.sorted.mkString(", "))
+    // one data file ⇒ textFile yields one partition ⇒ a sequential
+    // in-iterator walk sees physical line order: blank lines (a
+    // hand-edited file's trailing newline) are tolerated without
+    // costing a rank, the malformed-rule error names the PHYSICAL
+    // line number (not the post-filter index, which diverges from
+    // what the user sees exactly in the hand-edited case), and the
+    // optional #version header skip is line-1-only by construction
     val rows = spark.sparkContext.textFile(s"$path/merges", 1)
-      // tolerate blank lines (a hand-edited file's trailing newline)
-      // BEFORE indexing, so ranks stay dense over the actual rules;
-      // any other spaceless line is a malformed rule — name it
-      .filter(_.nonEmpty)
-      .zipWithIndex()
-      .map { case (line, i) =>
-        val sp = line.indexOf(' ')
-        if (sp < 0) throw new IllegalArgumentException(
-          s"importMerges: malformed merges rule ${i + 1} " +
-            s"(no 'lhs rhs' space): '$line'")
-        Row(i.toInt + 1, line.substring(0, sp), line.substring(sp + 1))
+      .coalesce(1) // a >128MB file would split; keep the walk sequential
+      .mapPartitions { it =>
+        var physical = 0 // 1-based physical line number
+        var rank = 0     // dense over actual rules
+        it.flatMap { line =>
+          physical += 1
+          if (line.isEmpty) Iterator.empty
+          else if (skipVersionHeader && physical == 1 &&
+                   line.startsWith("#version:")) Iterator.empty
+          else {
+            val sp = line.indexOf(' ')
+            if (sp < 0) throw new IllegalArgumentException(
+              s"importMerges: malformed merges rule at line $physical " +
+                s"(no 'lhs rhs' space): '$line'")
+            rank += 1
+            Iterator.single(Row(rank, line.substring(0, sp),
+              line.substring(sp + 1)))
+          }
+        }
       }
     spark.createDataFrame(rows, StructType(Seq(
         StructField("rank", IntegerType, nullable = false),
@@ -1275,7 +1301,12 @@ object Bpe {
       .select(col("lhs"), col("rhs")).collect()
       .map(r => s"${hexToGpt2(r.getString(0))} ${hexToGpt2(r.getString(1))}")
     import spark.implicits._
-    spark.sparkContext.parallelize(lines.toSeq, 1).toDF("value")
+    // the published artifact convention leads with a version header;
+    // openai/gpt-2's encoder.py drops line 1 UNCONDITIONALLY
+    // (split('\n')[1:-1]), so omitting it would silently lose the
+    // rank-1 merge in the reference loader
+    spark.sparkContext
+      .parallelize("#version: 0.2" +: lines.toSeq, 1).toDF("value")
       .write.mode("overwrite").text(s"$path/merges")
   }
 
@@ -1283,10 +1314,14 @@ object Bpe {
     * to the hex-symbol rule table `(rank, lhs, rhs, merged)` —
     * [[importMerges]]' format/rank contract, plus the per-character
     * alphabet inversion (fails loudly on a character outside the
-    * bytes_to_unicode range — not a GPT-2 merges file).
+    * bytes_to_unicode range — not a GPT-2 merges file). A leading
+    * `#version:` header line is skipped (the published convention;
+    * it must NOT reach the alphabet inversion — every header char is
+    * inside `bytes_to_unicode`, so it would silently convert as a
+    * bogus rank-1 rule and shift every real rank by one).
     */
   def importMergesGpt2(spark: SparkSession, path: String): DataFrame = {
-    val imported = importMerges(spark, path)
+    val imported = importMerges(spark, path, skipVersionHeader = true)
     val inv = spark.sparkContext.broadcast(gpt2Inverse)
     import spark.implicits._
     imported.select(col("rank"), col("lhs"), col("rhs"))

@@ -261,6 +261,14 @@ object Similarity {
   private[graft] def lshAutoBits(n: Double, sigma: Double): Int = {
     val occ = lshOccBits(n)
     val a = 2.0 * sigma * sigma / (math.Pi * math.Pi * math.log(2.0))
+    // a == 0 (sigma 0, or small enough that sigma² underflows) means
+    // no bulk-spread inflation: occupancy alone sizes the tables. The
+    // general branch would evaluate (1-√1)/(2·0) = 0/0 = NaN and only
+    // accidentally land on occ via NaN.toInt == 0 — guard explicitly
+    // (measuredSigma CAN return exactly 0.0: MAD is 0 whenever more
+    // than half the sampled pair cosines coincide, e.g. a heavily
+    // duplicated or one-hot corpus).
+    if (a == 0.0) return math.min(24, occ)
     val disc = 1.0 - 4.0 * a * occ
     if (disc <= 0.0) 24
     else math.min(24, math.max(occ,

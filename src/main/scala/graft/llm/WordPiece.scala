@@ -381,23 +381,41 @@ object WordPiece {
       .unionByName(rules.select(col("merged").as("piece")))
       .distinct()
 
+  /** HuggingFace's `max_input_chars_per_word` default: a word past
+    * the bound becomes ONE `[UNK]` BEFORE the greedy loop (the
+    * reference semantics for degenerate tokens — URLs, concatenated
+    * ids — whose O(len²) match cost would otherwise be unbounded).
+    * Counted in CODEPOINTS (so both the JVM and the oracle agree on
+    * emoji and other astral characters).
+    */
+  val DefaultMaxInputCharsPerWord = 100
+
   /** Greedy longest-match-first segmentation of `docs`' DISTINCT words
     * under the trained vocabulary — `(word, n_pieces, unk, segmented)`
     * with `segmented` the space-joined pieces (`"hell ##o"`), or the
     * single `[UNK]` (with `unk = 1`, `n_pieces = 1`) when any
-    * remainder is unmatchable. The per-word loop is O(len²) against a
-    * length-bucketed broadcast set; each distinct word encodes ONCE.
+    * remainder is unmatchable OR the word exceeds
+    * `maxInputCharsPerWord` codepoints (the HuggingFace
+    * `max_input_chars_per_word` contract). The per-word loop is
+    * O(len²) against a length-bucketed broadcast set; each distinct
+    * word encodes ONCE.
     */
   def encodeSegments(docs: DataFrame, textCol: String, rules: DataFrame,
-                     trainedWords: DataFrame): DataFrame = {
+                     trainedWords: DataFrame,
+                     maxInputCharsPerWord: Int = DefaultMaxInputCharsPerWord)
+      : DataFrame = {
     val spark = docs.sparkSession
     val pieces: Array[String] = pieceSet(rules, trainedWords)
       .collect().map(_.getString(0))
+    require(pieces.nonEmpty,
+      "encodeSegments needs a non-empty trained vocabulary " +
+        "(empty or fully guard-filtered training corpus)")
     val bcInit = spark.sparkContext.broadcast(
       pieces.filter(!_.startsWith("##")).toSet)
     val bcCont = spark.sparkContext.broadcast(
       pieces.filter(_.startsWith("##")).map(raw).toSet)
     val maxLen = pieces.map(raw(_).length).max
+    val maxChars = maxInputCharsPerWord
     import spark.implicits._
     docs.select(explode(split(col(textCol), " ")).as("word"))
       .filter(Bpe.wordOk)
@@ -409,7 +427,7 @@ object WordPiece {
         it.map { w =>
           val out = Seq.newBuilder[String]
           var pos = 0
-          var dead = false
+          var dead = w.codePointCount(0, w.length) > maxChars
           while (pos < w.length && !dead) {
             val inSet = if (pos == 0) init else cont
             var len = math.min(maxLen, w.length - pos)
@@ -444,8 +462,11 @@ object WordPiece {
     * estimation trap).
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
-                  rules: DataFrame, trainedWords: DataFrame): DataFrame = {
-    val seg = encodeSegments(docs, textCol, rules, trainedWords)
+                  rules: DataFrame, trainedWords: DataFrame,
+                  maxInputCharsPerWord: Int = DefaultMaxInputCharsPerWord)
+      : DataFrame = {
+    val seg = encodeSegments(docs, textCol, rules, trainedWords,
+        maxInputCharsPerWord)
       .select(col("word"), col("n_pieces"), col("unk"))
     docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("word"))
@@ -550,7 +571,17 @@ object WordPiece {
     * EMFILE before any result). Outside recursion the materialized
     * chain behaves, and the unroll is bounded by word length anyway.
     */
-  private def encodeCtes(nMerges: Int, tokCte: String): String = {
+  private def encodeCtes(nMerges: Int, tokCte: String,
+                         maxChars: Int): String = {
+    // parity with the engine's maxInputCharsPerWord needs the bound
+    // inside the oracle's unroll depth: a word of maxChars codepoints
+    // needs at most maxChars greedy steps, so every non-UNK word
+    // completes within the g-chain and `rest <> ''` at the end can
+    // only mean the over-length pre-kill below
+    require(maxChars <= OracleMaxWordLen,
+      s"the oracle g-chain unrolls $OracleMaxWordLen levels; " +
+        s"maxInputCharsPerWord=$maxChars would let a longer word " +
+        "segment in the engine but truncate in the oracle")
     val mergedUnion = (1 to nMerges).map { r =>
       s"SELECT split_part(pr, ' ', 1) || CASE WHEN starts_with(split_part(pr, ' ', 2), '##') " +
         s"THEN substr(split_part(pr, ' ', 2), 3) ELSE split_part(pr, ' ', 2) END AS piece FROM r$r"
@@ -584,7 +615,9 @@ object WordPiece {
        |           AND NOT contains(word, '>')),
        |ew AS MATERIALIZED (SELECT DISTINCT word FROM tokg),
        |g0 AS (SELECT word, word AS rest,
-       |              CAST([] AS VARCHAR[]) AS pieces, 0 AS dead FROM ew),
+       |              CAST([] AS VARCHAR[]) AS pieces,
+       |              CASE WHEN len(word) > $maxChars THEN 1 ELSE 0 END AS dead
+       |       FROM ew),
        |$levels,
        |wseg AS MATERIALIZED (
        |  SELECT word,
@@ -596,18 +629,23 @@ object WordPiece {
        |  FROM g$OracleMaxWordLen)""".stripMargin
   }
 
-  /** The DuckDB replay of [[encodeSegments]]. */
+  /** The DuckDB replay of [[encodeSegments]] (`maxChars` must match
+    * the engine call's `maxInputCharsPerWord` and fit the unroll —
+    * see [[encodeCtes]]).
+    */
   def segmentsOracleSql(nMerges: Int, trainWhere: String, tokCte: String,
-                        textSql: String = "text"): String =
+                        textSql: String = "text",
+                        maxChars: Int = OracleMaxWordLen): String =
     s"WITH ${roundsCte(nMerges, trainWhere, textSql)},\n" +
-      s"${encodeCtes(nMerges, tokCte)}\n" +
+      s"${encodeCtes(nMerges, tokCte, maxChars)}\n" +
       "SELECT word, n_pieces, unk, segmented FROM wseg"
 
   /** The DuckDB replay of [[tokenCounts]]. */
   def tokenCountsOracleSql(nMerges: Int, trainWhere: String, tokCte: String,
-                           textSql: String = "text"): String =
+                           textSql: String = "text",
+                           maxChars: Int = OracleMaxWordLen): String =
     s"WITH ${roundsCte(nMerges, trainWhere, textSql)},\n" +
-      s"${encodeCtes(nMerges, tokCte)}\n" +
+      s"${encodeCtes(nMerges, tokCte, maxChars)}\n" +
       """SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
         |       CAST(SUM(w.n_pieces) AS BIGINT) AS n_pieces,
         |       CAST(SUM(w.unk) AS BIGINT) AS n_unk

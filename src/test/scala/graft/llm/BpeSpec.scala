@@ -351,6 +351,16 @@ class BpeSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("malformed") ||
       Option(e1.getCause).exists(_.getMessage.contains("malformed")))
+    // the error names the PHYSICAL line — a blank line above the bad
+    // rule must not shift the reported position (the hand-edited-file
+    // case the blank tolerance exists for)
+    val badBlank = write("badblank", Map("part-00000" -> "l o\n\nnospace\n"))
+    val e1b = intercept[org.apache.spark.SparkException] {
+      Bpe.importMerges(spark, badBlank).collect()
+    }
+    assert(e1b.getMessage.contains("at line 3") ||
+      Option(e1b.getCause).exists(_.getMessage.contains("at line 3")),
+      s"expected physical line 3 in: ${e1b.getMessage}")
     // two data files: rank-from-line-order is unsound → refuse
     val multi = write("multi",
       Map("part-00000" -> "l o\n", "part-00001" -> "lo w\n"))
@@ -458,12 +468,41 @@ class BpeSpec extends SparkSpec {
       .as[String].collect().mkString("\n")
     assert(raw.contains("Ã"), s"expected rendered Ã in: $raw")
     assert(raw.contains("l o"), s"expected rendered 'l o' merge in: $raw")
+    // the published artifact convention: '#version: 0.2' leads the
+    // file (openai/gpt-2's loader drops line 1 UNCONDITIONALLY — a
+    // headerless export would lose its rank-1 merge there)
+    val first = spark.sparkContext.textFile(s"$path/merges", 1).first()
+    assert(first == "#version: 0.2", s"expected version header, got: $first")
     val back = Bpe.importMergesGpt2(spark, path)
       .select("rank", "lhs", "rhs", "merged")
       .as[(Int, String, String, String)].collect().sortBy(_._1)
     val orig = rules.select("rank", "lhs", "rhs", "merged")
       .as[(Int, String, String, String)].collect().sortBy(_._1)
     assert(back.toSeq == orig.toSeq, "roundtrip is the identity")
+
+    // a hand-written published-shape file: the header must NOT parse
+    // as a rule (every header char IS in the bytes_to_unicode
+    // alphabet, so without the skip it would silently convert and
+    // shift every rank by one); ranks start at the first real rule
+    val pub = s"/tmp/graft_test_bpegpt2pub_${ProcessHandle.current().pid()}"
+    val d = new java.io.File(s"$pub/merges"); d.mkdirs()
+    java.nio.file.Files.write(new java.io.File(d, "merges.txt").toPath,
+      "#version: 0.2\nl o\nÃ ©\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    val pubBack = Bpe.importMergesGpt2(spark, pub)
+      .select("rank", "lhs", "rhs")
+      .as[(Int, String, String)].collect().sortBy(_._1).toSeq
+    assert(pubBack == Seq((1, "6C", "6F"), (2, "C3", "A9")),
+      s"header must be skipped with dense ranks, got: $pubBack")
+    // the engine's own headerless artifact keeps rank 1 = line 1
+    // (the skip is #version-prefix-gated, not unconditional)
+    val own = s"/tmp/graft_test_bpegpt2own_${ProcessHandle.current().pid()}"
+    val d2 = new java.io.File(s"$own/merges"); d2.mkdirs()
+    java.nio.file.Files.write(new java.io.File(d2, "merges.txt").toPath,
+      "l o\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Bpe.importMergesGpt2(spark, own)
+      .select("rank", "lhs", "rhs").as[(Int, String, String)]
+      .collect().toSeq == Seq((1, "6C", "6F")))
   }
 
   test("preTokenize separates letter/digit/punct runs and composes with " +

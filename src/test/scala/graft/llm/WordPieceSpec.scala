@@ -61,6 +61,47 @@ class WordPieceSpec extends SparkSpec {
     assert(cnt == ((10L, 7L, 9L, 3L)), s"got $cnt")
   }
 
+  test("max_input_chars_per_word: an over-long word of SEEN characters " +
+       "is pre-killed to ONE [UNK] under the bound (HuggingFace " +
+       "semantics), segments greedily without it") {
+    val train = Seq((1L, "hug hug pug")).toDF("doc_id", "text")
+    val (rules, words) = WordPiece.trainShared(train, "text", nMerges = 3)
+    // 'hug' + 'ug'×16 = 35 chars, every character trained: greedy
+    // segmentation SUCCEEDS (hug + ##ug×16 = 17 pieces) — only the
+    // bound makes it [UNK], which is the whole point of the contract
+    val long = "hug" + "ug" * 16
+    val eval = Seq((10L, s"hug $long")).toDF("doc_id", "text")
+    val free = WordPiece.encodeSegments(eval, "text", rules, words)
+      .as[(String, Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(free(long) == ((17L, 0)), s"default bound (100) segments: $free")
+    val bounded = WordPiece.encodeSegments(eval, "text", rules, words,
+        maxInputCharsPerWord = 32)
+      .as[(String, Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(bounded(long) == ((1L, 1, "[UNK]")), s"got $bounded")
+    assert(bounded("hug") == ((1L, 0, "hug")), "short words unaffected")
+    // the bound counts CODEPOINTS (astral chars are 2 JVM chars —
+    // a 3-codepoint emoji word is far under any sane bound)
+    val emoji = Seq((11L, "🚀🚀🚀")).toDF("doc_id", "text")
+    val e = WordPiece.encodeSegments(emoji, "text", rules, words,
+        maxInputCharsPerWord = 5)
+      .as[(String, Long, Int, String)].collect().head
+    assert(e._3 == 1, "unseen chars → [UNK] via dead-end, not the bound")
+  }
+
+  test("encodeSegments names the contract on an empty trained vocabulary") {
+    // an all-guard-filtered corpus trains nothing
+    val docs = Seq((1L, "<g> <h>")).toDF("doc_id", "text")
+    val (rules, words) = WordPiece.trainShared(docs, "text", nMerges = 1)
+    val e = intercept[IllegalArgumentException] {
+      WordPiece.encodeSegments(
+        Seq((2L, "a")).toDF("doc_id", "text"), "text", rules, words)
+    }
+    assert(e.getMessage.contains("non-empty trained vocabulary"),
+      s"got: ${e.getMessage}")
+  }
+
   test("in-memory and distributed trainers are rule-for-rule identical " +
        "on a real corpus slice (the BPE hybrid parity discipline)") {
     val docs = graft.sources.Tables
