@@ -452,6 +452,189 @@ object WordPiece {
       }.toDF("word", "n_pieces", "unk", "segmented")
   }
 
+  // ─────────────────── id / artifact surface (X143) ───────────────────
+
+  /** BERT's reserved special tokens, at the RESERVED ids 0..4 — the
+    * vocab.txt convention every BERT-family consumer assumes ([PAD]
+    * at 0 so padding is the zero id, [UNK] the one id every dead word
+    * maps to; [CLS]/[SEP]/[MASK] are sequence-assembly tokens the
+    * tokenizer itself never emits but the artifact must carry).
+    * The published bert-base artifact interleaves ~1000 [unusedN]
+    * slots; we ship the compact five — the CONTRACT (specials before
+    * content pieces, line order = id) is the interop surface, not the
+    * padding slots.
+    */
+  val Specials: Seq[String] = Seq("[PAD]", Unk, "[CLS]", "[SEP]", "[MASK]")
+
+  /** The trained tokenizer's token-id table `(piece, token_id)` — a
+    * bijection piece ↔ id. [[Specials]] hold ids 0..4; the
+    * position-aware base alphabet (initial chars bare, continuation
+    * chars `##`-prefixed) follows in UTF-8 BINARY order (ordering by
+    * `hex(encode(...))` rather than the raw string keeps the engine
+    * and any UTF-8-collating oracle byte-identical even for astral
+    * alphabets, where JVM UTF-16 order diverges from codepoint
+    * order); merge results follow in rank order. Two merge paths can
+    * produce the same piece string — the smallest id wins, so the
+    * table stays a bijection (the [[Bpe.pieceVocab]] min-id rule).
+    *
+    * Scale: vocabulary-sized throughout; the one window runs on the
+    * CHARSET, bounded by the script, not the corpus.
+    */
+  def pieceVocab(rules: DataFrame, trainedWords: DataFrame): DataFrame = {
+    val spark = rules.sparkSession
+    import spark.implicits._
+    val alphaIds = trainedWords
+      .withColumn("_t", expr("filter(split(word, ''), x -> x <> '')"))
+      .select(explode(expr(
+        "transform(_t, (c, i) -> IF(i = 0, c, concat('##', c)))"))
+        .as("piece"))
+      .distinct()
+      .select(col("piece"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(hex(encode(col("piece"), "UTF-8"))))
+          + lit(Specials.length - 1)).as("id"))
+    val nAlpha = alphaIds.count()
+    val mergeIds = rules.select(col("merged").as("piece"),
+      (col("rank") + lit(Specials.length - 1) + lit(nAlpha))
+        .cast("int").as("id"))
+    Specials.zipWithIndex.toDF("piece", "id")
+      .unionByName(alphaIds)
+      .unionByName(mergeIds)
+      .groupBy(col("piece"))
+      .agg(min(col("id")).cast("int").as("token_id"))
+  }
+
+  /** Export the trained tokenizer as BERT's artifact: `vocab.txt`,
+    * ONE piece per line, LINE ORDER = token id (that file IS the
+    * model a WordPiece serving stack loads — there is no merges file
+    * at serve time; greedy longest-match needs only the piece set).
+    * Single-file bounded write (a vocabulary, never a corpus); global
+    * order survives `coalesce(1)` after the range sort (the
+    * [[Bpe.exportArtifacts]] precedent).
+    */
+  def exportVocabTxt(rules: DataFrame, trainedWords: DataFrame,
+                     path: String): Unit = {
+    val vocab = pieceVocab(rules, trainedWords)
+    val broken = vocab.filter(col("piece").contains("\n") ||
+      col("piece").contains("\r")).count()
+    require(broken == 0,
+      s"exportVocabTxt: $broken piece(s) contain a newline — the " +
+        "one-piece-per-line artifact cannot represent them")
+    vocab.orderBy(col("token_id"))
+      .select(col("piece").as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$path/vocab.txt")
+  }
+
+  /** Read a `vocab.txt` back as `(piece, token_id)` with ids from
+    * line order (0-based — line 1 is id 0, the [PAD] convention).
+    * Same single-data-file contract as [[Bpe.importMerges]] (one file
+    * ⇒ one split ⇒ sequential read). A blank line is an ERROR here,
+    * not tolerated: every vocab.txt line IS a piece and ids are
+    * positional, so silently dropping one would shift every id after
+    * it — the exact failure the loud message exists to prevent.
+    */
+  def importVocabTxt(spark: SparkSession, path: String): DataFrame = {
+    val vocabDir = new org.apache.hadoop.fs.Path(s"$path/vocab.txt")
+    val fs = vocabDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(vocabDir)
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    require(dataFiles.length == 1,
+      s"importVocabTxt expects exactly one data file under $vocabDir " +
+        s"(the single-file export contract); found ${dataFiles.length}: " +
+        dataFiles.sorted.mkString(", "))
+    val rows = spark.sparkContext.textFile(s"$path/vocab.txt", 1)
+      .coalesce(1)
+      .mapPartitions { it =>
+        var line = 0 // 0-based = the token id
+        it.map { piece =>
+          if (piece.isEmpty) throw new IllegalArgumentException(
+            s"importVocabTxt: blank line ${line + 1} — ids are " +
+              "positional, a dropped line would shift every id after it")
+          val r = Row(piece, line)
+          line += 1
+          r
+        }
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("token_id", IntegerType, nullable = false))))
+  }
+
+  /** The BERT-style pretraining artifact: each document as its flat
+    * token-id sequence — `(doc_id, ids, n_unk, n_wp)` where an
+    * `[UNK]` word contributes exactly one id (the [[Specials]] UNK id
+    * 1) and tallies in `n_unk`, and `n_wp = size(ids)` is the true
+    * context-window cost. NO whitespace token is interleaved (the
+    * deliberate contrast with [[Bpe.encodeIds]]' id-0 spaces: a
+    * WordPiece vocabulary has no whitespace piece — word boundaries
+    * are carried by the bare-vs-`##` piece split itself, and
+    * sequence punctuation belongs to [CLS]/[SEP] at assembly time,
+    * not to the tokenizer). Documents with no clean word emit
+    * nothing (the [[tokenCounts]] convention).
+    *
+    * Scale: segmentation and id lookup run ONCE per DISTINCT word
+    * (vocabulary-sized, vocab broadcast); the corpus word stream
+    * equi-joins the encoded vocabulary with the build hinted onto
+    * the vocab side (the Generate-fan-out estimation trap); per-doc
+    * assembly is one keyed aggregation with an in-row sort.
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                rules: DataFrame, trainedWords: DataFrame,
+                maxInputCharsPerWord: Int = DefaultMaxInputCharsPerWord)
+      : DataFrame = {
+    val vocab = pieceVocab(rules, trainedWords)
+    val wordIds = encodeSegments(docs, textCol, rules, trainedWords,
+        maxInputCharsPerWord)
+      .select(col("word"), col("unk"),
+        posexplode(split(col("segmented"), " ")).as(Seq("_spos", "piece")))
+      .join(broadcast(vocab), Seq("piece"), "left")
+      .groupBy(col("word"))
+      .agg(max(col("unk")).as("_unk"),
+        sort_array(collect_list(struct(col("_spos"),
+          coalesce(col("token_id"), lit(-1)).as("id")))).as("_ps"))
+      .select(col("word"), col("_unk"),
+        expr("transform(_ps, p -> p.id)").as("_wids"))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("_wpos", "word")))
+      .filter(Bpe.wordOk)
+      .join(wordIds.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("_wpos"), col("_wids"))))
+          .as("_ws"),
+        sum(col("_unk").cast("long")).as("n_unk"))
+      .select(col("doc_id"),
+        expr("flatten(transform(_ws, w -> w._wids))").as("ids"),
+        col("n_unk"))
+      .withColumn("n_wp", size(col("ids")).cast("long"))
+  }
+
+  /** Inverse of [[encodeIds]]: id sequences back to text —
+    * `(doc_id, text_decoded)`. A `##` piece appends its raw text to
+    * the current word; any other piece (including `[UNK]`, which
+    * decodes to its literal bracket form) starts a new
+    * space-separated word; an id the vocabulary does not know decodes
+    * to U+FFFD. `decode(encode(d))` reproduces `d`'s clean word
+    * stream exactly when the document had no `[UNK]` word — the q228
+    * roundtrip gate proves it per-document, and the oracle predicts
+    * it as `n_unk = 0`.
+    */
+  def decodeIds(encoded: DataFrame, idCol: String, idsCol: String,
+                rules: DataFrame, trainedWords: DataFrame): DataFrame = {
+    val vocab = pieceVocab(rules, trainedWords)
+    encoded.select(col(idCol).as("doc_id"),
+        posexplode(col(idsCol)).as(Seq("_pos", "token_id")))
+      .join(broadcast(vocab), Seq("token_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("_pos"),
+        coalesce(col("piece"), lit("�")).as("p")))).as("_ps"))
+      .select(col("doc_id"),
+        ltrim(expr("concat_ws('', transform(_ps, x -> " +
+          "IF(startswith(x.p, '##'), substring(x.p, 3), " +
+          "concat(' ', x.p))))")).as("text_decoded"))
+  }
+
   /** Per-document WordPiece economics — `(doc_id, n_words, n_pieces,
     * n_unk)`: an `[UNK]` word contributes 1 piece and tallies in
     * `n_unk` (the face that quantifies what a char-level closed
@@ -627,6 +810,95 @@ object WordPiece {
        |         CASE WHEN dead = 1 OR rest <> '' THEN '[UNK]'
        |              ELSE array_to_string(pieces, ' ') END AS segmented
        |  FROM g$OracleMaxWordLen)""".stripMargin
+  }
+
+  /** The `merged`-piece projection of round `r`'s rule (the `##`
+    * inheritance: left piece concatenated with the right's raw text).
+    */
+  private def mergedExpr: String =
+    "split_part(pr, ' ', 1) || CASE WHEN starts_with(split_part(pr, ' ', 2), '##') " +
+      "THEN substr(split_part(pr, ' ', 2), 3) ELSE split_part(pr, ' ', 2) END"
+
+  /** The [[pieceVocab]] replay: specials at 0..4, the position-aware
+    * alphabet in UTF-8 binary order (ordered by `hex(encode(...))` on
+    * BOTH sides — see [[pieceVocab]]), merges at rank offset, min-id
+    * dedup. Requires `w0` and `r1..rN` in scope; defines `idv(piece,
+    * token_id)` (named apart from [[encodeCtes]]' serving `voc`).
+    */
+  private def vocabCtes(nMerges: Int): String = {
+    val ranked = (1 to nMerges)
+      .map(r => s"SELECT $r AS rk, pr FROM r$r").mkString("\n  UNION ALL ")
+    val off = Specials.length - 1
+    val specialRows = Specials.zipWithIndex
+      .map { case (p, i) => s"('$p', $i)" }.mkString(", ")
+    s"""valpha AS (SELECT DISTINCT unnest(list_transform(range(1, len(t) + 1),
+       |             i -> CASE WHEN i = 1 THEN t[i] ELSE '##' || t[i] END)) AS piece
+       |           FROM (SELECT [c FOR c IN string_split(word, '')] AS t FROM w0)),
+       |aid AS (SELECT piece,
+       |               CAST(ROW_NUMBER() OVER (ORDER BY hex(encode(piece))) + $off AS INT) AS id
+       |        FROM valpha),
+       |na AS (SELECT CAST(COUNT(*) AS INT) AS n FROM aid),
+       |mid AS (SELECT $mergedExpr AS piece,
+       |               CAST(rk + $off + na.n AS INT) AS id
+       |        FROM ($ranked), na),
+       |idv AS (SELECT piece, CAST(MIN(id) AS INT) AS token_id FROM (
+       |          SELECT * FROM (VALUES $specialRows) s(piece, id)
+       |          UNION ALL SELECT piece, id FROM aid
+       |          UNION ALL SELECT piece, id FROM mid)
+       |        GROUP BY 1)""".stripMargin
+  }
+
+  /** The DuckDB replay of [[pieceVocab]]. */
+  def vocabOracleSql(nMerges: Int, trainWhere: String = "",
+                     textSql: String = "text"): String =
+    s"WITH ${roundsCte(nMerges, trainWhere, textSql)},\n" +
+      s"${vocabCtes(nMerges)}\n" +
+      "SELECT piece, token_id FROM idv"
+
+  /** The DuckDB replay of [[encodeIds]]' per-document economics plus
+    * the decode-roundtrip prediction: `tokPosCte` must produce
+    * `(doc_id, wpos, word)` with `wpos` any key matching the engine's
+    * word order. Emits `(doc_id, n_wp, n_unk, ids_fp, roundtrip_ok)`
+    * where `ids_fp = Σ id·pos` over the flat 1-based id stream (no
+    * whitespace tokens — see [[encodeIds]]) and `roundtrip_ok` is the
+    * proof-side prediction `n_unk = 0` (the Spark side computes it
+    * honestly from [[decodeIds]] output; any id, order, or
+    * segmentation divergence flips the row red).
+    */
+  def idsOracleSql(nMerges: Int, trainWhere: String, tokPosCte: String,
+                   textSql: String = "text",
+                   maxChars: Int = OracleMaxWordLen): String = {
+    val tail =
+      """tokgp AS (SELECT doc_id, wpos, word FROM tokp
+        |          WHERE word <> '' AND NOT contains(word, '<')
+        |            AND NOT contains(word, '>')),
+        |wpl AS (SELECT word, unnest(list_transform(range(1, len(t) + 1),
+        |          i -> struct_pack(spos := i, piece := t[i]))) AS u
+        |        FROM (SELECT word, string_split(segmented, ' ') AS t FROM wseg)),
+        |wid AS (SELECT wpl.word, u.spos AS spos, COALESCE(token_id, -1) AS id
+        |        FROM wpl LEFT JOIN idv ON idv.piece = u.piece),
+        |wids AS (SELECT word, list(id ORDER BY spos) AS ids,
+        |                CAST(COUNT(*) AS BIGINT) AS np
+        |         FROM wid GROUP BY 1),
+        |ds AS (SELECT t.doc_id, t.wpos, w.ids, w.np, s.unk,
+        |              COALESCE(SUM(w.np) OVER (PARTITION BY t.doc_id ORDER BY t.wpos
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |       FROM tokgp t JOIN wids w USING (word)
+        |       JOIN (SELECT word, unk FROM wseg) s USING (word)),
+        |fp AS (SELECT doc_id, unk, np,
+        |              list_sum(list_transform(range(1, len(ids) + 1),
+        |                j -> CAST(ids[j] AS BIGINT) * (prev + j))) AS contrib
+        |       FROM ds)
+        |SELECT doc_id,
+        |       CAST(SUM(np) AS BIGINT) AS n_wp,
+        |       CAST(SUM(unk) AS BIGINT) AS n_unk,
+        |       CAST(SUM(contrib) AS BIGINT) AS ids_fp,
+        |       CAST(CASE WHEN SUM(unk) = 0 THEN 1 ELSE 0 END AS INT) AS roundtrip_ok
+        |FROM fp GROUP BY 1""".stripMargin
+    s"WITH ${roundsCte(nMerges, trainWhere, textSql)},\n" +
+      s"tokp AS MATERIALIZED ($tokPosCte),\n" +
+      s"${encodeCtes(nMerges, "SELECT doc_id, word FROM tokp", maxChars)},\n" +
+      s"${vocabCtes(nMerges)},\n$tail"
   }
 
   /** The DuckDB replay of [[encodeSegments]] (`maxChars` must match

@@ -296,6 +296,21 @@ object ScaleSmoke {
       runs.minBy(_._1)
     }
 
+    // Cold-JVM absorber: the FIRST measured query otherwise pays class
+    // loading, codegen-compiler and shuffle-path warm-up that later
+    // queries don't — r12 measured q217 at 12.4× vs q142's 9.1× on
+    // identical machinery purely from running first (stage/task shapes
+    // matched). The per-query sf0.001 warm-up below is too small to
+    // heat the heavy paths; one throwaway run of the first query at
+    // the measured FROM scale is, and nothing from it is timed.
+    queries.headOption.foreach { q =>
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .write.mode("overwrite").format("noop").save()
+      sweep()
+      SparkEntry.queries(q)(spark, fromDir)
+        .write.mode("overwrite").format("noop").save()
+    }
+
     val rows = queries.map { q =>
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.mode("overwrite").format("noop").save() // JIT warm-up

@@ -102,6 +102,84 @@ class WordPieceSpec extends SparkSpec {
       s"got: ${e.getMessage}")
   }
 
+  test("pieceVocab: specials pinned at 0..4, alphabet in UTF-8 binary " +
+       "order after them, merges at rank offset, bijection") {
+    val train = Seq((1L, "hug hug pug")).toDF("doc_id", "text")
+    val (rules, words) = WordPiece.trainShared(train, "text", nMerges = 3)
+    val v = WordPiece.pieceVocab(rules, words)
+      .as[(String, Int)].collect().toMap
+    // the reserved ids are the contract every BERT consumer assumes
+    assert(v("[PAD]") == 0 && v("[UNK]") == 1 && v("[CLS]") == 2 &&
+      v("[SEP]") == 3 && v("[MASK]") == 4)
+    // alphabet: {h, p, ##g, ##u} — '#' (0x23) sorts before letters in
+    // UTF-8 binary order → ##g=5, ##u=6, h=7, p=8
+    assert(v("##g") == 5 && v("##u") == 6 && v("h") == 7 && v("p") == 8,
+      s"alphabet order: $v")
+    // merges follow at 5 + |alphabet| + rank - 1... rank 1 = ##ug → 9
+    assert(v("##ug") == 9 && v("hug") == 10 && v("pug") == 11)
+    // bijection both ways
+    val ids = v.values.toSeq
+    assert(ids.distinct.length == ids.length, "ids are unique")
+  }
+
+  test("encodeIds/decodeIds: flat BERT-style id streams (no whitespace " +
+       "tokens), [UNK] id for dead words, honest decode roundtrip") {
+    val train = Seq((1L, "hug hug pug")).toDF("doc_id", "text")
+    val (rules, words) = WordPiece.trainShared(train, "text", nMerges = 3)
+    val eval = Seq((10L, "hug hu pug"), (11L, "hug zz")).toDF("doc_id", "text")
+    val enc = WordPiece.encodeIds(eval, "doc_id", "text", rules, words)
+      .select("doc_id", "ids", "n_unk", "n_wp")
+      .as[(Long, Seq[Int], Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // hug=10, hu=[h ##u]=[7,6], pug=11 — concatenated flat, NO id-0
+    // separators (the deliberate contrast with the BPE family)
+    assert(enc(10L) == ((Seq(10, 7, 6, 11), 0L, 4L)), s"got ${enc(10L)}")
+    // zz is a dead word → the [UNK] id 1, tallied in n_unk
+    assert(enc(11L) == ((Seq(10, 1), 1L, 2L)), s"got ${enc(11L)}")
+    val encDf = WordPiece.encodeIds(eval, "doc_id", "text", rules, words)
+    val dec = WordPiece.decodeIds(encDf, "doc_id", "ids", rules, words)
+      .as[(Long, String)].collect().toMap
+    assert(dec(10L) == "hug hu pug", "clean stream roundtrips exactly")
+    assert(dec(11L) == "hug [UNK]", "dead word decodes to literal [UNK]")
+  }
+
+  test("vocab.txt export→import is the identity; blank lines and " +
+       "multi-part directories are loud errors (positional ids)") {
+    val train = Seq((1L, "hug hug pug")).toDF("doc_id", "text")
+    val (rules, words) = WordPiece.trainShared(train, "text", nMerges = 3)
+    val path = s"/tmp/graft_test_wpvocab_${ProcessHandle.current().pid()}"
+    WordPiece.exportVocabTxt(rules, words, path)
+    // line order IS the id: line 1 = [PAD] (id 0)
+    val first = spark.sparkContext.textFile(s"$path/vocab.txt", 1).first()
+    assert(first == "[PAD]", s"line 1 must be [PAD], got: $first")
+    val back = WordPiece.importVocabTxt(spark, path)
+      .as[(String, Int)].collect().toSet
+    val orig = WordPiece.pieceVocab(rules, words)
+      .as[(String, Int)].collect().toSet
+    assert(back == orig, "export→import identity")
+    // a blank line must fail loudly, not shift ids
+    val bad = s"/tmp/graft_test_wpvocabbad_${ProcessHandle.current().pid()}"
+    val d = new java.io.File(s"$bad/vocab.txt"); d.mkdirs()
+    java.nio.file.Files.write(new java.io.File(d, "part-0").toPath,
+      "[PAD]\n\nh\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[org.apache.spark.SparkException] {
+      WordPiece.importVocabTxt(spark, bad).collect()
+    }
+    assert(e.getMessage.contains("blank line") ||
+      Option(e.getCause).exists(_.getMessage.contains("blank line")))
+    // two data files: positional ids are unsound → refuse
+    val multi = s"/tmp/graft_test_wpvocabmulti_${ProcessHandle.current().pid()}"
+    val d2 = new java.io.File(s"$multi/vocab.txt"); d2.mkdirs()
+    java.nio.file.Files.write(new java.io.File(d2, "part-0").toPath,
+      "[PAD]\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(new java.io.File(d2, "part-1").toPath,
+      "[UNK]\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e2 = intercept[IllegalArgumentException] {
+      WordPiece.importVocabTxt(spark, multi)
+    }
+    assert(e2.getMessage.contains("exactly one data file"))
+  }
+
   test("in-memory and distributed trainers are rule-for-rule identical " +
        "on a real corpus slice (the BPE hybrid parity discipline)") {
     val docs = graft.sources.Tables
