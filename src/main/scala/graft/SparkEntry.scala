@@ -294,6 +294,23 @@ object SparkEntry {
     wpRules((System.identityHashCode(s.sparkContext), dir))
   }
 
+  /** The UNIGRAM-LM (SentencePiece) model over the unicode fixture's
+    * doc_id % 4 = 0 slice — the THIRD tokenizer family, trained on the
+    * same slice as wp8/bpebytes8 so the q231/q232 OOV face contrasts
+    * all three on the identical eval complement. The model frame is a
+    * driver-built vocabulary-sized table (no persisted RDDs), so the
+    * memo never goes stale across sweeps.
+    */
+  private val UniSeedMulti = 64
+  private val UniKeepMulti = 32
+  private def unigramModel(s: SparkSession, dir: String): DataFrame =
+    memoUnit(s, dir, "unigram") {
+      graft.llm.Unigram.train(
+        unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) === 0),
+        "text", seedMulti = UniSeedMulti, keepMulti = UniKeepMulti,
+        emIters = 2)
+    }
+
   /** The WordPiece EVAL corpus (q224/q225): the unicode fixture's
     * doc_id % 4 ≠ 0 complement, with the %8=3 class carrying an extra
     * 40-char degenerate token of TRAINING-SEEN characters — greedy
@@ -405,7 +422,8 @@ object SparkEntry {
       "_shared:copurchase-edges" -> ((s, dir) => copurchaseEdges(s, dir)),
       "_shared:curation-store" -> ((s, dir) =>
         s.read.parquet(s"${curationSeed(s, dir)}/corpus")
-          .agg(count(lit(1)).as("n_seeded"))))
+          .agg(count(lit(1)).as("n_seeded"))),
+      "_shared:unigram" -> ((s, dir) => unigramModel(s, dir)))
 
   /** Queries whose bench time is marginal given [[sharedInputs]]. */
   private[graft] val sharedConsumers: Map[String, Seq[String]] = Map(
@@ -429,7 +447,9 @@ object SparkEntry {
       "q228_wordpiece_ids"),
     "_shared:copurchase-edges" -> Seq("q142_pagerank", "q146_triangles",
       "q217_ppr_trust"),
-    "_shared:curation-store" -> Seq("q182_stream_curate"))
+    "_shared:curation-store" -> Seq("q182_stream_curate"),
+    "_shared:unigram" -> Seq("q230_unigram_train", "q231_unigram_segment",
+      "q232_unigram_counts"))
 
   /** The q178/q181 mixture weights, and their oracle VALUES clause:
     * the SQL side receives the PRE-NORMALIZED weights (each divided by
@@ -1551,6 +1571,41 @@ object SparkEntry {
           (col("text_decoded") === col("_exp")).cast("int")
             .as("roundtrip_ok"))
     }),
+
+    // --- UNIGRAM-LM seed vocabulary (X144, SentencePiece family):
+    //     overlapping substring counts scored freq·length, every
+    //     single char kept (coverage floor), top-K multi-char by
+    //     (score, UTF-8 piece order), quantized initial probabilities
+    //     q = score·1e9 ÷ Σscore in exact integer division ---
+    "q229_unigram_seed" -> ((s, dir) =>
+      graft.llm.Unigram.seedModel(
+        unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) === 0),
+        "text", seedMulti = UniSeedMulti)),
+
+    // --- the EM-trained unigram model: 2 rounds of per-word
+    //     forward-backward expected counts (floats ONLY inside the
+    //     fixed-order per-word DP; every cross-word boundary is exact
+    //     integers — see Unigram.scala's bit-replayability note),
+    //     pruned to chars + top-32 multi by expected count — the full
+    //     lattice-EM replayed CTE for CTE in the oracle ---
+    "q230_unigram_train" -> ((s, dir) => unigramModel(s, dir)),
+
+    // --- Viterbi serving (the SentencePiece serve face — the single
+    //     most-probable segmentation, not greedy longest-match): the
+    //     third family's answer on the SAME unicode eval words where
+    //     byte-BPE stays n_oov = 0 (q219) and WordPiece says [UNK]
+    //     (q224) — a closed char vocabulary UNKs the unseen-script
+    //     tails, pinned against the integer-cost DP replay ---
+    "q231_unigram_segment" -> ((s, dir) =>
+      graft.llm.Unigram.viterbiSegments(
+        unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        "text", unigramModel(s, dir))),
+
+    // --- per-document Unigram economics with the honest UNK tally ---
+    "q232_unigram_counts" -> ((s, dir) =>
+      graft.llm.Unigram.tokenCounts(
+        unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        "doc_id", "text", unigramModel(s, dir))),
 
     // --- incremental index ingest: build the IVF index on the base
     //     corpus, APPEND the perturbed twins without retraining, then
@@ -4747,6 +4802,34 @@ object SparkEntry {
     "q228_wordpiece_ids" -> WordPiece.idsOracleSql(8,
       trainWhere = "doc_id % 4 = 0", tokPosCte = plainTokPosCte,
       textSql = duckUniText),
+
+    // Unigram seed replay: substring enumeration per position,
+    // freq·length scores, chars + ranked multi, HUGEINT normalization
+    "q229_unigram_seed" -> graft.llm.Unigram.seedOracleSql(
+      trainWhere = "doc_id % 4 = 0", textSql = duckUniText,
+      seedMulti = UniSeedMulti),
+
+    // the lattice-EM replay: per-iteration occurrence table, unrolled
+    // α (absolute position) and β (distance-from-end) forward-backward
+    // levels with the engine's exact float expression order, integer
+    // unit contributions, HUGEINT renormalization, count-ranked prune
+    "q230_unigram_train" -> graft.llm.Unigram.trainOracleSql(
+      trainWhere = "doc_id % 4 = 0", textSql = duckUniText,
+      seedMulti = UniSeedMulti, keepMulti = UniKeepMulti, emIters = 2),
+
+    // Viterbi replay: integer costs floor(−ln(p)·1e6+0.5), unrolled
+    // min-DP with the (cost, pieces, UTF-8 seq) tie-break, [UNK] for
+    // path-less and over-length words
+    "q231_unigram_segment" -> graft.llm.Unigram.segmentsOracleSql(
+      trainWhere = "doc_id % 4 = 0", tokCte = uniTokCte,
+      textSql = duckUniText,
+      seedMulti = UniSeedMulti, keepMulti = UniKeepMulti, emIters = 2),
+
+    // the per-doc aggregation over the same Viterbi chain
+    "q232_unigram_counts" -> graft.llm.Unigram.countsOracleSql(
+      trainWhere = "doc_id % 4 = 0", tokCte = uniTokCte,
+      textSql = duckUniText,
+      seedMulti = UniSeedMulti, keepMulti = UniKeepMulti, emIters = 2),
 
     // q142's unrolled-round machinery with a seed-only teleport: r0 is
     // the teleport distribution and every round is

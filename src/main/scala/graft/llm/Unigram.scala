@@ -1,0 +1,663 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unigram language-model tokenizer — the THIRD production tokenizer
+  * family (SentencePiece: Kudo 2018, "Subword Regularization"; the
+  * T5/Llama/mT5 lineage), next to [[Bpe]]'s merge-count family and
+  * [[WordPiece]]'s likelihood-merge family. Nothing here is a merge
+  * loop — both faces are genuinely different algorithms:
+  *
+  *  - TRAINING is EM over a candidate-piece lattice: seed the
+  *    vocabulary with the highest `frequency · length` substrings
+  *    (every single character always kept — the coverage floor), then
+  *    alternate (E) expected piece counts under the current unigram
+  *    probabilities via per-word forward–backward over ALL
+  *    segmentations, (M) re-normalize counts into probabilities;
+  *    finally PRUNE to the target size, dropping the multi-char
+  *    pieces with the smallest expected counts. (Expected count is
+  *    the dominant term of SentencePiece's removal-loss criterion —
+  *    the reference refines it with alternative-segmentation
+  *    likelihoods; we document the simplification rather than hide
+  *    it.)
+  *  - SERVING is Viterbi: the single most-probable segmentation
+  *    (max Σ log p), not greedy longest-match and not merge replay. A
+  *    word containing a character the final vocabulary lacks has no
+  *    path and becomes ONE `[UNK]` — the closed-vocabulary face that
+  *    contrasts byte-BPE's structural zero on the shared unicode
+  *    fixture (q219 vs q224 vs q231).
+  *
+  * ── Bit-replayability (what makes the EM DuckDB-oracle-able) ──
+  *
+  * Floating point appears ONLY inside the per-word forward–backward,
+  * where evaluation order is a fixed left-to-right DP both engines
+  * spell identically; every cross-word boundary is EXACT INTEGERS:
+  *
+  *  - probabilities are QUANTIZED to integer units of 1e-9
+  *    (`q = count·1e9 ÷ total`, integer division — driver-side BigInt
+  *    here, HUGEINT in the oracle); `p = q/1e9` is an exact-integer
+  *    load and one correctly-rounded division, so both engines start
+  *    every round from IDENTICAL doubles;
+  *  - each per-occurrence expected count is rounded to integer units
+  *    (`floor(x·1e9 + 0.5)` — the same literal formula in both
+  *    engines, no library round() semantics involved) BEFORE the
+  *    cross-word sum, so aggregation is an order-free integer sum;
+  *  - α/β sums add at most [[DefaultMaxPieceLen]] terms in fixed
+  *    ascending-k order (`((c1+c2)+c3)+c4` — absent terms are +0.0,
+  *    and x+0.0 == x exactly for the non-negative values here);
+  *  - Viterbi costs are integers (`floor(−ln(p)·1e6 + 0.5)`, the q75
+  *    ln-precedent: identical double inputs, one transcendental, a
+  *    quantization coarse enough to absorb a ±1-ulp libm divergence),
+  *    so the serve DP is pure integer arithmetic with a total-order
+  *    tie-break (cost, then piece count, then the UTF-8 bytes of the
+  *    joined segmentation).
+  *
+  * ── Scale design ──
+  *
+  * ONE corpus pass builds the distinct-word frequency table; seeding
+  * is a distributed substring count + TakeOrdered (never a collect of
+  * the candidate set); each EM round is one `mapPartitions` pass over
+  * the DISTINCT words (model broadcast, per-word O(len·maxPieceLen)
+  * DP) followed by a vocabulary-bounded integer aggregation — the
+  * only driver state is the model itself (≤ charset + seedMulti
+  * entries, a contract-bounded collect). Serving encodes each
+  * distinct word once and the corpus word stream equi-joins the
+  * result, exactly the [[WordPiece.tokenCounts]] economics.
+  *
+  * Training ignores words longer than `maxTrainWordLen` (degenerate
+  * tokens — URL/id shapes; SentencePiece's own length filters play
+  * the same role) and serving maps words past `maxInputCharsPerWord`
+  * to `[UNK]` — both bounds are mirrored by the oracle's unroll
+  * depth, [[OracleMaxWordLen]].
+  */
+object Unigram {
+
+  /** The unknown-word token (SentencePiece writes `<unk>`, but `<`/`>`
+    * are this engine's word-guard sentinels; the bracket form keeps
+    * the three families' OOV faces directly comparable).
+    */
+  val Unk = "[UNK]"
+
+  /** Longest candidate piece (SentencePiece's
+    * `max_sentencepiece_length` is 16 by default; 4 keeps the oracle's
+    * per-position fan-in enumerable while still exercising genuinely
+    * multi-char pieces).
+    */
+  val DefaultMaxPieceLen = 4
+
+  /** Oracle unroll depth = the training word-length bound and the
+    * default serve bound (the [[WordPiece.OracleMaxWordLen]]
+    * discipline: each DP level consumes ≥ 1 character).
+    */
+  val OracleMaxWordLen = 32
+
+  private val Billion = 1000000000L
+
+  private def cps(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0; var j = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out(j) = new String(Character.toChars(cp))
+      i += Character.charCount(cp); j += 1
+    }
+    out
+  }
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** One corpus pass → the distinct `(word, n)` table, length-bounded
+    * for training (see the object note).
+    */
+  private def words0(docs: DataFrame, textCol: String,
+                     maxTrainWordLen: Int): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(Bpe.wordOk)
+      .filter(length(col("word")) <= maxTrainWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** The seed CANDIDATE table `(piece, freq, score)`: every substring
+    * of length 1..maxPieceLen counted per occurrence position
+    * (overlaps included), scored `freq · length`.
+    */
+  private def seedCandidates(w0: DataFrame, maxPieceLen: Int): DataFrame = {
+    val spark = w0.sparkSession
+    import spark.implicits._
+    w0.select(col("word"), col("n")).as[(String, Long)]
+      .flatMap { case (w, n) =>
+        val a = cps(w)
+        for {
+          i <- a.indices
+          k <- 1 to math.min(maxPieceLen, a.length - i)
+        } yield (a.slice(i, i + k).mkString, n)
+      }
+      .toDF("piece", "n")
+      .groupBy(col("piece")).agg(sum(col("n")).as("freq"))
+      .withColumn("score", col("freq") * length(col("piece")))
+  }
+
+  /** The kept seed set: ALL single characters (coverage floor) plus
+    * the top `seedMulti` multi-char candidates by (score desc, piece
+    * asc in UTF-8 binary order — the `hex(encode(...))` trick keeps
+    * the distributed TakeOrdered identical to the oracle's collation
+    * even for astral alphabets).
+    */
+  private def seedKept(w0: DataFrame, maxPieceLen: Int,
+                       seedMulti: Int): DataFrame = {
+    val cand = seedCandidates(w0, maxPieceLen)
+    val chars = cand.filter(length(col("piece")) === 1)
+    val multi = cand.filter(length(col("piece")) >= 2)
+      .orderBy(col("score").desc, hex(encode(col("piece"), "UTF-8")).asc)
+      .limit(seedMulti)
+    chars.unionByName(multi)
+  }
+
+  /** Exact-integer normalization: `q = v·1e9 ÷ Σv` (BigInt — the
+    * values can exceed what a Long product holds), keeping only
+    * `q > 0` (a piece the quantization grid cannot see carries no
+    * probability mass and would be −∞ at serve).
+    */
+  private def normalize(counts: Seq[(String, Long)]): Map[String, Long] = {
+    val total = counts.iterator.map(x => BigInt(x._2)).sum
+    if (total == 0) Map.empty
+    else counts.iterator
+      .map { case (p, v) => p -> (BigInt(v) * Billion / total).toLong }
+      .filter(_._2 > 0L)
+      .toMap
+  }
+
+  /** Per-word expected-count contributions under `pOf` — the
+    * forward–backward E-step, emitting `(piece, integer units)` per
+    * occurrence (zero-unit occurrences skipped; the sum is unchanged).
+    * Evaluation order is the contract — see the object note.
+    */
+  private def wordContribs(w: String, n: Long, pOf: Map[String, Double],
+                           maxPieceLen: Int): Iterator[(String, Long)] = {
+    val a = cps(w)
+    val L = a.length
+    val alpha = new Array[Double](L + 1)
+    alpha(0) = 1.0
+    var i = 1
+    while (i <= L) {
+      var s = 0.0
+      var k = 1
+      val km = math.min(maxPieceLen, i)
+      while (k <= km) {
+        val p = pOf.getOrElse(a.slice(i - k, i).mkString, 0.0)
+        s = s + alpha(i - k) * p
+        k += 1
+      }
+      alpha(i) = s
+      i += 1
+    }
+    val z = alpha(L)
+    if (z == 0.0) return Iterator.empty
+    // β by distance-from-end d: β(0) = 1; β(d) sums pieces STARTING at
+    // position L−d+1 (1-based), term order k ascending, p·β like the
+    // oracle's o.p * b.bv
+    val beta = new Array[Double](L + 1)
+    beta(0) = 1.0
+    var d = 1
+    while (d <= L) {
+      var s = 0.0
+      var k = 1
+      val km = math.min(maxPieceLen, d)
+      while (k <= km) {
+        val p = pOf.getOrElse(a.slice(L - d, L - d + k).mkString, 0.0)
+        s = s + p * beta(d - k)
+        k += 1
+      }
+      beta(d) = s
+      d += 1
+    }
+    val nd = n.toDouble
+    val out = Seq.newBuilder[(String, Long)]
+    var st = 0 // 0-based start
+    while (st < L) {
+      var k = 1
+      val km = math.min(maxPieceLen, L - st)
+      while (k <= km) {
+        val piece = a.slice(st, st + k).mkString
+        pOf.get(piece).foreach { p =>
+          // x = ((((n · α_{start−1}) · p) · β_{L−end}) / Z) — the
+          // parenthesization IS the oracle's expression
+          val x = ((((nd * alpha(st)) * p) * beta(L - (st + k))) / z)
+          val u = math.floor(x * 1.0e9 + 0.5).toLong
+          if (u > 0L) out += ((piece, u))
+        }
+        k += 1
+      }
+      st += 1
+    }
+    out.result().iterator
+  }
+
+  /** One distributed E-step: expected integer units per piece. */
+  private def eStep(w0: DataFrame, model: Map[String, Long],
+                    maxPieceLen: Int): Seq[(String, Long)] = {
+    val spark = w0.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    w0.select(col("word"), col("n")).as[(String, Long)]
+      .mapPartitions { it =>
+        val pOf = bc.value.map { case (pc, q) =>
+          pc -> q.toDouble / 1.0e9 }
+        it.flatMap { case (w, n) => wordContribs(w, n, pOf, maxPieceLen) }
+      }
+      .toDF("piece", "u")
+      .groupBy(col("piece")).agg(sum(col("u")).as("u"))
+      .filter(col("u") > 0)
+      .as[(String, Long)].collect().toSeq
+  }
+
+  private val modelSchema = StructType(Seq(
+    StructField("piece", StringType, nullable = false),
+    StructField("u", LongType, nullable = false),
+    StructField("q", LongType, nullable = false)))
+
+  /** Train the Unigram model: seed → `emIters` EM rounds → prune to
+    * (all single chars + top `keepMulti` multi-char pieces by final
+    * expected count, ties on UTF-8 piece order) → renormalize.
+    * Returns `(piece, u, q)` — the final expected units and the
+    * quantized probability (units of 1e-9).
+    */
+  def train(docs: DataFrame, textCol: String,
+            seedMulti: Int, keepMulti: Int, emIters: Int = 2,
+            maxPieceLen: Int = DefaultMaxPieceLen,
+            maxTrainWordLen: Int = OracleMaxWordLen): DataFrame = {
+    require(emIters >= 1, "emIters must be positive")
+    val spark = docs.sparkSession
+    val w0 = words0(docs, textCol, maxTrainWordLen).localCheckpoint()
+    val seedRows = seedKept(w0, maxPieceLen, seedMulti)
+      .select(col("piece"), col("score"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    var model = normalize(seedRows)
+    var lastCounts: Seq[(String, Long)] = Seq.empty
+    var t = 1
+    while (t <= emIters) {
+      lastCounts = eStep(w0, model, maxPieceLen)
+      model = normalize(lastCounts)
+      t += 1
+    }
+    // prune on the FINAL expected units: coverage chars stay, the
+    // weakest multi-char pieces go
+    val (chars, multi) = lastCounts.partition(x =>
+      x._1.codePointCount(0, x._1.length) == 1)
+    val keptMulti = multi.sortWith { case ((p1, u1), (p2, u2)) =>
+      if (u1 != u2) u1 > u2 else Bpe.compareUtf8(utf8(p1), utf8(p2)) < 0
+    }.take(keepMulti)
+    val kept = chars ++ keptMulti
+    val qOf = normalize(kept)
+    val rows = kept.collect { case (p, u) if qOf.contains(p) =>
+      org.apache.spark.sql.Row(p, u, qOf(p)) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), modelSchema)
+  }
+
+  /** The seed model alone (the q229 face): `(piece, freq, score, q)`
+    * with `q` the initial quantized probability EM starts from.
+    */
+  def seedModel(docs: DataFrame, textCol: String, seedMulti: Int,
+                maxPieceLen: Int = DefaultMaxPieceLen,
+                maxTrainWordLen: Int = OracleMaxWordLen): DataFrame = {
+    val spark = docs.sparkSession
+    val w0 = words0(docs, textCol, maxTrainWordLen).localCheckpoint()
+    val kept = seedKept(w0, maxPieceLen, seedMulti).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val qOf = normalize(kept.map(x => (x._1, x._3)).toSeq)
+    val rows = kept.collect { case (p, f, sc) if qOf.contains(p) =>
+      org.apache.spark.sql.Row(p, f, sc, qOf(p)) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("piece", StringType, nullable = false),
+        StructField("freq", LongType, nullable = false),
+        StructField("score", LongType, nullable = false),
+        StructField("q", LongType, nullable = false))))
+  }
+
+  /** Viterbi segmentation of `docs`' DISTINCT words under a trained
+    * model — `(word, n_pieces, unk, segmented)`: the single
+    * most-probable segmentation by integer cost
+    * `floor(−ln(q/1e9)·1e6 + 0.5)`, ties broken on fewer pieces then
+    * the UTF-8 bytes of the joined piece string; a word with no path
+    * (an unseen character, or past `maxInputCharsPerWord`) is ONE
+    * `[UNK]`. Each distinct word encodes once against the broadcast
+    * model; O(len · maxPieceLen) per word.
+    */
+  def viterbiSegments(docs: DataFrame, textCol: String, model: DataFrame,
+                      maxInputCharsPerWord: Int = OracleMaxWordLen,
+                      maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
+    val spark = docs.sparkSession
+    val lpOf: Map[String, Long] = model.select(col("piece"), col("q"))
+      .collect().map { r =>
+        val q = r.getLong(1)
+        r.getString(0) ->
+          math.floor(-math.log(q.toDouble / 1.0e9) * 1.0e6 + 0.5).toLong
+      }.toMap
+    require(lpOf.nonEmpty,
+      "viterbiSegments needs a non-empty trained model")
+    val bc = spark.sparkContext.broadcast(lpOf)
+    val maxChars = maxInputCharsPerWord
+    val m = maxPieceLen
+    import spark.implicits._
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(Bpe.wordOk)
+      .distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val lp = bc.value
+        it.map { w =>
+          val a = cps(w)
+          val L = a.length
+          if (L > maxChars) (w, 1L, 1, Unk)
+          else {
+            val INF = Long.MaxValue
+            val cost = Array.fill(L + 1)(INF)
+            val np = new Array[Int](L + 1)
+            val seq = new Array[String](L + 1)
+            cost(0) = 0L; seq(0) = ""
+            var i = 1
+            while (i <= L) {
+              var k = 1
+              val km = math.min(m, i)
+              while (k <= km) {
+                if (cost(i - k) != INF) {
+                  val piece = a.slice(i - k, i).mkString
+                  lp.get(piece).foreach { c =>
+                    val nc = cost(i - k) + c
+                    val nn = np(i - k) + 1
+                    val ns = if (seq(i - k).isEmpty) piece
+                             else seq(i - k) + " " + piece
+                    val better =
+                      nc < cost(i) || (nc == cost(i) && (nn < np(i) ||
+                        (nn == np(i) &&
+                          Bpe.compareUtf8(utf8(ns), utf8(seq(i))) < 0)))
+                    if (better) { cost(i) = nc; np(i) = nn; seq(i) = ns }
+                  }
+                }
+                k += 1
+              }
+              i += 1
+            }
+            if (cost(L) == INF) (w, 1L, 1, Unk)
+            else (w, np(L).toLong, 0, seq(L))
+          }
+        }
+      }.toDF("word", "n_pieces", "unk", "segmented")
+  }
+
+  /** Per-document Unigram economics — `(doc_id, n_words, n_pieces,
+    * n_unk)`, the [[WordPiece.tokenCounts]] shape over the Viterbi
+    * segmentation (distinct-word encode + SHUFFLE_HASH-hinted stream
+    * join).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  model: DataFrame,
+                  maxInputCharsPerWord: Int = OracleMaxWordLen,
+                  maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
+    val seg = viterbiSegments(docs, textCol, model,
+        maxInputCharsPerWord, maxPieceLen)
+      .select(col("word"), col("n_pieces"), col("unk"))
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(Bpe.wordOk)
+      .join(seg.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("unk").cast("long")).as("n_unk"))
+  }
+
+  // ──────────────────── DuckDB oracle builders ────────────────────
+
+  /** Training-word table + substring-candidate CTEs (`w0u`, `soc`,
+    * `scand`) shared by every oracle.
+    */
+  private def seedCtes(trainWhere: String, textSql: String,
+                       maxPieceLen: Int, maxTrainWordLen: Int,
+                       seedMulti: Int): String = {
+    val src =
+      if (trainWhere.isEmpty) "FROM documents"
+      else s"FROM documents WHERE $trainWhere"
+    s"""w0u AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split($textSql, ' ')) AS word $src)
+       |  WHERE word <> '' AND NOT contains(word, '<')
+       |    AND NOT contains(word, '>') AND len(word) <= $maxTrainWordLen
+       |  GROUP BY 1),
+       |soc AS MATERIALIZED (
+       |  SELECT piece, SUM(n) AS freq FROM (
+       |    SELECT n, unnest(flatten(list_transform(range(1, len(word) + 1),
+       |      i -> list_transform(range(1, least($maxPieceLen, len(word) - i + 1) + 1),
+       |             k -> substr(word, i, k))))) AS piece
+       |    FROM w0u) GROUP BY 1),
+       |scand AS (SELECT piece, CAST(freq AS BIGINT) AS freq,
+       |                 CAST(freq * len(piece) AS BIGINT) AS score FROM soc),
+       |schar AS (SELECT piece, freq, score FROM scand WHERE len(piece) = 1),
+       |smulti AS (SELECT piece, freq, score FROM (
+       |             SELECT *, ROW_NUMBER() OVER (
+       |               ORDER BY score DESC, hex(encode(piece))) AS rn
+       |             FROM scand WHERE len(piece) >= 2) WHERE rn <= $seedMulti),
+       |skept AS MATERIALIZED (SELECT * FROM schar UNION ALL SELECT * FROM smulti),
+       |stot AS (SELECT SUM(CAST(score AS HUGEINT)) AS t FROM skept),
+       |mdl0 AS MATERIALIZED (
+       |  SELECT piece, freq, score,
+       |         CAST((CAST(score AS HUGEINT) * $Billion) // t AS BIGINT) AS q
+       |  FROM skept, stot
+       |  WHERE (CAST(score AS HUGEINT) * $Billion) // t > 0)""".stripMargin
+  }
+
+  /** The DuckDB replay of [[seedModel]]. */
+  def seedOracleSql(trainWhere: String = "", textSql: String = "text",
+                    seedMulti: Int = 64,
+                    maxPieceLen: Int = DefaultMaxPieceLen,
+                    maxTrainWordLen: Int = OracleMaxWordLen): String =
+    s"WITH ${seedCtes(trainWhere, textSql, maxPieceLen, maxTrainWordLen, seedMulti)}\n" +
+      "SELECT piece, freq, score, q FROM mdl0"
+
+  /** One EM iteration's CTE chain: the occurrence table under
+    * `mdl{t-1}`, the unrolled α (absolute position) and β
+    * (distance-from-end) DP levels, the per-occurrence integer-unit
+    * contributions, the integer aggregation `u{t}` and the
+    * renormalized `mdl{t}` — every float expression parenthesized
+    * exactly as the engine evaluates it.
+    */
+  private def emIterCtes(t: Int, maxPieceLen: Int, unroll: Int): String = {
+    val prev = if (t == 1) "mdl0" else s"mdl${t - 1}"
+    val occ =
+      s"""occ$t AS MATERIALIZED (
+         |  SELECT s.word, s.i, s.k, s.piece, CAST(m.q AS DOUBLE) / 1000000000.0 AS p
+         |  FROM (SELECT word, u.i AS i, u.k AS k, substr(word, u.i, u.k) AS piece
+         |        FROM (SELECT word, unnest(flatten(list_transform(range(1, len(word) + 1),
+         |               i -> list_transform(range(1, least($maxPieceLen, len(word) - i + 1) + 1),
+         |                      k -> struct_pack(i := i, k := k))))) AS u
+         |              FROM w0u)) s
+         |  JOIN $prev m ON m.piece = s.piece)""".stripMargin
+    val a0 = s"a${t}_0 AS (SELECT word, CAST(1 AS DOUBLE) AS av FROM w0u)"
+    val aLevels = (1 to unroll).map { i =>
+      val terms = (1 to math.min(maxPieceLen, i)).map { k =>
+        s"COALESCE(ak$k.av * ok$k.p, 0.0)"
+      }.mkString(" + ")
+      val joins = (1 to math.min(maxPieceLen, i)).map { k =>
+        s"""  LEFT JOIN a${t}_${i - k} ak$k ON ak$k.word = w.word
+           |  LEFT JOIN occ$t ok$k ON ok$k.word = w.word AND ok$k.i = ${i - k + 1} AND ok$k.k = $k""".stripMargin
+      }.mkString("\n")
+      s"""a${t}_$i AS MATERIALIZED (
+         |  SELECT w.word, $terms AS av
+         |  FROM (SELECT word FROM w0u WHERE len(word) >= $i) w
+         |$joins)""".stripMargin
+    }
+    val b0 = s"b${t}_0 AS (SELECT word, CAST(1 AS DOUBLE) AS bv FROM w0u)"
+    val bLevels = (1 to unroll).map { d =>
+      val terms = (1 to math.min(maxPieceLen, d)).map { k =>
+        s"COALESCE(ok$k.p * bk$k.bv, 0.0)"
+      }.mkString(" + ")
+      val joins = (1 to math.min(maxPieceLen, d)).map { k =>
+        s"""  LEFT JOIN b${t}_${d - k} bk$k ON bk$k.word = w.word
+           |  LEFT JOIN occ$t ok$k ON ok$k.word = w.word AND ok$k.i = len(w.word) - $d + 1 AND ok$k.k = $k""".stripMargin
+      }.mkString("\n")
+      s"""b${t}_$d AS MATERIALIZED (
+         |  SELECT w.word, $terms AS bv
+         |  FROM (SELECT word FROM w0u WHERE len(word) >= $d) w
+         |$joins)""".stripMargin
+    }
+    val aall = (0 to unroll)
+      .map(i => s"SELECT word, $i AS pos, av FROM a${t}_$i")
+      .mkString("\n    UNION ALL ")
+    val ball = (0 to unroll)
+      .map(d => s"SELECT word, $d AS pos, bv FROM b${t}_$d")
+      .mkString("\n    UNION ALL ")
+    val tail =
+      s"""aall$t AS MATERIALIZED ($aall),
+         |ball$t AS MATERIALIZED ($ball),
+         |z$t AS MATERIALIZED (SELECT word, av FROM aall$t
+         |       WHERE pos = len(word) AND av > 0),
+         |contrib$t AS MATERIALIZED (
+         |  SELECT o.piece,
+         |         CAST(FLOOR(((((CAST(w.n AS DOUBLE) * a.av) * o.p) * b.bv) / z.av)
+         |              * 1000000000.0 + 0.5) AS BIGINT) AS u
+         |  FROM occ$t o
+         |  JOIN w0u w ON w.word = o.word
+         |  JOIN z$t z ON z.word = o.word
+         |  JOIN aall$t a ON a.word = o.word AND a.pos = o.i - 1
+         |  JOIN ball$t b ON b.word = o.word AND b.pos = len(o.word) - (o.i + o.k - 1)),
+         |u$t AS MATERIALIZED (SELECT piece, CAST(SUM(u) AS BIGINT) AS u
+         |       FROM contrib$t GROUP BY 1 HAVING SUM(u) > 0),
+         |tot$t AS (SELECT SUM(CAST(u AS HUGEINT)) AS t FROM u$t),
+         |mdl$t AS MATERIALIZED (
+         |  SELECT piece, u,
+         |         CAST((CAST(u AS HUGEINT) * $Billion) // t AS BIGINT) AS q
+         |  FROM u$t, tot$t
+         |  WHERE (CAST(u AS HUGEINT) * $Billion) // t > 0)""".stripMargin
+    (Seq(occ, a0) ++ aLevels ++ Seq(b0) ++ bLevels ++ Seq(tail))
+      .mkString(",\n")
+  }
+
+  /** The pruned final model CTE `mdlf(piece, u, q)` over the last
+    * EM round's unit table.
+    */
+  private def pruneCtes(emIters: Int, keepMulti: Int): String =
+    s"""pchar AS (SELECT piece, u FROM u$emIters WHERE len(piece) = 1),
+       |pmulti AS (SELECT piece, u FROM (
+       |             SELECT *, ROW_NUMBER() OVER (
+       |               ORDER BY u DESC, hex(encode(piece))) AS rn
+       |             FROM u$emIters WHERE len(piece) >= 2) WHERE rn <= $keepMulti),
+       |pkept AS MATERIALIZED (SELECT * FROM pchar UNION ALL SELECT * FROM pmulti),
+       |ptot AS (SELECT SUM(CAST(u AS HUGEINT)) AS t FROM pkept),
+       |mdlf AS MATERIALIZED (
+       |  SELECT piece, u,
+       |         CAST((CAST(u AS HUGEINT) * $Billion) // t AS BIGINT) AS q
+       |  FROM pkept, ptot
+       |  WHERE (CAST(u AS HUGEINT) * $Billion) // t > 0)""".stripMargin
+
+  /** Seed + EM rounds + prune — `mdlf` in scope at the end. */
+  private def trainCtes(trainWhere: String, textSql: String,
+                        seedMulti: Int, keepMulti: Int, emIters: Int,
+                        maxPieceLen: Int, maxTrainWordLen: Int): String = {
+    val em = (1 to emIters)
+      .map(emIterCtes(_, maxPieceLen, maxTrainWordLen)).mkString(",\n")
+    s"${seedCtes(trainWhere, textSql, maxPieceLen, maxTrainWordLen, seedMulti)},\n" +
+      s"$em,\n${pruneCtes(emIters, keepMulti)}"
+  }
+
+  /** The DuckDB replay of [[train]] — the expected-count EM rounds
+    * round for round.
+    */
+  def trainOracleSql(trainWhere: String = "", textSql: String = "text",
+                     seedMulti: Int = 64, keepMulti: Int = 32,
+                     emIters: Int = 2,
+                     maxPieceLen: Int = DefaultMaxPieceLen,
+                     maxTrainWordLen: Int = OracleMaxWordLen): String =
+    s"WITH ${trainCtes(trainWhere, textSql, seedMulti, keepMulti, emIters, maxPieceLen, maxTrainWordLen)}\n" +
+      "SELECT piece, u, q FROM mdlf"
+
+  /** Viterbi serve CTEs over `mdlf`: integer costs, the unrolled
+    * min-DP with the (cost, np, seq) tie-break, `[UNK]` for path-less
+    * or over-length words — `useg(word, n_pieces, unk, segmented)`.
+    */
+  private def serveCtes(tokCte: String, maxPieceLen: Int,
+                        maxChars: Int): String = {
+    require(maxChars <= OracleMaxWordLen,
+      s"the Viterbi unroll is $OracleMaxWordLen levels; " +
+        s"maxInputCharsPerWord=$maxChars would segment in the engine " +
+        "but truncate in the oracle")
+    val levels = (1 to maxChars).map { i =>
+      val branches = (1 to math.min(maxPieceLen, i)).map { k =>
+        s"""    SELECT v.word, v.cost + o.lp AS cost, v.np + 1 AS np,
+           |           CASE WHEN v.seq = '' THEN o.piece
+           |                ELSE v.seq || ' ' || o.piece END AS seq
+           |    FROM v${i - k} v JOIN occv o
+           |      ON o.word = v.word AND o.i = ${i - k + 1} AND o.k = $k""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""v$i AS MATERIALIZED (
+         |  SELECT word, cost, np, seq FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY word ORDER BY cost, np, seq) AS rn FROM (
+         |$branches))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val vend = (1 to maxChars)
+      .map(i => s"SELECT word, np, seq FROM v$i WHERE len(word) = $i")
+      .mkString("\n    UNION ALL ")
+    s"""msv AS MATERIALIZED (
+       |  SELECT piece,
+       |         CAST(FLOOR(-ln(CAST(q AS DOUBLE) / 1000000000.0)
+       |              * 1000000.0 + 0.5) AS BIGINT) AS lp
+       |  FROM mdlf),
+       |toks AS ($tokCte),
+       |tokgs AS MATERIALIZED (SELECT doc_id, word FROM toks
+       |          WHERE word <> '' AND NOT contains(word, '<')
+       |            AND NOT contains(word, '>')),
+       |ews AS MATERIALIZED (SELECT DISTINCT word FROM tokgs),
+       |occv AS MATERIALIZED (
+       |  SELECT s.word, s.i, s.k, s.piece, m.lp
+       |  FROM (SELECT word, u.i AS i, u.k AS k, substr(word, u.i, u.k) AS piece
+       |        FROM (SELECT word, unnest(flatten(list_transform(range(1, len(word) + 1),
+       |               i -> list_transform(range(1, least($maxPieceLen, len(word) - i + 1) + 1),
+       |                      k -> struct_pack(i := i, k := k))))) AS u
+       |              FROM (SELECT word FROM ews WHERE len(word) <= $maxChars))) s
+       |  JOIN msv m ON m.piece = s.piece),
+       |v0 AS (SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS seq
+       |       FROM ews WHERE len(word) <= $maxChars),
+       |$levels,
+       |vend AS MATERIALIZED ($vend),
+       |useg AS MATERIALIZED (
+       |  SELECT e.word,
+       |         CASE WHEN v.word IS NULL THEN CAST(1 AS BIGINT)
+       |              ELSE CAST(v.np AS BIGINT) END AS n_pieces,
+       |         CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS unk,
+       |         CASE WHEN v.word IS NULL THEN '$Unk' ELSE v.seq END AS segmented
+       |  FROM ews e LEFT JOIN vend v ON v.word = e.word)""".stripMargin
+  }
+
+  /** The DuckDB replay of [[viterbiSegments]] under the full trained
+    * model (`tokCte` must produce `(doc_id, word)`).
+    */
+  def segmentsOracleSql(trainWhere: String, tokCte: String,
+                        textSql: String = "text",
+                        seedMulti: Int = 64, keepMulti: Int = 32,
+                        emIters: Int = 2,
+                        maxPieceLen: Int = DefaultMaxPieceLen,
+                        maxChars: Int = OracleMaxWordLen): String =
+    s"WITH ${trainCtes(trainWhere, textSql, seedMulti, keepMulti, emIters, maxPieceLen, OracleMaxWordLen)},\n" +
+      s"${serveCtes(tokCte, maxPieceLen, maxChars)}\n" +
+      "SELECT word, n_pieces, unk, segmented FROM useg"
+
+  /** The DuckDB replay of [[tokenCounts]]. */
+  def countsOracleSql(trainWhere: String, tokCte: String,
+                      textSql: String = "text",
+                      seedMulti: Int = 64, keepMulti: Int = 32,
+                      emIters: Int = 2,
+                      maxPieceLen: Int = DefaultMaxPieceLen,
+                      maxChars: Int = OracleMaxWordLen): String =
+    s"WITH ${trainCtes(trainWhere, textSql, seedMulti, keepMulti, emIters, maxPieceLen, OracleMaxWordLen)},\n" +
+      s"${serveCtes(tokCte, maxPieceLen, maxChars)}\n" +
+      """SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |       CAST(SUM(u.n_pieces) AS BIGINT) AS n_pieces,
+        |       CAST(SUM(u.unk) AS BIGINT) AS n_unk
+        |FROM tokgs t JOIN useg u ON u.word = t.word GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,106 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("seed vocabulary: overlapping substring counts, freq·length " +
+       "scores, all single chars kept, top-K multi by (score, piece)") {
+    // corpus ab×2 b×1 → candidates a(freq 2), b(freq 3), ab(freq 2)
+    // → scores a=2, b=3, ab=4; total 9
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val seed = Unigram.seedModel(docs, "text", seedMulti = 8)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(seed("a") == ((2L, 2L, 222222222L)), s"got ${seed("a")}")
+    assert(seed("b") == ((3L, 3L, 333333333L)))
+    assert(seed("ab") == ((2L, 4L, 444444444L)))
+    // seedMulti = 0 keeps chars only (the coverage floor)
+    val charsOnly = Unigram.seedModel(docs, "text", seedMulti = 0)
+      .select("piece").as[String].collect().toSet
+    assert(charsOnly == Set("a", "b"))
+  }
+
+  test("EM sharpens a cohesive piece: expected counts from " +
+       "forward-backward, exact-integer normalization, probs sum ~1") {
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val m1 = Unigram.train(docs, "text", seedMulti = 8, keepMulti = 8,
+        emIters = 1)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val m2 = Unigram.train(docs, "text", seedMulti = 8, keepMulti = 8,
+        emIters = 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // iteration 1 closed form (q0: a=2/9, b=3/9, ab=4/9):
+    //   word 'ab' (n=2): Z = p(a)p(b) + p(ab); P(ab-as-one-piece) =
+    //   p(ab)/Z = 6/7 → units: ab ≈ 2·6/7·1e9, a ≈ 2/7·1e9,
+    //   b ≈ 2/7·1e9 + 1e9 (the lone 'b' word is certain)
+    assert(math.abs(m1("ab")._1 - 1714285714L) <= 1,
+      s"E[ab] ≈ 12/7e9, got ${m1("ab")._1}")
+    assert(math.abs(m1("a")._1 - 285714286L) <= 1)
+    assert(math.abs(m1("b")._1 - 1285714286L) <= 1)
+    // M-step: q = u·1e9 ÷ Σu — exact integers, Σq within the floor gap
+    val qsum1 = m1.values.map(_._2).sum
+    assert(qsum1 > 999999990L && qsum1 <= 1000000000L, s"Σq=$qsum1")
+    // EM sharpens: 'ab' gains probability round over round
+    assert(m2("ab")._2 > m1("ab")._2,
+      s"iter1 q(ab)=${m1("ab")._2}, iter2 q(ab)=${m2("ab")._2}")
+  }
+
+  test("pruning keeps every single char and the strongest multi-char " +
+       "pieces; renormalization stays exact-integer") {
+    // two cohesive bigrams + a weaker one; keepMulti = 2 must drop
+    // exactly the weakest multi-char piece while chars all survive
+    val docs = Seq((1L, "xy xy xy uv uv pq")).toDF("doc_id", "text")
+    val m = Unigram.train(docs, "text", seedMulti = 8, keepMulti = 2,
+        emIters = 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val multi = m.keySet.filter(_.length >= 2)
+    assert(multi == Set("xy", "uv"), s"kept multi: $multi")
+    assert(Set("x", "y", "u", "v", "p", "q").subsetOf(m.keySet),
+      s"chars survive pruning: ${m.keySet}")
+  }
+
+  test("Viterbi serving: most-probable segmentation (not greedy), " +
+       "integer-cost tie-breaks, [UNK] on unseen chars and past the " +
+       "char bound") {
+    val docs = Seq((1L, "ab ab ab ab a b")).toDF("doc_id", "text")
+    val model = Unigram.train(docs, "text", seedMulti = 8, keepMulti = 8,
+      emIters = 2)
+    val eval = Seq((10L, s"ab aab zb b ${"ab" * 20}")).toDF("doc_id", "text")
+    val seg = Unigram.viterbiSegments(eval, "text", model)
+      .as[(String, Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 'ab' is the dominant piece → one-piece segmentation wins
+    assert(seg("ab") == ((1L, 0, "ab")), s"got ${seg("ab")}")
+    // 'aab' must reuse the strong 'ab': a + ab
+    assert(seg("aab") == ((2L, 0, "a ab")), s"got ${seg("aab")}")
+    // unseen char → no path → ONE [UNK]
+    assert(seg("zb") == ((1L, 1, "[UNK]")))
+    // a 40-char word is past the serve bound (32) → [UNK] even though
+    // every character is known
+    assert(seg("ab" * 20) == ((1L, 1, "[UNK]")))
+
+    val cnt = Unigram.tokenCounts(eval, "doc_id", "text", model)
+      .as[(Long, Long, Long, Long)].head()
+    // 5 words; pieces 1+2+1+1+1 = 6; 2 UNK
+    assert(cnt == ((10L, 5L, 6L, 2L)), s"got $cnt")
+  }
+
+  test("training is a pure function of the corpus: identical runs, " +
+       "identical models (integer cross-word aggregation)") {
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    def run() = Unigram.train(docs, "text", seedMulti = 32,
+        keepMulti = 16, emIters = 2)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(); val b = run()
+    assert(a == b, "nondeterministic training")
+    assert(a.nonEmpty && a.map(_._3).sum <= 1000000000L)
+  }
+}
