@@ -673,7 +673,11 @@ object Similarity {
         case Some(rs) =>
           val sorted = rs.sortBy(_._2)
           sorted.zipWithIndex.foreach { case ((_, c2, _), i) =>
-            require(c2 == i, s"non-contiguous level-2 ids in cell $c1: $c2 at rank $i")
+            require(c2 == i,
+              s"non-contiguous level-2 ids in cell $c1: $c2 at rank $i " +
+                "(duplicate (c1, c2) rows — most likely DUPLICATE IDS " +
+                "in the corpus: the level-2 seed join fans out on a " +
+                "repeated id; ids must be unique)")
           }
           sorted.map(_._3)
         case None => Array.empty[Array[Double]]
