@@ -26,7 +26,13 @@ object Sessions {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // default: one shuffle partition per core, the suite's sf0.1
+      // sizing; SPARK_GRAFT_SHUFFLE_PARTITIONS overrides for runs
+      // whose DATA needs more (the ScaleSmoke graph decade uses 128 —
+      // a cluster sizes shuffle partitions to the data, and tools
+      // reproducing its environment need the same knob)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -449,7 +449,7 @@ object SparkEntry {
       "q217_ppr_trust"),
     "_shared:curation-store" -> Seq("q182_stream_curate"),
     "_shared:unigram" -> Seq("q230_unigram_train", "q231_unigram_segment",
-      "q232_unigram_counts"))
+      "q232_unigram_counts", "q233_unigram_vocab", "q234_unigram_ids"))
 
   /** The q178/q181 mixture weights, and their oracle VALUES clause:
     * the SQL side receives the PRE-NORMALIZED weights (each divided by
@@ -1606,6 +1606,46 @@ object SparkEntry {
       graft.llm.Unigram.tokenCounts(
         unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0),
         "doc_id", "text", unigramModel(s, dir))),
+
+    // --- the Unigram token-id table (X145), THROUGH the SentencePiece
+    //     .vocab-shaped artifact: [UNK]/space reserved at 0/1, pieces
+    //     in (q desc, UTF-8) order, one piece<TAB>q line per id —
+    //     export → import → full-table hash compare, so artifact
+    //     roundtrip identity and id assignment are one oracled gate ---
+    "q233_unigram_vocab" -> ((s, dir) => {
+      val path = scratch("univocab", dir)
+      graft.llm.Unigram.exportVocabTsv(unigramModel(s, dir), path)
+      graft.llm.Unigram.importVocabTsv(s, path)
+    }),
+
+    // --- the pretraining artifact, Unigram face: per-doc flat id
+    //     sequences under the Viterbi segmentation with id-1 space
+    //     boundaries ([UNK] = id 0 for dead words); position-weighted
+    //     fingerprint + the HONEST decode-roundtrip flag, predicted by
+    //     the oracle as n_unk = 0 ---
+    "q234_unigram_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        .select(col("doc_id"), col("text"))
+      val model = unigramModel(s, dir)
+      val enc = graft.llm.Unigram.encodeIds(docs, "doc_id", "text", model)
+        .localCheckpoint()
+      val dec = graft.llm.Unigram.decodeIds(enc, "doc_id", "ids", model)
+      val expected = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("_wpos", "word")))
+        .filter(Bpe.wordOk)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("_wpos"), col("word"))))
+          .as("_ws"))
+        .select(col("doc_id"),
+          expr("array_join(transform(_ws, x -> x.word), ' ')").as("_exp"))
+      enc.join(dec, Seq("doc_id")).join(expected, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tok"), col("n_unk"),
+          expr("aggregate(transform(ids, (x, i) -> CAST(x AS BIGINT) * (i + 1)), " +
+            "CAST(0 AS BIGINT), (a, y) -> a + y)").as("ids_fp"),
+          (col("text_decoded") === col("_exp")).cast("int")
+            .as("roundtrip_ok"))
+    }),
 
     // --- incremental index ingest: build the IVF index on the base
     //     corpus, APPEND the perturbed twins without retraining, then
@@ -4828,6 +4868,21 @@ object SparkEntry {
     // the per-doc aggregation over the same Viterbi chain
     "q232_unigram_counts" -> graft.llm.Unigram.countsOracleSql(
       trainWhere = "doc_id % 4 = 0", tokCte = uniTokCte,
+      textSql = duckUniText,
+      seedMulti = UniSeedMulti, keepMulti = UniKeepMulti, emIters = 2),
+
+    // the Unigram piece↔id replay: reserved [UNK]/space, score-ranked
+    // pieces, min-id dedup — hash equality through the .vocab TSV
+    // export→import also proves the artifact roundtrip
+    "q233_unigram_vocab" -> graft.llm.Unigram.vocabOracleSql(
+      trainWhere = "doc_id % 4 = 0", textSql = duckUniText,
+      seedMulti = UniSeedMulti, keepMulti = UniKeepMulti, emIters = 2),
+
+    // per-doc flat id economics over the Viterbi chain: id-1 space
+    // boundaries CONTRIBUTE to the position-weighted fingerprint
+    // (unlike BPE's id-0 spaces); roundtrip predicted as n_unk = 0
+    "q234_unigram_ids" -> graft.llm.Unigram.idsOracleSql(
+      trainWhere = "doc_id % 4 = 0", tokPosCte = plainTokPosCte,
       textSql = duckUniText,
       seedMulti = UniSeedMulti, keepMulti = UniKeepMulti, emIters = 2),
 

@@ -412,6 +412,150 @@ object Unigram {
         sum(col("unk").cast("long")).as("n_unk"))
   }
 
+  // ─────────────────── id / artifact surface (X145) ───────────────────
+
+  /** The trained tokenizer's token-id table `(piece, token_id)`:
+    * `[UNK]` reserved at 0 and the word-boundary space piece at 1
+    * (the engine's uniform interop convention, matching the BPE
+    * family's id-0 space — SentencePiece encodes the same boundary
+    * information as a `▁` prefix inside pieces instead; ours keeps
+    * the per-word training representation honest), then the trained
+    * pieces in (q DESC, UTF-8 piece ASC) order — SentencePiece's
+    * score-descending `.vocab` order, made total. Min-id dedup guards
+    * the pathological corpus whose words contain literal `[UNK]`.
+    */
+  def pieceVocab(model: DataFrame): DataFrame = {
+    val spark = model.sparkSession
+    import spark.implicits._
+    val ranked = model.select(col("piece"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("q").desc, hex(encode(col("piece"), "UTF-8"))))
+        + lit(1)).as("id"))
+    Seq((Unk, 0), (" ", 1)).toDF("piece", "id")
+      .unionByName(ranked)
+      .groupBy(col("piece"))
+      .agg(min(col("id")).cast("int").as("token_id"))
+  }
+
+  /** Export the trained model as the SentencePiece `.vocab`-shaped
+    * artifact: one `piece<TAB>q` line per piece, LINE ORDER = token id
+    * (ids 0/1 are the reserved `[UNK]`/space rows; `q` is the EXACT
+    * integer probability in 1e-9 units — the reference writes a float
+    * log-prob, which cannot round-trip exactly; the integer does).
+    * Single-file bounded write (a vocabulary, never a corpus).
+    */
+  def exportVocabTsv(model: DataFrame, path: String): Unit = {
+    val vocab = pieceVocab(model)
+      .join(model.select(col("piece"), col("q")), Seq("piece"), "left")
+      .select(col("piece"), col("token_id"),
+        coalesce(col("q"), lit(0L)).as("q"))
+    val broken = vocab.filter(col("piece").contains("\n") ||
+      col("piece").contains("\r") || col("piece").contains("\t")).count()
+    require(broken == 0,
+      s"exportVocabTsv: $broken piece(s) contain a newline/tab — the " +
+        "line-per-piece artifact cannot represent them")
+    vocab.orderBy(col("token_id"))
+      .select(concat_ws("\t", col("piece"), col("q")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$path/unigram.vocab")
+  }
+
+  /** Read a `unigram.vocab` back as `(piece, token_id, q)` — ids from
+    * line order, the [[WordPiece.importVocabTxt]] single-data-file +
+    * loud-blank-line contract (ids are positional).
+    */
+  def importVocabTsv(spark: SparkSession, path: String): DataFrame = {
+    val vocabDir = new org.apache.hadoop.fs.Path(s"$path/unigram.vocab")
+    val fs = vocabDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(vocabDir)
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    require(dataFiles.length == 1,
+      s"importVocabTsv expects exactly one data file under $vocabDir " +
+        s"(the single-file export contract); found ${dataFiles.length}: " +
+        dataFiles.sorted.mkString(", "))
+    val rows = spark.sparkContext.textFile(s"$path/unigram.vocab", 1)
+      .coalesce(1)
+      .mapPartitions { it =>
+        var line = 0 // 0-based = the token id
+        it.map { l =>
+          if (l.isEmpty) throw new IllegalArgumentException(
+            s"importVocabTsv: blank line ${line + 1} — ids are " +
+              "positional, a dropped line would shift every id after it")
+          val tab = l.lastIndexOf('\t')
+          if (tab < 0) throw new IllegalArgumentException(
+            s"importVocabTsv: malformed line ${line + 1} " +
+              s"(no piece<TAB>q): '$l'")
+          val r = org.apache.spark.sql.Row(l.substring(0, tab), line,
+            l.substring(tab + 1).toLong)
+          line += 1
+          r
+        }
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("token_id", IntegerType, nullable = false),
+      StructField("q", LongType, nullable = false))))
+  }
+
+  /** The pretraining artifact: per-doc flat token-id sequences under
+    * the Viterbi segmentation — `(doc_id, ids, n_unk, n_tok)` with the
+    * id-1 space token interleaved between words ([[pieceVocab]]'s
+    * boundary convention, which is what makes [[decodeIds]] ∘
+    * [[encodeIds]] the identity on UNK-free text) and id 0 for
+    * `[UNK]` words. Same distinct-word-encode + SHUFFLE_HASH stream
+    * join economics as the other two families.
+    */
+  def encodeIds(docs: DataFrame, idCol: String, textCol: String,
+                model: DataFrame,
+                maxInputCharsPerWord: Int = OracleMaxWordLen,
+                maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
+    val vocab = pieceVocab(model)
+    val wordIds = viterbiSegments(docs, textCol, model,
+        maxInputCharsPerWord, maxPieceLen)
+      .select(col("word"), col("unk"),
+        posexplode(split(col("segmented"), " ")).as(Seq("_spos", "piece")))
+      .join(broadcast(vocab), Seq("piece"), "left")
+      .groupBy(col("word"))
+      .agg(max(col("unk")).as("_unk"),
+        sort_array(collect_list(struct(col("_spos"),
+          coalesce(col("token_id"), lit(-1)).as("id")))).as("_ps"))
+      .select(col("word"), col("_unk"),
+        expr("transform(_ps, p -> p.id)").as("_wids"))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("_wpos", "word")))
+      .filter(Bpe.wordOk)
+      .join(wordIds.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("_wpos"), col("_wids"))))
+          .as("_ws"),
+        sum(col("_unk").cast("long")).as("n_unk"))
+      .select(col("doc_id"),
+        expr("flatten(transform(_ws, (w, i) -> " +
+          "IF(i = 0, w._wids, concat(array(1), w._wids))))").as("ids"),
+        col("n_unk"))
+      .withColumn("n_tok", size(col("ids")).cast("long"))
+  }
+
+  /** Inverse of [[encodeIds]]: id 1 decodes to the space, `[UNK]`'s
+    * id 0 to its literal bracket form, an unknown id to U+FFFD; the
+    * remaining pieces concatenate (Unigram pieces carry no position
+    * marker — the boundary is the id-1 token). `decode(encode(d))`
+    * equals `d`'s clean word stream exactly when `n_unk = 0`.
+    */
+  def decodeIds(encoded: DataFrame, idCol: String, idsCol: String,
+                model: DataFrame): DataFrame = {
+    val vocab = pieceVocab(model)
+    encoded.select(col(idCol).as("doc_id"),
+        posexplode(col(idsCol)).as(Seq("_pos", "token_id")))
+      .join(broadcast(vocab), Seq("token_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("_pos"),
+        coalesce(col("piece"), lit("�")).as("p")))).as("_ps"))
+      .select(col("doc_id"),
+        expr("array_join(transform(_ps, x -> x.p), '')").as("text_decoded"))
+  }
+
   // ──────────────────── DuckDB oracle builders ────────────────────
 
   /** Training-word table + substring-candidate CTEs (`w0u`, `soc`,
@@ -632,6 +776,82 @@ object Unigram {
        |         CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS unk,
        |         CASE WHEN v.word IS NULL THEN '$Unk' ELSE v.seq END AS segmented
        |  FROM ews e LEFT JOIN vend v ON v.word = e.word)""".stripMargin
+  }
+
+  /** The [[pieceVocab]] replay over `mdlf`: reserved `[UNK]`/space at
+    * 0/1, pieces ranked (q DESC, UTF-8 piece ASC), min-id dedup —
+    * `uvoc(piece, token_id)`.
+    */
+  private def vocabCtes: String =
+    s"""uvoc AS MATERIALIZED (
+       |  SELECT piece, CAST(MIN(id) AS INT) AS token_id FROM (
+       |    SELECT '$Unk' AS piece, 0 AS id
+       |    UNION ALL SELECT ' ' AS piece, 1 AS id
+       |    UNION ALL SELECT piece,
+       |      CAST(ROW_NUMBER() OVER (ORDER BY q DESC, hex(encode(piece))) + 1 AS INT) AS id
+       |    FROM mdlf)
+       |  GROUP BY 1)""".stripMargin
+
+  /** The DuckDB replay of [[pieceVocab]] (+ each piece's exact `q`,
+    * the column the TSV artifact carries — reserved rows get 0 unless
+    * the corpus really trained them).
+    */
+  def vocabOracleSql(trainWhere: String = "", textSql: String = "text",
+                     seedMulti: Int = 64, keepMulti: Int = 32,
+                     emIters: Int = 2,
+                     maxPieceLen: Int = DefaultMaxPieceLen): String =
+    s"WITH ${trainCtes(trainWhere, textSql, seedMulti, keepMulti, emIters, maxPieceLen, OracleMaxWordLen)},\n" +
+      s"$vocabCtes\n" +
+      """SELECT v.piece, v.token_id, COALESCE(m.q, 0) AS q
+        |FROM uvoc v LEFT JOIN mdlf m ON m.piece = v.piece""".stripMargin
+
+  /** The DuckDB replay of [[encodeIds]]' per-document economics plus
+    * the decode-roundtrip prediction (`tokPosCte` must produce
+    * `(doc_id, wpos, word)`): `(doc_id, n_tok, n_unk, ids_fp,
+    * roundtrip_ok)` with `ids_fp = Σ id·pos` over the flat 1-based
+    * stream — the interleaved space tokens carry id 1, so their
+    * positions contribute too (unlike the BPE family's id-0 spaces).
+    */
+  def idsOracleSql(trainWhere: String, tokPosCte: String,
+                   textSql: String = "text",
+                   seedMulti: Int = 64, keepMulti: Int = 32,
+                   emIters: Int = 2,
+                   maxPieceLen: Int = DefaultMaxPieceLen,
+                   maxChars: Int = OracleMaxWordLen): String = {
+    val tail =
+      """tokgps AS (SELECT doc_id, wpos, word FROM tokpu
+        |           WHERE word <> '' AND NOT contains(word, '<')
+        |             AND NOT contains(word, '>')),
+        |wplu AS (SELECT word, unnest(list_transform(range(1, len(t) + 1),
+        |           i -> struct_pack(spos := i, piece := t[i]))) AS u
+        |         FROM (SELECT word, string_split(segmented, ' ') AS t FROM useg)),
+        |widu AS (SELECT wplu.word, u.spos AS spos, COALESCE(token_id, -1) AS id
+        |         FROM wplu LEFT JOIN uvoc ON uvoc.piece = u.piece),
+        |widsu AS (SELECT word, list(id ORDER BY spos) AS ids,
+        |                 CAST(COUNT(*) AS BIGINT) AS np
+        |          FROM widu GROUP BY 1),
+        |dsu AS (SELECT t.doc_id, t.wpos, w.ids, w.np, s.unk,
+        |               ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.wpos) AS k,
+        |               COALESCE(SUM(w.np) OVER (PARTITION BY t.doc_id ORDER BY t.wpos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |        FROM tokgps t JOIN widsu w USING (word)
+        |        JOIN (SELECT word, unk FROM useg) s USING (word)),
+        |fpu AS (SELECT doc_id, unk, np,
+        |               list_sum(list_transform(range(1, len(ids) + 1),
+        |                 j -> CAST(ids[j] AS BIGINT) * (prev + k - 1 + j)))
+        |               + CASE WHEN k > 1 THEN CAST(prev + k - 1 AS BIGINT)
+        |                      ELSE 0 END AS contrib
+        |        FROM dsu)
+        |SELECT doc_id,
+        |       CAST(SUM(np) + COUNT(*) - 1 AS BIGINT) AS n_tok,
+        |       CAST(SUM(unk) AS BIGINT) AS n_unk,
+        |       CAST(SUM(contrib) AS BIGINT) AS ids_fp,
+        |       CAST(CASE WHEN SUM(unk) = 0 THEN 1 ELSE 0 END AS INT) AS roundtrip_ok
+        |FROM fpu GROUP BY 1""".stripMargin
+    s"WITH ${trainCtes(trainWhere, textSql, seedMulti, keepMulti, emIters, maxPieceLen, OracleMaxWordLen)},\n" +
+      s"tokpu AS MATERIALIZED ($tokPosCte),\n" +
+      s"${serveCtes("SELECT doc_id, word FROM tokpu", maxPieceLen, maxChars)},\n" +
+      s"$vocabCtes,\n$tail"
   }
 
   /** The DuckDB replay of [[viterbiSegments]] under the full trained

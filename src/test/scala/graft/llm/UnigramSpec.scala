@@ -90,6 +90,71 @@ class UnigramSpec extends SparkSpec {
     assert(cnt == ((10L, 5L, 6L, 2L)), s"got $cnt")
   }
 
+  test("pieceVocab: [UNK]/space reserved at 0/1, pieces in (q desc, " +
+       "UTF-8) order; encodeIds interleaves id-1 boundaries; decode " +
+       "roundtrips UNK-free text") {
+    val docs = Seq((1L, "ab ab ab ab a b")).toDF("doc_id", "text")
+    val model = Unigram.train(docs, "text", seedMulti = 8, keepMulti = 8,
+      emIters = 2)
+    val v = Unigram.pieceVocab(model).as[(String, Int)].collect().toMap
+    assert(v("[UNK]") == 0 && v(" ") == 1)
+    // 'ab' dominates the corpus → highest q → first content id
+    assert(v("ab") == 2, s"got $v")
+    assert(v.values.toSeq.distinct.length == v.size, "bijection")
+
+    val eval = Seq((10L, "ab a zb")).toDF("doc_id", "text")
+    val enc = Unigram.encodeIds(eval, "doc_id", "text", model)
+      .select("doc_id", "ids", "n_unk", "n_tok")
+      .as[(Long, Seq[Int], Long, Long)].head()
+    // flat: [ab] ++ [sp] ++ [a] ++ [sp] ++ [UNK]
+    assert(enc._2 == Seq(v("ab"), 1, v("a"), 1, 0), s"got $enc")
+    assert(enc._3 == 1L && enc._4 == 5L)
+    val encDf = Unigram.encodeIds(eval, "doc_id", "text", model)
+    val dec = Unigram.decodeIds(encDf, "doc_id", "ids", model)
+      .as[(Long, String)].head()
+    assert(dec._2 == "ab a [UNK]", s"got $dec")
+    val clean = Seq((11L, "ab a b ab")).toDF("doc_id", "text")
+    val rt = Unigram.decodeIds(
+        Unigram.encodeIds(clean, "doc_id", "text", model),
+        "doc_id", "ids", model)
+      .as[(Long, String)].head()
+    assert(rt._2 == "ab a b ab", "UNK-free roundtrip is the identity")
+  }
+
+  test("unigram.vocab TSV export→import is the identity; blank and " +
+       "tab-less lines are loud errors (positional ids)") {
+    val docs = Seq((1L, "ab ab ab ab a b")).toDF("doc_id", "text")
+    val model = Unigram.train(docs, "text", seedMulti = 8, keepMulti = 8,
+      emIters = 2)
+    val path = s"/tmp/graft_test_univocab_${ProcessHandle.current().pid()}"
+    Unigram.exportVocabTsv(model, path)
+    val first = spark.sparkContext
+      .textFile(s"$path/unigram.vocab", 1).first()
+    assert(first == "[UNK]\t0", s"line 1 must be the [UNK] row, got: $first")
+    val back = Unigram.importVocabTsv(spark, path)
+      .select("piece", "token_id").as[(String, Int)].collect().toSet
+    val orig = Unigram.pieceVocab(model)
+      .as[(String, Int)].collect().toSet
+    assert(back == orig, "export→import identity")
+    // q column round-trips the exact integer probabilities
+    val backQ = Unigram.importVocabTsv(spark, path)
+      .filter(org.apache.spark.sql.functions.col("piece") === "ab")
+      .select("q").as[Long].head()
+    val origQ = model.filter(
+        org.apache.spark.sql.functions.col("piece") === "ab")
+      .select("q").as[Long].head()
+    assert(backQ == origQ)
+    val bad = s"/tmp/graft_test_univocabbad_${ProcessHandle.current().pid()}"
+    val d = new java.io.File(s"$bad/unigram.vocab"); d.mkdirs()
+    java.nio.file.Files.write(new java.io.File(d, "part-0").toPath,
+      "[UNK]\t0\nnotab\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[org.apache.spark.SparkException] {
+      Unigram.importVocabTsv(spark, bad).collect()
+    }
+    assert(e.getMessage.contains("malformed") ||
+      Option(e.getCause).exists(_.getMessage.contains("malformed")))
+  }
+
   test("training is a pure function of the corpus: identical runs, " +
        "identical models (integer cross-word aggregation)") {
     val docs = graft.sources.Tables
