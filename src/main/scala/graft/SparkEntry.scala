@@ -42,12 +42,15 @@ object SparkEntry {
   private def copyTree(from: java.nio.file.Path,
                        to: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, StandardCopyOption}
-    Files.walk(from).forEach { p =>
-      val dest = to.resolve(from.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(dest)
-      else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
+    val walk = Files.walk(from) // must close: the stream holds directory handles
+    try {
+      walk.forEach { p =>
+        val dest = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dest)
+        else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    } finally walk.close()
   }
 
   /** The q182 curation store's WAVE-1 SEED, built once per (JVM

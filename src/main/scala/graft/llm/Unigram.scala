@@ -241,16 +241,23 @@ object Unigram {
     val spark = w0.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    w0.select(col("word"), col("n")).as[(String, Long)]
-      .mapPartitions { it =>
-        val pOf = bc.value.map { case (pc, q) =>
-          pc -> q.toDouble / 1.0e9 }
-        it.flatMap { case (w, n) => wordContribs(w, n, pOf, maxPieceLen) }
-      }
-      .toDF("piece", "u")
-      .groupBy(col("piece")).agg(sum(col("u")).as("u"))
-      .filter(col("u") > 0)
-      .as[(String, Long)].collect().toSeq
+    try {
+      w0.select(col("word"), col("n")).as[(String, Long)]
+        .mapPartitions { it =>
+          val pOf = bc.value.map { case (pc, q) =>
+            pc -> q.toDouble / 1.0e9 }
+          it.flatMap { case (w, n) => wordContribs(w, n, pOf, maxPieceLen) }
+        }
+        .toDF("piece", "u")
+        .groupBy(col("piece")).agg(sum(col("u")).as("u"))
+        .filter(col("u") > 0)
+        .as[(String, Long)].collect().toSeq
+    } finally {
+      // each EM iteration broadcasts a fresh model; without a destroy,
+      // repeated train() calls in a long-lived session accumulate
+      // broadcast blocks on driver and executors
+      bc.destroy()
+    }
   }
 
   private val modelSchema = StructType(Seq(
@@ -485,8 +492,13 @@ object Unigram {
           if (tab < 0) throw new IllegalArgumentException(
             s"importVocabTsv: malformed line ${line + 1} " +
               s"(no piece<TAB>q): '$l'")
-          val r = org.apache.spark.sql.Row(l.substring(0, tab), line,
-            l.substring(tab + 1).toLong)
+          val q = try l.substring(tab + 1).toLong catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"importVocabTsv: non-integer q at line ${line + 1}: " +
+                  s"'${l.substring(tab + 1)}'")
+          }
+          val r = org.apache.spark.sql.Row(l.substring(0, tab), line, q)
           line += 1
           r
         }

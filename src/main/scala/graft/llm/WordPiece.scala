@@ -475,7 +475,10 @@ object WordPiece {
     * alphabets, where JVM UTF-16 order diverges from codepoint
     * order); merge results follow in rank order. Two merge paths can
     * produce the same piece string — the smallest id wins, so the
-    * table stays a bijection (the [[Bpe.pieceVocab]] min-id rule).
+    * table stays a bijection (the [[Bpe.pieceVocab]] min-id rule) —
+    * and ids are then renumbered DENSELY in min-id order, because the
+    * positional `vocab.txt` artifact cannot represent a gap (ids are
+    * line numbers; see [[exportVocabTxt]]).
     *
     * Scale: vocabulary-sized throughout; the one window runs on the
     * CHARSET, bounded by the script, not the corpus.
@@ -497,11 +500,23 @@ object WordPiece {
     val mergeIds = rules.select(col("merged").as("piece"),
       (col("rank") + lit(Specials.length - 1) + lit(nAlpha))
         .cast("int").as("id"))
+    // min-id dedup can leave GAPS (two merge paths producing the same
+    // merged piece, or a trained piece colliding with a special); the
+    // positional vocab.txt artifact compacts line order silently, so
+    // ids must be renumbered densely HERE or export→import stops being
+    // the identity and every id after a gap shifts. The renumber is
+    // the identity on a collision-free corpus (min ids are already
+    // 0..n-1) and is mirrored in the [[vocabCtes]] oracle. Total
+    // order: min ids are unique (the three sources use disjoint id
+    // ranges), so the window is deterministic; vocabulary-sized.
     Specials.zipWithIndex.toDF("piece", "id")
       .unionByName(alphaIds)
       .unionByName(mergeIds)
       .groupBy(col("piece"))
-      .agg(min(col("id")).cast("int").as("token_id"))
+      .agg(min(col("id")).as("_min_id"))
+      .select(col("piece"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_min_id"))) - 1).cast("int").as("token_id"))
   }
 
   /** Export the trained tokenizer as BERT's artifact: `vocab.txt`,
@@ -822,7 +837,8 @@ object WordPiece {
   /** The [[pieceVocab]] replay: specials at 0..4, the position-aware
     * alphabet in UTF-8 binary order (ordered by `hex(encode(...))` on
     * BOTH sides — see [[pieceVocab]]), merges at rank offset, min-id
-    * dedup. Requires `w0` and `r1..rN` in scope; defines `idv(piece,
+    * dedup followed by the dense renumber in min-id order. Requires
+    * `w0` and `r1..rN` in scope; defines `idv(piece,
     * token_id)` (named apart from [[encodeCtes]]' serving `voc`).
     */
   private def vocabCtes(nMerges: Int): String = {
@@ -841,11 +857,13 @@ object WordPiece {
        |mid AS (SELECT $mergedExpr AS piece,
        |               CAST(rk + $off + na.n AS INT) AS id
        |        FROM ($ranked), na),
-       |idv AS (SELECT piece, CAST(MIN(id) AS INT) AS token_id FROM (
-       |          SELECT * FROM (VALUES $specialRows) s(piece, id)
-       |          UNION ALL SELECT piece, id FROM aid
-       |          UNION ALL SELECT piece, id FROM mid)
-       |        GROUP BY 1)""".stripMargin
+       |idv AS (SELECT piece,
+       |               CAST(ROW_NUMBER() OVER (ORDER BY min_id) - 1 AS INT) AS token_id
+       |        FROM (SELECT piece, MIN(id) AS min_id FROM (
+       |                SELECT * FROM (VALUES $specialRows) s(piece, id)
+       |                UNION ALL SELECT piece, id FROM aid
+       |                UNION ALL SELECT piece, id FROM mid)
+       |              GROUP BY 1))""".stripMargin
   }
 
   /** The DuckDB replay of [[pieceVocab]]. */

@@ -153,6 +153,18 @@ class UnigramSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("malformed") ||
       Option(e.getCause).exists(_.getMessage.contains("malformed")))
+    // a non-integer q names its line, like the adjacent loud errors
+    val badq = s"/tmp/graft_test_univocabbadq_${ProcessHandle.current().pid()}"
+    val dq = new java.io.File(s"$badq/unigram.vocab"); dq.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dq, "part-0").toPath,
+      "[UNK]\t0\nx\tnotanumber\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val eq = intercept[org.apache.spark.SparkException] {
+      Unigram.importVocabTsv(spark, badq).collect()
+    }
+    assert(eq.getMessage.contains("non-integer q at line 2") ||
+      Option(eq.getCause).exists(
+        _.getMessage.contains("non-integer q at line 2")))
   }
 
   test("training is a pure function of the corpus: identical runs, " +

@@ -201,4 +201,28 @@ class WordPieceSpec extends SparkSpec {
       .collect().toMap
     assert(fw == sw, "merged word tables diverge")
   }
+
+  test("pieceVocab: duplicate merge paths renumber DENSELY, so the " +
+       "positional vocab.txt roundtrip survives min-id dedup") {
+    // hand-built rules with two ranks producing the same merged piece
+    // (the collision the trainer can emit when two merge paths meet):
+    // without the dense renumber, rank 2's id slot becomes a gap that
+    // exportVocabTxt compacts silently — shifting every id after it
+    // on re-import
+    val rules = Seq((1, "ab"), (2, "ab"), (3, "abb"))
+      .toDF("rank", "merged")
+    val words = Seq("abb").toDF("word")
+    val v = WordPiece.pieceVocab(rules, words)
+      .as[(String, Int)].collect().toMap
+    // specials 0..4; alphabet {##b, a} in UTF-8 order → ##b=5, a=6;
+    // merges: "ab" min(7,8)=7, "abb" at 9 → DENSE renumber pulls it to 8
+    assert(v("ab") == 7 && v("abb") == 8, s"got $v")
+    val ids = v.values.toSeq.sorted
+    assert(ids == (0 until v.size), s"ids must be dense 0..n-1: $ids")
+    val path = s"/tmp/graft_test_wpvocabdup_${ProcessHandle.current().pid()}"
+    WordPiece.exportVocabTxt(rules, words, path)
+    val back = WordPiece.importVocabTxt(spark, path)
+      .as[(String, Int)].collect().toSet
+    assert(back == v.toSet, "export→import identity under dedup")
+  }
 }
