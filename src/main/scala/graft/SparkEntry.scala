@@ -1650,6 +1650,18 @@ object SparkEntry {
             .as("roundtrip_ok"))
     }),
 
+    // --- SentencePiece-convention interop (X146, the X141/GPT-2
+    //     treatment for the third family): the trained model rendered
+    //     through the PUBLISHED ▁ word-boundary convention — <unk> at
+    //     id 0, each piece as a (▁piece, piece) line pair sharing its
+    //     exact float log-prob — then imported back; hash equality
+    //     proves the rendering order AND the integer↔float roundtrip ---
+    "q235_unigram_sp_interop" -> ((s, dir) => {
+      val path = scratch("unisp", dir)
+      graft.llm.Unigram.exportVocabSp(unigramModel(s, dir), path)
+      graft.llm.Unigram.importVocabSp(s, path)
+    }),
+
     // --- incremental index ingest: build the IVF index on the base
     //     corpus, APPEND the perturbed twins without retraining, then
     //     every base query must find its appended twin in the top-3
@@ -4887,6 +4899,13 @@ object SparkEntry {
     "q234_unigram_ids" -> graft.llm.Unigram.idsOracleSql(
       trainWhere = "doc_id % 4 = 0", tokPosCte = plainTokPosCte,
       textSql = duckUniText,
+      seedMulti = UniSeedMulti, keepMulti = UniKeepMulti, emIters = 2),
+
+    // the SentencePiece-convention roundtrip: model pieces with their
+    // predicted ▁-form line ids (2·rank−1 under q DESC, UTF-8 ASC) and
+    // the exact q recovered from the float log-prob rendering
+    "q235_unigram_sp_interop" -> graft.llm.Unigram.spVocabOracleSql(
+      trainWhere = "doc_id % 4 = 0", textSql = duckUniText,
       seedMulti = UniSeedMulti, keepMulti = UniKeepMulti, emIters = 2),
 
     // q142's unrolled-round machinery with a seed-only teleport: r0 is

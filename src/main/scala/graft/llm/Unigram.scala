@@ -426,10 +426,13 @@ object Unigram {
     * (the engine's uniform interop convention, matching the BPE
     * family's id-0 space — SentencePiece encodes the same boundary
     * information as a `▁` prefix inside pieces instead; ours keeps
-    * the per-word training representation honest), then the trained
-    * pieces in (q DESC, UTF-8 piece ASC) order — SentencePiece's
-    * score-descending `.vocab` order, made total. Min-id dedup guards
-    * the pathological corpus whose words contain literal `[UNK]`.
+    * the per-word training representation honest; the published `▁`
+    * rendering is a separate, explicit face — [[exportVocabSp]]),
+    * then the trained pieces in (q DESC, UTF-8 piece ASC) order —
+    * SentencePiece's score-descending `.vocab` order, made total.
+    * Min-id dedup guards the pathological corpus whose words contain
+    * literal `[UNK]`, and ids are then renumbered DENSELY in min-id
+    * order (the positional TSV artifact cannot represent a gap).
     */
   def pieceVocab(model: DataFrame): DataFrame = {
     val spark = model.sparkSession
@@ -438,10 +441,19 @@ object Unigram {
       (row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("q").desc, hex(encode(col("piece"), "UTF-8"))))
         + lit(1)).as("id"))
+    // min-id dedup can leave a GAP (a corpus whose words contain a
+    // literal "[UNK]" trains that piece, which then collapses onto the
+    // reserved id 0); the positional TSV artifact compacts line order
+    // silently, so ids are renumbered DENSELY in min-id order — the
+    // identity on a collision-free corpus, mirrored in the vocabCtes
+    // oracle (the WordPiece.pieceVocab treatment)
     Seq((Unk, 0), (" ", 1)).toDF("piece", "id")
       .unionByName(ranked)
       .groupBy(col("piece"))
-      .agg(min(col("id")).cast("int").as("token_id"))
+      .agg(min(col("id")).as("_min_id"))
+      .select(col("piece"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_min_id"))) - 1).cast("int").as("token_id"))
   }
 
   /** Export the trained model as the SentencePiece `.vocab`-shaped
@@ -507,6 +519,173 @@ object Unigram {
       StructField("piece", StringType, nullable = false),
       StructField("token_id", IntegerType, nullable = false),
       StructField("q", LongType, nullable = false))))
+  }
+
+  // ──────────── SentencePiece-convention interop (X146) ────────────
+
+  /** SentencePiece's reserved unknown piece (`<unk>`, id 0 — the
+    * published convention; OUR serving keeps [[Unk]] because `<`/`>`
+    * are the engine's word-guard sentinels).
+    */
+  val SpUnk = "<unk>"
+
+  /** SentencePiece's word-boundary marker `▁` (U+2581 LOWER ONE EIGHTH
+    * BLOCK) — in the published convention the boundary lives as a
+    * PREFIX on word-initial pieces, not as a standalone space token.
+    */
+  val SpBoundary = "▁"
+
+  /** The `.vocab` score rendering: the exact double `ln(q/1e9)` in
+    * Java's shortest-roundtrip decimal form. Parsing the string back
+    * recovers the double bit for bit, and `round(exp(·)·1e9)` recovers
+    * the integer `q` exactly (relative error ≤ a few ulp on values
+    * ≤ 1e9 — absolute error ≪ 0.5), which [[importVocabSp]] verifies
+    * per row by re-rendering.
+    */
+  private[llm] def spScore(q: Long): String =
+    java.lang.Double.toString(math.log(q.toDouble / 1.0e9))
+
+  private def utf8Less(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** Export the trained model through SentencePiece's PUBLISHED
+    * `.vocab` convention — `piece<TAB>score` lines, line order = id,
+    * `<unk>` reserved at id 0 with score 0, scores are float
+    * log-probs, and the word boundary is rendered as a `▁` PREFIX on
+    * word-initial pieces (what a real `sentencepiece`/HF Unigram
+    * loader consumes) instead of this engine's internal id-1 space
+    * token (the divergence [[pieceVocab]] documents; the [[Bpe]]
+    * family got the same treatment in `exportMergesGpt2`).
+    *
+    * Our model is position-free — ONE probability per piece, wherever
+    * in a word it occurs — so each trained piece renders as TWO
+    * consecutive lines, `▁piece` then `piece`, sharing its exact
+    * score: precisely that model expressed in SentencePiece's
+    * coordinate system (a lattice over `▁`-normalized text with both
+    * forms scored equally reproduces our per-word Viterbi costs). A
+    * real SP trainer would have learned separate boundary/interior
+    * scores; the pairing is the honest rendering, and it is what
+    * makes the inverse import exact. Pieces in (q DESC, UTF-8 ASC)
+    * order — [[pieceVocab]]'s total order. Driver-side single-file
+    * write: a vocabulary, never a corpus (the contract-bounded
+    * collect class).
+    *
+    * Fails loudly on pieces the convention cannot carry: a piece
+    * starting with `▁` itself (prefix rendering would be ambiguous),
+    * tab/newline bytes (line format), or `q ≤ 0` (log-prob undefined).
+    */
+  def exportVocabSp(model: DataFrame, path: String): Unit = {
+    val spark = model.sparkSession
+    import spark.implicits._
+    val rows = model.select(col("piece"), col("q"))
+      .as[(String, Long)].collect() // vocab-sized by the model contract
+    rows.foreach { case (p, q) =>
+      require(!p.startsWith(SpBoundary),
+        s"exportVocabSp: piece '$p' starts with the ▁ boundary marker " +
+          "itself — the prefix rendering would be ambiguous on import")
+      require(!p.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"exportVocabSp: piece '$p' contains a tab/newline — the " +
+          "line-per-piece artifact cannot represent it")
+      require(p != SpUnk,
+        s"exportVocabSp: piece '$SpUnk' collides with the reserved " +
+          "id-0 row")
+      require(q > 0,
+        s"exportVocabSp: piece '$p' has q=$q — log-prob undefined")
+    }
+    val sorted = rows.sortWith { case ((p1, q1), (p2, q2)) =>
+      q1 > q2 || (q1 == q2 && utf8Less(p1, p2)) }
+    val lines = s"$SpUnk\t0" +: sorted.flatMap { case (p, q) =>
+      val s = spScore(q)
+      Seq(s"$SpBoundary$p\t$s", s"$p\t$s")
+    }
+    lines.toSeq.toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$path/unigram.sp.vocab")
+  }
+
+  /** Inverse of [[exportVocabSp]]: reconstruct the EXACT integer model
+    * `(piece, q, sp_id)` from a SentencePiece-convention `.vocab`
+    * file, where `sp_id` is the 0-based line id of the piece's
+    * `▁`-prefixed form (the id a real SP loader would assign it).
+    * Same single-data-file + loud-blank-line contract as
+    * [[importVocabTsv]] (ids are positional).
+    *
+    * Fails loudly on every non-roundtrippable row: a missing/mangled
+    * `<unk>` line 0, an odd row count, a line pair that is not
+    * `(▁piece, piece)`, pair scores that differ, or a score that does
+    * not re-render from any integer probability (verified by
+    * re-rendering [[spScore]] — float trucks carry the exact q or the
+    * row is rejected, never silently re-quantized).
+    */
+  def importVocabSp(spark: SparkSession, path: String): DataFrame = {
+    val vocabDir = new org.apache.hadoop.fs.Path(s"$path/unigram.sp.vocab")
+    val fs = vocabDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(vocabDir)
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    require(dataFiles.length == 1,
+      s"importVocabSp expects exactly one data file under $vocabDir " +
+        s"(the single-file export contract); found ${dataFiles.length}: " +
+        dataFiles.sorted.mkString(", "))
+    val rows = spark.sparkContext.textFile(s"$path/unigram.sp.vocab", 1)
+      .coalesce(1)
+      .mapPartitions { it =>
+        // one data file ⇒ one partition ⇒ the iterator IS line order;
+        // a vocabulary is bounded, so materializing it here is the
+        // same contract-bounded footprint as the export
+        val lines = it.toArray
+        def parse(i: Int): (String, String) = {
+          val l = lines(i)
+          if (l.isEmpty) throw new IllegalArgumentException(
+            s"importVocabSp: blank line ${i + 1} — ids are positional, " +
+              "a dropped line would shift every id after it")
+          val tab = l.lastIndexOf('\t')
+          if (tab < 0) throw new IllegalArgumentException(
+            s"importVocabSp: malformed line ${i + 1} " +
+              s"(no piece<TAB>score): '$l'")
+          (l.substring(0, tab), l.substring(tab + 1))
+        }
+        if (lines.isEmpty || lines(0) != s"$SpUnk\t0")
+          throw new IllegalArgumentException(
+            "importVocabSp: line 1 must be the reserved '<unk>\\t0' " +
+              s"row; got: '${lines.headOption.getOrElse("<empty file>")}'")
+        if ((lines.length - 1) % 2 != 0)
+          throw new IllegalArgumentException(
+            s"importVocabSp: ${lines.length - 1} piece rows — every " +
+              "piece must appear as a (▁piece, piece) pair; an odd " +
+              "count is non-roundtrippable")
+        (1 until lines.length by 2).iterator.map { i =>
+          val (bp, bs) = parse(i)
+          val (pp, ps) = parse(i + 1)
+          if (!bp.startsWith(SpBoundary) || bp.substring(SpBoundary.length) != pp)
+            throw new IllegalArgumentException(
+              s"importVocabSp: lines ${i + 1}/${i + 2} are not a " +
+                s"(▁piece, piece) pair: '$bp' / '$pp' — non-roundtrippable")
+          if (bs != ps)
+            throw new IllegalArgumentException(
+              s"importVocabSp: pair scores differ at lines ${i + 1}/" +
+                s"${i + 2} ('$bs' vs '$ps') — the two forms of one " +
+                "piece share its probability; non-roundtrippable")
+          val score = try java.lang.Double.parseDouble(bs) catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"importVocabSp: non-numeric score at line ${i + 1}: '$bs'")
+          }
+          val approx = math.round(math.exp(score) * 1.0e9)
+          val q = (approx - 1 to approx + 1)
+            .find(c => c > 0 && spScore(c) == bs)
+            .getOrElse(throw new IllegalArgumentException(
+              s"importVocabSp: score '$bs' at line ${i + 1} does not " +
+                "render from any integer probability — " +
+                "non-roundtrippable row"))
+          org.apache.spark.sql.Row(pp, q, i)
+        }
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("q", LongType, nullable = false),
+      StructField("sp_id", IntegerType, nullable = false))))
   }
 
   /** The pretraining artifact: per-doc flat token-id sequences under
@@ -791,18 +970,20 @@ object Unigram {
   }
 
   /** The [[pieceVocab]] replay over `mdlf`: reserved `[UNK]`/space at
-    * 0/1, pieces ranked (q DESC, UTF-8 piece ASC), min-id dedup —
+    * 0/1, pieces ranked (q DESC, UTF-8 piece ASC), min-id dedup
+    * followed by the dense renumber in min-id order —
     * `uvoc(piece, token_id)`.
     */
   private def vocabCtes: String =
     s"""uvoc AS MATERIALIZED (
-       |  SELECT piece, CAST(MIN(id) AS INT) AS token_id FROM (
-       |    SELECT '$Unk' AS piece, 0 AS id
-       |    UNION ALL SELECT ' ' AS piece, 1 AS id
-       |    UNION ALL SELECT piece,
-       |      CAST(ROW_NUMBER() OVER (ORDER BY q DESC, hex(encode(piece))) + 1 AS INT) AS id
-       |    FROM mdlf)
-       |  GROUP BY 1)""".stripMargin
+       |  SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY min_id) - 1 AS INT) AS token_id
+       |  FROM (SELECT piece, MIN(id) AS min_id FROM (
+       |          SELECT '$Unk' AS piece, 0 AS id
+       |          UNION ALL SELECT ' ' AS piece, 1 AS id
+       |          UNION ALL SELECT piece,
+       |            CAST(ROW_NUMBER() OVER (ORDER BY q DESC, hex(encode(piece))) + 1 AS INT) AS id
+       |          FROM mdlf)
+       |        GROUP BY 1))""".stripMargin
 
   /** The DuckDB replay of [[pieceVocab]] (+ each piece's exact `q`,
     * the column the TSV artifact carries — reserved rows get 0 unless
@@ -816,6 +997,22 @@ object Unigram {
       s"$vocabCtes\n" +
       """SELECT v.piece, v.token_id, COALESCE(m.q, 0) AS q
         |FROM uvoc v LEFT JOIN mdlf m ON m.piece = v.piece""".stripMargin
+
+  /** The DuckDB replay of [[importVocabSp]] ∘ [[exportVocabSp]]: the
+    * trained model with each piece's predicted SentencePiece line id —
+    * `sp_id = 2·rank − 1` for the `▁`-form under the (q DESC, UTF-8
+    * ASC) total order (`<unk>` at 0, then a two-line pair per piece).
+    * Hash equality through the artifact proves BOTH the `▁` boundary
+    * rendering order and the exact integer↔float-log-prob roundtrip.
+    */
+  def spVocabOracleSql(trainWhere: String = "", textSql: String = "text",
+                       seedMulti: Int = 64, keepMulti: Int = 32,
+                       emIters: Int = 2,
+                       maxPieceLen: Int = DefaultMaxPieceLen): String =
+    s"WITH ${trainCtes(trainWhere, textSql, seedMulti, keepMulti, emIters, maxPieceLen, OracleMaxWordLen)}\n" +
+      """SELECT piece, q,
+        |       CAST(2 * ROW_NUMBER() OVER (ORDER BY q DESC, hex(encode(piece))) - 1 AS INT) AS sp_id
+        |FROM mdlf""".stripMargin
 
   /** The DuckDB replay of [[encodeIds]]' per-document economics plus
     * the decode-roundtrip prediction (`tokPosCte` must produce

@@ -167,6 +167,102 @@ class UnigramSpec extends SparkSpec {
         _.getMessage.contains("non-integer q at line 2")))
   }
 
+  test("pieceVocab renumbers densely when a trained piece collides " +
+       "with a reserved row (the positional TSV must stay gap-free)") {
+    // a corpus whose words contain literal [UNK] trains that piece;
+    // min-id dedup collapses it onto the reserved id 0, and the
+    // vacated ranked slot must NOT become a gap
+    val model = Seq(("[UNK]", 5L, 500000000L), ("ab", 3L, 300000000L),
+      ("a", 2L, 200000000L)).toDF("piece", "u", "q")
+    val v = Unigram.pieceVocab(model).as[(String, Int)].collect().toMap
+    assert(v("[UNK]") == 0 && v(" ") == 1 && v("ab") == 2 && v("a") == 3,
+      s"got $v")
+    assert(v.values.toSeq.sorted == (0 until v.size), s"dense ids: $v")
+    val path = s"/tmp/graft_test_univocabcol_${ProcessHandle.current().pid()}"
+    Unigram.exportVocabTsv(model, path)
+    val back = Unigram.importVocabTsv(spark, path)
+      .select("piece", "token_id").as[(String, Int)].collect().toMap
+    assert(back == v, "positional roundtrip survives the collision")
+  }
+
+  test("SentencePiece-convention export: <unk> at id 0, (▁piece, piece) " +
+       "line pairs in (q desc, UTF-8) order sharing the exact float " +
+       "log-prob; import reconstructs the integer model bit for bit") {
+    // a unicode word exercises multi-byte pieces under the ▁ prefix
+    val docs = Seq((1L, "über ab über ab ab b")).toDF("doc_id", "text")
+    val model = Unigram.train(docs, "text", seedMulti = 8, keepMulti = 8,
+      emIters = 2)
+    val path = s"/tmp/graft_test_unisp_${ProcessHandle.current().pid()}"
+    Unigram.exportVocabSp(model, path)
+    val lines = spark.sparkContext
+      .textFile(s"$path/unigram.sp.vocab", 1).collect()
+    assert(lines(0) == "<unk>\t0", s"line 1 must be <unk>, got ${lines(0)}")
+    assert((lines.length - 1) % 2 == 0, "pieces come as line PAIRS")
+    (1 until lines.length by 2).foreach { i =>
+      val Array(bp, bs) = lines(i).split("\t")
+      val Array(pp, ps) = lines(i + 1).split("\t")
+      assert(bp == "▁" + pp,
+        s"lines ${i + 1}/${i + 2}: '$bp' is not the ▁-form of '$pp'")
+      assert(bs == ps, "the two forms share one score")
+      assert(bs.toDouble <= 0.0, "scores are log-probs")
+    }
+    // pairs are in SentencePiece's score-descending order
+    val scores = (1 until lines.length by 2)
+      .map(i => lines(i).split("\t")(1).toDouble)
+    assert(scores == scores.sorted.reverse, s"not q-desc: $scores")
+    // the inverse import recovers the EXACT integer model through the
+    // float rendering, plus each piece's ▁-form line id
+    val back = Unigram.importVocabSp(spark, path)
+    val gotModel = back.select("piece", "q")
+      .as[(String, Long)].collect().toSet
+    val origModel = model.select("piece", "q")
+      .as[(String, Long)].collect().toSet
+    assert(gotModel == origModel, "export→import is the exact model")
+    back.select("piece", "sp_id").as[(String, Int)].collect()
+      .foreach { case (p, id) =>
+        assert(lines(id).startsWith("▁" + p + "\t"),
+          s"sp_id $id is not the ▁-form line of '$p'") }
+  }
+
+  test("SentencePiece interop is loud on every non-roundtrippable " +
+       "shape: ▁-prefixed pieces, tampered pairs, foreign scores") {
+    // a piece starting with ▁ cannot render unambiguously → export refuses
+    val badModel = Seq(("▁x", 1L, 500000000L)).toDF("piece", "u", "q")
+    val e0 = intercept[IllegalArgumentException] {
+      Unigram.exportVocabSp(badModel,
+        s"/tmp/graft_test_unispnever_${ProcessHandle.current().pid()}")
+    }
+    assert(e0.getMessage.contains("boundary marker"), e0.getMessage)
+    def writeVocab(tag: String, content: String): String = {
+      val p = s"/tmp/graft_test_unisp${tag}_${ProcessHandle.current().pid()}"
+      val d = new java.io.File(s"$p/unigram.sp.vocab"); d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "part-0").toPath,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p
+    }
+    def failsWith(path: String, msg: String): Unit = {
+      val e = intercept[org.apache.spark.SparkException] {
+        Unigram.importVocabSp(spark, path).collect()
+      }
+      assert(e.getMessage.contains(msg) ||
+        Option(e.getCause).exists(_.getMessage.contains(msg)),
+        s"expected '$msg', got: ${e.getMessage}")
+    }
+    // missing <unk> header
+    failsWith(writeVocab("nounk", "▁a\t-0.5\na\t-0.5\n"),
+      "line 1 must be the reserved")
+    // pair whose scores differ (a hand-edited file)
+    failsWith(writeVocab("badpair", "<unk>\t0\n▁a\t-0.5\na\t-0.25\n"),
+      "pair scores differ")
+    // odd row count (a dropped line)
+    failsWith(writeVocab("odd", "<unk>\t0\n▁a\t-0.5\n"),
+      "odd count is non-roundtrippable")
+    // a consistent pair whose score is not ln(q/1e9) for ANY integer q
+    // (-0.5 is irrational in that family) → rejected, never re-quantized
+    failsWith(writeVocab("foreign", "<unk>\t0\n▁a\t-0.5\na\t-0.5\n"),
+      "does not render from any integer probability")
+  }
+
   test("training is a pure function of the corpus: identical runs, " +
        "identical models (integer cross-word aggregation)") {
     val docs = graft.sources.Tables
