@@ -1364,6 +1364,26 @@ object SparkEntry {
           max(col("shot")).cast("int").as("max_shot"))
     }),
 
+    // --- one-frame-per-SHOT keyframe sampling over the q210 fixture
+    //     (frames A A B B B C → shots {0,1} {2,3,4} {5}): each shot's
+    //     deterministic MIDDLE frame — predicted per (vid_id, shot)
+    //     row for row by the closed-form oracle ---
+    "q236_shot_keyframes" -> ((s, dir) => {
+      import s.implicits._
+      val vids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).filter(col("doc_id") % 41 === 0)
+        .as[Long]
+        .map { id =>
+          val w = (36 + id % 16).toInt
+          val h = (32 + id % 8).toInt
+          def f(k: Long) = Multimodal.cellPatternJpeg(w, h, id * 16 + k)
+          (id, Multimodal.mjpegAvi(
+            Seq(f(0), f(0), f(1), f(1), f(1), f(2)), w, h))
+        }
+        .toDF("vid_id", "avi")
+      Multimodal.shotKeyframes(vids, "vid_id", "avi", threshold = 1)(s)
+    }),
+
     // --- precision–recall curve (the imbalanced-label companion of
     //     q34's ROC: a corpus keep-gate's positive class is the
     //     minority, where ROC hides precision collapse) ---
@@ -4725,6 +4745,18 @@ object SparkEntry {
         |       CAST(3 * COUNT(*) AS BIGINT) AS n_static,
         |       CAST(2 AS INT) AS max_shot
         |FROM documents WHERE doc_id % 41 = 0""".stripMargin,
+
+    // closed-form keyframes over the same scene structure: shot 0 has
+    // frames {0,1} → middle rank (2+1) div 2 = 1 → frame 0; shot 1 has
+    // {2,3,4} → frame 3; shot 2 has {5} → frame 5
+    "q236_shot_keyframes" ->
+      """SELECT CAST(doc_id AS BIGINT) AS vid_id,
+        |       CAST(s.shot AS INT) AS shot,
+        |       CAST(s.n_frames AS BIGINT) AS n_frames,
+        |       CAST(s.frame_idx AS INT) AS frame_idx
+        |FROM documents,
+        |     (VALUES (0, 2, 0), (1, 3, 3), (2, 1, 5)) s(shot, n_frames, frame_idx)
+        |WHERE doc_id % 41 = 0""".stripMargin,
 
     // the q34 curve machinery with precision/recall outputs
     "q211_pr_points" ->

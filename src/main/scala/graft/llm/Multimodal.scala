@@ -773,6 +773,41 @@ object Multimodal {
         col("is_cut"), col("shot"))
   }
 
+  /** One-frame-per-SHOT keyframe sampling — the representative pick
+    * [[videoSceneCuts]] is the prerequisite for: each shot contributes
+    * its MIDDLE frame (1-based rank `(n+1) div 2` by `frame_idx` — a
+    * closed-form deterministic pick; frame order within a shot is
+    * already total, so no hash draw is needed, and an even-length
+    * shot takes the earlier of its two centers). A 10-minute static
+    * shot contributes one center frame; a rapid montage keeps one
+    * frame per cut.
+    *
+    * Output: one row per shot —
+    * `(vid_id, shot, n_frames, frame_idx)` with `frame_idx` the
+    * chosen keyframe.
+    *
+    * Scale: runs over the 16-byte per-frame fingerprint stream, never
+    * pixels; the pick is a (vid_id, shot) window that the sceneCuts
+    * per-video partitioning already satisfies (`HashPartitioning(
+    * vid_id)` clusters every `(vid_id, shot)` group — a within-
+    * partition re-sort, NO second shuffle), so the whole operator
+    * costs one exchange end to end.
+    */
+  def shotKeyframes(df: DataFrame, idCol: String, binCol: String,
+                    threshold: Int = 8)
+                   (implicit spark: SparkSession): DataFrame = {
+    val byShot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid_id"), col("shot"))
+    videoSceneCuts(df, idCol, binCol, threshold)
+      .select(col("vid_id"), col("shot"), col("frame_idx"))
+      .withColumn("_rn",
+        row_number().over(byShot.orderBy(col("frame_idx"))))
+      .withColumn("n_frames", count(lit(1)).over(byShot))
+      .filter(expr("_rn = (n_frames + 1) DIV 2"))
+      .select(col("vid_id"), col("shot"),
+        col("n_frames").cast("long").as("n_frames"), col("frame_idx"))
+  }
+
   final case class ImageMeta(id: Long, decoded: Boolean, width: Int,
                              height: Int, meanLuma: Double)
 

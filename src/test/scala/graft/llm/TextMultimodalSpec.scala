@@ -575,4 +575,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(v3.map(_._4).toSeq == Seq(1, 0) && v3.last._3 == 0,
       s"A→A across the poison gap is not a cut: ${v3.mkString(",")}")
   }
+
+  test("shotKeyframes: exactly one deterministic MIDDLE frame per shot " +
+       "(even shots take the earlier center); static and montage shapes") {
+    implicit val s = spark
+    def f(seed: Long) = Multimodal.cellPatternJpeg(40, 32, seed)
+    val vids = Seq(
+      // A A B B B C → shots {0,1} {2,3,4} {5} → keyframes 0, 3, 5
+      (1L, Multimodal.mjpegAvi(
+        Seq(f(1), f(1), f(2), f(2), f(2), f(3)), 40, 32)),
+      // one static 4-frame shot → even length: the EARLIER center (1)
+      (2L, Multimodal.mjpegAvi(Seq(f(5), f(5), f(5), f(5)), 40, 32)),
+      // rapid montage A B C: every frame its own shot and keyframe
+      (3L, Multimodal.mjpegAvi(Seq(f(7), f(8), f(9)), 40, 32))
+    ).toDF("vid_id", "avi")
+    val out = Multimodal.shotKeyframes(vids, "vid_id", "avi", threshold = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 0, 2L, 0), (1L, 1, 3L, 3), (1L, 2, 1L, 5),
+      (2L, 0, 4L, 1),
+      (3L, 0, 1L, 0), (3L, 1, 1L, 1), (3L, 2, 1L, 2)), s"got $out")
+  }
 }
