@@ -432,9 +432,10 @@ object SparkEntry {
   private[graft] val sharedConsumers: Map[String, Seq[String]] = Map(
     "_shared:unit-embeddings" -> Seq("q47_embed_lsh", "q57_embed_ivf",
       "q124_lsh_recall", "q125_ivf_recall", "q167_ann_search",
-      "q168_ann_index", "q171_semdedup_recall"),
+      "q168_ann_index", "q171_semdedup_recall", "q237_pq_recall"),
     "_shared:unit-perturbed" -> Seq("q124_lsh_recall", "q125_ivf_recall",
-      "q167_ann_search", "q168_ann_index", "q171_semdedup_recall"),
+      "q167_ann_search", "q168_ann_index", "q171_semdedup_recall",
+      "q237_pq_recall"),
     "_shared:neardup-pairs" -> Seq("q80_dup_clusters", "q165_dup_canonical",
       "q166_dedup_split", "q180_soft_dedup"),
     "_shared:bpe8" -> Seq("q177_bpe_merges", "q179_bpe_tokenize",
@@ -1876,6 +1877,24 @@ object SparkEntry {
       val path = scratch("ivfidx", dir)
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", path)
       val hits = Similarity.searchIvfIndex(s, path, unitPerturbed(s, dir),
+          "vec_id", "embedding", k = 3)
+        .filter(col("id_b") === col("id_a") - PlantOffset)
+      emb.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_found"))))
+    }),
+
+    // --- product-quantized index (X147, the memory face BEYOND int8):
+    //     build the IVF-PQ index (lists carry m one-byte codes beside
+    //     the int8 vectors), search it from disk — ADC candidate
+    //     ranking over the codes column, exact int8 rescore of the
+    //     top-R — and every perturbed query must STILL rank its source
+    //     top-3: recall through the 8-16x-smaller scan path pinned
+    //     EQUAL to the int8 index (q168) ---
+    "q237_pq_recall" -> ((s, dir) => {
+      val emb = unitEmb(s, dir)
+      val path = scratch("ivfpq", dir)
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path)
+      val hits = Similarity.searchIvfPqIndex(s, path, unitPerturbed(s, dir),
           "vec_id", "embedding", k = 3)
         .filter(col("id_b") === col("id_a") - PlantOffset)
       emb.agg(count(lit(1)).as("n_queries"))
@@ -5343,6 +5362,13 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
 
     "q168_ann_index" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
+
+    // the PQ serve path must lose NOTHING on the planted twins: ADC
+    // top-R contains every true source, the int8 rescore restores
+    // exact ranking
+    "q237_pq_recall" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |       CAST(COUNT(*) AS BIGINT) AS n_found FROM embeddings""".stripMargin,
 

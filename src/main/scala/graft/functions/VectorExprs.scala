@@ -1156,6 +1156,207 @@ object SignedProject {
   }
 }
 
+/** Product-quantization ENCODE: map a dense vector to `m` one-byte
+  * codes, one per contiguous subspace — code `j` is the index of the
+  * nearest codebook centroid for subvector `j` (argmin L2, computed
+  * as argmax of `dot − ½‖c‖²` over the per-centroid half-norms; ties
+  * → the lowest code, a total order). The codebook
+  * (`m × ≤256 × dims/m`, trained driver-side on a bounded sample —
+  * see [[graft.llm.Similarity.buildIvfPqIndex]]) rides into codegen
+  * as a reference object, exactly the [[ArgmaxMatrixDot]] memory
+  * contract. Null/short input positions contribute 0, the
+  * [[ArrayDotProduct]] semantics. One build-time pass per vector —
+  * O(256·dims).
+  */
+case class PqEncode(child: Expression,
+                    codebook: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  // ½‖c‖² per centroid, so per-subspace argmin-distance is a pure
+  // dot-product scan (the vector's own norm is constant per argmin)
+  @transient private lazy val halfNorms: Array[Array[Double]] =
+    codebook.map(_.map(c => 0.5 * c.map(x => x * x).sum))
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    PqEncode.encode(v, codebook, halfNorms)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("cb", codebook, "double[][][]")
+    val hn = ctx.addReferenceObj("hn", halfNorms, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqEncode.encode($v, $cb, $hn);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  def encode(v: ArrayData, cb: Array[Array[Array[Double]]],
+             hn: Array[Array[Double]]): ArrayData = {
+    val m = cb.length
+    val out = new Array[Byte](m)
+    val nv = v.numElements()
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val cents = cb(j)
+      val norms = hn(j)
+      val sub = if (cents.length > 0) cents(0).length else 0
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var s = 0.0
+        var i = 0
+        while (i < sub) {
+          val p = off + i
+          if (p < nv && !v.isNullAt(p)) s += cent(i) * v.getDouble(p)
+          i += 1
+        }
+        s -= norms(c)
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      out(j) = (best & 0xFF).toByte
+      off += sub
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Per-query ADC lookup table for PQ serving: `lut[j·256 + c] =
+  * dot(query_sub_j, codebook[j][c])`, flattened at a FIXED stride of
+  * 256 (codebook rows may hold fewer centroids; unreferenced slots
+  * stay 0). Built ONCE per probe row — every candidate in the probed
+  * cell then scores in `m` array lookups ([[PqAdcDot]]) instead of a
+  * dims-length dot. O(256·dims) per probe row.
+  */
+case class PqLut(child: Expression,
+                 codebook: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(a: Any): Any =
+    PqLut.lut(a.asInstanceOf[ArrayData], codebook)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("cb", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqLut.lut($v, $cb);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+object PqLut {
+  val Stride = 256
+
+  def lut(v: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cb.length
+    val out = new Array[Double](m * Stride)
+    val nv = v.numElements()
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val cents = cb(j)
+      val sub = if (cents.length > 0) cents(0).length else 0
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var s = 0.0
+        var i = 0
+        while (i < sub) {
+          val p = off + i
+          if (p < nv && !v.isNullAt(p)) s += cent(i) * v.getDouble(p)
+          i += 1
+        }
+        out(j * Stride + c) = s
+        c += 1
+      }
+      off += sub
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** The PQ asymmetric-distance dot: `Σ_j lut[j·256 + codes[j]]` — the
+  * approximate `dot(query, reconstruct(codes))` in `m` lookups per
+  * candidate (the serve-scan inner loop; the dims-length work moved
+  * into the once-per-probe [[PqLut]]). Codes are unsigned bytes
+  * (`& 0xFF`); an out-of-range lookup contributes 0 (cannot happen on
+  * engine-built artifacts — codes index the codebook the lut came
+  * from).
+  */
+case class PqAdcDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ByteType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val n = lut.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      if (!codes.isNullAt(j)) {
+        val idx = j * PqLut.Stride + (codes.getByte(j) & 0xFF)
+        if (idx < n && !lut.isNullAt(idx)) s += lut.getDouble(idx)
+      }
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val idx = ctx.freshName("idx")
+      s"""
+         |int $m = $b.numElements();
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  if (!$b.isNullAt($j)) {
+         |    int $idx = $j * ${PqLut.Stride} + ($b.getByte($j) & 0xFF);
+         |    if ($idx < $n && !$a.isNullAt($idx)) $s += $a.getDouble($idx);
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** `Σ a[i]·b[i]` as a codegen'd column; inputs are cast to
     * array<double> (float vectors widen losslessly).
@@ -1236,6 +1437,21 @@ object VectorExprs {
   def int8Quantize(v: Column): Column =
     Bridge.column(Int8Quantize(
       Bridge.expression(v.cast("array<double>"))))
+
+  /** PQ encode ([[PqEncode]]): `m` one-byte centroid codes. */
+  def pqEncode(v: Column, codebook: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqEncode(
+      Bridge.expression(v.cast("array<double>")), codebook))
+
+  /** Per-query ADC lookup table ([[PqLut]]), stride-256 flat. */
+  def pqLut(q: Column, codebook: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqLut(
+      Bridge.expression(q.cast("array<double>")), codebook))
+
+  /** ADC approximate dot ([[PqAdcDot]]): `m` lookups per candidate. */
+  def pqAdcDot(lut: Column, codes: Column): Column =
+    Bridge.column(PqAdcDot(
+      Bridge.expression(lut), Bridge.expression(codes)))
 
   /** one-pass L2 normalize ([[UnitNormalize]]): `v / sqrt(Σ v[i]²)`,
     * codegen'd — no higher-order function, no re-evaluated norm.

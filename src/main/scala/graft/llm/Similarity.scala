@@ -1350,6 +1350,222 @@ object Similarity {
     listsOut.write.mode("append").parquet(s"$path/lists")
   }
 
+  // ──────────── IVF-PQ: product-quantized lists (X147) ────────────
+
+  /** PQ codebook training sample cap — the same contract-bounded
+    * collect class as the 256-vector σ samples: `cap · dims` doubles
+    * on the driver (8192 · 64 = 4 MiB at the testdata shape),
+    * deterministic via the seeded-hash order, and a SAMPLE is the
+    * published practice (faiss trains PQ on ≤ ~100k points regardless
+    * of corpus size — codebooks are a distribution summary, not a
+    * corpus structure).
+    */
+  private val PqSampleCap = 8192
+  private val PqKmeansIters = 6
+  private val PqCodes = 256
+
+  /** Deterministic driver-side Lloyd k-means (the PQ subspace
+    * trainer): init = the first `k` DISTINCT points in sample order,
+    * assignment ties → the lowest centroid index, an empty cluster
+    * keeps its previous centroid. Bounded by
+    * `iters · |pts| · k · subDims` driver flops — ~100M at the
+    * defaults, well under a second.
+    */
+  private def kmeansLloyd(pts: Array[Array[Double]], k: Int,
+                          iters: Int): Array[Array[Double]] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+    var i = 0
+    while (i < pts.length && seen.size < k) { seen += pts(i).toSeq; i += 1 }
+    var cents = seen.iterator.map(_.toArray).toArray
+    val sub = pts.headOption.map(_.length).getOrElse(0)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length, sub)(0.0)
+      val cnts = new Array[Long](cents.length)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var x = 0
+          while (x < sub) { val t = p(x) - cents(c)(x); d += t * t; x += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var x = 0
+        while (x < sub) { sums(best)(x) += p(x); x += 1 }
+        cnts(best) += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (cnts(c) == 0) cents(c)
+        else Array.tabulate(sub)(x => sums(c)(x) / cnts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Train the `m` per-subspace PQ codebooks (each ≤ [[PqCodes]]
+    * centroids over `dims/m` coordinates) on a bounded deterministic
+    * corpus sample.
+    */
+  private def trainPqCodebooks(unit: DataFrame, idCol: String, m: Int,
+                               seed: Long): Array[Array[Array[Double]]] = {
+    val sample = unit
+      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(PqSampleCap)
+      .select(col("_unit")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "trainPqCodebooks: empty corpus")
+    val dims = sample(0).length
+    require(m >= 1 && dims % m == 0,
+      s"trainPqCodebooks: m=$m must divide dims=$dims")
+    val sub = dims / m
+    Array.tabulate(m) { j =>
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      kmeansLloyd(pts, PqCodes, PqKmeansIters)
+    }
+  }
+
+  private def readCodebook(spark: SparkSession,
+                           path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/codebook")
+      .select(col("_j"), col("_c"), col("_cv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](r.fieldIndex("_cv")).toArray))
+    val m = rows.iterator.map(_._1).max + 1
+    Array.tabulate(m) { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3)
+    }
+  }
+
+  /** Build a PERSISTED IVF index whose lists additionally carry
+    * product-quantization codes — the 100 TB memory face BEYOND int8
+    * (L26/X147): the serve-time candidate scan reads `m` one-byte
+    * codes per vector (16 bytes at the default `m = dims/4`) instead
+    * of the `dims`-byte int8 vector — an 8–16× further cut in
+    * scan bytes on exactly the corpus-sized half of the index, the
+    * standard next step for vector serving at this scale (Jégou et
+    * al. 2011, faiss `IVFPQ`+refine).
+    *
+    * Layout: ONE lists table carrying BOTH codecs per row —
+    * `(id_b, _c1, _c2, _sb, _qb, _pq)` range-laid on (_c1, _c2)
+    * exactly like [[buildIvfIndex]]. Parquet is columnar, so the ADC
+    * scan that selects only `_pq` never reads the int8 bytes; the
+    * top-R RESCORE re-reads `_sb/_qb` for the probed cells only
+    * (same file/row-group pruning) — no separate refine table to keep
+    * consistent. Codebooks (m × ≤256 × dims/m doubles, broadcast-
+    * bounded) persist beside the centroids; `meta.json` records
+    * `layout: ivfpq` and `m`.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, m: Int = -1, nCentroids: Int = -1,
+                      maxIter: Int = 1, seed: Long = 42L): Unit = {
+    val unit = normalizedVecs(corpus, idCol, idCol, vecCol)
+    val idx = trainIvfIndex(unit, idCol, nCentroids, maxIter, seed)
+    val dims = idx.l1m.headOption.map(_.length).getOrElse(0)
+    val mEff = if (m > 0) m else math.max(1, dims / 4)
+    val cb = trainPqCodebooks(unit, idCol, mEff, seed)
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    idx.l1m.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toDF("_c1", "_c1v")
+      .write.mode("overwrite").parquet(s"$path/l1")
+    idx.l2.foreach(_.write.mode("overwrite").parquet(s"$path/l2"))
+    cb.zipWithIndex.flatMap { case (cs, j) =>
+      cs.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) } }.toSeq
+      .toDF("_j", "_c", "_cv")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    // same range layout + post-exchange codec placement rationale as
+    // [[buildIvfIndex]]; the PQ encode is one more codegen'd
+    // projection in the ranged write tasks
+    val listsRanged = idx.lists
+      .repartitionByRange(sess.sparkContext.defaultParallelism,
+        col("_c1"), col("_c2"))
+      .sortWithinPartitions("_c1", "_c2")
+    val q = graft.functions.VectorExprs.int8Quantize(col("_ub"))
+    listsRanged.select(col("id_b"), col("_c1"), col("_c2"),
+        q.getField("scale").as("_sb"),
+        q.getField("qvec").as("_qb"),
+        graft.functions.VectorExprs.pqEncode(col("_ub"), cb).as("_pq"))
+      .write.mode("overwrite").parquet(s"$path/lists")
+    val meta = s"""{"l1n":${idx.l1n},"l2n":${idx.l2n},""" +
+      s""""seed":${idx.seed},"quantized":true,"layout":"ivfpq","m":$mEff}"""
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = metaPath.getFileSystem(sess.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    try out.write(meta.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Search a persisted IVF-PQ index ([[buildIvfPqIndex]]):
+    * asymmetric-distance candidate ranking over the PQ codes, then an
+    * exact int8 RESCORE of the top `rescoreR` per query — the
+    * standard two-stage PQ serve (ADC is lossy; the rescore restores
+    * exact ranking as long as the true top-k survives the top-R cut,
+    * which the planted-recall gate pins EQUAL).
+    *
+    * Stage economics at scale:
+    *  1. probe cells exactly like [[searchIvfIndex]] (probed-cell IN
+    *     pushdown prunes list files/row groups);
+    *  2. ADC: one [[graft.functions.PqLut]] per probe row (the
+    *     dims-length work, |queries|·nProbe times), then `m` lookups
+    *     per candidate ([[graft.functions.PqAdcDot]]) over a scan
+    *     that reads ONLY the codes column — the int8 bytes stay on
+    *     disk (columnar pruning);
+    *  3. bounded top-R per query ([[graft.operators.TopKAgg]] —
+    *     map-side collapse before the exchange);
+    *  4. rescore: the |queries|·R surviving candidates equi-join the
+    *     pruned lists' int8 columns (slim build side,
+    *     SHUFFLE_HASH-hinted) and rescore with the exact
+    *     mixed-precision dot [[searchIvfIndex]] serves — identical
+    *     scores, so downstream consumers see the same `cos` face.
+    *
+    * Output: (id_a, id_b, cos, rank) — the [[searchIvfIndex]] shape.
+    */
+  def searchIvfPqIndex(spark: SparkSession, path: String,
+                       queries: DataFrame, queryIdCol: String,
+                       vecCol: String, k: Int, nProbe: Int = 4,
+                       rescoreR: Int = -1): DataFrame = {
+    val (l1n, l2n, seed, _) = readIvfMeta(spark, path)
+    val cb = readCodebook(spark, path)
+    val l2 = if (l2n > 1) Some(spark.read.parquet(s"$path/l2")) else None
+    val l1m = spark.read.parquet(s"$path/l1").orderBy(col("_c1"))
+      .collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("_c1v")).toArray)
+    val lists = spark.read.parquet(s"$path/lists")
+    val idx = IvfIndex(l1m, l2, lists, l1n, l2n, seed)
+    val qunit = normalizedVecs(queries, queryIdCol, queryIdCol, vecCol)
+    val probes = probeIvfIndex(idx, qunit, queryIdCol, nProbe)
+      .repartition(spark.sparkContext.defaultParallelism, col("id_a"))
+      .localCheckpoint()
+    val probedCells = probes.select(col("_c1")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pruned = lists.filter(
+      col("_c1").isin(probedCells.map(Integer.valueOf): _*))
+    val r = if (rescoreR > 0) rescoreR else math.max(32, 8 * k)
+    val adc = probes
+      .withColumn("_lut",
+        graft.functions.VectorExprs.pqLut(col("_ua"), cb))
+      .join(pruned.select(col("id_b"), col("_c1"), col("_c2"), col("_pq"))
+        .hint("shuffle_hash"), Seq("_c1", "_c2"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExprs.pqAdcDot(col("_lut"), col("_pq"))
+          .as("_adc"))
+    val cand = graft.operators.TopKAgg.perGroup(adc, "id_a", "_adc",
+        "id_b", r)
+      .select(col("id_a"), col("id_b"))
+    val candQ = cand.join(
+      qunit.select(col(queryIdCol).as("id_a"), col("_unit").as("_ua")),
+      Seq("id_a"))
+    val rescored = pruned.select(col("id_b"), col("_sb"), col("_qb"))
+      .join(candQ.hint("shuffle_hash"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorExprs.dotInt8(col("_ua"), col("_qb")) *
+          col("_sb") / 127.0, 4).as("cos"))
+    graft.operators.TopKAgg.perGroup(rescored, "id_a", "cos", "id_b", k)
+      .select(col("id_a"), col("id_b"), col("cos"), col("rank"))
+  }
+
   /** Per-row double dot product — the native codegen'd
     * [[graft.functions.VectorExprs.dot]] expression (per-row
     * evaluation, so deterministic under any partitioning). Used where

@@ -236,6 +236,58 @@ class SimilaritySpec extends SparkSpec {
                             a: Long, b: Long): Boolean =
     f.exists(t => t._1 == a && t._2 == b)
 
+  test("IVF-PQ index: m-byte codes, ADC+rescore serves the IDENTICAL " +
+       "cos face as the int8 index, planted recall EQUAL, loud on " +
+       "m not dividing dims") {
+    val rng = new scala.util.Random(53)
+    val centers = Array.fill(8, 16)(rng.nextGaussian().toFloat)
+    val corpusRows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => v + 0.1f * rng.nextGaussian().toFloat))
+    }
+    val corpus = corpusRows.toDF("vec_id", "embedding").cache()
+    val queries = (0 until 40).map { i =>
+      val src = corpusRows(i * 5)
+      (10000L + src._1, src._2.map(v => v + 0.005f * rng.nextGaussian().toFloat))
+    }.toDF("qid", "embedding").cache()
+    val pid = ProcessHandle.current().pid()
+    val pathP = s"/tmp/graft_ivfpq_idx_$pid"
+    val pathQ = s"/tmp/graft_ivfpq_ref_$pid"
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", pathP, m = 4)
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", pathQ)
+    // the scan-path payload really is m one-byte codes
+    val codes = spark.read.parquet(s"$pathP/lists")
+      .select("_pq").as[Seq[Byte]].head()
+    assert(codes.length == 4, s"expected 4 PQ codes, got ${codes.length}")
+    val p = Similarity.searchIvfPqIndex(spark, pathP, queries,
+        "qid", "embedding", k = 3, nProbe = 3)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    val q = Similarity.searchIvfIndex(spark, pathQ, queries,
+        "qid", "embedding", k = 3, nProbe = 3)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    // the rescore IS the int8 scorer — common pairs score IDENTICALLY
+    val pm = p.map { case (a, b, c) => (a, b) -> c }.toMap
+    val qm = q.map { case (a, b, c) => (a, b) -> c }.toMap
+    val common = pm.keySet.intersect(qm.keySet)
+    assert(common.nonEmpty)
+    common.foreach { k =>
+      assert(pm(k) == qm(k), s"pair $k: PQ rescore ${pm(k)} != int8 ${qm(k)}")
+    }
+    // planted recall EQUAL through the PQ scan path
+    val pSet = p.map { case (a, b, _) => (a, b) }.toSet
+    (0 until 40).foreach { i =>
+      val src = corpusRows(i * 5)._1
+      assert(pSet.contains((10000L + src, src)),
+        s"PQ index lost planted neighbor $src")
+    }
+    // a subspace width that does not divide dims is a loud error
+    val e = intercept[IllegalArgumentException] {
+      Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
+        s"/tmp/graft_ivfpq_bad_$pid", m = 5)
+    }
+    assert(e.getMessage.contains("must divide"), e.getMessage)
+  }
+
   test("hierarchical IVF: expression and join probe paths agree exactly; " +
     "planted recall EQUAL") {
     // > FlatMax cells forces the two-level quantizer — the path the
