@@ -73,7 +73,7 @@ object Bench {
     // is reported as such ("reps"/"stat" fields).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val queryResults = queries.map { case (name, fn) =>
-      val runs = (1 to reps).map { _ =>
+      def rep(): (Double, Option[String]) = {
         // fresh-session semantics per measurement: operators that cache
         // intermediates (similarity signatures, CV folds) must not leave
         // blocks behind to evict later queries' working set. The RDD
@@ -90,8 +90,23 @@ object Bench {
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      val ok = runs.filter(_._2.isEmpty)
-      if (ok.nonEmpty) (name, ok.map(_._1).min, ok.map(_._1).max, None)
+      val runs0 = (1 to reps).map(_ => rep())
+      val ok0 = runs0.collect { case (s, None) => s }
+      // isolate-before-concluding (the q192 lesson): a >3× spread over
+      // 2 reps on a sub-second query is usually ONE cold/JIT/GC-phase
+      // rep, not the query. Run one extra isolating rep, and with ≥ 3
+      // clean runs report the spread over all-but-the-single-worst —
+      // a lone outlier is absorbed (its cost still shows in the extra
+      // rep's wall, never in "min"), while a query that is slow in
+      // TWO of three reps still flags (the q45 contamination shape).
+      val runs =
+        if (ok0.nonEmpty && ok0.max / math.max(ok0.min, 1e-9) > 3.0)
+          runs0 :+ rep()
+        else runs0
+      val ok = runs.collect { case (s, None) => s }.sorted
+      if (ok.nonEmpty)
+        (name, ok.head,
+          if (ok.size >= 3) ok(ok.size - 2) else ok.last, None)
       else (name, runs.head._1, runs.head._1, runs.head._2)
     }
     val results = sharedResults ++ queryResults
@@ -107,7 +122,11 @@ object Bench {
       .mkString("{", ",", "}")
     // spread honesty: min hides variance — report max/min per query and
     // flag anything whose reps differ by >3x (the q45 lesson: a 78 s
-    // round-2 number was neighborhood contamination, not the query)
+    // round-2 number was neighborhood contamination, not the query).
+    // A query that tripped the threshold earned one extra isolating
+    // rep and its "max" is the second-worst clean run (see the rep
+    // loop) — a lone cold-phase outlier is absorbed, a repeatably
+    // bimodal query still flags.
     val spread = ok.map { case (k, mn, mx, _) =>
       s""""$k":${f3(if (mn > 0) mx / mn else 1.0)}""" }.mkString("{", ",", "}")
     val noisy = ok.collect { case (k, mn, mx, _) if mn > 0 && mx / mn > 3.0 => s""""$k"""" }

@@ -1224,15 +1224,21 @@ object Similarity {
     * FileSystem resolved from the path (hdfs://s3a:// are the natural
     * homes of a corpus-sized index).
     */
-  private def readIvfMeta(spark: SparkSession,
-                          path: String): (Int, Int, Long, Boolean) = {
+  private def ivfMetaString(spark: SparkSession, path: String): String = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     val in = fs.open(metaPath)
-    val meta =
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      finally in.close()
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  private def isPqLayout(meta: String): Boolean =
+    """"layout":"ivfpq"""".r.findFirstIn(meta).isDefined
+
+  private def readIvfMeta(spark: SparkSession,
+                          path: String): (Int, Int, Long, Boolean) = {
+    val meta = ivfMetaString(spark, path)
     def longOf(key: String): Long =
       s""""$key":(-?\\d+)""".r.findFirstMatchIn(meta).get.group(1).toLong
     (longOf("l1n").toInt, longOf("l2n").toInt, longOf("seed"),
@@ -1303,6 +1309,16 @@ object Similarity {
                        newVectors: DataFrame, idCol: String,
                        vecCol: String): Unit = {
     val (l1n, l2n, seed, quantized) = readIvfMeta(spark, path)
+    // an IVF-PQ index's rows additionally carry the PQ codes column —
+    // an append that omitted it would leave `_pq` NULL for the whole
+    // batch and the ADC scan would silently score every appended
+    // vector 0 (recall loss with no error); encode under the STORED
+    // codebooks, the frozen-centroids discipline applied to the
+    // second quantizer too
+    val pqCb =
+      if (isPqLayout(ivfMetaString(spark, path)))
+        Some(readCodebook(spark, path))
+      else None
     val l1m = spark.read.parquet(s"$path/l1").orderBy(col("_c1"))
       .collect()
       .map(r => r.getSeq[Double](r.fieldIndex("_c1v")).toArray)
@@ -1343,9 +1359,12 @@ object Similarity {
       if (!quantized) listsRanged
       else {
         val q = graft.functions.VectorExprs.int8Quantize(col("_ub"))
-        listsRanged.select(col("id_b"), col("_c1"), col("_c2"),
+        val cols = Seq(col("id_b"), col("_c1"), col("_c2"),
           q.getField("scale").as("_sb"),
-          q.getField("qvec").as("_qb"))
+          q.getField("qvec").as("_qb")) ++
+          pqCb.map(cb =>
+            graft.functions.VectorExprs.pqEncode(col("_ub"), cb).as("_pq"))
+        listsRanged.select(cols: _*)
       }
     listsOut.write.mode("append").parquet(s"$path/lists")
   }

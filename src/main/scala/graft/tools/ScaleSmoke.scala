@@ -43,7 +43,8 @@ object ScaleSmoke {
   private val DefaultQueries =
     "q47_embed_lsh,q80_dup_clusters,q57_embed_ivf,q30_cosine_topk,q78_corpus_funnel,q89_edit_distance"
   private val AnnQueries =
-    "q57_embed_ivf,q125_ivf_recall,q167_ann_search,q168_ann_index,q171_semdedup_recall"
+    "q57_embed_ivf,q125_ivf_recall,q167_ann_search,q168_ann_index," +
+      "q171_semdedup_recall,q237_pq_recall"
   private val GraphQueries =
     "q142_pagerank,q146_triangles,q159_hits,q80_dup_clusters"
 

@@ -97,6 +97,24 @@ class PlanAuditSpec extends SparkSpec {
       s"lists scan has no _c1 IN pushdown:\n${scanLine.getOrElse(p.take(2000))}")
   }
 
+  test("q237: the PQ ADC scan prunes the int8 columns (codes only) and " +
+       "keeps the probed-cell pushdown; the rescore scan reads int8") {
+    val p = plan("q237_pq_recall")
+    // the ADC candidate scan must read _pq WITHOUT _qb (columnar
+    // pruning is the whole byte win), the rescore scan _qb without _pq
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema"))
+      .filter(l => l.contains("_pq") || l.contains("_qb")).toSeq
+    assert(schemas.exists(l => l.contains("_pq") && !l.contains("_qb")),
+      s"no codes-only ADC scan:\n${schemas.mkString("\n")}")
+    assert(schemas.exists(l => l.contains("_qb") && !l.contains("_pq")),
+      s"no int8-only rescore scan:\n${schemas.mkString("\n")}")
+    // both lists scans keep the probed-cell IN pushdown
+    val pushed = p.linesIterator.filter(l =>
+      l.contains("PushedFilters") && l.contains("/lists")).toSeq
+    assert(pushed.nonEmpty && pushed.forall(_.contains("In(_c1")),
+      s"lists scans without _c1 IN pushdown:\n${pushed.mkString("\n")}")
+  }
+
   test("q68: the benchmark shingle side of contamination joins via broadcast") {
     assert(plan("q68_contamination").contains("BroadcastHashJoin"))
   }

@@ -505,6 +505,30 @@ class SimilaritySpec extends SparkSpec {
       s"self-search: ${self.take(3).mkString(",")}")
   }
 
+  test("appendToIvfIndex on an IVF-PQ index encodes the batch under the " +
+       "STORED codebooks — appended vectors survive the ADC scan") {
+    // the regression this pins: an append that omitted _pq would leave
+    // the column NULL, the ADC scan would score every appended vector
+    // 0, and the batch would silently vanish from search results
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = emb.filter(col("vec_id") < 80)
+    val extra = emb.filter(col("vec_id") >= 80 && col("vec_id") < 100)
+    val path = s"/tmp/graft_test_pqappend_${ProcessHandle.current().pid()}"
+    Similarity.buildIvfPqIndex(base, "vec_id", "embedding", path)
+    Similarity.appendToIvfIndex(spark, path, extra, "vec_id", "embedding")
+    val lists = spark.read.parquet(s"$path/lists")
+    assert(lists.count() == 100L)
+    assert(lists.filter(col("_pq").isNull).count() == 0,
+      "every appended row carries PQ codes")
+    val self = Similarity.searchIvfPqIndex(spark, path,
+        extra, "vec_id", "embedding", k = 1)
+      .select("id_a", "id_b", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(self.length == 20 && self.forall(r => r._1 == r._2 &&
+      math.abs(r._3 - 1.0) <= 0.01 && r._4 == 1),
+      s"PQ self-search of the appended batch: ${self.take(3).mkString(",")}")
+  }
+
   test("randomProject equals the driver-side exact reference (md5 signs, " +
        "scale-9 decimal sums) and handles short vectors by zero-padding") {
     val rows = Seq(
