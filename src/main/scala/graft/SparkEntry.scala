@@ -258,6 +258,39 @@ object SparkEntry {
       s"FROM (SELECT doc_id, string_split($duckUniText, ' ') AS t " +
       "FROM documents WHERE doc_id % 4 <> 0))"
 
+  /** The q240/q241 BM25 query-scoring replay up to the per-(query,
+    * doc) integer score sum `sums(query_id, doc_id, score_micro)` —
+    * the q137 expression with the df ceiling and the 1e-4
+    * integerization mirrored from [[graft.llm.Retrieval.bm25TopK]].
+    */
+  private val bm25QueryCtes: String =
+    """dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |st AS (
+      |  SELECT COUNT(*) AS n_docs,
+      |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT term, doc_id, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  WHERE term <> '' GROUP BY 1, 2),
+      |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |qt AS (SELECT DISTINCT query_id, term FROM
+      |         (SELECT doc_id AS query_id,
+      |                 unnest(string_split(text, ' ')) AS term
+      |          FROM documents WHERE doc_id % 50 = 7)
+      |       WHERE term <> ''),
+      |qsel AS (SELECT q.query_id, q.term, d.df
+      |         FROM qt q JOIN dfq d USING (term), st
+      |         WHERE d.df * 10 <= st.n_docs),
+      |sums AS (
+      |  SELECT s.query_id, t.doc_id,
+      |         SUM(CAST(ROUND((LN((st.n_docs - s.df + 0.5) / (s.df + 0.5) + 1) *
+      |           (t.tf * 2.2) /
+      |           (t.tf + 1.2 * (0.25 + (0.75 * l.dl) / st.avgdl))) * 10000.0, 0)
+      |           AS BIGINT)) AS score_micro
+      |  FROM qsel s JOIN tf t USING (term) JOIN dl l ON l.doc_id = t.doc_id, st
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** 8-merge BYTE-level BPE training over the unicode fixture's
     * doc_id % 4 = 0 slice — memoized like [[bpeSliceWords]] (the rules
     * frame rides the words entry).
@@ -453,7 +486,9 @@ object SparkEntry {
       "q217_ppr_trust"),
     "_shared:curation-store" -> Seq("q182_stream_curate"),
     "_shared:unigram" -> Seq("q230_unigram_train", "q231_unigram_segment",
-      "q232_unigram_counts", "q233_unigram_vocab", "q234_unigram_ids"))
+      "q232_unigram_counts", "q233_unigram_vocab", "q234_unigram_ids",
+      "q235_unigram_sp_interop", "q238_unigram_nbest",
+      "q239_unigram_sample"))
 
   /** The q178/q181 mixture weights, and their oracle VALUES clause:
     * the SQL side receives the PRE-NORMALIZED weights (each divided by
@@ -1681,6 +1716,59 @@ object SparkEntry {
       val path = scratch("unisp", dir)
       graft.llm.Unigram.exportVocabSp(unigramModel(s, dir), path)
       graft.llm.Unigram.importVocabSp(s, path)
+    }),
+
+    // --- k-best Viterbi over the lattice (X148, SentencePiece's
+    //     NBestEncode): each word's 4 best segmentations under the
+    //     (integer cost, piece count, UTF-8 seq) total order — rank 1
+    //     IS the q231 Viterbi row; exact because top-k-per-position
+    //     survives suffix append (translation-invariant order) ---
+    "q238_unigram_nbest" -> ((s, dir) =>
+      graft.llm.Unigram.nbestSegments(
+        unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        "text", unigramModel(s, dir), nbest = 4)),
+
+    // --- subword regularization (X148, Kudo 2018 SampleEncode): each
+    //     word OCCURRENCE draws one of its 4-best segmentations with
+    //     probability ∝ p^α — different across occurrences, identical
+    //     across runs/partitionings/engines (quantized exp weights,
+    //     15-hex md5 draw mod total weight) ---
+    "q239_unigram_sample" -> ((s, dir) =>
+      graft.llm.Unigram.sampleSegments(
+        unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0),
+        "doc_id", "text", unigramModel(s, dir), nbest = 4, alpha = 0.5)),
+
+    // --- query-likelihood BM25 retrieval (X149): each query doc's
+    //     distinct terms score the corpus through the q137 formula,
+    //     integerized per-term at 1e-4 BEFORE the cross-term sum
+    //     (order-free integer aggregation); the df ceiling drops
+    //     >10%-corpus stopword terms so posting fan-out stays
+    //     bounded; per-query cut = the native bounded top-k agg ---
+    "q240_bm25_query" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(50)) === 7), "doc_id",
+        "text", k = 10)
+    }),
+
+    // --- hybrid retrieval via reciprocal-rank fusion (X149, RRF
+    //     k0 = 60): the q240 lexical run fused with the exact dense
+    //     cosine run on pure-integer 10^12 DIV (k0+rank)
+    //     contributions — ranks, not scores, cross the retriever
+    //     boundary ---
+    "q241_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lex = graft.llm.Retrieval.bm25TopK(docs, "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(50)) === 7), "doc_id",
+          "text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.embedCosineTopK(emb,
+          emb.filter(pmod(col("vec_id"), lit(50)) === 7),
+          "vec_id", "embedding", k = 10)
+        .select(col("id_a").as("query_id"), col("id_b").as("doc_id"),
+          col("rank"))
+      graft.llm.Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, topK = 10)
     }),
 
     // --- incremental index ingest: build the IVF index on the base
@@ -4958,6 +5046,81 @@ object SparkEntry {
     "q235_unigram_sp_interop" -> graft.llm.Unigram.spVocabOracleSql(
       trainWhere = "doc_id % 4 = 0", textSql = duckUniText,
       seedMulti = UniSeedMulti, keepMulti = UniKeepMulti, emIters = 2),
+
+    // k-best Viterbi replay: the same unrolled DP chain with each
+    // level keeping rn <= 4 (exact — the (cost, np, seq) order is
+    // translation-invariant under suffix append), final candidates
+    // ranked per word; [UNK]/over-length words are one rank-1 row
+    // with NULL cost
+    "q238_unigram_nbest" -> graft.llm.Unigram.nbestOracleSql(
+      trainWhere = "doc_id % 4 = 0", tokCte = uniTokCte,
+      textSql = duckUniText,
+      seedMulti = UniSeedMulti, keepMulti = UniKeepMulti, emIters = 2,
+      nbest = 4),
+
+    // sampled-segmentation replay: quantized exp(−α·Δcost) weights in
+    // the engine's exact expression order, 15-hex md5(doc:pos:word)
+    // draw mod the word's total weight, pick = 1 + count(cum ≤ draw)
+    "q239_unigram_sample" -> graft.llm.Unigram.sampleOracleSql(
+      trainWhere = "doc_id % 4 = 0", tokPosCte = uniTokPosCte,
+      textSql = duckUniText,
+      seedMulti = UniSeedMulti, keepMulti = UniKeepMulti, emIters = 2,
+      nbest = 4, alphaSql = "0.5"),
+
+    // query-likelihood BM25: the q137 scoring expression per (query
+    // term, doc), integerized at 1e-4 before the cross-term sum; the
+    // df*10 <= n_docs stopword ceiling mirrored; rank on
+    // (score desc, doc_id)
+    "q240_bm25_query" ->
+      s"""WITH $bm25QueryCtes
+         |SELECT query_id, rank, doc_id, score_micro FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |            ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+         |  FROM sums) WHERE rank <= 10""".stripMargin,
+
+    // RRF fusion of the q240 lexical ranks with the q37-shape exact
+    // decimal cosine ranks: integer 10^12 // (60+rank) contributions,
+    // order-free integer sum, (rrf desc, doc_id) rank
+    "q241_hybrid_rrf" ->
+      s"""WITH $bm25QueryCtes,
+         |e AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DECIMAL(18,9)) AS vd,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM embeddings),
+         |norms AS (SELECT vec_id, SQRT(CAST(SUM(vd*vd) AS DOUBLE)) AS nrm
+         |          FROM e GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS did,
+         |         CAST(SUM(a.vd*b.vd) AS DOUBLE) AS dot
+         |  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 50 = 7
+         |  GROUP BY 1, 2),
+         |cosr AS (
+         |  SELECT qid, did, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos
+         |  FROM dots JOIN norms na ON qid = na.vec_id
+         |            JOIN norms nb ON did = nb.vec_id),
+         |den AS (SELECT qid AS query_id, did AS doc_id, rank FROM (
+         |          SELECT qid, did, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                 ORDER BY cos DESC, did) AS INT) AS rank
+         |          FROM cosr) WHERE rank <= 10),
+         |lex AS (SELECT query_id, doc_id, rank FROM (
+         |          SELECT query_id, doc_id,
+         |                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+         |          FROM sums) WHERE rank <= 10),
+         |allc AS (
+         |  SELECT query_id, doc_id,
+         |         1000000000000 // CAST(60 + rank AS BIGINT) AS c FROM lex
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |         1000000000000 // CAST(60 + rank AS BIGINT) AS c FROM den),
+         |fus AS (SELECT query_id, doc_id, SUM(c) AS rrf_micro
+         |        FROM allc GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, rrf_micro FROM (
+         |  SELECT query_id, doc_id, rrf_micro,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
+         |  FROM fus) WHERE rank <= 10""".stripMargin,
 
     // q142's unrolled-round machinery with a seed-only teleport: r0 is
     // the teleport distribution and every round is

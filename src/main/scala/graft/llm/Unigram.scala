@@ -419,6 +419,171 @@ object Unigram {
         sum(col("unk").cast("long")).as("n_unk"))
   }
 
+  // ──────────── subword regularization (X148) ────────────
+
+  /** The k-BEST segmentations per distinct word under the trained
+    * model — SentencePiece's `NBestEncode` face (Kudo 2018 §3: the
+    * lattice's n-best list is what subword regularization samples
+    * from). `(word, rank, cost, n_pieces, unk, segmented)` with
+    * `rank = 1..min(nbest, #paths)` under the SAME total order as
+    * [[viterbiSegments]] (integer cost, then piece count, then the
+    * UTF-8 bytes of the joined segmentation) — so rank 1 IS the
+    * Viterbi row. A path-less or over-length word is ONE `[UNK]` row
+    * at rank 1 with NULL cost.
+    *
+    * The DP keeps the `nbest` best prefixes at every position: exact,
+    * because the (cost, n_pieces, seq) order is TRANSLATION-INVARIANT
+    * under appending a common suffix — costs and counts add, and two
+    * prefix segmentations of the same word slice differ at a space
+    * position inside their common character stream (neither can be a
+    * strict string prefix of the other: same non-space characters,
+    * no trailing space), so the first differing byte survives any
+    * appended suffix. Top-k per node therefore suffices, the classic
+    * k-best Viterbi argument. O(len · maxPieceLen · nbest log nbest)
+    * per distinct word, same broadcast-model mapPartitions economics
+    * as the 1-best serve.
+    */
+  def nbestSegments(docs: DataFrame, textCol: String, model: DataFrame,
+                    nbest: Int = 4,
+                    maxInputCharsPerWord: Int = OracleMaxWordLen,
+                    maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
+    require(nbest >= 1, s"nbest must be >= 1, got $nbest")
+    val spark = docs.sparkSession
+    val lpOf: Map[String, Long] = model.select(col("piece"), col("q"))
+      .collect().map { r =>
+        val q = r.getLong(1)
+        r.getString(0) ->
+          math.floor(-math.log(q.toDouble / 1.0e9) * 1.0e6 + 0.5).toLong
+      }.toMap
+    require(lpOf.nonEmpty,
+      "nbestSegments needs a non-empty trained model")
+    val bc = spark.sparkContext.broadcast(lpOf)
+    val maxChars = maxInputCharsPerWord
+    val m = maxPieceLen
+    val k = nbest
+    import spark.implicits._
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(Bpe.wordOk)
+      .distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val lp = bc.value
+        val lt = (x: (Long, Int, String), y: (Long, Int, String)) =>
+          x._1 < y._1 || (x._1 == y._1 && (x._2 < y._2 ||
+            (x._2 == y._2 &&
+              Bpe.compareUtf8(utf8(x._3), utf8(y._3)) < 0)))
+        it.flatMap { w =>
+          val a = cps(w)
+          val L = a.length
+          if (L > maxChars)
+            Seq((w, 1, None: Option[Long], 1L, 1, Unk))
+          else {
+            val cand =
+              Array.fill(L + 1)(Vector.empty[(Long, Int, String)])
+            cand(0) = Vector((0L, 0, ""))
+            var i = 1
+            while (i <= L) {
+              val buf = Vector.newBuilder[(Long, Int, String)]
+              var kk = 1
+              val km = math.min(m, i)
+              while (kk <= km) {
+                if (cand(i - kk).nonEmpty) {
+                  val piece = a.slice(i - kk, i).mkString
+                  lp.get(piece).foreach { c =>
+                    cand(i - kk).foreach { case (pc, pn, ps) =>
+                      buf += ((pc + c, pn + 1,
+                        if (ps.isEmpty) piece else ps + " " + piece))
+                    }
+                  }
+                }
+                kk += 1
+              }
+              cand(i) = buf.result().sortWith(lt).take(k)
+              i += 1
+            }
+            if (cand(L).isEmpty)
+              Seq((w, 1, None: Option[Long], 1L, 1, Unk))
+            else cand(L).zipWithIndex.map { case ((c, np, seq), r) =>
+              (w, r + 1, Some(c): Option[Long], np.toLong, 0, seq)
+            }
+          }
+        }
+      }.toDF("word", "rank", "cost", "n_pieces", "unk", "segmented")
+  }
+
+  /** Deterministic SAMPLED segmentation per word OCCURRENCE —
+    * subword regularization's serving face (SentencePiece's
+    * `SampleEncode(nbest_size, alpha)`, the Kudo 2018 training-time
+    * augmentation): each `(doc_id, wpos)` occurrence draws one of its
+    * word's [[nbestSegments]] candidates with probability
+    * ∝ p(seg)^alpha, so the same word segments DIFFERENTLY across
+    * occurrences but IDENTICALLY across runs, partitionings, and
+    * engines. `(doc_id, wpos, word, rank, n_pieces, unk, segmented)`
+    * with `wpos` the 1-based split index.
+    *
+    * Engine-replayable by construction:
+    *  - weights are QUANTIZED to integer units of 1e-9:
+    *    `w_i = floor(exp(−((alpha · (cost_i − cost_min)) / 1e6)) ·
+    *    1e9 + 0.5)` — cost deltas are exact integers, the single
+    *    `exp` is the q75 ln-precedent in reverse (identical double
+    *    input, one transcendental, quantization coarse enough for a
+    *    ±1-ulp libm divergence), and rank 1's weight is exactly 1e9;
+    *  - the draw is `u mod W` with `u` the top-60-bit integer of
+    *    `md5(doc_id:wpos:word)` (the [[Dedup]] 15-hex convention; W ≤
+    *    nbest·1e9 ≪ 2^60 keeps the modulo bias below 2^-30) and the
+    *    pick is the first rank whose cumulative weight exceeds the
+    *    draw — pure integer arithmetic after the one exp.
+    *
+    * Scale: the n-best table is distinct-words × ≤ nbest rows (its
+    * windows partition on `word` — vocabulary-bounded, never the
+    * corpus stream); the corpus word stream equi-joins it
+    * SHUFFLE_HASH-hinted and the pick is a ≤ nbest array probe per
+    * occurrence, the [[tokenCounts]] economics with a constant-size
+    * payload.
+    */
+  def sampleSegments(docs: DataFrame, idCol: String, textCol: String,
+                     model: DataFrame, nbest: Int = 4,
+                     alpha: Double = 0.5,
+                     maxInputCharsPerWord: Int = OracleMaxWordLen,
+                     maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
+    require(alpha > 0.0 && alpha <= 10.0,
+      s"alpha must be in (0, 10], got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val nb = nbestSegments(docs, textCol, model, nbest,
+      maxInputCharsPerWord, maxPieceLen)
+    val wWord = Window.partitionBy(col("word"))
+    val wCum = Window.partitionBy(col("word")).orderBy(col("rank"))
+    val weighted = nb
+      .withColumn("_cmin", min(col("cost")).over(wWord))
+      .withColumn("_w", when(col("cost").isNull, lit(Billion))
+        .otherwise(floor(exp(-((lit(alpha) *
+            (col("cost") - col("_cmin")).cast("double")) / lit(1.0e6)))
+          * lit(1.0e9) + lit(0.5)).cast("long")))
+      .withColumn("_cum", sum(col("_w")).over(wCum))
+    val cands = weighted.groupBy(col("word"))
+      .agg(sort_array(collect_list(struct(col("rank"),
+          col("_cum").as("cum"), col("n_pieces"), col("unk"),
+          col("segmented")))).as("_cands"),
+        max(col("_cum")).as("_wtot"))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("_wp0", "word")))
+      .filter(Bpe.wordOk)
+      .withColumn("wpos", (col("_wp0") + 1).cast("int"))
+      .join(cands.hint("shuffle_hash"), Seq("word"))
+      .withColumn("_u", conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit(":"),
+          col("wpos").cast("string"), lit(":"), col("word"))),
+        1, 15), 16, 10).cast("long"))
+      .withColumn("_r", pmod(col("_u"), col("_wtot")))
+      .withColumn("_pick",
+        expr("element_at(_cands, size(filter(_cands, c -> c.cum <= _r)) + 1)"))
+      .select(col("doc_id"), col("wpos"), col("word"),
+        col("_pick.rank").as("rank"),
+        col("_pick.n_pieces").as("n_pieces"),
+        col("_pick.unk").as("unk"),
+        col("_pick.segmented").as("segmented"))
+  }
+
   // ─────────────────── id / artifact surface (X145) ───────────────────
 
   /** The trained tokenizer's token-id table `(piece, token_id)`:
@@ -915,11 +1080,16 @@ object Unigram {
     * or over-length words — `useg(word, n_pieces, unk, segmented)`.
     */
   private def serveCtes(tokCte: String, maxPieceLen: Int,
-                        maxChars: Int): String = {
+                        maxChars: Int, nbest: Int = 1): String = {
     require(maxChars <= OracleMaxWordLen,
       s"the Viterbi unroll is $OracleMaxWordLen levels; " +
         s"maxInputCharsPerWord=$maxChars would segment in the engine " +
         "but truncate in the oracle")
+    // Each DP level keeps the nbest best prefixes per position (the
+    // same top-k-per-node argument as [[nbestSegments]]; nbest = 1 is
+    // the original Viterbi replay), and `vrank` re-ranks the final
+    // candidates so `useg` (rank 1 — the Viterbi row) and `unbest`
+    // (rank ≤ nbest, emitted only when asked) come from one chain.
     val levels = (1 to maxChars).map { i =>
       val branches = (1 to math.min(maxPieceLen, i)).map { k =>
         s"""    SELECT v.word, v.cost + o.lp AS cost, v.np + 1 AS np,
@@ -933,11 +1103,24 @@ object Unigram {
          |    SELECT *, ROW_NUMBER() OVER (
          |      PARTITION BY word ORDER BY cost, np, seq) AS rn FROM (
          |$branches))
-         |  WHERE rn = 1)""".stripMargin
+         |  WHERE rn <= $nbest)""".stripMargin
     }.mkString(",\n")
     val vend = (1 to maxChars)
-      .map(i => s"SELECT word, np, seq FROM v$i WHERE len(word) = $i")
+      .map(i => s"SELECT word, cost, np, seq FROM v$i WHERE len(word) = $i")
       .mkString("\n    UNION ALL ")
+    val unbest =
+      if (nbest == 1) ""
+      else s""",
+         |unbest AS MATERIALIZED (
+         |  SELECT e.word,
+         |         CASE WHEN v.word IS NULL THEN 1 ELSE v.rank END AS rank,
+         |         v.cost AS cost,
+         |         CASE WHEN v.word IS NULL THEN CAST(1 AS BIGINT)
+         |              ELSE CAST(v.np AS BIGINT) END AS n_pieces,
+         |         CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS unk,
+         |         CASE WHEN v.word IS NULL THEN '$Unk' ELSE v.seq END AS segmented
+         |  FROM ews e LEFT JOIN (SELECT * FROM vrank WHERE rank <= $nbest) v
+         |    ON v.word = e.word)""".stripMargin
     s"""msv AS MATERIALIZED (
        |  SELECT piece,
        |         CAST(FLOOR(-ln(CAST(q AS DOUBLE) / 1000000000.0)
@@ -960,13 +1143,19 @@ object Unigram {
        |       FROM ews WHERE len(word) <= $maxChars),
        |$levels,
        |vend AS MATERIALIZED ($vend),
+       |vrank AS MATERIALIZED (
+       |  SELECT word, cost, np, seq,
+       |         CAST(ROW_NUMBER() OVER (
+       |           PARTITION BY word ORDER BY cost, np, seq) AS INT) AS rank
+       |  FROM vend),
        |useg AS MATERIALIZED (
        |  SELECT e.word,
        |         CASE WHEN v.word IS NULL THEN CAST(1 AS BIGINT)
        |              ELSE CAST(v.np AS BIGINT) END AS n_pieces,
        |         CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS unk,
        |         CASE WHEN v.word IS NULL THEN '$Unk' ELSE v.seq END AS segmented
-       |  FROM ews e LEFT JOIN vend v ON v.word = e.word)""".stripMargin
+       |  FROM ews e LEFT JOIN (SELECT * FROM vrank WHERE rank = 1) v
+       |    ON v.word = e.word)$unbest""".stripMargin
   }
 
   /** The [[pieceVocab]] replay over `mdlf`: reserved `[UNK]`/space at
@@ -1089,4 +1278,71 @@ object Unigram {
         |       CAST(SUM(u.n_pieces) AS BIGINT) AS n_pieces,
         |       CAST(SUM(u.unk) AS BIGINT) AS n_unk
         |FROM tokgs t JOIN useg u ON u.word = t.word GROUP BY 1""".stripMargin
+
+  /** The DuckDB replay of [[nbestSegments]]: the k-best DP is the
+    * same unrolled level chain with each level keeping `rn <= nbest`
+    * (exact by the translation-invariance argument in the operator's
+    * doc), ranked at the end under the (cost, np, seq) total order.
+    */
+  def nbestOracleSql(trainWhere: String, tokCte: String,
+                     textSql: String = "text",
+                     seedMulti: Int = 64, keepMulti: Int = 32,
+                     emIters: Int = 2, nbest: Int = 4,
+                     maxPieceLen: Int = DefaultMaxPieceLen,
+                     maxChars: Int = OracleMaxWordLen): String =
+    s"WITH ${trainCtes(trainWhere, textSql, seedMulti, keepMulti, emIters, maxPieceLen, OracleMaxWordLen)},\n" +
+      s"${serveCtes(tokCte, maxPieceLen, maxChars, nbest)}\n" +
+      "SELECT word, rank, cost, n_pieces, unk, segmented FROM unbest"
+
+  /** The DuckDB replay of [[sampleSegments]] (`tokPosCte` must
+    * produce `(doc_id, wpos, word)` with 1-based split positions):
+    * quantized weights `floor(exp(−((α·Δcost)/1e6))·1e9 + 0.5)` in
+    * the engine's exact expression order, the 15-hex md5 draw mod the
+    * word's total weight, and the pick as
+    * `1 + count(cum ≤ draw)` — `alphaSql` must be a decimal literal
+    * that parses to the engine's exact double (e.g. "0.5").
+    */
+  def sampleOracleSql(trainWhere: String, tokPosCte: String,
+                      textSql: String = "text",
+                      seedMulti: Int = 64, keepMulti: Int = 32,
+                      emIters: Int = 2, nbest: Int = 4,
+                      alphaSql: String = "0.5",
+                      maxPieceLen: Int = DefaultMaxPieceLen,
+                      maxChars: Int = OracleMaxWordLen): String = {
+    val tail =
+      s"""uw AS MATERIALIZED (
+         |  SELECT word, rank, n_pieces, unk, segmented,
+         |         CASE WHEN cost IS NULL THEN CAST(1000000000 AS BIGINT)
+         |              ELSE CAST(FLOOR(exp(-(($alphaSql *
+         |                     CAST(cost - MIN(cost) OVER (PARTITION BY word) AS DOUBLE))
+         |                     / 1000000.0)) * 1000000000.0 + 0.5) AS BIGINT) END AS w
+         |  FROM unbest),
+         |ucum AS MATERIALIZED (
+         |  SELECT word, rank, n_pieces, unk, segmented, w,
+         |         SUM(w) OVER (PARTITION BY word ORDER BY rank) AS cum,
+         |         SUM(w) OVER (PARTITION BY word) AS wtot
+         |  FROM uw),
+         |uoccd AS MATERIALIZED (
+         |  SELECT t.doc_id, t.wpos, t.word,
+         |         CAST(concat('0x', substring(md5(CAST(t.doc_id AS VARCHAR)
+         |           || ':' || CAST(t.wpos AS VARCHAR) || ':' || t.word), 1, 15))
+         |           AS BIGINT) % c.wtot AS r
+         |  FROM (SELECT doc_id, wpos, word FROM tokpu
+         |        WHERE word <> '' AND NOT contains(word, '<')
+         |          AND NOT contains(word, '>')) t
+         |  JOIN (SELECT DISTINCT word, wtot FROM ucum) c USING (word)),
+         |upick AS MATERIALIZED (
+         |  SELECT o.doc_id, o.wpos, o.word,
+         |         CAST(1 + COUNT(c.rank) AS INT) AS rank
+         |  FROM uoccd o LEFT JOIN ucum c
+         |    ON c.word = o.word AND c.cum <= o.r
+         |  GROUP BY 1, 2, 3)
+         |SELECT p.doc_id, p.wpos, p.word, p.rank,
+         |       u.n_pieces, u.unk, u.segmented
+         |FROM upick p JOIN ucum u ON u.word = p.word AND u.rank = p.rank""".stripMargin
+    s"WITH ${trainCtes(trainWhere, textSql, seedMulti, keepMulti, emIters, maxPieceLen, OracleMaxWordLen)},\n" +
+      s"tokpu AS MATERIALIZED ($tokPosCte),\n" +
+      s"${serveCtes("SELECT doc_id, word FROM tokpu", maxPieceLen, maxChars, nbest)},\n" +
+      tail
+  }
 }

@@ -195,7 +195,7 @@ class PlanAuditSpec extends SparkSpec {
       "q75_tfidf", "q123_inverted_index", "q137_bm25", "q144_vocab_coverage",
       "q148_chi2_terms", "q176_substr_spans", "q183_dsir_weights",
       "q170_chunk_dedup", "q172_decontaminate", "q175_ref_perplexity",
-      "q191_bpe_encode",
+      "q191_bpe_encode", "q240_bm25_query",
       // q141_incremental_dedup is deliberately absent: its broadcast
       // build side IS a raw exploded stream, but of the incremental
       // BATCH (contractually bounded), probing the corpus-sized store
@@ -219,6 +219,31 @@ class PlanAuditSpec extends SparkSpec {
       assert(offenders.isEmpty,
         s"$q broadcasts a raw exploded stream:\n${offenders.headOption}")
     }
+  }
+
+  test("q240: BM25 retrieval broadcasts the query-term df table into " +
+    "one posting scan, attaches doc length shuffle-hash, and cuts " +
+    "per query via the bounded aggregation — never a corpus window") {
+    val p = plan("q240_bm25_query")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    // the only nested-loop is the INTENDED 1-row scalar-stats attach
+    // (crossJoin(broadcast(stats)), the q137 shape — see the scalar-
+    // join audit below); a cartesian would be a real offense
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the top-10 cut is the native bounded top-k aggregation
+    // (partial+final), not a per-doc window sort
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("Window"), s"corpus-wide window sort:\n${p.take(2000)}")
+  }
+
+  test("q239: the sampled-segmentation pick joins the occurrence " +
+    "stream shuffle-hash against the vocabulary-bounded candidate " +
+    "table — no corpus broadcast, no all-pairs fallback") {
+    val p = plan("q239_unigram_sample")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
   }
 
   test("q86: corpus bigram top-k plans TakeOrderedAndProject over a partial agg") {

@@ -90,6 +90,104 @@ class UnigramSpec extends SparkSpec {
     assert(cnt == ((10L, 5L, 6L, 2L)), s"got $cnt")
   }
 
+  test("k-best Viterbi: every path ranked under the (cost, pieces, " +
+       "UTF-8) total order, rank 1 IS the Viterbi row, [UNK] rows " +
+       "carry NULL cost") {
+    val docs = Seq((1L, "ab ab ab ab a b")).toDF("doc_id", "text")
+    val model = Unigram.train(docs, "text", seedMulti = 8,
+      keepMulti = 8, emIters = 2)
+    val eval = Seq((10L, s"ab aab zb ${"ab" * 20}")).toDF("doc_id", "text")
+    val nb = Unigram.nbestSegments(eval, "text", model, nbest = 4)
+      .as[(String, Int, Option[Long], Long, Int, String)].collect()
+    val byWord = nb.groupBy(_._1)
+    // 'ab' has exactly two segmentations; the single piece wins
+    val ab = byWord("ab").sortBy(_._2)
+    assert(ab.map(r => (r._2, r._6)).toSeq == Seq((1, "ab"), (2, "a b")),
+      s"got ${ab.toSeq}")
+    assert(ab(0)._3.get < ab(1)._3.get, "costs must strictly order")
+    // 'aab': a+ab beats a+a+b (and 'aa' was never a candidate piece)
+    val aab = byWord("aab").sortBy(_._2)
+    assert(aab.map(r => (r._2, r._6)).toSeq ==
+      Seq((1, "a ab"), (2, "a a b")), s"got ${aab.toSeq}")
+    // path-less and over-length words: ONE rank-1 [UNK] row, NULL cost
+    assert(byWord("zb").toSeq ==
+      Seq(("zb", 1, None, 1L, 1, Unigram.Unk)))
+    assert(byWord("ab" * 20).toSeq ==
+      Seq((("ab" * 20), 1, None, 1L, 1, Unigram.Unk)))
+    // rank 1 ≡ the Viterbi serve face, word for word
+    val vit = Unigram.viterbiSegments(eval, "text", model)
+      .as[(String, Long, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    nb.filter(_._2 == 1).foreach { r =>
+      assert(vit(r._1) == ((r._4, r._5, r._6)),
+        s"rank-1 mismatch for ${r._1}")
+    }
+  }
+
+  test("sampled segmentation: per-occurrence draws replayed from the " +
+       "md5/exp-weight formula, deterministic across runs") {
+    val docs = Seq((1L, "ab ab ab ab a b")).toDF("doc_id", "text")
+    val model = Unigram.train(docs, "text", seedMulti = 8,
+      keepMulti = 8, emIters = 2)
+    val eval = Seq((10L, "ab ab ab aab zb"), (11L, "aab ab"))
+      .toDF("doc_id", "text")
+    val nb = Unigram.nbestSegments(eval, "text", model, nbest = 4)
+      .as[(String, Int, Option[Long], Long, Int, String)].collect()
+    val out = Unigram.sampleSegments(eval, "doc_id", "text", model,
+        nbest = 4, alpha = 0.5)
+      .as[(Long, Int, String, Int, Long, Int, String)].collect()
+    // every occurrence appears once, keyed by its 1-based split index
+    assert(out.map(r => (r._1, r._2)).sorted.toSeq ==
+      Seq((10L, 1), (10L, 2), (10L, 3), (10L, 4), (10L, 5),
+        (11L, 1), (11L, 2)))
+    // independent replay of the draw contract:
+    // w = floor(exp(−((α·Δcost)/1e6))·1e9+0.5), u = top-60-bit md5,
+    // pick = first rank whose cumulative weight exceeds u mod W
+    def md5u(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val cands = nb.groupBy(_._1).map { case (w, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val cmin = sorted.flatMap(_._3).minOption
+      val ws = sorted.map { r =>
+        r._3 match {
+          case None => 1000000000L
+          case Some(c) => math.floor(math.exp(
+            -((0.5 * (c - cmin.get).toDouble) / 1.0e6)) * 1.0e9
+            + 0.5).toLong
+        }
+      }
+      w -> ((sorted, ws.scanLeft(0L)(_ + _).tail))
+    }
+    out.foreach { r =>
+      val (sorted, cum) = cands(r._3)
+      val draw = md5u(s"${r._1}:${r._2}:${r._3}") % cum.last
+      val exp = sorted(cum.count(_ <= draw))
+      assert(r._4 == exp._2 && r._7 == exp._6,
+        s"occurrence (${r._1},${r._2},${r._3}): got rank ${r._4} " +
+          s"'${r._7}', expected rank ${exp._2} '${exp._6}'")
+    }
+    // rank 1's weight is exactly 1e9 by construction, so a word with
+    // one dominant path still samples its alternatives: over the 4
+    // 'ab' occurrences both segmentations must appear iff the replay
+    // says so (sanity that the draw is not degenerate)
+    val abRanks = out.filter(_._3 == "ab").map(_._4).toSet
+    val abReplay = out.filter(_._3 == "ab").map { r =>
+      val (_, cum) = cands("ab")
+      cum.count(_ <= md5u(s"${r._1}:${r._2}:ab") % cum.last) + 1
+    }.toSet
+    assert(abRanks == abReplay)
+    // determinism: a second run is row-identical
+    val out2 = Unigram.sampleSegments(eval, "doc_id", "text", model,
+        nbest = 4, alpha = 0.5)
+      .as[(Long, Int, String, Int, Long, Int, String)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      out2.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("pieceVocab: [UNK]/space reserved at 0/1, pieces in (q desc, " +
        "UTF-8) order; encodeIds interleaves id-1 boundaries; decode " +
        "roundtrips UNK-free text") {
