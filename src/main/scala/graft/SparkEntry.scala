@@ -1771,6 +1771,41 @@ object SparkEntry {
       graft.llm.Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, topK = 10)
     }),
 
+    // --- tokenizer SELECTION panel (X150): all three production
+    //     families, trained on the SAME corpus slice, compared on the
+    //     SAME eval complement — fertility (pieces/word), bytes/piece
+    //     (context efficiency), UNK share (what the closed vocabulary
+    //     destroys; byte-BPE structurally 0). Integer micro/ppm
+    //     ratios over exact sums; each family's per-doc economics is
+    //     its already-oracled serve chain ---
+    "q242_tokenizer_panel" -> ((s, dir) => {
+      val eval = unicodeDocs(s, dir)
+        .filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val bytes = eval.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(Bpe.wordOk)
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("octet_length(word)")).as("n_bytes"))
+      val bpe = Bpe.encodeTokenCountsBytes(eval, "doc_id", "text",
+          bpeBytesMerges(s, dir))
+        .select(col("doc_id"), col("n_words"),
+          col("n_bpe").as("n_pieces"), col("n_oov").as("n_unk"),
+          col("n_bytes"))
+      val wp = WordPiece.tokenCounts(eval, "doc_id", "text",
+          wpMerges(s, dir), wpWords(s, dir),
+          maxInputCharsPerWord = WordPiece.OracleMaxWordLen)
+        .join(bytes.hint("shuffle_hash"), Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("n_unk"), col("n_bytes"))
+      val uni = graft.llm.Unigram.tokenCounts(eval, "doc_id", "text",
+          unigramModel(s, dir))
+        .join(bytes.hint("shuffle_hash"), Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("n_unk"), col("n_bytes"))
+      graft.llm.TokenizerEval.panel(Seq(
+        ("bpe_bytes", bpe), ("wordpiece", wp), ("unigram", uni)))
+    }),
+
     // --- incremental index ingest: build the IVF index on the base
     //     corpus, APPEND the perturbed twins without retraining, then
     //     every base query must find its appended twin in the top-3
@@ -5121,6 +5156,50 @@ object SparkEntry {
          |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |         ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
          |  FROM fus) WHERE rank <= 10""".stripMargin,
+
+    // the three-family panel: each family's per-doc serve chain
+    // (q219/q225/q232 shapes, same slice, same eval words) wrapped as
+    // an independent nested-WITH subquery, corpus-summed, integer
+    // micro/ppm ratios — one oracled row per family
+    // (assembled by concatenation, NOT stripMargin: the nested family
+    // SQLs contain `||` concat operators at line starts, which an
+    // outer stripMargin would eat)
+    "q242_tokenizer_panel" ->
+      ("WITH fb AS (SELECT doc_id, n_words, n_bpe AS n_pieces, " +
+        "n_oov AS n_unk, n_bytes FROM (\n" +
+        Bpe.byteEncodeOracleSql(8, trainWhere = "doc_id % 4 = 0",
+          tokCte = uniTokCte, textSql = duckUniText) +
+        "\n)),\nfw AS (SELECT doc_id, n_words, n_pieces, n_unk FROM (\n" +
+        WordPiece.tokenCountsOracleSql(8, trainWhere = "doc_id % 4 = 0",
+          tokCte = uniTokCte, textSql = duckUniText) +
+        "\n)),\nfu AS (SELECT doc_id, n_words, n_pieces, n_unk FROM (\n" +
+        graft.llm.Unigram.countsOracleSql(trainWhere = "doc_id % 4 = 0",
+          tokCte = uniTokCte, textSql = duckUniText,
+          seedMulti = UniSeedMulti, keepMulti = UniKeepMulti,
+          emIters = 2) +
+        "\n)),\n" +
+        s"byt AS (SELECT doc_id, CAST(SUM(strlen(word)) AS BIGINT) AS n_bytes " +
+        s"FROM ($uniTokCte) WHERE word <> '' AND NOT contains(word, '<') " +
+        "AND NOT contains(word, '>') GROUP BY 1),\n" +
+        "raw AS (\n" +
+        "  SELECT 'bpe_bytes' AS family, COUNT(*) AS n_docs, " +
+        "SUM(n_words) AS n_words, SUM(n_pieces) AS n_pieces, " +
+        "SUM(n_unk) AS n_unk, SUM(n_bytes) AS n_bytes FROM fb\n" +
+        "  UNION ALL\n" +
+        "  SELECT 'wordpiece', COUNT(*), SUM(n_words), SUM(n_pieces), " +
+        "SUM(n_unk), SUM(b.n_bytes) FROM fw JOIN byt b USING (doc_id)\n" +
+        "  UNION ALL\n" +
+        "  SELECT 'unigram', COUNT(*), SUM(n_words), SUM(n_pieces), " +
+        "SUM(n_unk), SUM(b.n_bytes) FROM fu JOIN byt b USING (doc_id))\n" +
+        "SELECT family, CAST(n_docs AS BIGINT) AS n_docs, " +
+        "CAST(n_words AS BIGINT) AS n_words, " +
+        "CAST(n_pieces AS BIGINT) AS n_pieces, " +
+        "CAST(n_unk AS BIGINT) AS n_unk, " +
+        "CAST(n_bytes AS BIGINT) AS n_bytes, " +
+        "CAST((1000000 * n_pieces) // n_words AS BIGINT) AS fert_micro, " +
+        "CAST((1000000 * n_bytes) // n_pieces AS BIGINT) AS bpp_micro, " +
+        "CAST((1000000 * n_unk) // n_words AS BIGINT) AS unk_ppm " +
+        "FROM raw"),
 
     // q142's unrolled-round machinery with a seed-only teleport: r0 is
     // the teleport distribution and every round is
