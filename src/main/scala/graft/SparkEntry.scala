@@ -488,7 +488,7 @@ object SparkEntry {
     "_shared:unigram" -> Seq("q230_unigram_train", "q231_unigram_segment",
       "q232_unigram_counts", "q233_unigram_vocab", "q234_unigram_ids",
       "q235_unigram_sp_interop", "q238_unigram_nbest",
-      "q239_unigram_sample"))
+      "q239_unigram_sample", "q243_unigram_sample_ids"))
 
   /** The q178/q181 mixture weights, and their oracle VALUES clause:
     * the SQL side receives the PRE-NORMALIZED weights (each divided by
@@ -1737,6 +1737,37 @@ object SparkEntry {
       graft.llm.Unigram.sampleSegments(
         unicodeDocs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0),
         "doc_id", "text", unigramModel(s, dir), nbest = 4, alpha = 0.5)),
+
+    // --- the pretraining artifact UNDER subword regularization
+    //     (X148): per-doc flat id sequences where every word
+    //     OCCURRENCE segments by its epoch-1 sampled draw instead of
+    //     Viterbi — different epochs give different id streams that
+    //     decode to the IDENTICAL clean text (honest roundtrip flag,
+    //     oracle predicts n_unk = 0 on the plain slice) ---
+    "q243_unigram_sample_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        .select(col("doc_id"), col("text"))
+      val model = unigramModel(s, dir)
+      val enc = graft.llm.Unigram.encodeIdsSampled(docs, "doc_id",
+          "text", model, nbest = 4, alpha = 0.5, epoch = 1)
+        .localCheckpoint()
+      val dec = graft.llm.Unigram.decodeIds(enc, "doc_id", "ids", model)
+      val expected = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("_wpos", "word")))
+        .filter(Bpe.wordOk)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("_wpos"), col("word"))))
+          .as("_ws"))
+        .select(col("doc_id"),
+          expr("array_join(transform(_ws, x -> x.word), ' ')").as("_exp"))
+      enc.join(dec, Seq("doc_id")).join(expected, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tok"), col("n_unk"),
+          expr("aggregate(transform(ids, (x, i) -> CAST(x AS BIGINT) * (i + 1)), " +
+            "CAST(0 AS BIGINT), (a, y) -> a + y)").as("ids_fp"),
+          (col("text_decoded") === col("_exp")).cast("int")
+            .as("roundtrip_ok"))
+    }),
 
     // --- query-likelihood BM25 retrieval (X149): each query doc's
     //     distinct terms score the corpus through the q137 formula,
@@ -5101,6 +5132,15 @@ object SparkEntry {
       textSql = duckUniText,
       seedMulti = UniSeedMulti, keepMulti = UniKeepMulti, emIters = 2,
       nbest = 4, alphaSql = "0.5"),
+
+    // the sampled-ids replay: the q234 id-assembly tail over the
+    // epoch-1 sampled segmentations (salt ':1' inside the md5 key);
+    // boundary id-1 positions contribute to the fingerprint
+    "q243_unigram_sample_ids" -> graft.llm.Unigram.sampledIdsOracleSql(
+      trainWhere = "doc_id % 4 = 0", tokPosCte = plainTokPosCte,
+      textSql = duckUniText,
+      seedMulti = UniSeedMulti, keepMulti = UniKeepMulti, emIters = 2,
+      nbest = 4, alphaSql = "0.5", saltSql = " || ':1'"),
 
     // query-likelihood BM25: the q137 scoring expression per (query
     // term, doc), integerized at 1e-4 before the cross-term sum; the

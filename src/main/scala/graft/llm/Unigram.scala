@@ -540,12 +540,19 @@ object Unigram {
     * SHUFFLE_HASH-hinted and the pick is a ≤ nbest array probe per
     * occurrence, the [[tokenCounts]] economics with a constant-size
     * payload.
+    *
+    * `drawSalt` appends to the md5 key — the per-EPOCH face: a
+    * training loop passes `":<epoch>"` so every epoch re-draws each
+    * occurrence independently (SentencePiece resamples per call; the
+    * salt is this engine's deterministic equivalent), while the
+    * default "" keeps a single canonical draw.
     */
   def sampleSegments(docs: DataFrame, idCol: String, textCol: String,
                      model: DataFrame, nbest: Int = 4,
                      alpha: Double = 0.5,
                      maxInputCharsPerWord: Int = OracleMaxWordLen,
-                     maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
+                     maxPieceLen: Int = DefaultMaxPieceLen,
+                     drawSalt: String = ""): DataFrame = {
     require(alpha > 0.0 && alpha <= 10.0,
       s"alpha must be in (0, 10], got $alpha")
     import org.apache.spark.sql.expressions.Window
@@ -572,7 +579,8 @@ object Unigram {
       .join(cands.hint("shuffle_hash"), Seq("word"))
       .withColumn("_u", conv(substring(md5(concat(
           col("doc_id").cast("string"), lit(":"),
-          col("wpos").cast("string"), lit(":"), col("word"))),
+          col("wpos").cast("string"), lit(":"), col("word"),
+          lit(drawSalt))),
         1, 15), 16, 10).cast("long"))
       .withColumn("_r", pmod(col("_u"), col("_wtot")))
       .withColumn("_pick",
@@ -582,6 +590,51 @@ object Unigram {
         col("_pick.n_pieces").as("n_pieces"),
         col("_pick.unk").as("unk"),
         col("_pick.segmented").as("segmented"))
+  }
+
+  /** The pretraining artifact UNDER subword regularization — what a
+    * sampling-enabled training loop actually emits per EPOCH: the
+    * [[encodeIds]] shape (`(doc_id, ids, n_unk, n_tok)`, id-1 word
+    * boundaries, id 0 for dead words) but with each word OCCURRENCE
+    * segmented by its [[sampleSegments]] draw for `epoch` instead of
+    * the single Viterbi path. The load-bearing property (spec-pinned):
+    * different epochs produce DIFFERENT id streams that decode to the
+    * IDENTICAL clean text — segmentation varies, surface text never
+    * does.
+    *
+    * Scale: the sampled stream is per-occurrence (corpus-sized, like
+    * any ids materialization); piece→id attaches via the broadcast
+    * vocabulary and the two keyed aggregations ((doc, wpos) then doc)
+    * group what the q234 assembly grouped.
+    */
+  def encodeIdsSampled(docs: DataFrame, idCol: String, textCol: String,
+                       model: DataFrame, nbest: Int = 4,
+                       alpha: Double = 0.5, epoch: Int = 0,
+                       maxInputCharsPerWord: Int = OracleMaxWordLen,
+                       maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
+    val vocab = pieceVocab(model)
+    val seg = sampleSegments(docs, idCol, textCol, model, nbest, alpha,
+      maxInputCharsPerWord, maxPieceLen, drawSalt = s":$epoch")
+    seg
+      .select(col("doc_id"), col("wpos"), col("unk"),
+        posexplode(split(col("segmented"), " ")).as(Seq("_spos", "piece")))
+      .join(broadcast(vocab), Seq("piece"), "left")
+      .groupBy(col("doc_id"), col("wpos"))
+      .agg(max(col("unk")).as("_unk"),
+        sort_array(collect_list(struct(col("_spos"),
+          coalesce(col("token_id"), lit(-1)).as("id")))).as("_ps"))
+      .select(col("doc_id"), col("wpos"), col("_unk"),
+        expr("transform(_ps, p -> p.id)").as("_wids"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("wpos"), col("_wids"))))
+          .as("_ws"),
+        sum(col("_unk").cast("long")).as("n_unk"))
+      .select(col("doc_id"),
+        expr("flatten(transform(_ws, (w, i) -> " +
+          "IF(i = 0, w._wids, concat(array(1), w._wids))))").as("ids"),
+        col("n_unk"))
+      .withColumn("n_tok", size(col("ids")).cast("long"))
   }
 
   // ─────────────────── id / artifact surface (X145) ───────────────────
@@ -1302,47 +1355,108 @@ object Unigram {
     * `1 + count(cum ≤ draw)` — `alphaSql` must be a decimal literal
     * that parses to the engine's exact double (e.g. "0.5").
     */
+  /** The sampling CTE chain over `unbest` + `tokpu` — quantized exp
+    * weights, cumulative sums, the salted 15-hex md5 draw, and the
+    * per-occurrence pick `upick(doc_id, wpos, word, rank)`; shared by
+    * [[sampleOracleSql]] and [[sampledIdsOracleSql]].
+    */
+  private def sampleCtes(alphaSql: String, saltSql: String): String =
+    s"""uw AS MATERIALIZED (
+       |  SELECT word, rank, n_pieces, unk, segmented,
+       |         CASE WHEN cost IS NULL THEN CAST(1000000000 AS BIGINT)
+       |              ELSE CAST(FLOOR(exp(-(($alphaSql *
+       |                     CAST(cost - MIN(cost) OVER (PARTITION BY word) AS DOUBLE))
+       |                     / 1000000.0)) * 1000000000.0 + 0.5) AS BIGINT) END AS w
+       |  FROM unbest),
+       |ucum AS MATERIALIZED (
+       |  SELECT word, rank, n_pieces, unk, segmented, w,
+       |         SUM(w) OVER (PARTITION BY word ORDER BY rank) AS cum,
+       |         SUM(w) OVER (PARTITION BY word) AS wtot
+       |  FROM uw),
+       |uoccd AS MATERIALIZED (
+       |  SELECT t.doc_id, t.wpos, t.word,
+       |         CAST(concat('0x', substring(md5(CAST(t.doc_id AS VARCHAR)
+       |           || ':' || CAST(t.wpos AS VARCHAR) || ':' || t.word$saltSql), 1, 15))
+       |           AS BIGINT) % c.wtot AS r
+       |  FROM (SELECT doc_id, wpos, word FROM tokpu
+       |        WHERE word <> '' AND NOT contains(word, '<')
+       |          AND NOT contains(word, '>')) t
+       |  JOIN (SELECT DISTINCT word, wtot FROM ucum) c USING (word)),
+       |upick AS MATERIALIZED (
+       |  SELECT o.doc_id, o.wpos, o.word,
+       |         CAST(1 + COUNT(c.rank) AS INT) AS rank
+       |  FROM uoccd o LEFT JOIN ucum c
+       |    ON c.word = o.word AND c.cum <= o.r
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
   def sampleOracleSql(trainWhere: String, tokPosCte: String,
                       textSql: String = "text",
                       seedMulti: Int = 64, keepMulti: Int = 32,
                       emIters: Int = 2, nbest: Int = 4,
                       alphaSql: String = "0.5",
                       maxPieceLen: Int = DefaultMaxPieceLen,
-                      maxChars: Int = OracleMaxWordLen): String = {
-    val tail =
-      s"""uw AS MATERIALIZED (
-         |  SELECT word, rank, n_pieces, unk, segmented,
-         |         CASE WHEN cost IS NULL THEN CAST(1000000000 AS BIGINT)
-         |              ELSE CAST(FLOOR(exp(-(($alphaSql *
-         |                     CAST(cost - MIN(cost) OVER (PARTITION BY word) AS DOUBLE))
-         |                     / 1000000.0)) * 1000000000.0 + 0.5) AS BIGINT) END AS w
-         |  FROM unbest),
-         |ucum AS MATERIALIZED (
-         |  SELECT word, rank, n_pieces, unk, segmented, w,
-         |         SUM(w) OVER (PARTITION BY word ORDER BY rank) AS cum,
-         |         SUM(w) OVER (PARTITION BY word) AS wtot
-         |  FROM uw),
-         |uoccd AS MATERIALIZED (
-         |  SELECT t.doc_id, t.wpos, t.word,
-         |         CAST(concat('0x', substring(md5(CAST(t.doc_id AS VARCHAR)
-         |           || ':' || CAST(t.wpos AS VARCHAR) || ':' || t.word), 1, 15))
-         |           AS BIGINT) % c.wtot AS r
-         |  FROM (SELECT doc_id, wpos, word FROM tokpu
-         |        WHERE word <> '' AND NOT contains(word, '<')
-         |          AND NOT contains(word, '>')) t
-         |  JOIN (SELECT DISTINCT word, wtot FROM ucum) c USING (word)),
-         |upick AS MATERIALIZED (
-         |  SELECT o.doc_id, o.wpos, o.word,
-         |         CAST(1 + COUNT(c.rank) AS INT) AS rank
-         |  FROM uoccd o LEFT JOIN ucum c
-         |    ON c.word = o.word AND c.cum <= o.r
-         |  GROUP BY 1, 2, 3)
-         |SELECT p.doc_id, p.wpos, p.word, p.rank,
-         |       u.n_pieces, u.unk, u.segmented
-         |FROM upick p JOIN ucum u ON u.word = p.word AND u.rank = p.rank""".stripMargin
+                      maxChars: Int = OracleMaxWordLen): String =
     s"WITH ${trainCtes(trainWhere, textSql, seedMulti, keepMulti, emIters, maxPieceLen, OracleMaxWordLen)},\n" +
       s"tokpu AS MATERIALIZED ($tokPosCte),\n" +
       s"${serveCtes("SELECT doc_id, word FROM tokpu", maxPieceLen, maxChars, nbest)},\n" +
-      tail
+      s"${sampleCtes(alphaSql, "")}\n" +
+      """SELECT p.doc_id, p.wpos, p.word, p.rank,
+        |       u.n_pieces, u.unk, u.segmented
+        |FROM upick p JOIN ucum u ON u.word = p.word AND u.rank = p.rank""".stripMargin
+
+  /** The DuckDB replay of [[encodeIdsSampled]]: the q234 id-assembly
+    * tail over the SAMPLED per-occurrence segmentations (`saltSql`
+    * must be the engine's `":<epoch>"` as a SQL literal append, e.g.
+    * `" || ':1'"`). Output `(doc_id, n_tok, n_unk, ids_fp,
+    * roundtrip_ok)` with the id-1 boundary positions contributing to
+    * the fingerprint exactly as in [[idsOracleSql]].
+    */
+  def sampledIdsOracleSql(trainWhere: String, tokPosCte: String,
+                          textSql: String = "text",
+                          seedMulti: Int = 64, keepMulti: Int = 32,
+                          emIters: Int = 2, nbest: Int = 4,
+                          alphaSql: String = "0.5",
+                          saltSql: String = "",
+                          maxPieceLen: Int = DefaultMaxPieceLen,
+                          maxChars: Int = OracleMaxWordLen): String = {
+    val tail =
+      """segp AS MATERIALIZED (
+        |  SELECT p.doc_id, p.wpos, u.unk, u.segmented
+        |  FROM upick p JOIN ucum u ON u.word = p.word AND u.rank = p.rank),
+        |wplu2 AS (SELECT doc_id, wpos, u.spos AS spos, u.piece AS piece
+        |          FROM (SELECT doc_id, wpos,
+        |                       unnest(list_transform(range(1, len(t) + 1),
+        |                         i -> struct_pack(spos := i, piece := t[i]))) AS u
+        |                FROM (SELECT doc_id, wpos,
+        |                             string_split(segmented, ' ') AS t
+        |                      FROM segp))),
+        |widu2 AS (SELECT w.doc_id, w.wpos, w.spos,
+        |                 COALESCE(v.token_id, -1) AS id
+        |          FROM wplu2 w LEFT JOIN uvoc v ON v.piece = w.piece),
+        |widsu2 AS (SELECT doc_id, wpos, list(id ORDER BY spos) AS ids,
+        |                  CAST(COUNT(*) AS BIGINT) AS np
+        |           FROM widu2 GROUP BY 1, 2),
+        |dsu2 AS (SELECT w.doc_id, w.wpos, w.ids, w.np, s.unk,
+        |                ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY w.wpos) AS k,
+        |                COALESCE(SUM(w.np) OVER (PARTITION BY w.doc_id ORDER BY w.wpos
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |         FROM widsu2 w JOIN segp s USING (doc_id, wpos)),
+        |fpu2 AS (SELECT doc_id, unk, np,
+        |                list_sum(list_transform(range(1, len(ids) + 1),
+        |                  j -> CAST(ids[j] AS BIGINT) * (prev + k - 1 + j)))
+        |                + CASE WHEN k > 1 THEN CAST(prev + k - 1 AS BIGINT)
+        |                       ELSE 0 END AS contrib
+        |         FROM dsu2)
+        |SELECT doc_id,
+        |       CAST(SUM(np) + COUNT(*) - 1 AS BIGINT) AS n_tok,
+        |       CAST(SUM(unk) AS BIGINT) AS n_unk,
+        |       CAST(SUM(contrib) AS BIGINT) AS ids_fp,
+        |       CAST(CASE WHEN SUM(unk) = 0 THEN 1 ELSE 0 END AS INT) AS roundtrip_ok
+        |FROM fpu2 GROUP BY 1""".stripMargin
+    s"WITH ${trainCtes(trainWhere, textSql, seedMulti, keepMulti, emIters, maxPieceLen, OracleMaxWordLen)},\n" +
+      s"tokpu AS MATERIALIZED ($tokPosCte),\n" +
+      s"${serveCtes("SELECT doc_id, word FROM tokpu", maxPieceLen, maxChars, nbest)},\n" +
+      s"${sampleCtes(alphaSql, saltSql)},\n" +
+      s"$vocabCtes,\n$tail"
   }
 }

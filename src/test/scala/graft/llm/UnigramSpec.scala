@@ -188,6 +188,42 @@ class UnigramSpec extends SparkSpec {
       out2.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("sampled ids (the per-epoch pretraining artifact): epochs draw " +
+       "DIFFERENT id streams that decode to the IDENTICAL clean text") {
+    val docs = Seq((1L, "ab ab ab ab a b")).toDF("doc_id", "text")
+    val model = Unigram.train(docs, "text", seedMulti = 8,
+      keepMulti = 8, emIters = 2)
+    val eval = Seq((10L, "ab ab ab ab ab ab a"), (11L, "aab ab ab ab"))
+      .toDF("doc_id", "text")
+    def epoch(e: Int) = {
+      val enc = Unigram.encodeIdsSampled(eval, "doc_id", "text", model,
+        nbest = 4, alpha = 0.5, epoch = e)
+      val ids = enc.select("doc_id", "ids", "n_unk")
+        .as[(Long, Seq[Int], Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val dec = Unigram.decodeIds(enc, "doc_id", "ids", model)
+        .as[(Long, String)].collect().toMap
+      (ids, dec)
+    }
+    val (ids0, dec0) = epoch(0)
+    val (ids1, dec1) = epoch(1)
+    // no UNKs on the clean fixture, and decode is the identity for
+    // BOTH epochs — segmentation varies, surface text never does
+    assert(ids0.values.forall(_._2 == 0L) &&
+      ids1.values.forall(_._2 == 0L))
+    assert(dec0 == Map(10L -> "ab ab ab ab ab ab a",
+      11L -> "aab ab ab ab"), s"got $dec0")
+    assert(dec1 == dec0)
+    // the salted draws really re-draw: with 10 'ab'/'aab' occurrences
+    // at ≥ 2 live paths each, the two epochs' streams differ (a fixed
+    // deterministic fact of the md5 values — verified here)
+    assert(ids0.view.mapValues(_._1).toMap !=
+      ids1.view.mapValues(_._1).toMap,
+      s"epoch streams identical: $ids0")
+    // and each epoch reproduces itself exactly
+    assert(epoch(0)._1 == ids0)
+  }
+
   test("pieceVocab: [UNK]/space reserved at 0/1, pieces in (q desc, " +
        "UTF-8) order; encodeIds interleaves id-1 boundaries; decode " +
        "roundtrips UNK-free text") {
