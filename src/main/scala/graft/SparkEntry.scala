@@ -258,26 +258,51 @@ object SparkEntry {
       s"FROM (SELECT doc_id, string_split($duckUniText, ' ') AS t " +
       "FROM documents WHERE doc_id % 4 <> 0))"
 
+  /** The retrieval corpus fixture: the raw documents vocabulary is
+    * 31 terms of df 25..402 at sf0.01 — EVERY term is a stopword by
+    * the BM25 ceiling's standard, which made the retrieval queries
+    * vacuously thin. Odd split positions get a `_<doc_id % 25>`
+    * suffix: ~775 rare terms (df ≈ 20 — real posting lists, real
+    * rankings, real expansion candidates) interleaved with the
+    * original common terms the ceiling correctly prices out — the
+    * realistic mixed-df shape retrieval operators exist for. Both
+    * engines build it from the same indexed-lambda expression
+    * (Spark 0-based `j % 2 = 1` ≡ DuckDB 1-based `(i−1) % 2 = 1`).
+    */
+  private def retrievalDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      expr("array_join(transform(split(text, ' '), (t, j) -> " +
+        "IF(j % 2 = 1, concat(t, '_', CAST(doc_id % 25 AS STRING)), t)), ' ')")
+        .as("text"))
+
+  private val duckRetrievalText: String =
+    "array_to_string(list_transform(string_split(text, ' '), " +
+      "(t, i) -> CASE WHEN (i - 1) % 2 = 1 " +
+      "THEN t || '_' || CAST(doc_id % 25 AS VARCHAR) ELSE t END), ' ')"
+
   /** The q240/q241 BM25 query-scoring replay up to the per-(query,
     * doc) integer score sum `sums(query_id, doc_id, score_micro)` —
     * the q137 expression with the df ceiling and the 1e-4
-    * integerization mirrored from [[graft.llm.Retrieval.bm25TopK]].
+    * integerization mirrored from [[graft.llm.Retrieval.bm25TopK]],
+    * over the [[retrievalDocs]] fixture.
     */
   private val bm25QueryCtes: String =
-    """dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    s"""rdocs AS MATERIALIZED (
+      |  SELECT doc_id, $duckRetrievalText AS text FROM documents),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM rdocs),
       |st AS (
       |  SELECT COUNT(*) AS n_docs,
       |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
       |tf AS (
       |  SELECT term, doc_id, COUNT(*) AS tf
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |        FROM documents)
+      |        FROM rdocs)
       |  WHERE term <> '' GROUP BY 1, 2),
       |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
       |qt AS (SELECT DISTINCT query_id, term FROM
       |         (SELECT doc_id AS query_id,
       |                 unnest(string_split(text, ' ')) AS term
-      |          FROM documents WHERE doc_id % 50 = 7)
+      |          FROM rdocs WHERE doc_id % 50 = 7)
       |       WHERE term <> ''),
       |qsel AS (SELECT q.query_id, q.term, d.df
       |         FROM qt q JOIN dfq d USING (term), st
@@ -290,6 +315,47 @@ object SparkEntry {
       |           AS BIGINT)) AS score_micro
       |  FROM qsel s JOIN tf t USING (term) JOIN dl l ON l.doc_id = t.doc_id, st
       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The q244/q245 PRF replay on top of [[bm25QueryCtes]]: top-5
+    * feedback docs per query, exact-integer `Σ tf · idf_micro`
+    * expansion weights (original terms NOT-EXISTS-excluded, the df
+    * ceiling mirrored), top-10 expansion terms, the second scoring
+    * pass over them, and the 60/40 integer interpolation.
+    */
+  private val prfCtes: String =
+    """fbk AS (SELECT query_id, doc_id FROM (
+      |          SELECT query_id, doc_id, ROW_NUMBER() OVER (
+      |            PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
+      |          FROM sums) WHERE rn <= 5),
+      |idfm AS (SELECT term,
+      |                CAST(ROUND(LN((st.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+      |                  * 1000000.0, 0) AS BIGINT) AS idf_micro
+      |         FROM dfq d, st WHERE d.df * 10 <= st.n_docs),
+      |wexp AS (SELECT f.query_id, t.term, SUM(t.tf * i.idf_micro) AS w_micro
+      |         FROM fbk f JOIN tf t USING (doc_id) JOIN idfm i USING (term)
+      |         WHERE NOT EXISTS (SELECT 1 FROM qt q
+      |                           WHERE q.query_id = f.query_id AND q.term = t.term)
+      |         GROUP BY 1, 2),
+      |exps AS (SELECT query_id, trank, term, w_micro FROM (
+      |           SELECT *, CAST(ROW_NUMBER() OVER (
+      |             PARTITION BY query_id ORDER BY w_micro DESC, term) AS INT) AS trank
+      |           FROM wexp) WHERE trank <= 10),
+      |esel AS (SELECT e.query_id, e.term, d.df FROM exps e JOIN dfq d USING (term), st
+      |         WHERE d.df * 10 <= st.n_docs),
+      |esums AS (
+      |  SELECT s.query_id, t.doc_id,
+      |         SUM(CAST(ROUND((LN((st.n_docs - s.df + 0.5) / (s.df + 0.5) + 1) *
+      |           (t.tf * 2.2) /
+      |           (t.tf + 1.2 * (0.25 + (0.75 * l.dl) / st.avgdl))) * 10000.0, 0)
+      |           AS BIGINT)) AS exp_micro
+      |  FROM esel s JOIN tf t USING (term) JOIN dl l ON l.doc_id = t.doc_id, st
+      |  GROUP BY 1, 2),
+      |comb AS (SELECT COALESCE(o.query_id, e.query_id) AS query_id,
+      |                COALESCE(o.doc_id, e.doc_id) AS doc_id,
+      |                60 * COALESCE(o.score_micro, 0)
+      |                  + 40 * COALESCE(e.exp_micro, 0) AS final_micro
+      |         FROM sums o FULL OUTER JOIN esums e
+      |           ON o.query_id = e.query_id AND o.doc_id = e.doc_id)""".stripMargin
 
   /** 8-merge BYTE-level BPE training over the unicode fixture's
     * doc_id % 4 = 0 slice — memoized like [[bpeSliceWords]] (the rules
@@ -1776,7 +1842,7 @@ object SparkEntry {
     //     >10%-corpus stopword terms so posting fan-out stays
     //     bounded; per-query cut = the native bounded top-k agg ---
     "q240_bm25_query" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = retrievalDocs(s, dir)
       graft.llm.Retrieval.bm25TopK(docs, "doc_id", "text",
         docs.filter(pmod(col("doc_id"), lit(50)) === 7), "doc_id",
         "text", k = 10)
@@ -1788,7 +1854,7 @@ object SparkEntry {
     //     contributions — ranks, not scores, cross the retriever
     //     boundary ---
     "q241_hybrid_rrf" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = retrievalDocs(s, dir)
       val lex = graft.llm.Retrieval.bm25TopK(docs, "doc_id", "text",
           docs.filter(pmod(col("doc_id"), lit(50)) === 7), "doc_id",
           "text", k = 10)
@@ -1800,6 +1866,29 @@ object SparkEntry {
         .select(col("id_a").as("query_id"), col("id_b").as("doc_id"),
           col("rank"))
       graft.llm.Retrieval.rrfFuse(Seq(lex, dense), k0 = 60, topK = 10)
+    }),
+
+    // --- pseudo-relevance-feedback expansion terms (X151, Rocchio):
+    //     each query's top-5 BM25 docs taken as relevant, their terms
+    //     weighted by exact-integer Σ tf·idf_micro, original terms
+    //     and ceiling stopwords excluded, top-10 kept per query ---
+    "q244_prf_terms" -> ((s, dir) => {
+      val docs = retrievalDocs(s, dir)
+      graft.llm.Retrieval.prfExpandTerms(docs, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(50)) === 7), "doc_id",
+        "text", kFeedback = 5, mExpand = 10)
+    }),
+
+    // --- PRF-expanded reranking (X151): original BM25 interpolated
+    //     60/40 with a second pass over the expansion terms — a doc
+    //     matching ONLY expansion vocabulary becomes retrievable (the
+    //     vocabulary-gap case PRF exists for); pure integer percent
+    //     arithmetic end to end ---
+    "q245_prf_rerank" -> ((s, dir) => {
+      val docs = retrievalDocs(s, dir)
+      graft.llm.Retrieval.prfRerank(docs, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(50)) === 7), "doc_id",
+        "text", kFeedback = 5, mExpand = 10, origPct = 60, k = 10)
     }),
 
     // --- tokenizer SELECTION panel (X150): all three production
@@ -5201,6 +5290,24 @@ object SparkEntry {
     // (q219/q225/q232 shapes, same slice, same eval words) wrapped as
     // an independent nested-WITH subquery, corpus-summed, integer
     // micro/ppm ratios — one oracled row per family
+    // PRF expansion terms: top-5 feedback docs, integer tf·idf_micro
+    // weights, NOT EXISTS original-term exclusion, df ceiling, top-10
+    "q244_prf_terms" ->
+      s"""WITH $bm25QueryCtes,
+         |$prfCtes
+         |SELECT query_id, trank, term, w_micro FROM exps""".stripMargin,
+
+    // PRF rerank: 60/40 integer interpolation of the original and
+    // expansion scoring passes over the full-outer candidate union
+    "q245_prf_rerank" ->
+      s"""WITH $bm25QueryCtes,
+         |$prfCtes
+         |SELECT query_id, rank, doc_id, final_micro FROM (
+         |  SELECT query_id, doc_id, final_micro,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY final_micro DESC, doc_id) AS INT) AS rank
+         |  FROM comb) WHERE rank <= 10""".stripMargin,
+
     // (assembled by concatenation, NOT stripMargin: the nested family
     // SQLs contain `||` concat operators at line starts, which an
     // outer stripMargin would eat)

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid retrieval — the RAG-serving data-prep face: a sparse
@@ -10,75 +11,73 @@ import org.apache.spark.sql.functions._
   * reciprocal-rank fusion combines them with NO score calibration —
   * ranks, not scores, cross the retriever boundary, which is exactly
   * why RRF is the production default for heterogeneous retrievers
-  * (lexical scores and cosines live on incomparable scales).
+  * (lexical scores and cosines live on incomparable scales). On top
+  * of the lexical run sits pseudo-relevance feedback (Rocchio-style
+  * query expansion): the classic one-round relevance loop that needs
+  * no model and no labels.
   *
-  * Both faces are engine-independent by the repo's standing
+  * Every face is engine-independent by the repo's standing
   * discipline: BM25 per-term contributions are integerized on the
   * q137 rounding grid BEFORE the cross-term sum (order-free integer
-  * aggregation), and RRF contributions are pure integer floor
-  * divisions — no float ever crosses an aggregation boundary.
+  * aggregation), expansion-term weights are exact integer `tf ·
+  * idf_micro` sums, interpolation is integer percent arithmetic, and
+  * RRF contributions are pure integer floor divisions — no float
+  * ever crosses an aggregation boundary.
+  *
+  * The corpus-level index frames (term frequencies, document
+  * lengths, document frequencies) are derived inline so each
+  * operator is self-contained; a production deployment precomputes
+  * them once (the X78 inverted-index build) and every shape below
+  * consumes them unchanged.
   */
 object Retrieval {
 
-  /** Query-likelihood BM25 top-k — score every document against each
-    * query's distinct terms (k1 = 1.2, b = 0.75, the q137/X85
-    * constants) and keep the `k` best per query:
-    * `(query_id, rank, doc_id, score_micro)`.
-    *
-    * Per-term contribution = the exact q137 scoring expression
-    * (`idf · saturated-tf`, whose DuckDB expression-order parity is
-    * already pinned by that oracle) rounded to an INTEGER at 1e-4
-    * units — so the per-document score is an order-free integer sum
-    * and the (score desc, doc_id) rank is engine-independent.
-    *
-    * Scale shape (the reason this is not "join everything"):
-    *  - `dfreq` restricted to QUERY terms broadcasts into the posting
-    *    scan, so the corpus-wide `tf` table is scanned once and only
-    *    matching postings survive — fan-out is Σ df over the query's
-    *    terms, never the corpus;
-    *  - the df CEILING (`df · dfCeilingShare ≤ n_docs`, default: drop
-    *    terms in > 1/10 of the corpus) is the standard stopword guard
-    *    that keeps that fan-out bounded — a term carried by half the
-    *    corpus would otherwise make the candidate set corpus-sized
-    *    for near-zero idf gain;
-    *  - doc length attaches to the bounded candidate set via a
-    *    SHUFFLE_HASH join against the narrow 16 B/doc `dl` frame
-    *    (at index-build time a production deployment denormalizes dl
-    *    into the posting list; the join here keeps the operator
-    *    self-contained);
-    *  - the per-query cut is the bounded top-k aggregation
-    *    ([[graft.operators.TopKAgg.perGroup]]), ≤ k rows per
-    *    (mapper, query) before any exchange — never a corpus-wide
-    *    window sort.
-    */
-  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queries: DataFrame, qIdCol: String, qTextCol: String,
-               k: Int = 10, dfCeilingShare: Int = 10): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(dfCeilingShare >= 1,
-      s"dfCeilingShare must be >= 1, got $dfCeilingShare")
-    val dl = docs.select(col(idCol).as("doc_id"),
+  private def dlOf(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
       size(split(col(textCol), " ")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = docs.select(col(idCol).as("doc_id"),
+
+  private def tfOf(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qterms = queries.select(col(qIdCol).as("query_id"),
+
+  private def termsOf(queries: DataFrame, qIdCol: String,
+                      qTextCol: String): DataFrame =
+    queries.select(col(qIdCol).as("query_id"),
         explode(split(col(qTextCol), " ")).as("term"))
       .filter(col("term") =!= "").distinct()
-    // query-term df table: vocabulary joins the tiny query-term set
-    // (broadcast), then the stopword ceiling — what survives is the
-    // per-query posting fan-out budget
-    val qsel = dfreq.join(broadcast(qterms), Seq("term"))
+
+  /** Per-(query, document) integer BM25 score over a `(query_id,
+    * term)` term set — the shared scoring core of [[bm25TopK]] and
+    * [[prfRerank]]'s two passes: the q137 expression (k1 = 1.2,
+    * b = 0.75) per surviving (term, doc) pair, rounded to an INTEGER
+    * at 1e-4 units BEFORE the cross-term sum, so the result is an
+    * order-free integer aggregation.
+    *
+    * Scale shape: the term-set df table (vocabulary ⨝ broadcast
+    * query terms, then the `df · dfCeilingShare ≤ n_docs` stopword
+    * ceiling) broadcasts into ONE posting scan — fan-out is Σ df
+    * over surviving terms, never the corpus — and doc length
+    * attaches to the bounded candidate set via a SHUFFLE_HASH join
+    * against the narrow 16 B/doc `dl` frame.
+    */
+  private def scoreTerms(docs: DataFrame, idCol: String,
+                         textCol: String, queryTerms: DataFrame,
+                         dfCeilingShare: Int): DataFrame = {
+    val dl = dlOf(docs, idCol, textCol)
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tfOf(docs, idCol, textCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qsel = dfreq.join(broadcast(queryTerms), Seq("term"))
       .crossJoin(broadcast(stats))
       .filter(col("df") * lit(dfCeilingShare.toLong) <= col("n_docs"))
       .select(col("term"), col("query_id"), col("df"),
         col("n_docs"), col("avgdl"))
-    val cand = tf.join(broadcast(qsel), Seq("term"))
-    val scored = cand
+    tf.join(broadcast(qsel), Seq("term"))
       .join(dl.hint("shuffle_hash"), Seq("doc_id"))
       .select(col("query_id"), col("doc_id"),
         round(
@@ -89,10 +88,119 @@ object Retrieval {
           * lit(10000.0), 0).cast("long").as("_c"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("_c")).as("score_micro"))
+  }
+
+  /** Query-likelihood BM25 top-k — score every document against each
+    * query's distinct terms and keep the `k` best per query:
+    * `(query_id, rank, doc_id, score_micro)`. Scoring/scale contract
+    * in [[scoreTerms]]; the per-query cut is the bounded top-k
+    * aggregation ([[graft.operators.TopKAgg.perGroup]]), ≤ k rows
+    * per (mapper, query) before any exchange — never a corpus-wide
+    * window sort.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int = 10, dfCeilingShare: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(dfCeilingShare >= 1,
+      s"dfCeilingShare must be >= 1, got $dfCeilingShare")
+    val scored = scoreTerms(docs, idCol, textCol,
+      termsOf(queries, qIdCol, qTextCol), dfCeilingShare)
     graft.operators.TopKAgg
       .perGroup(scored, "query_id", "score_micro", "doc_id", k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_micro").cast("long").as("score_micro"))
+  }
+
+  /** Pseudo-relevance-feedback expansion terms (Rocchio 1971, the
+    * label-free one-round relevance loop): take each query's
+    * `kFeedback` best BM25 documents AS IF relevant, weight every
+    * term they contain by the exact integer `Σ tf · idf_micro`
+    * (`idf_micro = round(idf · 1e6)`, the q137 idf), drop the
+    * original query terms (they are already in the query) and
+    * ceiling-blocked stopwords (a term carried by 1/dfCeilingShare
+    * of the corpus cannot sharpen a query), and keep the `mExpand`
+    * strongest per query by (weight desc, term):
+    * `(query_id, trank, term, w_micro)`.
+    *
+    * Scale: the feedback set is kFeedback docs per query (broadcast
+    * into the posting scan — the expansion candidate pool is those
+    * docs' term lists, never the vocabulary), and the per-query rank
+    * windows over that bounded pool (≤ kFeedback · doc-length terms).
+    */
+  def prfExpandTerms(docs: DataFrame, idCol: String, textCol: String,
+                     queries: DataFrame, qIdCol: String,
+                     qTextCol: String, kFeedback: Int = 5,
+                     mExpand: Int = 10,
+                     dfCeilingShare: Int = 10): DataFrame = {
+    require(kFeedback >= 1, s"kFeedback must be >= 1, got $kFeedback")
+    require(mExpand >= 1, s"mExpand must be >= 1, got $mExpand")
+    val qterms = termsOf(queries, qIdCol, qTextCol)
+    val scores = scoreTerms(docs, idCol, textCol, qterms, dfCeilingShare)
+    val fb = graft.operators.TopKAgg
+      .perGroup(scores, "query_id", "score_micro", "doc_id", kFeedback)
+      .select(col("query_id"), col("doc_id"))
+    val tf = tfOf(docs, idCol, textCol)
+    val nDocs = dlOf(docs, idCol, textCol)
+      .agg(count(lit(1)).as("n_docs"))
+    val idfm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * lit(dfCeilingShare.toLong) <= col("n_docs"))
+      .select(col("term"),
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+          * lit(1000000.0), 0).cast("long").as("idf_micro"))
+    tf.join(broadcast(fb), Seq("doc_id"))
+      .join(idfm.hint("shuffle_hash"), Seq("term"))
+      .join(broadcast(qterms), Seq("query_id", "term"), "left_anti")
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf") * col("idf_micro")).as("w_micro"))
+      .withColumn("trank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("w_micro").desc, col("term"))).cast("int"))
+      .filter(col("trank") <= mExpand)
+      .select(col("query_id"), col("trank"), col("term"),
+        col("w_micro"))
+  }
+
+  /** PRF-expanded reranking: the original BM25 scores interpolated
+    * with a second scoring pass over the [[prfExpandTerms]] terms —
+    * `final = origPct·orig + (100−origPct)·exp` in pure integer
+    * percent arithmetic, top-k per query by (final desc, doc_id):
+    * `(query_id, rank, doc_id, final_micro)`. A document matching
+    * only expansion terms can now be retrieved (the vocabulary-gap
+    * case PRF exists for); one matching only original terms keeps
+    * `origPct` of its score.
+    *
+    * Scale: two [[scoreTerms]] passes (both posting-bounded) and one
+    * full-outer join of the two bounded candidate sets on
+    * (query_id, doc_id).
+    */
+  def prfRerank(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, qIdCol: String, qTextCol: String,
+                kFeedback: Int = 5, mExpand: Int = 10,
+                origPct: Int = 60, k: Int = 10,
+                dfCeilingShare: Int = 10): DataFrame = {
+    require(origPct >= 0 && origPct <= 100,
+      s"origPct must be in [0, 100], got $origPct")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val orig = scoreTerms(docs, idCol, textCol,
+        termsOf(queries, qIdCol, qTextCol), dfCeilingShare)
+      .withColumnRenamed("score_micro", "orig_micro")
+    val exp = prfExpandTerms(docs, idCol, textCol, queries, qIdCol,
+      qTextCol, kFeedback, mExpand, dfCeilingShare)
+    val eScores = scoreTerms(docs, idCol, textCol,
+        exp.select(col("query_id"), col("term")), dfCeilingShare)
+      .withColumnRenamed("score_micro", "exp_micro")
+    val comb = orig.join(eScores, Seq("query_id", "doc_id"),
+        "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (lit(origPct.toLong) * coalesce(col("orig_micro"), lit(0L)) +
+          lit((100L - origPct)) * coalesce(col("exp_micro"), lit(0L)))
+          .as("final_micro"))
+    graft.operators.TopKAgg
+      .perGroup(comb, "query_id", "final_micro", "doc_id", k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("final_micro").cast("long").as("final_micro"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):

@@ -75,6 +75,65 @@ class RetrievalSpec extends SparkSpec {
     assert(cut.length == 3 && cut.map(_._3).sorted.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("prfExpandTerms: feedback terms weighted by exact tf·idf_micro, " +
+       "original query terms and ceiling stopwords excluded, " +
+       "deterministic (weight desc, term) top-m") {
+    // 6 docs; 'alpha' (df 2) retrieves docs 1-2 as feedback; their
+    // terms: beta (tf 3, df 3), x1/x2 (tf 1, df 1); 'stop' (df 6) is
+    // ceiling-dropped at share 2 (12 > 6); 'alpha' self-excluded
+    val docs = Seq(
+      (1L, "alpha beta x1 stop"),
+      (2L, "alpha beta beta x2 stop"),
+      (3L, "beta gamma x3 stop"),
+      (4L, "gamma delta x4 stop"),
+      (5L, "delta x5 stop"),
+      (6L, "epsilon x6 stop")).toDF("doc_id", "text")
+    val q = Seq((100L, "alpha")).toDF("doc_id", "text")
+    val terms = Retrieval.prfExpandTerms(docs, "doc_id", "text", q,
+        "doc_id", "text", kFeedback = 3, mExpand = 5,
+        dfCeilingShare = 2)
+      .as[(Long, Int, String, Long)].collect().sortBy(_._2)
+    // idf_micro: df 3 → round(ln(2)·1e6) = 693147 → beta w = 3·693147;
+    // df 1 → round(ln(14/3)·1e6) = 1540445; x1/x2 tie → term order
+    assert(terms.toSeq == Seq(
+      (100L, 1, "beta", 2079441L),
+      (100L, 2, "x1", 1540445L),
+      (100L, 3, "x2", 1540445L)), s"got ${terms.toSeq}")
+  }
+
+  test("prfRerank retrieves the vocabulary-gap document (matches only " +
+       "expansion terms) that plain BM25 cannot see") {
+    val docs = Seq(
+      (1L, "alpha beta x1 stop"),
+      (2L, "alpha beta beta x2 stop"),
+      (3L, "beta gamma x3 stop"),
+      (4L, "gamma delta x4 stop"),
+      (5L, "delta x5 stop"),
+      (6L, "epsilon x6 stop")).toDF("doc_id", "text")
+    val q = Seq((100L, "alpha")).toDF("doc_id", "text")
+    val plain = Retrieval.bm25TopK(docs, "doc_id", "text", q,
+        "doc_id", "text", k = 10, dfCeilingShare = 2)
+      .as[(Long, Int, Long, Long)].collect().map(_._3).toSet
+    assert(plain == Set(1L, 2L), s"got $plain")
+    val rr = Retrieval.prfRerank(docs, "doc_id", "text", q,
+        "doc_id", "text", kFeedback = 3, mExpand = 5, origPct = 60,
+        k = 10, dfCeilingShare = 2)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    val got = rr.map(_._3).toSet
+    // doc 3 carries 'beta' (expansion) but never 'alpha' — PRF
+    // surfaces it; docs with original matches keep 60% of their score
+    // and still outrank it
+    assert(got.contains(3L), s"vocabulary-gap doc missing: ${rr.toSeq}")
+    assert(rr.take(2).map(_._3).toSet == Set(1L, 2L),
+      s"original matches must stay on top: ${rr.toSeq}")
+    // deterministic: identical re-run
+    val rr2 = Retrieval.prfRerank(docs, "doc_id", "text", q,
+        "doc_id", "text", kFeedback = 3, mExpand = 5, origPct = 60,
+        k = 10, dfCeilingShare = 2)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    assert(rr.toSeq == rr2.toSeq)
+  }
+
   test("hybrid fusion surfaces docs that neither retriever alone " +
        "ranks first (the reason RRF exists)") {
     // lexical likes d1 then d3; dense likes d2 then d3 — d3, second
