@@ -286,24 +286,32 @@ object SparkEntry {
     * integerization mirrored from [[graft.llm.Retrieval.bm25TopK]],
     * over the [[retrievalDocs]] fixture.
     */
-  private val bm25QueryCtes: String =
-    s"""rdocs AS MATERIALIZED (
-      |  SELECT doc_id, $duckRetrievalText AS text FROM documents),
-      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM rdocs),
+  /** The BM25 scoring chain over a given corpus CTE (query terms
+    * always come from `rdocs` — queries are source documents; the
+    * corpus is what gets searched, which for q246 is the index's
+    * latest-wins logical state).
+    */
+  private def bm25ScoringCtes(corpus: String): String =
+    s"""dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM $corpus),
       |st AS (
       |  SELECT COUNT(*) AS n_docs,
       |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
       |tf AS (
       |  SELECT term, doc_id, COUNT(*) AS tf
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |        FROM rdocs)
+      |        FROM $corpus)
       |  WHERE term <> '' GROUP BY 1, 2),
       |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
       |qt AS (SELECT DISTINCT query_id, term FROM
       |         (SELECT doc_id AS query_id,
       |                 unnest(string_split(text, ' ')) AS term
       |          FROM rdocs WHERE doc_id % 50 = 7)
-      |       WHERE term <> ''),
+      |       WHERE term <> ''),""".stripMargin
+
+  private val bm25QueryCtes: String =
+    s"""rdocs AS MATERIALIZED (
+      |  SELECT doc_id, $duckRetrievalText AS text FROM documents),
+      |${bm25ScoringCtes("rdocs")}
       |qsel AS (SELECT q.query_id, q.term, d.df
       |         FROM qt q JOIN dfq d USING (term), st
       |         WHERE d.df * 10 <= st.n_docs),
@@ -1889,6 +1897,28 @@ object SparkEntry {
       graft.llm.Retrieval.prfRerank(docs, "doc_id", "text",
         docs.filter(pmod(col("doc_id"), lit(50)) === 7), "doc_id",
         "text", kFeedback = 5, mExpand = 10, origPct = 60, k = 10)
+    }),
+
+    // --- persisted lexical index (X152, the train-once/serve-many
+    //     BM25 face — the lexical twin of q168's IVF index): build on
+    //     the full corpus, APPEND one batch that re-ingests the
+    //     %100=7 docs with new text AND adds brand-new +10000 docs,
+    //     then serve — latest-wins resolution must retrieve the new
+    //     text, the new docs, and NOT the replaced versions ---
+    "q246_lex_index" -> ((s, dir) => {
+      val docs = retrievalDocs(s, dir)
+      val path = scratch("lexidx", dir)
+      graft.llm.Retrieval.buildLexIndex(docs, "doc_id", "text", path)
+      val upd = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+        .select(col("doc_id"), concat(col("text"), lit(" fresh_"),
+          pmod(col("doc_id"), lit(25)).cast("string")).as("text"))
+      val nw = docs.filter(pmod(col("doc_id"), lit(100)) === 31)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      graft.llm.Retrieval.appendToLexIndex(s, path,
+        upd.unionByName(nw), "doc_id", "text")
+      graft.llm.Retrieval.searchLexIndex(s, path,
+        docs.filter(pmod(col("doc_id"), lit(50)) === 7), "doc_id",
+        "text", k = 10)
     }),
 
     // --- tokenizer SELECTION panel (X150): all three production
@@ -5290,6 +5320,40 @@ object SparkEntry {
     // (q219/q225/q232 shapes, same slice, same eval words) wrapped as
     // an independent nested-WITH subquery, corpus-summed, integer
     // micro/ppm ratios — one oracled row per family
+    // the persisted-index serve replay: the SAME scoring chain over
+    // the index's latest-wins LOGICAL corpus (base minus re-ingested
+    // versions, plus updated text, plus the appended new docs) —
+    // equality proves build→append→resolve→serve end to end
+    "q246_lex_index" ->
+      (s"""WITH rdocs AS MATERIALIZED (
+         |  SELECT doc_id, $duckRetrievalText AS text FROM documents),
+         |lexc AS MATERIALIZED (
+         |  SELECT doc_id, text FROM rdocs WHERE doc_id % 100 <> 7
+         |  UNION ALL
+         |  SELECT doc_id, text || ' fresh_' || CAST(doc_id % 25 AS VARCHAR)
+         |    AS text FROM rdocs WHERE doc_id % 100 = 7
+         |  UNION ALL
+         |  SELECT doc_id + 10000 AS doc_id, text FROM rdocs
+         |  WHERE doc_id % 100 = 31),
+         |""".stripMargin +
+        bm25ScoringCtes("lexc") +
+        """
+          |qsel AS (SELECT q.query_id, q.term, d.df
+          |         FROM qt q JOIN dfq d USING (term), st
+          |         WHERE d.df * 10 <= st.n_docs),
+          |sums AS (
+          |  SELECT s.query_id, t.doc_id,
+          |         SUM(CAST(ROUND((LN((st.n_docs - s.df + 0.5) / (s.df + 0.5) + 1) *
+          |           (t.tf * 2.2) /
+          |           (t.tf + 1.2 * (0.25 + (0.75 * l.dl) / st.avgdl))) * 10000.0, 0)
+          |           AS BIGINT)) AS score_micro
+          |  FROM qsel s JOIN tf t USING (term) JOIN dl l ON l.doc_id = t.doc_id, st
+          |  GROUP BY 1, 2)
+          |SELECT query_id, rank, doc_id, score_micro FROM (
+          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          |            ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+          |  FROM sums) WHERE rank <= 10""".stripMargin),
+
     // PRF expansion terms: top-5 feedback docs, integer tf·idf_micro
     // weights, NOT EXISTS original-term exclusion, df ceiling, top-10
     "q244_prf_terms" ->

@@ -66,11 +66,20 @@ object Retrieval {
     */
   private def scoreTerms(docs: DataFrame, idCol: String,
                          textCol: String, queryTerms: DataFrame,
-                         dfCeilingShare: Int): DataFrame = {
-    val dl = dlOf(docs, idCol, textCol)
+                         dfCeilingShare: Int): DataFrame =
+    scoreTermsFrom(tfOf(docs, idCol, textCol),
+      dlOf(docs, idCol, textCol), queryTerms, dfCeilingShare)
+
+  /** [[scoreTerms]] over prebuilt index frames `tf(term, doc_id,
+    * tf)` / `dl(doc_id, dl)` — the serve face of [[searchLexIndex]]
+    * and the seam a production deployment feeds its X78 inverted
+    * index through.
+    */
+  private def scoreTermsFrom(tf: DataFrame, dl: DataFrame,
+                             queryTerms: DataFrame,
+                             dfCeilingShare: Int): DataFrame = {
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = tfOf(docs, idCol, textCol)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qsel = dfreq.join(broadcast(queryTerms), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -105,6 +114,88 @@ object Retrieval {
     require(dfCeilingShare >= 1,
       s"dfCeilingShare must be >= 1, got $dfCeilingShare")
     val scored = scoreTerms(docs, idCol, textCol,
+      termsOf(queries, qIdCol, qTextCol), dfCeilingShare)
+    graft.operators.TopKAgg
+      .perGroup(scored, "query_id", "score_micro", "doc_id", k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_micro").cast("long").as("score_micro"))
+  }
+
+  // ───────────── persisted lexical index (X152) ─────────────
+
+  /** Build the persisted lexical index — the train-once/serve-many
+    * face of BM25, the lexical twin of
+    * [[Similarity.buildIvfIndex]]:
+    * `path/postings` holds `(term, doc_id, tf, ver)` and
+    * `path/doclen` holds `(doc_id, dl, ver)`, both APPEND-ONLY —
+    * [[appendToLexIndex]] ingests new or re-ingested documents as a
+    * new version and serve-time resolution is latest-wins per
+    * doc_id. Postings are written sorted by term so each file covers
+    * a term range and a serve-time posting probe prunes files.
+    */
+  def buildLexIndex(docs: DataFrame, idCol: String, textCol: String,
+                    path: String): Unit = {
+    tfOf(docs, idCol, textCol).withColumn("ver", lit(0L))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    dlOf(docs, idCol, textCol).withColumn("ver", lit(0L))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+  }
+
+  /** Ingest a batch into a stored lexical index WITHOUT rebuilding:
+    * each batch gets the next version number, and a doc_id already in
+    * the index is REPLACED at serve time (its old version's postings
+    * — including terms the new text no longer contains — stop
+    * matching, because resolution keeps only rows at the doc's
+    * LATEST version). O(batch) work: two batch-derived frames
+    * appended; the store is never rewritten.
+    */
+  def appendToLexIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, batch: DataFrame, idCol: String,
+                       textCol: String): Unit = {
+    val ver = spark.read.parquet(s"$path/doclen")
+      .agg(max(col("ver"))).head().getLong(0) + 1L
+    tfOf(batch, idCol, textCol).withColumn("ver", lit(ver))
+      .sortWithinPartitions(col("term"))
+      .write.mode("append").parquet(s"$path/postings")
+    dlOf(batch, idCol, textCol).withColumn("ver", lit(ver))
+      .write.mode("append").parquet(s"$path/doclen")
+  }
+
+  /** The stored index resolved to its CURRENT state: latest-wins per
+    * doc_id. `dl` resolves via the X34 max-struct aggregation (one
+    * row per (doc, ver), no window); postings join the narrow
+    * per-doc max-version frame SHUFFLE_HASH on doc_id — a stale
+    * version's rows (and with them any term the re-ingested text
+    * dropped) vanish here.
+    */
+  private def lexCurrent(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (DataFrame, DataFrame) = {
+    val dlAll = spark.read.parquet(s"$path/doclen")
+    val dmax = dlAll.groupBy(col("doc_id"))
+      .agg(max(col("ver")).as("_mv"))
+    val dlCur = dlAll.groupBy(col("doc_id"))
+      .agg(max(struct(col("ver"), col("dl"))).as("_s"))
+      .select(col("doc_id"), col("_s.dl").as("dl"))
+    val tfCur = spark.read.parquet(s"$path/postings")
+      .join(dmax.hint("shuffle_hash"), Seq("doc_id"))
+      .filter(col("ver") === col("_mv"))
+      .select(col("term"), col("doc_id"), col("tf"))
+    (tfCur, dlCur)
+  }
+
+  /** BM25 top-k served from the PERSISTED index — identical output
+    * contract to [[bm25TopK]] over the index's current (latest-wins)
+    * corpus state, with no corpus scan: `(query_id, rank, doc_id,
+    * score_micro)`.
+    */
+  def searchLexIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String, queries: DataFrame, qIdCol: String,
+                     qTextCol: String, k: Int = 10,
+                     dfCeilingShare: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (tfCur, dlCur) = lexCurrent(spark, path)
+    val scored = scoreTermsFrom(tfCur, dlCur,
       termsOf(queries, qIdCol, qTextCol), dfCeilingShare)
     graft.operators.TopKAgg
       .perGroup(scored, "query_id", "score_micro", "doc_id", k)

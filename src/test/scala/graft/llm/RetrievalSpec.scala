@@ -134,6 +134,48 @@ class RetrievalSpec extends SparkSpec {
     assert(rr.toSeq == rr2.toSeq)
   }
 
+  test("lexical index: latest-wins re-ingest replaces postings " +
+       "(dropped terms stop matching), appended docs retrieve, and " +
+       "serving from the store equals direct BM25 over the logical " +
+       "corpus") {
+    val base = Seq(
+      (1L, "alpha beta pad1"),
+      (2L, "gamma delta pad2"),
+      (3L, "alpha gamma pad3"),
+      (4L, "delta beta pad4")).toDF("doc_id", "text")
+    val path = s"/tmp/graft_test_lexidx_${ProcessHandle.current().pid()}"
+    Retrieval.buildLexIndex(base, "doc_id", "text", path)
+    // re-ingest doc 1 with 'alpha' DROPPED and 'epsilon' added, plus
+    // a brand-new doc 9
+    val batch = Seq((1L, "epsilon beta pad1"), (9L, "alpha zeta pad9"))
+      .toDF("doc_id", "text")
+    Retrieval.appendToLexIndex(spark, path, batch, "doc_id", "text")
+    val q = Seq((100L, "alpha"), (101L, "epsilon"))
+      .toDF("doc_id", "text")
+    val served = Retrieval.searchLexIndex(spark, path, q, "doc_id",
+        "text", k = 10, dfCeilingShare = 2)
+      .as[(Long, Int, Long, Long)].collect()
+    val byQ = served.groupBy(_._1)
+    // 'alpha' must NOT match replaced doc 1 anymore; must match the
+    // untouched doc 3 and the appended doc 9
+    assert(byQ(100L).map(_._3).toSet == Set(3L, 9L),
+      s"got ${served.toSeq}")
+    // 'epsilon' exists only in doc 1's NEW version
+    assert(byQ(101L).map(_._3).toSet == Set(1L),
+      s"got ${served.toSeq}")
+    // engine-vs-engine: the store serve equals direct BM25 over the
+    // logical current corpus, row for row
+    val logical = Seq(
+      (2L, "gamma delta pad2"), (3L, "alpha gamma pad3"),
+      (4L, "delta beta pad4"), (1L, "epsilon beta pad1"),
+      (9L, "alpha zeta pad9")).toDF("doc_id", "text")
+    val direct = Retrieval.bm25TopK(logical, "doc_id", "text", q,
+        "doc_id", "text", k = 10, dfCeilingShare = 2)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(served.sortBy(r => (r._1, r._2)).toSeq ==
+      direct.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("hybrid fusion surfaces docs that neither retriever alone " +
        "ranks first (the reason RRF exists)") {
     // lexical likes d1 then d3; dense likes d2 then d3 — d3, second
