@@ -324,6 +324,42 @@ object SparkEntry {
       |  FROM qsel s JOIN tf t USING (term) JOIN dl l ON l.doc_id = t.doc_id, st
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** The q246/q247 persisted-index serve replay: the scoring chain
+    * over the index's latest-wins LOGICAL corpus (base minus
+    * re-ingested versions, plus updated text, plus appended new
+    * docs). Both the batch-append and streaming-ingest entry points
+    * land in this identical state, so both bind this one oracle.
+    */
+  private lazy val lexIndexOracleSql: String =
+    s"""WITH rdocs AS MATERIALIZED (
+       |  SELECT doc_id, $duckRetrievalText AS text FROM documents),
+       |lexc AS MATERIALIZED (
+       |  SELECT doc_id, text FROM rdocs WHERE doc_id % 100 <> 7
+       |  UNION ALL
+       |  SELECT doc_id, text || ' fresh_' || CAST(doc_id % 25 AS VARCHAR)
+       |    AS text FROM rdocs WHERE doc_id % 100 = 7
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, text FROM rdocs
+       |  WHERE doc_id % 100 = 31),
+       |""".stripMargin +
+      bm25ScoringCtes("lexc") +
+      """
+        |qsel AS (SELECT q.query_id, q.term, d.df
+        |         FROM qt q JOIN dfq d USING (term), st
+        |         WHERE d.df * 10 <= st.n_docs),
+        |sums AS (
+        |  SELECT s.query_id, t.doc_id,
+        |         SUM(CAST(ROUND((LN((st.n_docs - s.df + 0.5) / (s.df + 0.5) + 1) *
+        |           (t.tf * 2.2) /
+        |           (t.tf + 1.2 * (0.25 + (0.75 * l.dl) / st.avgdl))) * 10000.0, 0)
+        |           AS BIGINT)) AS score_micro
+        |  FROM qsel s JOIN tf t USING (term) JOIN dl l ON l.doc_id = t.doc_id, st
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, score_micro FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |            ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+        |  FROM sums) WHERE rank <= 10""".stripMargin
+
   /** The q244/q245 PRF replay on top of [[bm25QueryCtes]]: top-5
     * feedback docs per query, exact-integer `Σ tf · idf_micro`
     * expansion weights (original terms NOT-EXISTS-excluded, the df
@@ -1917,6 +1953,32 @@ object SparkEntry {
       graft.llm.Retrieval.appendToLexIndex(s, path,
         upd.unionByName(nw), "doc_id", "text")
       graft.llm.Retrieval.searchLexIndex(s, path,
+        docs.filter(pmod(col("doc_id"), lit(50)) === 7), "doc_id",
+        "text", k = 10)
+    }),
+
+    // --- STREAMING index ingest (X153, the micro-batch face of
+    //     X152): the same update+new waves land as files, each
+    //     micro-batch appends as the next index version via
+    //     foreachBatch, and the serve result must equal BOTH the
+    //     batch-append path (q246) and the direct SQL computation —
+    //     the three entry points share one oracle ---
+    "q247_lex_stream_ingest" -> ((s, dir) => {
+      val docs = retrievalDocs(s, dir)
+      val path = scratch("lexstream", dir)
+      rmTree(new java.io.File(path))
+      graft.llm.Retrieval.buildLexIndex(docs, "doc_id", "text",
+        s"$path/index")
+      val upd = docs.filter(pmod(col("doc_id"), lit(100)) === 7)
+        .select(col("doc_id"), concat(col("text"), lit(" fresh_"),
+          pmod(col("doc_id"), lit(25)).cast("string")).as("text"))
+      val nw = docs.filter(pmod(col("doc_id"), lit(100)) === 31)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      upd.coalesce(1).write.mode("append").parquet(s"$path/waves")
+      nw.coalesce(1).write.mode("append").parquet(s"$path/waves")
+      graft.streaming.LexIndexStream.ingest(s, s"$path/waves",
+        upd.schema, "doc_id", "text", s"$path/index", s"$path/ckpt")
+      graft.llm.Retrieval.searchLexIndex(s, s"$path/index",
         docs.filter(pmod(col("doc_id"), lit(50)) === 7), "doc_id",
         "text", k = 10)
     }),
@@ -5316,43 +5378,17 @@ object SparkEntry {
          |         ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
          |  FROM fus) WHERE rank <= 10""".stripMargin,
 
-    // the three-family panel: each family's per-doc serve chain
-    // (q219/q225/q232 shapes, same slice, same eval words) wrapped as
-    // an independent nested-WITH subquery, corpus-summed, integer
-    // micro/ppm ratios — one oracled row per family
     // the persisted-index serve replay: the SAME scoring chain over
     // the index's latest-wins LOGICAL corpus (base minus re-ingested
     // versions, plus updated text, plus the appended new docs) —
     // equality proves build→append→resolve→serve end to end
-    "q246_lex_index" ->
-      (s"""WITH rdocs AS MATERIALIZED (
-         |  SELECT doc_id, $duckRetrievalText AS text FROM documents),
-         |lexc AS MATERIALIZED (
-         |  SELECT doc_id, text FROM rdocs WHERE doc_id % 100 <> 7
-         |  UNION ALL
-         |  SELECT doc_id, text || ' fresh_' || CAST(doc_id % 25 AS VARCHAR)
-         |    AS text FROM rdocs WHERE doc_id % 100 = 7
-         |  UNION ALL
-         |  SELECT doc_id + 10000 AS doc_id, text FROM rdocs
-         |  WHERE doc_id % 100 = 31),
-         |""".stripMargin +
-        bm25ScoringCtes("lexc") +
-        """
-          |qsel AS (SELECT q.query_id, q.term, d.df
-          |         FROM qt q JOIN dfq d USING (term), st
-          |         WHERE d.df * 10 <= st.n_docs),
-          |sums AS (
-          |  SELECT s.query_id, t.doc_id,
-          |         SUM(CAST(ROUND((LN((st.n_docs - s.df + 0.5) / (s.df + 0.5) + 1) *
-          |           (t.tf * 2.2) /
-          |           (t.tf + 1.2 * (0.25 + (0.75 * l.dl) / st.avgdl))) * 10000.0, 0)
-          |           AS BIGINT)) AS score_micro
-          |  FROM qsel s JOIN tf t USING (term) JOIN dl l ON l.doc_id = t.doc_id, st
-          |  GROUP BY 1, 2)
-          |SELECT query_id, rank, doc_id, score_micro FROM (
-          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-          |            ORDER BY score_micro DESC, doc_id) AS INT) AS rank
-          |  FROM sums) WHERE rank <= 10""".stripMargin),
+    "q246_lex_index" -> lexIndexOracleSql,
+
+    // the STREAMING ingest entry point lands in the identical index
+    // state (disjoint waves, latest-wins), so it shares q246's oracle
+    // verbatim — three entry points (batch append, micro-batch
+    // stream, direct SQL) pinned to one answer
+    "q247_lex_stream_ingest" -> lexIndexOracleSql,
 
     // PRF expansion terms: top-5 feedback docs, integer tf·idf_micro
     // weights, NOT EXISTS original-term exclusion, df ceiling, top-10

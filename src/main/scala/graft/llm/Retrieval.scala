@@ -153,6 +153,10 @@ object Retrieval {
   def appendToLexIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, batch: DataFrame, idCol: String,
                        textCol: String): Unit = {
+    // single-writer contract (same as the IVF append family): the
+    // next version is max(stored)+1, so concurrent appenders would
+    // mint the same version and their doc_id overlaps would collide
+    // non-deterministically at resolution. Serialize ingests.
     val ver = spark.read.parquet(s"$path/doclen")
       .agg(max(col("ver"))).head().getLong(0) + 1L
     tfOf(batch, idCol, textCol).withColumn("ver", lit(ver))
@@ -194,6 +198,8 @@ object Retrieval {
                      qTextCol: String, k: Int = 10,
                      dfCeilingShare: Int = 10): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(dfCeilingShare >= 1,
+      s"dfCeilingShare must be >= 1, got $dfCeilingShare")
     val (tfCur, dlCur) = lexCurrent(spark, path)
     val scored = scoreTermsFrom(tfCur, dlCur,
       termsOf(queries, qIdCol, qTextCol), dfCeilingShare)
@@ -226,6 +232,8 @@ object Retrieval {
                      dfCeilingShare: Int = 10): DataFrame = {
     require(kFeedback >= 1, s"kFeedback must be >= 1, got $kFeedback")
     require(mExpand >= 1, s"mExpand must be >= 1, got $mExpand")
+    require(dfCeilingShare >= 1,
+      s"dfCeilingShare must be >= 1, got $dfCeilingShare")
     val qterms = termsOf(queries, qIdCol, qTextCol)
     val scores = scoreTerms(docs, idCol, textCol, qterms, dfCeilingShare)
     val fb = graft.operators.TopKAgg
