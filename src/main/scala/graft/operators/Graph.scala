@@ -34,6 +34,32 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Graph {
 
+  /** Exact long-carried decimal sum (round-14 optimization, guide
+    * §2.3 "narrower types"): every per-round score contribution is
+    * `round(x, 12)` — exactly 12 fractional digits — and mass
+    * conservation bounds each per-node (and the global) sum below
+    * ~1, so the exact DECIMAL(38,12) aggregation can ride a LONG in
+    * pico-units (value · 10¹²) with ~6 orders of overflow headroom
+    * at ANY scale: the bound is Σ rank mass ≤ 1 + |E|·5e-13 of
+    * rounding slack, which is scale-free. A long halves the shuffled
+    * payload vs a 16-byte decimal and sums in codegen'd primitive
+    * arithmetic instead of per-row BigDecimal allocation (measured:
+    * the decimal reduce was 10-60 CPU-s/round at sf0.1 with GC to
+    * match). Every step is exact integer arithmetic, and the
+    * reconstruction multiplies by the exact decimal 1e-12 before the
+    * cast to double, so the final double equals the old
+    * `sum(decimal).cast("double")` bit for bit (both casts are
+    * BigDecimal.doubleValue of the same exact value).
+    */
+  private val Pico = lit(1000000000000L)
+  private val PicoInv = lit(BigDecimal("0.000000000001"))
+  /** `round(x, 12)` → exact pico-unit long. */
+  private def picoOf(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (round(x, 12).cast(DecimalType(38, 12)) * Pico).cast("long")
+  /** Exact double of a pico-unit long sum. */
+  private def picoToDouble(l: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (l * PicoInv).cast("double")
+
   /** Weighted PageRank over a directed edge list `(src, dst, w)`.
     *
     * Nodes with no inbound edges keep the `(1−d)/N` baseline each
@@ -43,29 +69,34 @@ object Graph {
     * closed-form. Output: `(node, rank)` with rank rounded to
     * `outDigits`.
     */
-  /** Shared power-iteration state: checkpointed edge list, out-degree
-    * totals, node frame, and the literal damping base.
+  /** Shared power-iteration state: cached degree-annotated edge list,
+    * node frame, and the literal damping base.
     */
-  private final case class PrState(e: DataFrame, outDeg: DataFrame,
-                                   nodes: DataFrame, base: Double,
-                                   damping: Double, nNodes: Long) {
+  private final case class PrState(e: DataFrame, nodes: DataFrame,
+                                   base: Double, damping: Double,
+                                   nNodes: Long) {
     /** One synchronous PageRank round over `ranks(node, r)`. */
     def step(ranks: DataFrame): DataFrame = {
-      // SHUFFLE_HASH on the node-sized sides: build the hash on
-      // degrees/ranks and STREAM the pre-partitioned edge list — scale-
-      // stable (no size-threshold plan flip, no per-round edge sort)
+      // SHUFFLE_HASH on the node-sized rank side: build the hash on
+      // ranks and STREAM the cached pre-partitioned edge list — scale-
+      // stable (no size-threshold plan flip, no per-round edge sort).
+      // `wout` already rides the edge row (annotated once in
+      // [[prepare]]), so the round is ONE join, not two, and the only
+      // edge-scale exchange left is the contribution groupBy(dst) —
+      // the algorithm's irreducible shuffle.
       val contrib = e
-        .join(outDeg.hint("shuffle_hash"), "src")
         .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
           "src")
         .select(col("dst").as("node"),
           // scalar double ops in a fixed order, then rounded: the
-          // only nondeterministic step (the SUM) runs in decimal
-          round(col("r") * col("w") / col("wout"), 12)
-            .cast(DecimalType(38, 12)).as("c"))
+          // only nondeterministic step (the SUM) runs as an exact
+          // pico-unit long (see [[picoOf]] — same bits as the
+          // DECIMAL(38,12) sum, half the shuffle bytes, primitive
+          // codegen arithmetic)
+          picoOf(col("r") * col("w") / col("wout")).as("c"))
       val next = contrib.groupBy(col("node"))
         .agg(round(lit(base) +
-          lit(damping) * sum(col("c")).cast("double"), 12).as("r"))
+          lit(damping) * picoToDouble(sum(col("c"))), 12).as("r"))
       nodes.join(next, Seq("node"), "left")
         .select(col("node"), coalesce(col("r"), round(lit(base), 12)).as("r"))
     }
@@ -77,29 +108,42 @@ object Graph {
     // The edge list is consumed once per iteration plus by the
     // degree/node prep — materialize it ONCE (upstream edge
     // construction is often a join/aggregation that would otherwise
-    // re-run every time the lazy plan is referenced), PRE-PARTITIONED
-    // on src: the checkpoint pins HashPartitioning(src), so every
-    // round's e ⋈ outDeg ⋈ ranks joins exchange NOTHING on the edge
-    // side (and outDeg aggregates exchange-free off the same
-    // partitioning) — the rounds' only edge-scale shuffle is the
-    // contribution groupBy(dst), which is the algorithm. Without the
-    // pin the per-round join re-plans by SIZE: node frames below the
-    // broadcast threshold broadcast (no edge shuffle), past it — the
-    // graph third decade, 2M nodes — the join flips to sort-merge and
-    // re-shuffles + re-sorts the full edge list EVERY round. The
-    // round-12 smoke caught exactly that once the shared-edge memo
-    // exposed the marginal round cost: 17× at 10× data, plan-flip
-    // attributed, ~linear after this pin (SCALE.md round 12).
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("long").as("w"))
+    // re-run every time the lazy plan is referenced). Round-14
+    // optimization finding: the previous `.repartition(src)
+    // .localCheckpoint()` did NOT pin the partitioning — a checkpoint
+    // scans back as `ExistingRDD ... UnknownPartitioning`, so every
+    // round silently re-exchanged the full edge list on src, re-ran
+    // the outDeg aggregation (an edge-scale pass + exchange) and
+    // re-derived `nodes` (union+distinct over 2·|E|). Three edge-scale
+    // passes per round that belong in prep. Now:
+    //  - upstream lineage is cut once with a cheap localCheckpoint of
+    //    the raw (src, dst, w) rows;
+    //  - the round-invariant out-degree total `wout` is annotated onto
+    //    each edge ONCE, so each round is one join, not an
+    //    aggregation + two joins;
+    //  - `nodes` is node-sized, so it is localCheckpointed and reused
+    //    instead of re-unioning the edge list every round.
+    // The annotated list itself stays a localCheckpoint (row blocks):
+    // the `.persist()` alternative DOES carry HashPartitioning(src)
+    // into the rounds and drops the per-round edge exchange from the
+    // plan, but the columnar InMemoryRelation probe measured 3-20×
+    // MORE per-round CPU + GC here than re-exchanging row blocks
+    // (interpreted decimal pipeline over cache batches vs codegen over
+    // shuffle rows) — measured q142 23.5 s → 38 s. Row checkpoint +
+    // one 73 MiB/round exchange wins at every SF tested.
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w")).localCheckpoint()
+    val outDeg = raw.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e = raw.join(outDeg.hint("shuffle_hash"), "src")
+      .select(col("src"), col("dst"), col("w"), col("wout"))
       .repartition(col("src")).localCheckpoint()
-    val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = raw.select(col("src").as("node"))
+      .union(raw.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     // One tiny driver action: N. The per-round base (1-d)/N is then a
     // literal, so both engines evaluate the same two IEEE ops.
     val nNodes = nodes.count()
-    PrState(e, outDeg, nodes, (1.0 - damping) / nNodes, damping, nNodes)
+    PrState(e, nodes, (1.0 - damping) / nNodes, damping, nNodes)
   }
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -158,15 +202,15 @@ object Graph {
       .localCheckpoint()
     var ranks = tele.select(col("node"), col("t").as("r"))
     for (i <- 1 to iters) {
-      // same stream-the-edges plan pin as PrState.step
-      val m = st.e.join(st.outDeg.hint("shuffle_hash"), "src")
+      // same stream-the-cached-edges plan pin as PrState.step: wout
+      // rides the edge row, so the round is one join + one exchange
+      val m = st.e
         .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
           "src")
         .select(col("dst").as("node"),
-          round(col("r") * col("w") / col("wout"), 12)
-            .cast(DecimalType(38, 12)).as("c"))
+          picoOf(col("r") * col("w") / col("wout")).as("c"))
         .groupBy(col("node"))
-        .agg(sum(col("c")).cast("double").as("_m"))
+        .agg(picoToDouble(sum(col("c"))).as("_m"))
       ranks = tele.join(m, Seq("node"), "left")
         .select(col("node"),
           round(lit(1.0 - damping) * col("t") +
@@ -229,6 +273,11 @@ object Graph {
     def half(scores: DataFrame, joinKey: String, outKey: String,
              scoreCol: String, outCol: String): DataFrame = {
       val e = if (joinKey == "src") eBySrc else eByDst
+      // NOTE: HITS stays on the DECIMAL(38,12) sum — the pico-long
+      // carrier of [[picoOf]] needs a mass bound, and the FIRST half-
+      // round runs over the unnormalized h=1.0 init, so its global sum
+      // is |E|-scale (overflows a pico-long past ~9M edges). The later
+      // halves are normalized (Σ=1) but share this code path.
       val raw = e.join(scores.withColumnRenamed("id", joinKey)
           .hint("shuffle_hash"), joinKey)
         .select(col(outKey).as("id"),
