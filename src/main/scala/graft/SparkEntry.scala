@@ -174,9 +174,15 @@ object SparkEntry {
     memoUnit(s, dir, "copurchase") {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
-        .filter(col("src") =!= col("dst"))
+      // the graph is symmetric by construction — count only the
+      // src < dst half (halves the pair shuffle + aggregation hash)
+      // and mirror the aggregated edges after (round-14, guide §2.3);
+      // the materialized edge set is row-identical
+      val half = li.toDF("ok", "src").join(li.toDF("ok", "dst"), "ok")
+        .filter(col("src") < col("dst"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      half.unionByName(half.select(col("dst").as("src"),
+          col("src").as("dst"), col("w")))
         .localCheckpoint()
     }
 

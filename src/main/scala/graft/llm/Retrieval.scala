@@ -63,17 +63,12 @@ object Retrieval {
     * over surviving terms, never the corpus — and doc length
     * attaches to the bounded candidate set via a SHUFFLE_HASH join
     * against the narrow 16 B/doc `dl` frame.
-    */
-  private def scoreTerms(docs: DataFrame, idCol: String,
-                         textCol: String, queryTerms: DataFrame,
-                         dfCeilingShare: Int): DataFrame =
-    scoreTermsFrom(tfOf(docs, idCol, textCol),
-      dlOf(docs, idCol, textCol), queryTerms, dfCeilingShare)
-
-  /** [[scoreTerms]] over prebuilt index frames `tf(term, doc_id,
-    * tf)` / `dl(doc_id, dl)` — the serve face of [[searchLexIndex]]
-    * and the seam a production deployment feeds its X78 inverted
-    * index through.
+    *
+    * Takes prebuilt index frames `tf(term, doc_id, tf)` /
+    * `dl(doc_id, dl)` — the serve face of [[searchLexIndex]], the
+    * seam a production deployment feeds its X78 inverted index
+    * through, and (round-14) the share point for [[indexOf]]'s
+    * once-per-invocation build.
     */
   private def scoreTermsFrom(tf: DataFrame, dl: DataFrame,
                              queryTerms: DataFrame,
@@ -107,13 +102,28 @@ object Retrieval {
     * per (mapper, query) before any exchange — never a corpus-wide
     * window sort.
     */
+  /** The operator-local index build: `tf`/`dl` materialized ONCE per
+    * invocation (round-14 optimization). Every lazy reference to
+    * `tfOf`/`dlOf` re-ran the corpus explode + keyed aggregation —
+    * [[prfRerank]] paid FOUR inverted-index builds and five
+    * doc-length passes per call (two scoreTerms passes, the expansion
+    * weights, and the stats/join double-reads inside each). One
+    * checkpointed build is what the X78 production index does; at
+    * 100 TB the difference is four corpus-scale shuffles vs one.
+    */
+  private def indexOf(docs: DataFrame, idCol: String,
+                      textCol: String): (DataFrame, DataFrame) =
+    (tfOf(docs, idCol, textCol).localCheckpoint(),
+      dlOf(docs, idCol, textCol).localCheckpoint())
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
                k: Int = 10, dfCeilingShare: Int = 10): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(dfCeilingShare >= 1,
       s"dfCeilingShare must be >= 1, got $dfCeilingShare")
-    val scored = scoreTerms(docs, idCol, textCol,
+    val (tf, dl) = indexOf(docs, idCol, textCol)
+    val scored = scoreTermsFrom(tf, dl,
       termsOf(queries, qIdCol, qTextCol), dfCeilingShare)
     graft.operators.TopKAgg
       .perGroup(scored, "query_id", "score_micro", "doc_id", k)
@@ -234,13 +244,26 @@ object Retrieval {
     require(mExpand >= 1, s"mExpand must be >= 1, got $mExpand")
     require(dfCeilingShare >= 1,
       s"dfCeilingShare must be >= 1, got $dfCeilingShare")
+    val (tf, dl) = indexOf(docs, idCol, textCol)
+    prfExpandTermsFrom(tf, dl, queries, qIdCol, qTextCol, kFeedback,
+      mExpand, dfCeilingShare)
+  }
+
+  /** [[prfExpandTerms]] over prebuilt `tf`/`dl` index frames (the
+    * [[scoreTermsFrom]] seam) — lets [[prfRerank]] share ONE index
+    * build across its passes.
+    */
+  private def prfExpandTermsFrom(tf: DataFrame, dl: DataFrame,
+                                 queries: DataFrame, qIdCol: String,
+                                 qTextCol: String, kFeedback: Int,
+                                 mExpand: Int,
+                                 dfCeilingShare: Int): DataFrame = {
     val qterms = termsOf(queries, qIdCol, qTextCol)
-    val scores = scoreTerms(docs, idCol, textCol, qterms, dfCeilingShare)
+    val scores = scoreTermsFrom(tf, dl, qterms, dfCeilingShare)
     val fb = graft.operators.TopKAgg
       .perGroup(scores, "query_id", "score_micro", "doc_id", kFeedback)
       .select(col("query_id"), col("doc_id"))
-    val tf = tfOf(docs, idCol, textCol)
-    val nDocs = dlOf(docs, idCol, textCol)
+    val nDocs = dl
       .agg(count(lit(1)).as("n_docs"))
     val idfm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -282,12 +305,14 @@ object Retrieval {
     require(origPct >= 0 && origPct <= 100,
       s"origPct must be in [0, 100], got $origPct")
     require(k >= 1, s"k must be >= 1, got $k")
-    val orig = scoreTerms(docs, idCol, textCol,
+    // ONE index build shared by all three passes (see [[indexOf]])
+    val (tf, dl) = indexOf(docs, idCol, textCol)
+    val orig = scoreTermsFrom(tf, dl,
         termsOf(queries, qIdCol, qTextCol), dfCeilingShare)
       .withColumnRenamed("score_micro", "orig_micro")
-    val exp = prfExpandTerms(docs, idCol, textCol, queries, qIdCol,
+    val exp = prfExpandTermsFrom(tf, dl, queries, qIdCol,
       qTextCol, kFeedback, mExpand, dfCeilingShare)
-    val eScores = scoreTerms(docs, idCol, textCol,
+    val eScores = scoreTermsFrom(tf, dl,
         exp.select(col("query_id"), col("term")), dfCeilingShare)
       .withColumnRenamed("score_micro", "exp_micro")
     val comb = orig.join(eScores, Seq("query_id", "doc_id"),

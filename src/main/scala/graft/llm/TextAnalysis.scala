@@ -275,6 +275,41 @@ object TextAnalysis {
           size(col("_grams"))).otherwise(0.0), 6).as("rep_ratio"))
   }
 
+  /** [[languageId]] + [[qualityScore]] as two extra columns ON the
+    * input rows — the fused filter face of the curation funnel
+    * (round-14 optimization): `processBatch` previously ran
+    * languageId and qualityScore as two separate corpus scans whose
+    * id sets were semi-joined back onto the batch (two extra text
+    * passes + two batch-scale join shuffles per micro-batch). The
+    * signals are per-row narrow projections, so they can ride the
+    * batch rows directly: one scan, zero joins. Values are
+    * bit-identical to the standalone operators (same expressions,
+    * same `round(…, 6)` points — the [[signalPanel]] parity
+    * argument), so every downstream filter keeps its exact row set.
+    */
+  private[graft] def langQualityOn(docs: DataFrame, textCol: String,
+      profiles: Seq[(String, Seq[String])],
+      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val scored = profiles.foldLeft(docs.withColumn("_toks", toks(textCol))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"_s_$lang", markerCount("_toks", markers))
+    }
+    val best = greatest(profiles.map { case (l, _) => col(s"_s_$l") }: _*)
+    val firstWins = profiles.foldRight(lit("und")) { case ((l, _), e) =>
+      when(col(s"_s_$l") === best, l).otherwise(e)
+    }
+    val stopRatio = round(markerCount("_toks", stopwords).cast("double") /
+      size(col("_toks")), 6)
+    scored
+      .withColumn("predicted_lang", firstWins)
+      .withColumn("quality", round((
+        least(length(col(textCol)).cast("double") / 500.0, lit(1.0)) +
+        least(stopRatio * 5.0, lit(1.0)) +
+        size(array_distinct(col("_toks"))).cast("double") /
+          size(col("_toks"))) / 3.0, 6))
+      .drop(Seq("_toks") ++ profiles.map { case (l, _) => s"_s_$l" }: _*)
+  }
+
   /** Corpus-level top-k word bigrams — the boilerplate / template
     * detector: a bigram whose count approaches the document count is
     * repeated scaffolding, not content. Bigram generation is a narrow

@@ -95,6 +95,16 @@ object Unigram {
 
   private val Billion = 1000000000L
 
+  /** One n-best candidate of one word (the [[nbestOf]] DP row). */
+  private[llm] final case class NbRow(rank: Int, cost: Option[Long],
+      n_pieces: Long, unk: Int, segmented: String)
+
+  /** One sampling candidate with its cumulative integer weight (the
+    * [[sampleSegments]] per-word array element).
+    */
+  private[llm] final case class SampleCand(rank: Int, cum: Long,
+      n_pieces: Long, unk: Int, segmented: String)
+
   private def cps(w: String): Array[String] = {
     val out = new Array[String](w.codePointCount(0, w.length))
     var i = 0; var j = 0
@@ -443,21 +453,73 @@ object Unigram {
     * per distinct word, same broadcast-model mapPartitions economics
     * as the 1-best serve.
     */
-  def nbestSegments(docs: DataFrame, textCol: String, model: DataFrame,
-                    nbest: Int = 4,
-                    maxInputCharsPerWord: Int = OracleMaxWordLen,
-                    maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
-    require(nbest >= 1, s"nbest must be >= 1, got $nbest")
-    val spark = docs.sparkSession
+  /** Quantized negative-log-prob map of the trained model — the
+    * driver-side table every serve path broadcasts (vocab-bounded).
+    */
+  private def logProbMap(model: DataFrame): Map[String, Long] = {
     val lpOf: Map[String, Long] = model.select(col("piece"), col("q"))
       .collect().map { r =>
         val q = r.getLong(1)
         r.getString(0) ->
           math.floor(-math.log(q.toDouble / 1.0e9) * 1.0e6 + 0.5).toLong
       }.toMap
-    require(lpOf.nonEmpty,
-      "nbestSegments needs a non-empty trained model")
-    val bc = spark.sparkContext.broadcast(lpOf)
+    require(lpOf.nonEmpty, "serve needs a non-empty trained model")
+    lpOf
+  }
+
+  /** One word's ranked k-best list (the DP shared by
+    * [[nbestSegments]] and [[sampleSegments]]): `(rank, cost,
+    * n_pieces, unk, segmented)`, rank 1 = Viterbi.
+    */
+  private def nbestOf(w: String, lp: Map[String, Long], maxChars: Int,
+                      m: Int, k: Int): Seq[NbRow] = {
+    val lt = (x: (Long, Int, String), y: (Long, Int, String)) =>
+      x._1 < y._1 || (x._1 == y._1 && (x._2 < y._2 ||
+        (x._2 == y._2 &&
+          Bpe.compareUtf8(utf8(x._3), utf8(y._3)) < 0)))
+    val a = cps(w)
+    val L = a.length
+    if (L > maxChars)
+      Seq(NbRow(1, None, 1L, 1, Unk))
+    else {
+      val cand =
+        Array.fill(L + 1)(Vector.empty[(Long, Int, String)])
+      cand(0) = Vector((0L, 0, ""))
+      var i = 1
+      while (i <= L) {
+        val buf = Vector.newBuilder[(Long, Int, String)]
+        var kk = 1
+        val km = math.min(m, i)
+        while (kk <= km) {
+          if (cand(i - kk).nonEmpty) {
+            val piece = a.slice(i - kk, i).mkString
+            lp.get(piece).foreach { c =>
+              cand(i - kk).foreach { case (pc, pn, ps) =>
+                buf += ((pc + c, pn + 1,
+                  if (ps.isEmpty) piece else ps + " " + piece))
+              }
+            }
+          }
+          kk += 1
+        }
+        cand(i) = buf.result().sortWith(lt).take(k)
+        i += 1
+      }
+      if (cand(L).isEmpty)
+        Seq(NbRow(1, None, 1L, 1, Unk))
+      else cand(L).zipWithIndex.map { case ((c, np, seq), r) =>
+        NbRow(r + 1, Some(c), np.toLong, 0, seq)
+      }
+    }
+  }
+
+  def nbestSegments(docs: DataFrame, textCol: String, model: DataFrame,
+                    nbest: Int = 4,
+                    maxInputCharsPerWord: Int = OracleMaxWordLen,
+                    maxPieceLen: Int = DefaultMaxPieceLen): DataFrame = {
+    require(nbest >= 1, s"nbest must be >= 1, got $nbest")
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(logProbMap(model))
     val maxChars = maxInputCharsPerWord
     val m = maxPieceLen
     val k = nbest
@@ -468,45 +530,9 @@ object Unigram {
       .as[String]
       .mapPartitions { it =>
         val lp = bc.value
-        val lt = (x: (Long, Int, String), y: (Long, Int, String)) =>
-          x._1 < y._1 || (x._1 == y._1 && (x._2 < y._2 ||
-            (x._2 == y._2 &&
-              Bpe.compareUtf8(utf8(x._3), utf8(y._3)) < 0)))
         it.flatMap { w =>
-          val a = cps(w)
-          val L = a.length
-          if (L > maxChars)
-            Seq((w, 1, None: Option[Long], 1L, 1, Unk))
-          else {
-            val cand =
-              Array.fill(L + 1)(Vector.empty[(Long, Int, String)])
-            cand(0) = Vector((0L, 0, ""))
-            var i = 1
-            while (i <= L) {
-              val buf = Vector.newBuilder[(Long, Int, String)]
-              var kk = 1
-              val km = math.min(m, i)
-              while (kk <= km) {
-                if (cand(i - kk).nonEmpty) {
-                  val piece = a.slice(i - kk, i).mkString
-                  lp.get(piece).foreach { c =>
-                    cand(i - kk).foreach { case (pc, pn, ps) =>
-                      buf += ((pc + c, pn + 1,
-                        if (ps.isEmpty) piece else ps + " " + piece))
-                    }
-                  }
-                }
-                kk += 1
-              }
-              cand(i) = buf.result().sortWith(lt).take(k)
-              i += 1
-            }
-            if (cand(L).isEmpty)
-              Seq((w, 1, None: Option[Long], 1L, 1, Unk))
-            else cand(L).zipWithIndex.map { case ((c, np, seq), r) =>
-              (w, r + 1, Some(c): Option[Long], np.toLong, 0, seq)
-            }
-          }
+          nbestOf(w, lp, maxChars, m, k).map(c =>
+            (w, c.rank, c.cost, c.n_pieces, c.unk, c.segmented))
         }
       }.toDF("word", "rank", "cost", "n_pieces", "unk", "segmented")
   }
@@ -555,23 +581,52 @@ object Unigram {
                      drawSalt: String = ""): DataFrame = {
     require(alpha > 0.0 && alpha <= 10.0,
       s"alpha must be in (0, 10], got $alpha")
-    import org.apache.spark.sql.expressions.Window
-    val nb = nbestSegments(docs, textCol, model, nbest,
-      maxInputCharsPerWord, maxPieceLen)
-    val wWord = Window.partitionBy(col("word"))
-    val wCum = Window.partitionBy(col("word")).orderBy(col("rank"))
-    val weighted = nb
-      .withColumn("_cmin", min(col("cost")).over(wWord))
-      .withColumn("_w", when(col("cost").isNull, lit(Billion))
-        .otherwise(floor(exp(-((lit(alpha) *
-            (col("cost") - col("_cmin")).cast("double")) / lit(1.0e6)))
-          * lit(1.0e9) + lit(0.5)).cast("long")))
-      .withColumn("_cum", sum(col("_w")).over(wCum))
-    val cands = weighted.groupBy(col("word"))
-      .agg(sort_array(collect_list(struct(col("rank"),
-          col("_cum").as("cum"), col("n_pieces"), col("unk"),
-          col("segmented")))).as("_cands"),
-        max(col("_cum")).as("_wtot"))
+    // Round-14 optimization: the candidate weights and their running
+    // sums are PER-WORD arithmetic over the ≤ nbest candidates the
+    // [[nbestOf]] DP just produced IN HAND — so they are computed
+    // right there in the mapPartitions, one row per word out. The
+    // previous shape re-shuffled the (word, rank) n-best rows, ran
+    // two word-partitioned windows (min + cumulative sum) and a
+    // collect_list aggregation over them — an exchange plus three
+    // passes over a vocabulary×nbest table per call, measured as a
+    // 2.3 s coalesced single-task stage at sf0.1. Arithmetic is
+    // bit-identical: the same (alpha·Δcost)/1e6 → exp → ·1e9 + 0.5 →
+    // floor chain in the same IEEE order (Spark's Exp IS
+    // java.lang.Math.exp), NULL-cost rows keep the exact-1e9 weight,
+    // and the cumulative order is the same rank order.
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(logProbMap(model))
+    val maxChars = maxInputCharsPerWord
+    val m = maxPieceLen
+    val k = nbest
+    val a0 = alpha
+    import spark.implicits._
+    val cands = docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(Bpe.wordOk)
+      .distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val lp = bc.value
+        it.map { w =>
+          val cs = nbestOf(w, lp, maxChars, m, k)
+          // min(cost) ignoring NULLs — the window-min replay; a word
+          // with any path has rank 1 non-null, so cmin is defined
+          // exactly when the formula branch is reachable
+          val cmin = cs.iterator.flatMap(_.cost).reduceOption(_ min _)
+          var cum = 0L
+          val arr = cs.map { c =>
+            val wgt = c.cost match {
+              case Some(cost) =>
+                math.floor(math.exp(-((a0 * (cost - cmin.get).toDouble)
+                  / 1.0e6)) * 1.0e9 + 0.5).toLong
+              case None => Billion
+            }
+            cum += wgt
+            SampleCand(c.rank, cum, c.n_pieces, c.unk, c.segmented)
+          }
+          (w, arr, cum)
+        }
+      }.toDF("word", "_cands", "_wtot")
     docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("_wp0", "word")))
       .filter(Bpe.wordOk)
@@ -655,23 +710,39 @@ object Unigram {
   def pieceVocab(model: DataFrame): DataFrame = {
     val spark = model.sparkSession
     import spark.implicits._
-    val ranked = model.select(col("piece"),
-      (row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("q").desc, hex(encode(col("piece"), "UTF-8"))))
-        + lit(1)).as("id"))
-    // min-id dedup can leave a GAP (a corpus whose words contain a
-    // literal "[UNK]" trains that piece, which then collapses onto the
-    // reserved id 0); the positional TSV artifact compacts line order
-    // silently, so ids are renumbered DENSELY in min-id order — the
-    // identity on a collision-free corpus, mirrored in the vocabCtes
-    // oracle (the WordPiece.pieceVocab treatment)
-    Seq((Unk, 0), (" ", 1)).toDF("piece", "id")
-      .unionByName(ranked)
-      .groupBy(col("piece"))
-      .agg(min(col("id")).as("_min_id"))
-      .select(col("piece"),
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("_min_id"))) - 1).cast("int").as("token_id"))
+    // Round-14 optimization: the id assignment is DRIVER-LOCAL. The
+    // model is a vocabulary — driver-created by [[train]]/[[seedModel]]
+    // (createDataFrame of collected rows) and bounded by the keepMulti
+    // contract, i.e. exactly the contract-bounded tokenizer-table
+    // collect the repo's driver discipline allows. The previous SQL
+    // shape ran TWO un-partitioned row_number windows (two
+    // SinglePartition exchanges + single-task sorts) over the ~200k
+    // production vocabulary per consuming query — the reference's W1
+    // antipattern reproduced inside our own serve path; a local sort
+    // of the same rows is milliseconds and every consumer broadcasts
+    // the result anyway. Semantics are UNCHANGED, step for step:
+    //  1. rank by (q DESC, UTF-8 bytes ASC) — `compareUtf8` is the
+    //     unsigned byte order, identical to the previous
+    //     hex(encode(piece)) string sort — ids from 2;
+    //  2. reserved [UNK]→0, " "→1;
+    //  3. min-id dedup (a corpus whose words contain a literal
+    //     "[UNK]" collapses onto the reserved id — the gap case);
+    //  4. dense renumber in min-id order (the positional TSV artifact
+    //     cannot represent a gap) — the identity on a collision-free
+    //     corpus, mirrored in the vocabCtes oracle.
+    val rows = model.select(col("piece"), col("q")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ranked = rows.sortWith { case ((p1, q1), (p2, q2)) =>
+      if (q1 != q2) q1 > q2
+      else Bpe.compareUtf8(p1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        p2.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    }.zipWithIndex.map { case ((p, _), i) => (p, i + 2) }
+    val withSpecials = Seq((Unk, 0), (" ", 1)) ++ ranked
+    val dense = withSpecials.groupBy(_._1).view
+      .mapValues(ids => ids.map(_._2).min).toSeq
+      .sortBy(_._2).zipWithIndex
+      .map { case ((p, _), i) => (p, i) }
+    dense.toDF("piece", "token_id")
   }
 
   /** Export the trained model as the SentencePiece `.vocab`-shaped

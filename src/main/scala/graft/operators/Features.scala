@@ -177,10 +177,17 @@ object Features {
       .distinct()
     val nBaskets = bi.select(col("bk")).distinct().count()
     val supp = bi.groupBy(col("it")).agg(count(lit(1)).as("supp"))
-    val pairs = bi.toDF("bk", "ante").join(bi.toDF("bk", "cons"), "bk")
-      .filter(col("ante") =!= col("cons"))
+    // pair counts are SYMMETRIC (supp(a,b) = supp(b,a)), so only the
+    // a < b half is generated, counted and support-filtered; the
+    // mirror is re-derived afterwards on the (tiny) surviving rows —
+    // halves the pair shuffle and the aggregation hash (round-14,
+    // guide §2.3 "shuffle fewer bytes"). Output rows are identical.
+    val half = bi.toDF("bk", "ante").join(bi.toDF("bk", "cons"), "bk")
+      .filter(col("ante") < col("cons"))
       .groupBy(col("ante"), col("cons")).agg(count(lit(1)).as("supp_ab"))
       .filter(col("supp_ab") >= minSupport)
+    val pairs = half.unionByName(half.select(col("cons").as("ante"),
+      col("ante").as("cons"), col("supp_ab")))
     pairs
       .join(supp.toDF("ante", "supp_a"), "ante")
       .join(supp.toDF("cons", "supp_c"), "cons")

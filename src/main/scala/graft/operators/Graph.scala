@@ -131,14 +131,20 @@ object Graph {
     // (interpreted decimal pipeline over cache batches vs codegen over
     // shuffle rows) — measured q142 23.5 s → 38 s. Row checkpoint +
     // one 73 MiB/round exchange wins at every SF tested.
-    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("long").as("w")).localCheckpoint()
-    val outDeg = raw.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val e = raw.join(outDeg.hint("shuffle_hash"), "src")
-      .select(col("src"), col("dst"), col("w"), col("wout"))
-      .repartition(col("src")).localCheckpoint()
-    val nodes = raw.select(col("src").as("node"))
-      .union(raw.select(col("dst").as("node"))).distinct()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .repartition(col("src"))
+      // wout via a src-partitioned window ON the frame being
+      // checkpointed anyway: the repartition already clusters each
+      // src, so the window adds only an in-partition sort — ONE edge
+      // materialization total (the first cut of this round used a
+      // groupBy + join + second checkpoint: an extra edge-scale pass
+      // the bench charged back)
+      .withColumn("wout", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     // One tiny driver action: N. The per-round base (1-d)/N is then a
     // literal, so both engines evaluate the same two IEEE ops.

@@ -235,12 +235,16 @@ object CurationStream {
         blooms.get("ids"))
       .localCheckpoint()
 
-    val langKeep = TextAnalysis.languageId(a, idCol, textCol, profiles)
-      .filter(col("predicted_lang") === cfg.lang).select(col(idCol))
-    val s2 = a.join(langKeep, Seq(idCol), "left_semi")
-    val qualKeep = TextAnalysis.qualityScore(s2, idCol, textCol)
-      .filter(col("quality") >= cfg.minQuality).select(col(idCol))
-    val s3 = s2.join(qualKeep, Seq(idCol), "left_semi").localCheckpoint()
+    // lang + quality ride the batch rows in ONE narrow projection
+    // (bit-identical values — [[TextAnalysis.langQualityOn]]): the
+    // previous shape re-scanned the batch text twice and semi-joined
+    // each id set back on (two batch-scale shuffles per micro-batch)
+    val scored = TextAnalysis.langQualityOn(a, textCol, profiles)
+    val s2 = scored.filter(col("predicted_lang") === cfg.lang)
+      .select(a.columns.map(col): _*)
+    val s3 = scored.filter(col("predicted_lang") === cfg.lang &&
+        col("quality") >= cfg.minQuality)
+      .select(a.columns.map(col): _*).localCheckpoint()
 
     // exact dedup: batch-internal keep-min-id, then the store's
     // content-hash set (the store always wins)
