@@ -739,12 +739,13 @@ object Bpe {
       .join(wordIds.hint("shuffle_hash"), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(
-        sort_array(collect_list(struct(col("_wpos"), col("_wids"))))
-          .as("_ws"),
+        collect_list(struct(col("_wpos"), col("_wids"))).as("_ws"),
         sum(col("_oov")).as("n_oov"))
+      // one native pass replaces sort_array + flatten/transform/concat
+      // (all CodegenFallback, two allocations per word) — same bytes,
+      // see [[graft.functions.FlattenWordIds]]
       .select(col("doc_id"),
-        expr("flatten(transform(_ws, (w, i) -> " +
-          "IF(i = 0, w._wids, concat(array(0), w._wids))))").as("ids"),
+        graft.functions.TokenExprs.flattenWordIds(col("_ws"), 0).as("ids"),
         col("n_oov"))
       .withColumn("n_bpe", size(col("ids")).cast("long"))
   }
@@ -764,10 +765,12 @@ object Bpe {
         posexplode(col(idsCol)).as(Seq("_pos", "token_id")))
       .join(broadcast(vocab), Seq("token_id"), "left")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("_pos"),
-        coalesce(col("piece"), lit("�")).as("p")))).as("_ps"))
+      .agg(collect_list(struct(col("_pos"),
+        coalesce(col("piece"), lit("�")).as("p"))).as("_ps"))
+      // native assembly — see [[graft.functions.ConcatSortedPieces]]
       .select(col("doc_id"),
-        expr("array_join(transform(_ps, x -> x.p), '')").as("text_decoded"))
+        graft.functions.TokenExprs.concatSortedPieces(col("_ps"))
+          .as("text_decoded"))
   }
 
   /** Shared CTE chain `w0 … w<nMerges>` (each `(word, s, n)`) with the
@@ -1221,12 +1224,11 @@ object Bpe {
       .join(wordIds.hint("shuffle_hash"), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(
-        sort_array(collect_list(struct(col("_wpos"), col("_wids"))))
-          .as("_ws"),
+        collect_list(struct(col("_wpos"), col("_wids"))).as("_ws"),
         sum(col("_oov")).as("n_oov"))
+      // native assembly — see [[graft.functions.FlattenWordIds]]
       .select(col("doc_id"),
-        expr("flatten(transform(_ws, (w, i) -> " +
-          "IF(i = 0, w._wids, concat(array(32), w._wids))))").as("ids"),
+        graft.functions.TokenExprs.flattenWordIds(col("_ws"), 32).as("ids"),
         col("n_oov"))
       .withColumn("n_bpe", size(col("ids")).cast("long"))
   }
@@ -1243,10 +1245,12 @@ object Bpe {
         posexplode(col(idsCol)).as(Seq("_pos", "token_id")))
       .join(broadcast(vocab), Seq("token_id"), "left")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("_pos"),
-        coalesce(col("piece"), lit("EFBFBD")).as("p")))).as("_ps"))
+      .agg(collect_list(struct(col("_pos"),
+        coalesce(col("piece"), lit("EFBFBD")).as("p"))).as("_ps"))
+      // native assembly — see [[graft.functions.ConcatSortedPieces]]
       .select(col("doc_id"),
-        decode(unhex(expr("array_join(transform(_ps, x -> x.p), '')")),
+        decode(unhex(
+          graft.functions.TokenExprs.concatSortedPieces(col("_ps"))),
           "UTF-8").as("text_decoded"))
   }
 

@@ -162,13 +162,35 @@ object Retrieval {
     */
   def appendToLexIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, batch: DataFrame, idCol: String,
-                       textCol: String): Unit = {
+                       textCol: String): Unit =
     // single-writer contract (same as the IVF append family): the
     // next version is max(stored)+1, so concurrent appenders would
     // mint the same version and their doc_id overlaps would collide
     // non-deterministically at resolution. Serialize ingests.
-    val ver = spark.read.parquet(s"$path/doclen")
-      .agg(max(col("ver"))).head().getLong(0) + 1L
+    appendToLexIndex(spark, path, batch, idCol, textCol,
+      currentLexVersion(spark, path) + 1L)
+
+  /** The stored index's current max version — the value the no-`ver`
+    * [[appendToLexIndex]] reads per call. A serialized multi-batch
+    * ingester ([[graft.streaming.LexIndexStream]]) reads it ONCE and
+    * mints `base+1, base+2, …` itself (round-14: the per-batch
+    * max-scan re-read every doclen file of a GROWING store — O(waves²)
+    * file reads over an ingest run — for a value the single-writer
+    * contract already determines).
+    */
+  def currentLexVersion(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Long =
+    spark.read.parquet(s"$path/doclen")
+      .agg(max(col("ver"))).head().getLong(0)
+
+  /** [[appendToLexIndex]] at an EXPLICIT version — the caller owns the
+    * single-writer contract (`ver` must exceed every stored version;
+    * a non-empty batch always appends ≥1 doclen row, so consecutive
+    * integers from [[currentLexVersion]]+1 are always valid).
+    */
+  def appendToLexIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, batch: DataFrame, idCol: String,
+                       textCol: String, ver: Long): Unit = {
     tfOf(batch, idCol, textCol).withColumn("ver", lit(ver))
       .sortWithinPartitions(col("term"))
       .write.mode("append").parquet(s"$path/postings")

@@ -53,16 +53,25 @@ object Similarity {
       .agg(sqrt(sum(col("_r") * col("_r")).cast("double")).as("_norm"))
     val a = r.toDF("_u", "item_a", "_ra")
     val b = r.toDF("_u", "item_b", "_rb")
+    // symmetric-pair halving (round-14, the q156/copurchase shape):
+    // dot/overlap/cos are symmetric in (item_a, item_b), so only the
+    // canonical orientation flows through the pair exchange, the
+    // aggregation hash and the norm joins; the mirror is re-derived
+    // AFTER the overlap filter by a projection union. cos is
+    // bit-identical both ways (double multiply commutes exactly).
     val pairs = a.join(b, Seq("_u"))
-      .filter(col("item_a") =!= col("item_b"))
+      .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(sum(col("_ra") * col("_rb")).cast("double").as("_dot"),
         count(lit(1)).as("_overlap"))
       .filter(col("_overlap") >= minOverlap)
-    val cos = pairs
+    val cosHalf = pairs
       .join(norms.toDF("item_a", "_na"), Seq("item_a"))
       .join(norms.toDF("item_b", "_nb"), Seq("item_b"))
       .withColumn("cos", round(col("_dot") / (col("_na") * col("_nb")), 6))
+      .select(col("item_a"), col("item_b"), col("cos"))
+    val cos = cosHalf.unionByName(cosHalf.select(
+      col("item_b").as("item_a"), col("item_a").as("item_b"), col("cos")))
     cos.withColumn("rank", row_number().over(
         Window.partitionBy(col("item_a"))
           .orderBy(col("cos").desc, col("item_b"))))

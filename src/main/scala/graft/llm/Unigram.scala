@@ -682,12 +682,11 @@ object Unigram {
         expr("transform(_ps, p -> p.id)").as("_wids"))
       .groupBy(col("doc_id"))
       .agg(
-        sort_array(collect_list(struct(col("wpos"), col("_wids"))))
-          .as("_ws"),
+        collect_list(struct(col("wpos"), col("_wids"))).as("_ws"),
         sum(col("_unk").cast("long")).as("n_unk"))
+      // native assembly — see [[graft.functions.FlattenWordIds]]
       .select(col("doc_id"),
-        expr("flatten(transform(_ws, (w, i) -> " +
-          "IF(i = 0, w._wids, concat(array(1), w._wids))))").as("ids"),
+        graft.functions.TokenExprs.flattenWordIds(col("_ws"), 1).as("ids"),
         col("n_unk"))
       .withColumn("n_tok", size(col("ids")).cast("long"))
   }
@@ -1007,12 +1006,11 @@ object Unigram {
       .join(wordIds.hint("shuffle_hash"), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(
-        sort_array(collect_list(struct(col("_wpos"), col("_wids"))))
-          .as("_ws"),
+        collect_list(struct(col("_wpos"), col("_wids"))).as("_ws"),
         sum(col("_unk").cast("long")).as("n_unk"))
+      // native assembly — see [[graft.functions.FlattenWordIds]]
       .select(col("doc_id"),
-        expr("flatten(transform(_ws, (w, i) -> " +
-          "IF(i = 0, w._wids, concat(array(1), w._wids))))").as("ids"),
+        graft.functions.TokenExprs.flattenWordIds(col("_ws"), 1).as("ids"),
         col("n_unk"))
       .withColumn("n_tok", size(col("ids")).cast("long"))
   }
@@ -1030,10 +1028,12 @@ object Unigram {
         posexplode(col(idsCol)).as(Seq("_pos", "token_id")))
       .join(broadcast(vocab), Seq("token_id"), "left")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("_pos"),
-        coalesce(col("piece"), lit("�")).as("p")))).as("_ps"))
+      .agg(collect_list(struct(col("_pos"),
+        coalesce(col("piece"), lit("�")).as("p"))).as("_ps"))
+      // native assembly — see [[graft.functions.ConcatSortedPieces]]
       .select(col("doc_id"),
-        expr("array_join(transform(_ps, x -> x.p), '')").as("text_decoded"))
+        graft.functions.TokenExprs.concatSortedPieces(col("_ps"))
+          .as("text_decoded"))
   }
 
   // ──────────────────── DuckDB oracle builders ────────────────────

@@ -616,11 +616,12 @@ object WordPiece {
       .join(wordIds.hint("shuffle_hash"), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(
-        sort_array(collect_list(struct(col("_wpos"), col("_wids"))))
-          .as("_ws"),
+        collect_list(struct(col("_wpos"), col("_wids"))).as("_ws"),
         sum(col("_unk").cast("long")).as("n_unk"))
+      // native assembly (no boundary token in WordPiece) — see
+      // [[graft.functions.FlattenWordIds]]
       .select(col("doc_id"),
-        expr("flatten(transform(_ws, w -> w._wids))").as("ids"),
+        graft.functions.TokenExprs.flattenWordIdsPlain(col("_ws")).as("ids"),
         col("n_unk"))
       .withColumn("n_wp", size(col("ids")).cast("long"))
   }
@@ -642,12 +643,12 @@ object WordPiece {
         posexplode(col(idsCol)).as(Seq("_pos", "token_id")))
       .join(broadcast(vocab), Seq("token_id"), "left")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("_pos"),
-        coalesce(col("piece"), lit("�")).as("p")))).as("_ps"))
+      .agg(collect_list(struct(col("_pos"),
+        coalesce(col("piece"), lit("�")).as("p"))).as("_ps"))
+      // native assembly — see [[graft.functions.ConcatSortedPieces]]
       .select(col("doc_id"),
-        ltrim(expr("concat_ws('', transform(_ps, x -> " +
-          "IF(startswith(x.p, '##'), substring(x.p, 3), " +
-          "concat(' ', x.p))))")).as("text_decoded"))
+        ltrim(graft.functions.TokenExprs.concatSortedPiecesWp(col("_ps")))
+          .as("text_decoded"))
   }
 
   /** Per-document WordPiece economics — `(doc_id, n_words, n_pieces,

@@ -69,6 +69,35 @@ object Graph {
     * closed-form. Output: `(node, rank)` with rank rounded to
     * `outDigits`.
     */
+  /** Broadcast the node-sized score frame into the per-round edge
+    * join when the node count — known EXACTLY from [[prepare]]'s one
+    * driver action, not a Catalyst estimate — provably fits
+    * (round-14, guide §3.1 "broadcast the side that fits"): the
+    * per-round plan becomes BroadcastHashJoin over the checkpointed
+    * edge blocks, which removes BOTH per-round exchanges of the join
+    * (the full edge list re-exchanged on `src` — the one remaining
+    * non-algorithmic shuffle, ~|E| rows × rounds — and the node-sized
+    * rank exchange); the contribution `groupBy(dst)` keeps its
+    * map-side partial aggregation, so the only exchange left per
+    * round is node-scale. Join strategy cannot change the row set —
+    * ranks stay bit-identical (oracle-pinned).
+    *
+    * Above the threshold the round keeps the SHUFFLE_HASH shape
+    * (scale-stable, no driver collect of a huge rank frame). The
+    * cutoff is deliberate and deterministic — a driver-known count
+    * against a configured bound, not an optimizer size guess:
+    * `SPARK_GRAFT_GRAPH_BCAST_NODES`, default 4M nodes ≈ 64 MB of
+    * (long, double) rank rows per executor — comfortably inside
+    * Spark's 8 GB broadcast cap and worth one node-sized driver
+    * round-trip per iteration to keep |E| rows off the wire. At
+    * billion-node scale the env lowers (or zeroes) the bound.
+    */
+  private def broadcastNodeLimit: Long =
+    // system property first (same-JVM A/B in tools/benches), env second
+    sys.props.get("graft.graph.bcastNodes")
+      .orElse(sys.env.get("SPARK_GRAFT_GRAPH_BCAST_NODES"))
+      .map(_.toLong).getOrElse(4000000L)
+
   /** Shared power-iteration state: cached degree-annotated edge list,
     * node frame, and the literal damping base.
     */
@@ -77,16 +106,18 @@ object Graph {
                                    nNodes: Long) {
     /** One synchronous PageRank round over `ranks(node, r)`. */
     def step(ranks: DataFrame): DataFrame = {
-      // SHUFFLE_HASH on the node-sized rank side: build the hash on
-      // ranks and STREAM the cached pre-partitioned edge list — scale-
-      // stable (no size-threshold plan flip, no per-round edge sort).
-      // `wout` already rides the edge row (annotated once in
-      // [[prepare]]), so the round is ONE join, not two, and the only
-      // edge-scale exchange left is the contribution groupBy(dst) —
-      // the algorithm's irreducible shuffle.
-      val contrib = e
-        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
-          "src")
+      // node-sized rank side: BROADCAST when the exact node count
+      // fits (no per-round edge exchange — see [[broadcastNodeLimit]]),
+      // else SHUFFLE_HASH (build the hash on ranks, stream the edge
+      // list — no size-threshold plan flip at scale). `wout` already
+      // rides the edge row (annotated once in [[prepare]]), so the
+      // round is ONE join; the contribution groupBy(dst) is the
+      // algorithm's irreducible shuffle.
+      val rankSide = ranks.withColumnRenamed("node", "src")
+      val joined =
+        if (nNodes <= broadcastNodeLimit) e.join(broadcast(rankSide), "src")
+        else e.join(rankSide.hint("shuffle_hash"), "src")
+      val contrib = joined
         .select(col("dst").as("node"),
           // scalar double ops in a fixed order, then rounded: the
           // only nondeterministic step (the SUM) runs as an exact
@@ -208,11 +239,15 @@ object Graph {
       .localCheckpoint()
     var ranks = tele.select(col("node"), col("t").as("r"))
     for (i <- 1 to iters) {
-      // same stream-the-cached-edges plan pin as PrState.step: wout
-      // rides the edge row, so the round is one join + one exchange
-      val m = st.e
-        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
-          "src")
+      // same round shape as PrState.step: wout rides the edge row
+      // (one join), rank side broadcast when the exact node count
+      // fits, else shuffle-hash streamed over the cached edges
+      val rankSide = ranks.withColumnRenamed("node", "src")
+      val joined =
+        if (st.nNodes <= broadcastNodeLimit)
+          st.e.join(broadcast(rankSide), "src")
+        else st.e.join(rankSide.hint("shuffle_hash"), "src")
+      val m = joined
         .select(col("dst").as("node"),
           picoOf(col("r") * col("w") / col("wout")).as("c"))
         .groupBy(col("node"))
@@ -275,6 +310,16 @@ object Graph {
     val eBySrc = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().repartition(col("src")).localCheckpoint()
     val eByDst = eBySrc.repartition(col("dst")).localCheckpoint()
+    // exact side counts for the broadcast decision (one bounded job;
+    // the score frames are node-sized: hubs = distinct src, auths =
+    // distinct dst) — same deterministic driver-known cutoff as
+    // [[broadcastNodeLimit]] in the PageRank family
+    val sideN = eBySrc.agg(
+      countDistinct(col("src")).as("_ns"),
+      countDistinct(col("dst")).as("_nd")).head()
+    val bcastHalf = Map(
+      "src" -> (sideN.getLong(0) <= broadcastNodeLimit),
+      "dst" -> (sideN.getLong(1) <= broadcastNodeLimit))
 
     def half(scores: DataFrame, joinKey: String, outKey: String,
              scoreCol: String, outCol: String): DataFrame = {
@@ -284,8 +329,9 @@ object Graph {
       // round runs over the unnormalized h=1.0 init, so its global sum
       // is |E|-scale (overflows a pico-long past ~9M edges). The later
       // halves are normalized (Σ=1) but share this code path.
-      val raw = e.join(scores.withColumnRenamed("id", joinKey)
-          .hint("shuffle_hash"), joinKey)
+      val scoreSide = scores.withColumnRenamed("id", joinKey)
+      val raw = (if (bcastHalf(joinKey)) e.join(broadcast(scoreSide), joinKey)
+                 else e.join(scoreSide.hint("shuffle_hash"), joinKey))
         .select(col(outKey).as("id"),
           round(col(scoreCol), 12).cast(DecimalType(38, 12)).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("raw"))

@@ -154,6 +154,14 @@ object CurationStream {
     * returns `batch` itself, reference-equal, which the spec pins).
     * Without a sidecar (first batch / legacy store) this is the plain
     * full anti-join.
+    *
+    * Round-14 job-count reduction: the probe is ONE action (a
+    * bloom-filtered `isEmpty`), not a checkpoint + `isEmpty` pair —
+    * the residue filter re-evaluates in the non-empty branch instead
+    * of being materialized. Callers pass an already-materialized
+    * `batch` (localCheckpoint), so the re-evaluation is a cheap
+    * deterministic re-read, and the steady-state reference-equal
+    * return lets the CALLER skip its own second checkpoint too.
     */
   private[streaming] def boundedAntiJoin(batch: DataFrame, key: Column,
                                          storeKeys: Option[DataFrame],
@@ -165,11 +173,27 @@ object CurationStream {
         batch.join(st, key === storeKey, "left_anti")
       case (Some(st), Some(b)) =>
         val hit = coalesce(mightContain(b.bf, key), lit(false))
-        val pos = batch.filter(hit).localCheckpoint()
-        if (pos.isEmpty) batch
+        if (batch.filter(hit).isEmpty) batch
         else batch.filter(!hit)
-          .unionByName(pos.join(st, key === storeKey, "left_anti"))
+          .unionByName(batch.filter(hit)
+            .join(st, key === storeKey, "left_anti"))
     }
+
+  /** One `bloom_filter_agg` column with EXACTLY the parameters
+    * `DataFrameStatFunctions.bloomFilter(key, cap, fpp)` uses
+    * (`numBits = BloomFilter.optimalNumOfBits(cap, fpp)`, same
+    * xxhash64 pre-hash) — so several batch blooms (and the batch
+    * count) ride ONE job over the survivors instead of one scan per
+    * sidecar, and the result stays `mergeInPlace`-compatible with
+    * sidecars built by `stat.bloomFilter` (spec-pinned byte
+    * equality).
+    */
+  private[streaming] def bloomAggCol(key: Column, cap: Long,
+                                     fpp: Double): Column =
+    Bridge.column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(Bridge.expression(xxhash64(key)),
+        Literal(cap), Literal(BloomFilter.optimalNumOfBits(cap, fpp)))
+      .toAggregateExpression())
 
   /** Fold the batch's surviving keys into the sidecar blooms — called
     * BEFORE the store append (see [[StoreBloom]]'s superset
@@ -177,19 +201,24 @@ object CurationStream {
     * store tables (narrow single-column scans, amortized by the 4×
     * growth); merge compatibility is guaranteed by building every
     * batch bloom with the sidecar's own (capacity, fpp).
+    *
+    * `preBuilt` is the batch bloom already computed by the caller's
+    * fused count+blooms job (at `existing`'s capacity/fpp) — used in
+    * the merge fast path; the rebuild paths size their own.
     */
   private def mergedBloom(existing: Option[StoreBloom], batchKeys: DataFrame,
                           key: Column, nBatch: Long,
                           rebuildKeys: => Option[DataFrame], rebuildKey: Column,
-                          cfg: Config): StoreBloom = {
+                          cfg: Config,
+                          preBuilt: Option[BloomFilter] = None): StoreBloom = {
     def build(src: DataFrame, k: Column, n: Long, cap: Long): StoreBloom =
       StoreBloom(src.stat.bloomFilter(xxhash64(k), cap, cfg.bloomFpp),
         n, cap, cfg.bloomFpp)
     existing match {
       case Some(b) if b.nItems + nBatch <= b.capacity =>
         if (nBatch > 0)
-          b.bf.mergeInPlace(
-            batchKeys.stat.bloomFilter(xxhash64(key), b.capacity, b.fpp))
+          b.bf.mergeInPlace(preBuilt.getOrElse(
+            batchKeys.stat.bloomFilter(xxhash64(key), b.capacity, b.fpp)))
         b.copy(nItems = b.nItems + nBatch)
       case _ =>
         // absent → first build; saturated → rebuild at ≥4× — from the
@@ -229,11 +258,15 @@ object CurationStream {
     // replay idempotence: ids already ingested drop out up front, so a
     // redelivered micro-batch appends nothing. Bloom-bounded: the
     // steady-state batch (no redelivery) never reads the store here.
-    val arrived0 = batch.dropDuplicates(idCol)
-    val a = boundedAntiJoin(arrived0, col(idCol),
+    // The batch is materialized ONCE (before the probe) so the
+    // steady-state reference-equal pass-through needs no second
+    // checkpoint and the source is scanned once, not once per probe
+    // branch (round-14 job-count reduction).
+    val arrived0 = batch.dropDuplicates(idCol).localCheckpoint()
+    val aRaw = boundedAntiJoin(arrived0, col(idCol),
         storedDocs.map(_.select(col(idCol).as("_sid"))), col("_sid"),
         blooms.get("ids"))
-      .localCheckpoint()
+    val a = if (aRaw eq arrived0) arrived0 else aRaw.localCheckpoint()
 
     // lang + quality ride the batch rows in ONE narrow projection
     // (bit-identical values — [[TextAnalysis.langQualityOn]]): the
@@ -247,16 +280,19 @@ object CurationStream {
       .select(a.columns.map(col): _*).localCheckpoint()
 
     // exact dedup: batch-internal keep-min-id, then the store's
-    // content-hash set (the store always wins)
+    // content-hash set (the store always wins). Same materialize-once
+    // shape as the id probe: s4a is checkpointed, the steady-state
+    // (no hash collision) s4 is a projection over it.
     val keepIds = Dedup.exactDedup(s3, idCol, textCol)
       .select(col("keep_id").as(idCol))
     val s4a = s3.join(keepIds, Seq(idCol), "left_semi")
       .withColumn("_h", md5(col(textCol)))
-    val s4 = boundedAntiJoin(s4a, col("_h"),
+      .localCheckpoint()
+    val s4Raw = boundedAntiJoin(s4a, col("_h"),
         readOpt(spark, s"$storePath/hashes").map(_.select(col("_h").as("_sh"))),
         col("_sh"), blooms.get("hashes"))
+    val s4 = (if (s4Raw eq s4a) s4a else s4Raw.localCheckpoint())
       .drop("_h")
-      .localCheckpoint()
 
     // near-dup: store collisions first (signature-index probe, text
     // point-reads only for collisions), then batch-internal pairs
@@ -277,17 +313,40 @@ object CurationStream {
 
     // sidecar first, appends second (the bloom-superset invariant —
     // see [[StoreBloom]]): fold the survivors' ids and hashes into the
-    // persisted blooms before any corpus-sized table grows
-    val nAppended = s5.count()
-    val batchHashes = s5.select(md5(col(textCol)).as("_h")).localCheckpoint()
+    // persisted blooms before any corpus-sized table grows.
+    // Round-14 job-count reduction: the batch count and BOTH batch
+    // blooms ride ONE job over the checkpointed survivors (the blooms
+    // are built optimistically at each sidecar's current capacity —
+    // exactly what the merge fast path needs; a saturated sidecar
+    // ignores its optimistic bloom and takes the rebuild path, which
+    // sizes its own). Previously: one count job + one scan per
+    // sidecar bloom + a checkpoint of the md5 projection.
+    val batchHashes = s5.select(md5(col(textCol)).as("_h"))
+    val (nAppended, preIds, preHashes) = {
+      val idsP = blooms.get("ids").map(b => (b.capacity, b.fpp))
+      val hashP = blooms.get("hashes").map(b => (b.capacity, b.fpp))
+      val cols = Seq(count(lit(1)).as("_n")) ++
+        idsP.map { case (c, f) => bloomAggCol(col(idCol), c, f).as("_bi") } ++
+        hashP.map { case (c, f) =>
+          bloomAggCol(md5(col(textCol)), c, f).as("_bh") }
+      val row = s5.select(cols: _*).head()
+      def bf(name: String): Option[BloomFilter] =
+        Option(row.getAs[Array[Byte]](name)).map(b =>
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+      (row.getLong(0),
+        if (idsP.isDefined) bf("_bi") else None,
+        if (hashP.isDefined) bf("_bh") else None)
+    }
     writeBlooms(spark, storePath, Map(
       "ids" -> mergedBloom(blooms.get("ids"), s5, col(idCol), nAppended,
-        storedDocs.map(_.select(col(idCol))), col(idCol), cfg),
+        storedDocs.map(_.select(col(idCol))), col(idCol), cfg, preIds),
       "hashes" -> mergedBloom(blooms.get("hashes"), batchHashes, col("_h"),
         nAppended,
-        readOpt(spark, s"$storePath/hashes"), col("_h"), cfg)))
+        readOpt(spark, s"$storePath/hashes"), col("_h"), cfg, preHashes)))
 
-    // commit: append-only on the corpus-sized tables
+    // commit: append-only on the corpus-sized tables (the hash column
+    // re-derives from the checkpointed survivors — cheaper than the
+    // checkpoint job the old md5 frame paid)
     s5.write.mode("append").parquet(s"$storePath/corpus")
     batchHashes
       .write.mode("append").parquet(s"$storePath/hashes")

@@ -33,12 +33,20 @@ object LexIndexStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(wavesDir)
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    // single-writer contract: this run owns the index, so the next
+    // version is read ONCE and minted per appended batch (base+1,
+    // base+2, …) instead of re-scanning the growing doclen store
+    // every micro-batch (round-14: the per-batch max-scan was
+    // O(waves²) file reads over a run; values are identical — each
+    // non-empty batch appends ≥1 doclen row at exactly max+1)
+    val ver = new java.util.concurrent.atomic.AtomicLong(
+      graft.llm.Retrieval.currentLexVersion(spark, indexPath))
     val q = waves.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           graft.llm.Retrieval.appendToLexIndex(spark, indexPath,
-            batch, idCol, textCol)
+            batch, idCol, textCol, ver.incrementAndGet())
           batches.incrementAndGet()
         }
         ()

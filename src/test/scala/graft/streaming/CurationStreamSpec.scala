@@ -260,4 +260,31 @@ class CurationStreamSpec extends SparkSpec {
       assert(spark.read.parquet(s"$store/sigs").count() == 3L)
     } finally q.stop()
   }
+
+  test("fused bloom_filter_agg builds byte-identical, merge-compatible " +
+    "blooms vs stat.bloomFilter (the sidecar contract)") {
+    // the round-14 fused count+blooms job must produce EXACTLY what
+    // DataFrameStatFunctions.bloomFilter produced — same numBits, same
+    // hash insertion — or mergeInPlace into an existing sidecar breaks
+    val keys = (1L to 500L).toDF("k")
+    val cap = 1L << 12
+    val fpp = 0.01
+    val viaStat = keys.stat.bloomFilter(xxhash64(col("k")), cap, fpp)
+    val viaAgg = {
+      val bytes = keys
+        .select(CurationStream.bloomAggCol(col("k"), cap, fpp).as("b"))
+        .head().getAs[Array[Byte]]("b")
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    }
+    def ser(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    assert(java.util.Arrays.equals(ser(viaStat), ser(viaAgg)))
+    viaStat.mergeInPlace(viaAgg) // throws IncompatibleMergeException if not
+    assert((1L to 500L).forall(k => viaAgg.mightContainLong(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        k, org.apache.spark.sql.types.LongType, 42L))))
+  }
 }

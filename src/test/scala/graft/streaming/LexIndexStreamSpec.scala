@@ -43,4 +43,29 @@ class LexIndexStreamSpec extends SparkSpec {
     assert(serve(s"$root/is") == batchServe,
       "duplicate delivery must be serve-invisible")
   }
+
+  test("streamed ingest mints the same consecutive versions as the " +
+       "per-batch max-read append path") {
+    // round-14: ingest() reads currentLexVersion ONCE and mints
+    // base+1, base+2, … itself — the stored versions must be exactly
+    // what per-batch appendToLexIndex (max-scan per call) produced
+    val base = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val root =
+      s"/tmp/graft_test_lexver_${ProcessHandle.current().pid()}"
+    graft.llm.Retrieval.buildLexIndex(base, "doc_id", "text",
+      s"$root/idx")
+    // two waves → two micro-batches (maxFilesPerTrigger = 1)
+    Seq((3L, "alpha zeta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$root/waves")
+    Seq((4L, "beta eta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$root/waves")
+    val n = LexIndexStream.ingest(spark, s"$root/waves",
+      base.schema, "doc_id", "text", s"$root/idx", s"$root/ckpt")
+    assert(n == 2, s"expected 2 micro-batches, got $n")
+    val vers = spark.read.parquet(s"$root/idx/doclen")
+      .select("ver").distinct().as[Long].collect().sorted.toSeq
+    assert(vers == Seq(0L, 1L, 2L), s"stored versions $vers")
+    assert(graft.llm.Retrieval.currentLexVersion(spark, s"$root/idx") == 2L)
+  }
 }
