@@ -211,6 +211,54 @@ object ConcatSortedPieces {
   }
 }
 
+/** Native sorted-id extraction — the `struct<int,int>` sibling of
+  * [[FlattenWordIds]] for the per-(doc, wpos) piece-id assembly in
+  * `Unigram.encodeIdsSampled` (the one CORPUS-scale site of the
+  * `transform(sort_array(collect_list(struct(pos, id))), p -> p.id)`
+  * shape — the other families' analogues are vocabulary-bounded and
+  * deliberately left in SQL): sorts by the struct's first field and
+  * emits the second as a primitive int array in one pass. Same null
+  * contract as [[FlattenWordIds]].
+  */
+case class SortedStructIds(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_struct_ids"
+
+  override def nullSafeEval(input: Any): Any =
+    SortedStructIds.ids(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SortedStructIds.ids($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedStructIds =
+    copy(child = newChild)
+}
+
+object SortedStructIds {
+  /** Single-pass sort + project; shared by eval and codegen. */
+  def ids(rows: ArrayData): ArrayData = {
+    val n = rows.numElements()
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyIntArray)
+    // (pos << 32 | id) packs both fields into one primitive long —
+    // sorting the longs sorts by pos (unique per word), no boxing
+    val packed = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = rows.getStruct(i, 2)
+      packed(i) = (row.getInt(0).toLong << 32) | (row.getInt(1).toLong & 0xffffffffL)
+      i += 1
+    }
+    java.util.Arrays.sort(packed)
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) { out(i) = packed(i).toInt; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Column helpers for the token-assembly expressions. */
 object TokenExprs {
 
@@ -229,6 +277,13 @@ object TokenExprs {
   def flattenWordIdsPlain(words: Column): Column =
     Bridge.column(FlattenWordIds(Bridge.expression(words), 0,
       insertBoundary = false))
+
+  /** Sorted per-position id extraction ([[SortedStructIds]]) —
+    * replaces `transform(sort_array(collect_list(struct(pos, id))),
+    * p -> p.id)`.
+    */
+  def sortedStructIds(rows: Column): Column =
+    Bridge.column(SortedStructIds(Bridge.expression(rows)))
 
   /** Sorted piece concatenation ([[ConcatSortedPieces]]) — replaces
     * `array_join(transform(sort_array(...), x -> x.p), '')`.

@@ -676,10 +676,13 @@ object Unigram {
       .join(broadcast(vocab), Seq("piece"), "left")
       .groupBy(col("doc_id"), col("wpos"))
       .agg(max(col("unk")).as("_unk"),
-        sort_array(collect_list(struct(col("_spos"),
-          coalesce(col("token_id"), lit(-1)).as("id")))).as("_ps"))
+        collect_list(struct(col("_spos"),
+          coalesce(col("token_id"), lit(-1)).as("id"))).as("_ps"))
+      // native assembly (this agg is per word OCCURRENCE — corpus-
+      // scale, unlike the vocab-bounded analogues) — see
+      // [[graft.functions.SortedStructIds]]
       .select(col("doc_id"), col("wpos"), col("_unk"),
-        expr("transform(_ps, p -> p.id)").as("_wids"))
+        graft.functions.TokenExprs.sortedStructIds(col("_ps")).as("_wids"))
       .groupBy(col("doc_id"))
       .agg(
         collect_list(struct(col("wpos"), col("_wids"))).as("_ws"),

@@ -127,6 +127,32 @@ class TokenExprsSpec extends SparkSpec {
       "helllo wörld")
   }
 
+  test("sortedStructIds equals the replaced transform(sort_array) chain") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("_spos", IntegerType, nullable = false),
+      StructField("id", IntegerType, nullable = false)))
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 2, 7), Row(1L, 0, -1), Row(1L, 1, 42),
+        Row(2L, 5, 3)),
+      schema)
+    val old = rows.groupBy(col("k"))
+      .agg(sort_array(collect_list(struct(col("_spos"), col("id"))))
+        .as("_ps"))
+      .select(col("k"), expr("transform(_ps, p -> p.id)").as("ids"))
+    val neu = rows.groupBy(col("k"))
+      .agg(collect_list(struct(col("_spos"), col("id"))).as("_ps"))
+      .select(col("k"), TokenExprs.sortedStructIds(col("_ps")).as("ids"))
+    assert(neu.as[(Long, Seq[Int])].collect().toMap ==
+      old.as[(Long, Seq[Int])].collect().toMap)
+    assert(neu.schema == old.schema)
+    assert(neu.as[(Long, Seq[Int])].collect().toMap.apply(1L) ==
+      Seq(-1, 42, 7)) // sorted by position, OOV -1 preserved
+  }
+
   test("flattenWordIds null and empty inputs mirror the old chain") {
     val df = Seq((1L, None), (2L, Some(Seq.empty[(Int, Array[Int])])))
       .toDF("doc_id", "_ws")
